@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named query in the graft inventory.
+  *
+  * @param name  stable identifier (key in `SparkEntry.queries`)
+  * @param sql   equivalent ANSI SQL for the DuckDB oracle; `None` for
+  *              ops not expressible in portable SQL (driver then runs a
+  *              weaker rows-only check)
+  * @param run   the Spark implementation: (session, data dir) => result
+  */
+final case class Q(
+    name: String,
+    sql: Option[String],
+    run: (SparkSession, String) => DataFrame
+)
+
+object Q {
+  def apply(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(sql), run)
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, None, run)
+}
+
+/** Parquet table loaders for the driver-generated star schema
+  * (see FIXTURES.md §B). All reads go through here so scans stay
+  * uniform and pushdown-friendly.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    * default. Read it as raw long nanos (legacy conf) and truncate to a
+    * microsecond timestamp — the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

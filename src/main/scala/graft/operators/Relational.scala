@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2C). The reference
+  * implements only a topic filter (reference main.zig:169-210) —
+  * everything beyond that is the driver-mandated query surface
+  * re-expressed Spark-first.
+  *
+  * Oracle-parity rules used throughout graft.operators:
+  *  - Per-row double arithmetic is left unrounded: IEEE ops are
+  *    bit-deterministic, so Spark and DuckDB produce identical bits.
+  *  - Aggregates over doubles go through exact DECIMAL arithmetic
+  *    (`Exact.*`): float summation order differs between engines, but
+  *    decimal sums are exact, and the final cast back to double is
+  *    correctly rounded in both engines. Never `round()` on doubles —
+  *    Spark rounds the shortest decimal repr (HALF_UP) while DuckDB
+  *    rounds the binary value, and they disagree on half-way cases.
+  *  - Output columns are aliased identically on both sides.
+  */
+object Exact {
+  /** Cast a double column carrying ≤2 decimal digits to an exact decimal. */
+  def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact sum of a ≤2-decimal double column, returned as double. */
+  def sum2(c: Column): Column = sum(d2(c)).cast("double")
+  /** Exact average of a ≤2-decimal double column, as double. */
+  def avg2(c: Column): Column = sum(d2(c)).cast("double") / count(lit(1))
+  // SQL-side equivalents (DuckDB):
+  def sqlD2(x: String): String   = s"CAST($x AS DECIMAL(12,2))"
+  def sqlSum2(x: String): String = s"CAST(sum(${sqlD2(x)}) AS DOUBLE)"
+  def sqlAvg2(x: String): String = s"CAST(sum(${sqlD2(x)}) AS DOUBLE) / count(*)"
+}
+
+object Relational {
+  import Exact._
+
+  /** Flagship: TPC-H Q1-style pricing summary.
+    * scan → filter(shipdate) → project → hash agg → sort.
+    * At scale: the filter and the 7-column projection push down to the
+    * parquet scan; the agg is a two-phase hash agg (map-side partial)
+    * on a 6-value key — one shuffle, no skew risk, broadcast-free.
+    */
+  val q01PricingSummary = Q(
+    "q01_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum2("l_quantity")}      AS sum_qty,
+       |  ${sqlSum2("l_extendedprice")} AS sum_base_price,
+       |  CAST(sum(${sqlD2("l_extendedprice")} * ${sqlD2("1 - l_discount")}) AS DOUBLE) AS sum_disc_price,
+       |  CAST(sum(${sqlD2("l_extendedprice")} * ${sqlD2("1 - l_discount")} * ${sqlD2("1 + l_tax")}) AS DOUBLE) AS sum_charge,
+       |  ${sqlAvg2("l_quantity")}      AS avg_qty,
+       |  ${sqlAvg2("l_extendedprice")} AS avg_price,
+       |  ${sqlAvg2("l_discount")}      AS avg_disc,
+       |  count(*)                      AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")) * d2(lit(1) + col("l_tax")))
+          .cast("double").as("sum_charge"),
+        avg2(col("l_quantity")).as("avg_qty"),
+        avg2(col("l_extendedprice")).as("avg_price"),
+        avg2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Projection + predicate filter; both must reach the parquet scan
+    * (PushedFilters / 4-column ReadSchema — at 100 TB this is the
+    * difference between reading 4 columns and reading the table).
+    */
+  val q02FilterProject = Q(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount >= 0.09
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.09)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** The reference's one real operator: the topic filter with its
+    * tri-state null-passes semantics (reference main.zig:169-210;
+    * SURVEY.md §2A F1): an event passes iff the spell declares no
+    * topic, OR the event carries no topic, OR the topics are equal.
+    * Here `event_type` plays `$topic`, with 'error' events mapped to
+    * a null topic to exercise the null-passes branch.
+    */
+  val q03TopicFilter = Q(
+    "q03_topic_filter",
+    """SELECT event_id, user_id, topic, value
+      |FROM (SELECT event_id, user_id, nullif(event_type, 'error') AS topic, value FROM events)
+      |WHERE topic IS NULL OR topic = 'click'
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val spellTopic: Option[String] = Some("click")
+    val ev = Tables.events(s, d)
+      .withColumn("topic", nullif(col("event_type"), lit("error")))
+    val pass = spellTopic match {
+      case None    => lit(true)                          // spell has no topic
+      case Some(t) => col("topic").isNull || col("topic") === lit(t)
+    }
+    ev.filter(pass)
+      .select(col("event_id"), col("user_id"), col("topic"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  def all: Seq[Q] = Seq(q01PricingSummary, q02FilterProject, q03TopicFilter)
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Dev-only pre-flight for the driver's correctness gate.
+
+Runs DuckDB over the same parquet tables, executes each oracle SQL from
+Verify's oracle_sql.json, and compares against the Spark-written result
+parquet (rows sorted, columns sorted by name — approximating the
+driver's hash compare). NOT part of the library; driver-side python only.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and format stably
+        if v == 0.0:
+            v = 0.0
+        return f"{v:.17g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+def rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        res_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(res_dir):
+            continue
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
+        got_cols = [d[0] for d in got.description]
+        got_rows = got.fetchall()
+        if name not in oracle:
+            status = "ok" if len(got_rows) > 0 else "EMPTY"
+            print(f"SKIP {name}: no oracle (rows-only: {len(got_rows)} rows {status})")
+            if len(got_rows) == 0:
+                n_fail += 1
+            else:
+                n_pass += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns spark={sorted(got_cols)} duckdb={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        g, e = rowset(got_cols, got_rows), rowset(exp_cols, exp_rows)
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows spark={len(g)} duckdb={len(e)}")
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            only_g = [r for r in g if r not in set(map(tuple, e))][:3]
+            only_e = [r for r in e if r not in set(map(tuple, g))][:3]
+            for a, b in diff:
+                print(f"  spark : {a}\n  duckdb: {b}")
+            if not diff:
+                print(f"  only-spark: {only_g}\n  only-duckdb: {only_e}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
