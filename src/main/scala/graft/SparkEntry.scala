@@ -10,7 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    Relational.all
+    Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
+      SetOps.all ++ ScalarFuncs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

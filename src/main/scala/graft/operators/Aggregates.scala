@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation inventory (SURVEY.md §2C "Aggregations"): hash agg,
+  * count distinct, approx distinct (HLL), rollup, cube, grouping
+  * sets, pivot. All two-phase (map-side partial) hash aggregates on
+  * low-cardinality keys — the shape that scales.
+  *
+  * Variance/stddev are computed from exact decimal sums via the
+  * textbook formula instead of `stddev()` so both engines evaluate
+  * identical double arithmetic (Welford accumulation order differs
+  * between engines; exact sums don't).
+  */
+object Aggregates {
+  import Exact._
+
+  /** Basic stats per group: count/min/max + exact sum/avg + sample
+    * variance from exact moments.
+    */
+  val q20AggStats = Q(
+    "q20_agg_stats",
+    s"""SELECT l_returnflag,
+       |  count(*) AS n,
+       |  min(l_quantity) AS min_qty,
+       |  max(l_quantity) AS max_qty,
+       |  ${sqlSum2("l_quantity")} AS sum_qty,
+       |  ${sqlAvg2("l_quantity")} AS avg_qty,
+       |  (CAST(sum(${sqlD2("l_quantity")} * ${sqlD2("l_quantity")}) AS DOUBLE)
+       |   - CAST(sum(${sqlD2("l_quantity")}) AS DOUBLE) * CAST(sum(${sqlD2("l_quantity")}) AS DOUBLE) / count(*))
+       |  / (count(*) - 1) AS var_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val q = d2(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        avg2(col("l_quantity")).as("avg_qty"),
+        ((sum(q * q).cast("double")
+          - sum(q).cast("double") * sum(q).cast("double") / count(lit(1)))
+          / (count(lit(1)) - lit(1))).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact distinct counts over three key columns in one pass. */
+  val q21CountDistinct = Q(
+    "q21_count_distinct",
+    """SELECT count(DISTINCT l_suppkey) AS n_supp,
+      |       count(DISTINCT l_partkey) AS n_part,
+      |       count(DISTINCT l_orderkey) AS n_ord,
+      |       count(*) AS n_rows
+      |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_partkey")).as("n_part"),
+      countDistinct(col("l_orderkey")).as("n_ord"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** Approximate distinct via HLL — sketch internals are
+    * engine-specific, so no SQL oracle (driver does rows-only).
+    * At 100 TB this replaces q21's exact expansion: HLL sketches
+    * merge map-side, one tiny row crosses the shuffle.
+    */
+  val q22ApproxDistinct = Q.noOracle("q22_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ord"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals. */
+  val q23Rollup = Q(
+    "q23_rollup",
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** CUBE over (orderstatus, orderpriority): all subtotal combos. */
+  val q24Cube = Q(
+    "q24_cube",
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${sqlSum2("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Explicit GROUPING SETS (finer control than rollup/cube). */
+  val q25GroupingSets = Q(
+    "q25_grouping_sets",
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${sqlSum2("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         |FROM graft_orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** Pivot: order counts per priority pivoted on status. The SQL
+    * oracle is the portable conditional-aggregation spelling.
+    */
+  val q26Pivot = Q(
+    "q26_pivot",
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("O", "status_o")
+      .withColumnRenamed("F", "status_f")
+      .withColumnRenamed("P", "status_p")
+      .na.fill(0, Seq("status_o", "status_f", "status_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
+    q23Rollup, q24Cube, q25GroupingSets, q26Pivot)
+}

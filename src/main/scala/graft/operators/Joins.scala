@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join inventory (SURVEY.md §2C "Joins"): equi inner/left/full,
+  * semi, anti, theta/self, range (non-equi), and an as-of join.
+  * The reference has no joins (SURVEY.md §2A "explicitly absent") —
+  * this is the mandated relational surface.
+  *
+  * Scale notes baked into each plan:
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    `broadcast()` so fact-side scans never shuffle for them;
+  *  - fact-fact joins shuffle on their keys once (sort-merge + AQE);
+  *  - the as-of join is the union-scan algorithm: ONE shuffle on
+  *    user_id, no pairwise explosion — the only as-of formulation
+  *    that survives 100 TB.
+  */
+object Joins {
+  import Exact._
+
+  /** Inner equi join orders ⋈ customer with a broadcast dim. */
+  val q10JoinInner = Q(
+    "q10_join_inner",
+    """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H Q5-style multiway join: lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region, revenue per nation. Dims broadcast; the single
+    * fact-fact (lineitem⋈orders) join shuffles once on orderkey.
+    */
+  val q11JoinMultiway = Q(
+    "q11_join_multiway",
+    s"""SELECT n_name,
+       |  CAST(sum(${sqlD2("l_extendedprice")} * ${sqlD2("1 - l_discount")}) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey  = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name IN ('ASIA', 'EUROPE')
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left outer join + agg: order count per customer, keeping
+    * customers with zero orders (TPC-H Q13 shape).
+    */
+  val q12JoinLeft = Q(
+    "q12_join_left",
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left semi join (EXISTS): customers holding at least one pending
+    * order. Semi joins ship only the key column of the right side.
+    */
+  val q13JoinSemi = Q(
+    "q13_join_semi",
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left anti join (NOT EXISTS): customers with no order above 450k. */
+  val q14JoinAnti = Q(
+    "q14_join_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join of two per-nation aggregates (suppliers vs
+    * customers per nation), coalescing both sides.
+    */
+  val q15JoinFull = Q(
+    "q15_join_full",
+    """SELECT coalesce(s.nk, c.nk) AS nationkey,
+      |       coalesce(n_supp, 0)  AS n_supp,
+      |       coalesce(n_cust, 0)  AS n_cust
+      |FROM (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      |FULL JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      |  ON s.nk = c.nk
+      |ORDER BY nationkey""".stripMargin
+  ) { (s, d) =>
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cus = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    sup.join(cus, sup("nk") === cus("nk"), "full")
+      .select(
+        coalesce(sup("nk"), cus("nk")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Theta self-join: nation pairs within the same region
+    * (equi component + `<` predicate — planner keeps the equi part
+    * as the join key, the rest as a post-condition).
+    */
+  val q16JoinTheta = Q(
+    "q16_join_theta",
+    """SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+      |FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |ORDER BY regionkey, nation_a, nation_b""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.nation(s, d).alias("a")
+    val b = Tables.nation(s, d).alias("b")
+    a.join(b, col("a.n_regionkey") === col("b.n_regionkey")
+        && col("a.n_nationkey") < col("b.n_nationkey"))
+      .select(col("a.n_name").as("nation_a"), col("b.n_name").as("nation_b"),
+        col("a.n_regionkey").as("regionkey"))
+      .orderBy(col("regionkey"), col("nation_a"), col("nation_b"))
+  }
+
+  /** Range (non-equi) join: orders against a small static table of
+    * price bands. Small side broadcast ⇒ BroadcastNestedLoopJoin,
+    * the right physical plan for band lookup at any scale.
+    */
+  val q17JoinRange = Q(
+    "q17_join_range",
+    s"""SELECT band, count(*) AS n_orders, ${sqlSum2("o_totalprice")} AS sum_price
+       |FROM orders
+       |JOIN (VALUES ('sub100k', 0.0, 100000.0),
+       |             ('100k-250k', 100000.0, 250000.0),
+       |             ('250k-450k', 250000.0, 450000.0),
+       |             ('450kplus', 450000.0, 1e12)) AS bands(band, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(
+      ("sub100k", 0.0, 100000.0),
+      ("100k-250k", 100000.0, 250000.0),
+      ("250k-450k", 250000.0, 450000.0),
+      ("450kplus", 450000.0, 1e12)).toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  /** As-of join: for every purchase event, the user's most recent
+    * click at or before it. Implemented as the union-scan algorithm:
+    * tag both sides, ONE shuffle on user_id, sort by (ts, kind), and
+    * carry the last click forward with `last(_, ignoreNulls)` — no
+    * pairwise explosion, unlike the naive range-join formulation.
+    */
+  val q18JoinAsof = Q(
+    "q18_join_asof",
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), scanned AS (
+      |  SELECT user_id, ts, event_id, value, kind,
+      |         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
+      |         last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_ts
+      |  FROM tagged
+      |)
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |       asof_click_id, asof_click_ts
+      |FROM scanned WHERE kind = 1
+      |ORDER BY purchase_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    // clicks sort before a purchase at the same ts (kind asc) => "at or before"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("asof_click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("asof_click_id"), col("asof_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
+    q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof)
+}

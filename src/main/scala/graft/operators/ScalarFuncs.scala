@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function inventory (SURVEY.md §2C "Scalar functions"):
+  * string, date/time, math, conditional, array, and JSON over the
+  * open-schema `events.props` tail (the Spark analog of sanctum's
+  * schemaless event payload, SURVEY.md §1.4).
+  *
+  * Functions whose results are not bit-deterministic across engines
+  * (transcendentals ln/exp/pow — libm differences) are deliberately
+  * excluded from oracle-checked outputs; sqrt IS IEEE-exact.
+  */
+object ScalarFuncs {
+
+  /** String functions over part. DuckDB names differ (strpos/…) but
+    * semantics are aligned 1:1.
+    */
+  val q60String = Q(
+    "q60_string_funcs",
+    """SELECT p_partkey,
+      |  lower(p_name)                     AS name_lower,
+      |  upper(p_brand)                    AS brand_upper,
+      |  substring(p_type, 1, 4)           AS type_prefix,
+      |  length(p_name)                    AS name_len,
+      |  concat(p_brand, ':', p_type)      AS brand_type,
+      |  replace(p_name, ' ', '_')         AS name_snake,
+      |  strpos(p_name, 'e')               AS first_e,
+      |  trim(lpad(p_brand, 12, '.'))      AS brand_padded,
+      |  reverse(p_name)                   AS name_rev,
+      |  left(p_name, 3)                   AS name3,
+      |  CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+  ) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 4).as("type_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        instr(col("p_name"), "e").as("first_e"),
+        trim(lpad(col("p_brand"), 12, ".")).as("brand_padded"),
+        reverse(col("p_name")).as("name_rev"),
+        substring(col("p_name"), 1, 3).as("name3"),
+        when(col("p_name").like("%widget%"), 1).otherwise(0).as("is_widget"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Date/time functions over orders (month truncation, interval
+    * arithmetic, component extraction, epoch seconds, date diff).
+    */
+  val q61Date = Q(
+    "q61_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(year(o_orderdate) AS INT)    AS yr,
+      |  CAST(month(o_orderdate) AS INT)   AS mo,
+      |  CAST(day(o_orderdate) AS INT)     AS dy,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  o_orderdate + INTERVAL 30 DAY     AS due_date,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        quarter(col("o_orderdate")).as("qtr"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Math functions (only bit-deterministic ones: IEEE sqrt, abs,
+    * ceil/floor, sign, greatest/least, integer modulo).
+    */
+  val q62Math = Q(
+    "q62_math_funcs",
+    """SELECT s_suppkey,
+      |  abs(s_acctbal)                     AS abs_bal,
+      |  ceil(s_acctbal)                    AS ceil_bal,
+      |  floor(s_acctbal)                   AS floor_bal,
+      |  sqrt(abs(s_acctbal))               AS sqrt_bal,
+      |  sign(s_acctbal)                    AS sign_bal,
+      |  greatest(s_acctbal, 1000.0)        AS hi_bal,
+      |  least(s_acctbal, 1000.0)           AS lo_bal,
+      |  s_suppkey % 7                      AS mod7,
+      |  s_acctbal * 2 + 1                  AS affine
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        abs(col("s_acctbal")).as("abs_bal"),
+        ceil(col("s_acctbal")).as("ceil_bal"),
+        floor(col("s_acctbal")).as("floor_bal"),
+        sqrt(abs(col("s_acctbal"))).as("sqrt_bal"),
+        signum(col("s_acctbal")).as("sign_bal"),
+        greatest(col("s_acctbal"), lit(1000.0)).as("hi_bal"),
+        least(col("s_acctbal"), lit(1000.0)).as("lo_bal"),
+        (col("s_suppkey") % 7).as("mod7"),
+        (col("s_acctbal") * 2 + 1).as("affine"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Array functions over tokenized document text: length, head/tail
+    * element access, membership, slice, distinct count.
+    */
+  val q63Array = Q(
+    "q63_array_funcs",
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))                 AS n_tokens,
+      |  string_split(text, ' ')[1]                   AS first_token,
+      |  string_split(text, ' ')[-1]                  AS last_token,
+      |  CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS head5,
+      |  len(list_distinct(string_split(text, ' ')))  AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        element_at(toks, 1).as("first_token"),
+        element_at(toks, -1).as("last_token"),
+        array_contains(toks, "spark").cast("int").as("has_spark"),
+        concat_ws(" ", slice(toks, 1, 5)).as("head5"),
+        size(array_distinct(toks)).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON extraction over the open-schema `props` payload — the
+    * Spark analog of reading a dynamic field off a sanctum event
+    * table (SURVEY.md §1.4).
+    */
+  val q64Json = Q(
+    "q64_json_props",
+    """SELECT event_id, event_type,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .withColumn("k", k)
+      .filter(col("k") > 50)
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Conditional logic: CASE tiers + coalesce/nullif composition. */
+  val q65Conditional = Q(
+    "q65_conditional",
+    """SELECT tier, count(*) AS n, count(pend_price) AS n_pending
+      |FROM (SELECT
+      |        CASE WHEN o_totalprice >= 400000 THEN 'jumbo'
+      |             WHEN o_totalprice >= 200000 THEN 'large'
+      |             WHEN o_totalprice >= 100000 THEN 'medium'
+      |             ELSE 'small' END AS tier,
+      |        CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL
+      |             AND  nullif(o_orderstatus, 'O') IS NOT NULL
+      |             THEN o_totalprice END AS pend_price
+      |      FROM orders)
+      |GROUP BY tier
+      |ORDER BY tier""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") >= 400000, "jumbo")
+          .when(col("o_totalprice") >= 200000, "large")
+          .when(col("o_totalprice") >= 100000, "medium")
+          .otherwise("small").as("tier"),
+        when(nullif(col("o_orderstatus"), lit("F")).isNotNull
+          && nullif(col("o_orderstatus"), lit("O")).isNotNull, col("o_totalprice"))
+          .as("pend_price"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), count(col("pend_price")).as("n_pending"))
+      .orderBy(col("tier"))
+  }
+
+  /** Tumbling 1-day event-time window (batch form of the streaming
+    * `window()` operator; 1-day windows are epoch-aligned so the SQL
+    * mirror is date_trunc). Exact decimal sum of 2-decimal values.
+    */
+  val q70TimeWindow = Q(
+    "q70_time_window",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |       event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  def all: Seq[Q] = Seq(q60String, q61Date, q62Math, q63Array, q64Json,
+    q65Conditional, q70TimeWindow)
+}

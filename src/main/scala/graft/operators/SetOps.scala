@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Set-operation inventory (SURVEY.md §2C "Set ops"): union all,
+  * union distinct, intersect, except, and the ALL variants.
+  */
+object SetOps {
+
+  /** UNION ALL of two tagged slices of events (no dedup). */
+  val q50UnionAll = Q(
+    "q50_union_all",
+    """SELECT event_id, bucket FROM (
+      |  SELECT event_id, 'hi' AS bucket FROM events WHERE value > 15
+      |  UNION ALL
+      |  SELECT event_id, 'lo' AS bucket FROM events WHERE value < 2
+      |)
+      |ORDER BY bucket, event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hi = ev.filter(col("value") > 15).select(col("event_id"), lit("hi").as("bucket"))
+    val lo = ev.filter(col("value") < 2).select(col("event_id"), lit("lo").as("bucket"))
+    hi.union(lo).orderBy(col("bucket"), col("event_id"))
+  }
+
+  /** UNION (distinct): users seen clicking or purchasing. */
+  val q51UnionDistinct = Q(
+    "q51_union_distinct",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |UNION
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .union(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** INTERSECT: users who both clicked and hit an error. */
+  val q52Intersect = Q(
+    "q52_intersect",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  /** EXCEPT (distinct): order dates that saw an open ('O') order but
+    * no pending ('P') order.
+    */
+  val q53Except = Q(
+    "q53_except",
+    """SELECT od FROM (
+      |  SELECT o_orderdate AS od FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT o_orderdate AS od FROM orders WHERE o_orderstatus = 'P'
+      |)
+      |ORDER BY od""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select(col("o_orderdate").as("od"))
+      .except(o.filter(col("o_orderstatus") === "P").select(col("o_orderdate").as("od")))
+      .orderBy(col("od"))
+  }
+
+  /** EXCEPT ALL: multiset difference of per-nation key bags. */
+  val q54ExceptAll = Q(
+    "q54_except_all",
+    """SELECT nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey AS nk FROM supplier
+      |)
+      |ORDER BY nk""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+  }
+
+  /** INTERSECT ALL: multiset intersection of order-date keys from
+    * two order-status slices.
+    */
+  val q55IntersectAll = Q(
+    "q55_intersect_all",
+    """SELECT od FROM (
+      |  SELECT o_orderdate AS od FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT o_orderdate AS od FROM orders WHERE o_orderstatus = 'F'
+      |)
+      |ORDER BY od""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select(col("o_orderdate").as("od"))
+      .intersectAll(o.filter(col("o_orderstatus") === "F").select(col("o_orderdate").as("od")))
+      .orderBy(col("od"))
+  }
+
+  def all: Seq[Q] = Seq(q50UnionAll, q51UnionDistinct, q52Intersect,
+    q53Except, q54ExceptAll, q55IntersectAll)
+}

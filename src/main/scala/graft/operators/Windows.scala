@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function inventory (SURVEY.md §2C "Window functions"):
+  * ranking, analytic (lag/lead/first/last), running frames, ntile /
+  * percent_rank / cume_dist, per-group top-k, and sort/limit.
+  *
+  * Determinism rules: every window ORDER BY ends in a unique key
+  * (so row_number/lag/lead are well-defined), except rank-family
+  * windows that deliberately order by a tying column — their outputs
+  * are tie-invariant.
+  */
+object Windows {
+  import Exact._
+
+  /** row_number (unique order) + rank/dense_rank (tie-tolerant). */
+  val q30WindowRank = Q(
+    "q30_window_rank",
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |  rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+      |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+      |FROM customer
+      |ORDER BY c_nationkey, rn""".stripMargin
+  ) { (s, d) =>
+    val wUnique = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wTies = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(wUnique).as("rn"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** lag/lead/first/last over each user's event timeline. */
+  val q31WindowLagLead = Q(
+    "q31_window_lag_lead",
+    """SELECT event_id, user_id, value,
+      |  lag(value)  OVER w AS prev_value,
+      |  lead(value) OVER w AS next_value,
+      |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+      |  last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(wFull).as("first_value"),
+        last(col("value")).over(wFull).as("last_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Running (cumulative) exact-decimal sum + moving 3-row average
+    * per customer's order history.
+    */
+  val q32WindowRunning = Q(
+    "q32_window_running",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / least(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg3
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        sum(d2(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"),
+        (sum(d2(col("o_totalprice"))).over(wMov).cast("double")
+          / least(count(lit(1)).over(wMov), lit(3))).as("moving_avg3"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Per-group top-k: 3 priciest orders per priority class. */
+  val q33TopkPerGroup = Q(
+    "q33_topk_per_group",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, k
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS k
+      |      FROM orders)
+      |WHERE k <= 3
+      |ORDER BY o_orderpriority, k""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("k"))
+      .orderBy(col("o_orderpriority"), col("k"))
+  }
+
+  /** Distribution functions: ntile / percent_rank / cume_dist over a
+    * unique global order (deterministic double formulas).
+    */
+  val q34Ntile = Q(
+    "q34_ntile",
+    """SELECT c_custkey,
+      |  ntile(10)      OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+      |  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+      |  cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS cume
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Global sort + limit with a unique tiebreak (top-k via
+    * TakeOrderedAndProject — no global sort materialized).
+    */
+  val q40SortLimit = Q(
+    "q40_sort_limit",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
+    q33TopkPerGroup, q34Ntile, q40SortLimit)
+}
