@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text/vector primitives with paired Spark + DuckDB
+  * spellings, used by the dedup / similarity / text-analysis
+  * operators (SURVEY.md §2C ⟨ns⟩ rows).
+  *
+  * Every primitive here is *bit-deterministic across engines*:
+  *  - hashes go through md5 (identical algorithm in both engines);
+  *  - float reductions are sequential left folds with an explicit 0.0
+  *    seed, so Spark's `aggregate` and DuckDB's `list_reduce` perform
+  *    the identical IEEE operation sequence;
+  *  - integer arithmetic is exact in both.
+  *
+  * All Spark forms are native Catalyst expressions (codegen-friendly,
+  * no UDFs) — `transform`/`aggregate`/`zip_with` higher-order
+  * functions evaluate per-row with zero shuffle.
+  */
+object TextVec {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct tokens (set semantics for shingle/minhash work). */
+  def tokenSet(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Sequential-fold dot product of two float-array columns, in
+    * double. Order: ((0 + x1*y1) + x2*y2) + … — matches sqlDot.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm via the same deterministic fold. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB spelling of `dot` with the identical fold order. */
+  def sqlDot(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), " +
+      s"(a, b) -> a + b)"
+
+  def sqlNorm(x: String): String = s"sqrt(${sqlDot(x, x)})"
+
+  /** Minhash i over a token-set column: min md5 of seed-prefixed
+    * shingles. Hex strings compare lexicographically = numerically.
+    */
+  def minhash(i: Int, tokSet: Column): Column =
+    array_min(transform(tokSet, t => md5(concat(lit(s"$i:"), t))))
+
+  def sqlMinhash(i: Int, tokSet: String): String =
+    s"list_aggregate(list_transform($tokSet, t -> md5('$i:' || t)), 'min')"
+
+  /** Jaccard similarity of two *distinct-element* array columns using
+    * |A∩B| / (|A| + |B| − |A∩B|) — integer counts, one deterministic
+    * double division.
+    */
+  def jaccard(aSet: Column, bSet: Column): Column = {
+    val inter = size(array_intersect(aSet, bSet)).cast("double")
+    inter / (size(aSet) + size(bSet) - inter)
+  }
+
+  def sqlJaccard(aSet: String, bSet: String): String = {
+    val inter = s"CAST(len(list_intersect($aSet, $bSet)) AS DOUBLE)"
+    s"$inter / (len($aSet) + len($bSet) - $inter)"
+  }
+
+  /** 16-bit SimHash over a token-set: bit j is set iff the majority
+    * of tokens have md5 hex digit j ≥ 8 (each hex digit's top bit is
+    * an independent hash bit). Emitted as engine-native SQL text —
+    * exact integer arithmetic in both engines.
+    */
+  def simhashSparkSql(tokSetExpr: String): String = {
+    val bits = (1 to 16).map { j =>
+      s"(CASE WHEN aggregate($tokSetExpr, 0, (acc, t) -> acc + " +
+        s"(CASE WHEN instr('0123456789abcdef', substr(md5(t), $j, 1)) >= 9 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1 << (j - 1)} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  def simhashDuckSql(tokSetExpr: String): String = {
+    val bits = (1 to 16).map { j =>
+      s"(CASE WHEN list_sum(list_transform($tokSetExpr, t -> " +
+        s"CASE WHEN strpos('0123456789abcdef', substr(md5(t), $j, 1)) >= 9 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1 << (j - 1)} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Polynomial rolling hash over the token sequence:
+    * fold (acc·31 + v(t)) mod 1e9+7, with v(t) = value of the first
+    * 4 hex digits of md5(t). Order-sensitive document fingerprint.
+    */
+  private def hexVal(engineInstr: String, tok: String, j: Int): String =
+    s"($engineInstr('0123456789abcdef', substr(md5($tok), $j, 1)) - 1)"
+
+  def rollhashSparkSql(toksExpr: String): String = {
+    val v = (1 to 4).map(j => hexVal("instr", "t", j))
+      .zip(Seq(4096, 256, 16, 1)).map { case (e, m) => s"$e * $m" }.mkString(" + ")
+    s"aggregate($toksExpr, CAST(0 AS BIGINT), (acc, t) -> (acc * 31 + ($v)) % 1000000007)"
+  }
+
+  def rollhashDuckSql(toksExpr: String): String = {
+    val v = (1 to 4).map(j => hexVal("strpos", "t", j))
+      .zip(Seq(4096, 256, 16, 1)).map { case (e, m) => s"$e * $m" }.mkString(" + ")
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($toksExpr, t -> CAST($v AS BIGINT))), " +
+      s"(acc, b) -> (acc * 31 + b) % 1000000007)"
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.functions._
+
+/** Deduplication inventory (SURVEY.md §2C ⟨ns⟩ "Dedup"): exact
+  * content dedup, MinHash signatures, MinHash-LSH near-dup pairs,
+  * SimHash + Hamming near-dup, and n-gram Jaccard similarity.
+  *
+  * Scale design: signatures/simhashes are computed per-row with
+  * native higher-order functions (zero shuffle, whole-stage codegen);
+  * LSH banding turns the O(n²) pair space into an equi-join on
+  * (band, band_hash) — ONE shuffle, and only same-bucket candidates
+  * are verified. That is the 100 TB path; the brute-force pair
+  * queries exist as exactness baselines at test scale.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical keeper (min doc_id) + multiplicity per
+    * content hash. Deterministic alternative to `dropDuplicates`
+    * (which keeps an arbitrary row).
+    */
+  val d01DedupExact = Q(
+    "d01_dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** MinHash signatures (k=4 shown; d03 uses 8) over word-shingle
+    * sets: per-row transform + array_min, no shuffle at all.
+    */
+  val d02MinhashSignature = Q(
+    "d02_minhash_signature",
+    { val ts = "list_distinct(string_split(text, ' '))"
+      s"""SELECT doc_id,
+         |  ${sqlMinhash(0, ts)} AS mh0,
+         |  ${sqlMinhash(1, ts)} AS mh1,
+         |  ${sqlMinhash(2, ts)} AS mh2,
+         |  ${sqlMinhash(3, ts)} AS mh3
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val ts = tokenSet(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        minhash(0, ts).as("mh0"), minhash(1, ts).as("mh1"),
+        minhash(2, ts).as("mh2"), minhash(3, ts).as("mh3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: 8 minhashes → 4 bands of 2 →
+    * equi-self-join on (band, hash) → verify candidates with exact
+    * Jaccard ≥ 0.9 on the shingle sets.
+    */
+  val d03LshNearDup = Q(
+    "d03_lsh_near_dup",
+    { val ts = "list_distinct(string_split(text, ' '))"
+      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, ts)} AS mh$i").mkString(",\n    ")
+      val bands = (0 until 4).map(i =>
+        s"SELECT doc_id, $i AS band, md5(mh${2 * i} || mh${2 * i + 1}) AS h FROM sig").mkString("\n  UNION ALL ")
+      s"""WITH sig AS (
+         |  SELECT doc_id, $mhs FROM documents
+         |), bands AS (
+         |  $bands
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |), toksets AS (
+         |  SELECT doc_id, $ts AS ts FROM documents
+         |)
+         |SELECT p.id_a, p.id_b, ${sqlJaccard("ta.ts", "tb.ts")} AS jaccard
+         |FROM pairs p
+         |JOIN toksets ta ON p.id_a = ta.doc_id
+         |JOIN toksets tb ON p.id_b = tb.doc_id
+         |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin }
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ts = tokenSet(col("text"))
+    val sig = docs.select(col("doc_id") +: (0 until 8).map(i => minhash(i, ts).as(s"mh$i")): _*)
+    val bandArr = array((0 until 4).map(i =>
+      md5(concat(col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h")))
+    val pairs = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val toksets = docs.select(col("doc_id"), ts.as("ts"))
+    pairs
+      .join(toksets.alias("ta"), col("id_a") === col("ta.doc_id"))
+      .join(toksets.alias("tb"), col("id_b") === col("tb.doc_id"))
+      .select(col("id_a"), col("id_b"), jaccard(col("ta.ts"), col("tb.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash per document (16-bit) + its Hamming-ball near-dups:
+    * pairs at Hamming distance ≤ 2 over the whole corpus.
+    */
+  val d04SimhashNearDup = Q(
+    "d04_simhash_near_dup",
+    { val ts = "list_distinct(string_split(text, ' '))"
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${simhashDuckSql(ts)} AS simhash FROM documents
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 2
+         |ORDER BY id_a, id_b""".stripMargin }
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    docs.createOrReplaceTempView("graft_docs_simhash")
+    val ts = "array_distinct(split(text, ' '))"
+    val sh = s.sql(
+      s"SELECT doc_id, ${simhashSparkSql(ts)} AS simhash FROM graft_docs_simhash")
+    sh.alias("a")
+      .join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").cast("long").bitwiseXOR(col("b.simhash").cast("long")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard: the 20 most-similar pairs in
+    * the first 100 docs — the exactness baseline the LSH variants
+    * approximate.
+    */
+  val d05NgramJaccard = Q(
+    "d05_ngram_jaccard",
+    { val g = "list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))"
+      s"""WITH grams AS (
+         |  SELECT doc_id, $g AS gs FROM documents WHERE doc_id < 100
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${sqlJaccard("a.gs", "b.gs")} AS jaccard3
+         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         |ORDER BY jaccard3 DESC, id_a, id_b
+         |LIMIT 20""".stripMargin }
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .createOrReplaceTempView("graft_docs_ngram")
+    val g = "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+      "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i+1), ' ', element_at(split(text, ' '), i+2))))"
+    val grams = s.sql(s"SELECT doc_id, $g AS gs FROM graft_docs_ngram")
+    grams.alias("a")
+      .join(grams.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        jaccard(col("a.gs"), col("b.gs")).as("jaccard3"))
+      .orderBy(col("jaccard3").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine > 0.35 (brute
+    * force at test scale; the LSH-bucketed s02 is the 100 TB path).
+    */
+  val d06EmbeddingNearDup = Q(
+    "d06_embedding_near_dup",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    e.alias("a")
+      .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") > 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
+    d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup)
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column inventory (SURVEY.md §2C ⟨ns⟩ "Multimodal
+  * columns"): a typed row carrying text + vector + metadata, and an
+  * opaque binary media column with typed metadata extraction. The
+  * heavy decode path lives in `graft.multimodal.MediaPipeline`
+  * (stubbed decoder, real Spark plumbing); these queries cover the
+  * relational side: the modality join and binary metadata.
+  */
+object Multimodal {
+
+  /** The modality join: documents ⋈ embeddings on id, emitting one
+    * typed multimodal row (text stats + vector stats + labels).
+    * Equi join between co-partitionable tables — at scale both sides
+    * bucket on id and the join is shuffle-free.
+    */
+  val m01MultimodalJoin = Q(
+    "m01_multimodal_join",
+    s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |  len(e.embedding) AS dims,
+       |  ${sqlNorm("e.embedding")} AS vec_norm,
+       |  e.label
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(col("embedding")).as("dims"),
+        norm(col("embedding")).as("vec_norm"),
+        col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Opaque binary media column with typed metadata: payload as
+    * BINARY plus extracted size/hash/prefix metadata — the schema
+    * pattern for image/audio blobs (here the bytes are the utf-8
+    * text; prod swaps the payload, the plumbing is identical).
+    */
+  val m02BinaryMeta = Q(
+    "m02_binary_meta",
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  md5(text) AS content_hash,
+      |  substring(text, 1, 16) AS head,
+      |  lang AS media_kind
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_hash"),
+        substring(col("text"), 1, 16).as("head"),
+        col("lang").as("media_kind"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(m01MultimodalJoin, m02BinaryMeta)
+}

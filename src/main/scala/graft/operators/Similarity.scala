@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search inventory (SURVEY.md §2C ⟨ns⟩ "Similarity
+  * search"): brute-force cosine top-k (exact baseline) and an
+  * LSH-bucketed ANN variant (the scale path).
+  *
+  * Scale design: the query side is tiny and broadcast, so the
+  * brute-force pass is a single scan of the corpus with no shuffle
+  * (BroadcastNestedLoopJoin) + a per-query top-k window. The ANN
+  * variant prunes candidates to same-bucket rows via random-
+  * hyperplane signs, turning O(n·q) into O(n/2^b · q).
+  */
+object Similarity {
+
+  /** Exact top-5 cosine neighbors for each query vector (vec_id<10),
+    * brute force over the corpus.
+    */
+  val s01CosineTopk = Q(
+    "s01_cosine_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, k FROM ranked
+       |WHERE k <= 5
+       |ORDER BY query_id, k""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 5)
+      .orderBy(col("query_id"), col("k"))
+  }
+
+  /** LSH-bucketed approximate NN: 4 hyperplanes (data-derived, so the
+    * construction is deterministic and oracle-checkable) give a 4-bit
+    * sign bucket; neighbors are only searched within the query's
+    * bucket, then top-3 by exact cosine. Documented recall tradeoff —
+    * at scale, bucket count grows with corpus size.
+    */
+  val s02AnnLsh = Q(
+    "s02_ann_lsh",
+    { def bit(j: Int) =
+        s"(CASE WHEN ${sqlDot("e.embedding", s"p$j.embedding")} > 0 THEN ${1 << j} ELSE 0 END)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+         |), buck AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm,
+         |         ${(0 until 4).map(bit).mkString(" + ")} AS bucket
+         |  FROM e,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) p0,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 1) p1,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 2) p2,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 3) p3
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM buck q JOIN buck c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, bucket, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, bucket, cos_sim, k FROM ranked
+         |WHERE k <= 3
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    // one-row frame of the 4 hyperplane vectors, broadcast to the scan
+    val planes = emb.filter(col("vec_id") < 4)
+      .groupBy()
+      .pivot("vec_id", Seq(0, 1, 2, 3))
+      .agg(first(col("embedding")))
+      .toDF("p0", "p1", "p2", "p3")
+    val bucket = (0 until 4).map { j =>
+      when(dot(col("embedding"), col(s"p$j")) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val buck = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
+    val q = buck.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val scored = buck.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_bucket").as("bucket"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos_sim"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
+  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis inventory (SURVEY.md §2C ⟨ns⟩ "Text analysis"):
+  * token statistics, heuristic language ID, quality scoring, and
+  * order-sensitive document fingerprinting. All per-row native
+  * expressions — zero shuffle, fully codegen'd, trivially parallel
+  * at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Token counting + lexical stats per document. */
+  val t01TokenStats = Q(
+    "t01_token_stats",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS type_token_ratio,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS n_chars_tok,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    val totalLen = aggregate(tk, lit(0), (acc, t) => acc + length(t))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_distinct"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("type_token_ratio"),
+        totalLen.cast("long").as("n_chars_tok"),
+        (totalLen.cast("double") / size(tk)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID: marker-word frequency scores with a fixed
+    * argmax priority (en > zh > es > de > fr). The markers are fixed
+    * constants; the operator pattern — n-gram profile scoring — is
+    * what matters, and it is deterministic in both engines.
+    */
+  val t02LangId = Q(
+    "t02_lang_id",
+    { def cnt(w: String) = s"len(list_filter(string_split(text, ' '), t -> t = '$w'))"
+      val sEn = s"${cnt("the")} + ${cnt("a")}"
+      val sZh = s"${cnt("join")} + ${cnt("small")}"
+      val sEs = s"${cnt("slow")} + ${cnt("agg")}"
+      val sDe = s"${cnt("customer")} + ${cnt("hash")}"
+      val sFr = s"${cnt("scan")} + ${cnt("data")}"
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_zh AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM (SELECT doc_id, lang, $sEn AS s_en, $sZh AS s_zh, $sEs AS s_es,
+         |             $sDe AS s_de, $sFr AS s_fr
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    def cnt(w: String) = size(filter(tokens(col("text")), t => t === w))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (cnt("the") + cnt("a")).as("s_en"),
+        (cnt("join") + cnt("small")).as("s_zh"),
+        (cnt("slow") + cnt("agg")).as("s_es"),
+        (cnt("customer") + cnt("hash")).as("s_de"),
+        (cnt("scan") + cnt("data")).as("s_fr"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_zh") && col("s_en") >= col("s_es")
+          && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_zh") >= col("s_es") && col("s_zh") >= col("s_de")
+            && col("s_zh") >= col("s_fr"), "zh")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length score, type-token ratio, stopword ratio,
+    * alpha-character ratio, combined into a weighted score. All
+    * ratios are integer-count divisions — deterministic doubles.
+    */
+  val t03QualityScore = Q(
+    "t03_quality_score",
+    { val toks = "string_split(text, ' ')"
+      val stop = s"len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"
+      s"""SELECT doc_id,
+         |  least(CAST(len($toks) AS DOUBLE) / 40.0, 1.0) AS len_score,
+         |  CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
+         |  CAST($stop AS DOUBLE) / len($toks) AS stopword_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS dense_ratio,
+         |  0.4 * least(CAST(len($toks) AS DOUBLE) / 40.0, 1.0)
+         |    + 0.4 * (CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks))
+         |    + 0.2 * (CAST($stop AS DOUBLE) / len($toks)) AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    val stopwords = Seq("the", "a", "of", "to", "and")
+    val stop = size(filter(tk, t => t.isin(stopwords.map(x => lit(x)): _*)))
+    val lenScore = least(size(tk).cast("double") / 40.0, lit(1.0))
+    val ttr = size(array_distinct(tk)).cast("double") / size(tk)
+    val stopRatio = stop.cast("double") / size(tk)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        lenScore.as("len_score"),
+        ttr.as("ttr"),
+        stopRatio.as("stopword_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / length(col("text")))
+          .as("dense_ratio"),
+        (lenScore * 0.4 + ttr * 0.4 + stopRatio * 0.2).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: an order-insensitive canonical hash
+    * (md5 of the sorted token set) and an order-sensitive polynomial
+    * rolling hash — same doc content ⇒ same prints, token reorderings
+    * flip only the rolling hash.
+    */
+  val t04Fingerprint = Q(
+    "t04_fingerprint",
+    { val toks = "string_split(text, ' ')"
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS canonical_print,
+         |  ${rollhashDuckSql(toks)} AS rolling_print
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs_fp")
+    val toks = "split(text, ' ')"
+    s.sql(
+      s"""SELECT doc_id,
+         |  md5(array_join(array_sort(array_distinct($toks)), ' ')) AS canonical_print,
+         |  ${rollhashSparkSql(toks)} AS rolling_print
+         |FROM graft_docs_fp
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint)
+}
