@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<float>` columns.
+  *
+  * Semantics are IDENTICAL to the declarative fold
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0d, +)`
+  * — a sequential left-to-right IEEE double accumulation — so results
+  * stay bit-equal to the DuckDB oracle's `list_reduce` spelling
+  * (functions/TextVec.sqlDot). The reason this exists is performance:
+  * higher-order functions evaluate through per-element closures and
+  * fall out of whole-stage codegen, which made the O(n²) similarity
+  * scans ~50× slower than this tight generated loop (SURVEY.md §4
+  * names a codegen similarity kernel as the one justified custom
+  * expression).
+  *
+  * Nulls: null array ⇒ null result (standard BinaryExpression
+  * null-intolerance); null *elements* are not expected (embeddings
+  * are dense) and read as 0.0f per ArrayData.getFloat.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -56,80 +56,146 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash-LSH near-duplicate pairs: 8 minhashes → 4 bands of 2 →
-    * equi-self-join on (band, hash) → verify candidates with exact
-    * Jaccard ≥ 0.9 on the shingle sets.
+  /** MinHash-LSH near-duplicate *set groups*: exact-duplicate token
+    * sets are first collapsed to one representative (standard
+    * pre-dedup — this corpus has many identical sets), then 8
+    * minhashes → 2 bands of 4 → equi-self-join on (band, hash) →
+    * candidates verified with exact Jaccard ≥ 0.9. Output is one row
+    * per near-dup *group pair* (representative ids + member counts),
+    * which keeps the result linear in true near-dup structure rather
+    * than quadratic in duplicate multiplicity.
     */
   val d03LshNearDup = Q(
     "d03_lsh_near_dup",
-    { val ts = "list_distinct(string_split(text, ' '))"
-      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, ts)} AS mh$i").mkString(",\n    ")
-      val bands = (0 until 4).map(i =>
-        s"SELECT doc_id, $i AS band, md5(mh${2 * i} || mh${2 * i + 1}) AS h FROM sig").mkString("\n  UNION ALL ")
-      s"""WITH sig AS (
-         |  SELECT doc_id, $mhs FROM documents
+    { val ts = "list_sort(list_distinct(string_split(text, ' ')))"
+      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+      val bands = (0 until 2).map(i =>
+        s"SELECT rep_id, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sets AS (
+         |  SELECT md5(array_to_string(ts, ' ')) AS set_hash,
+         |         min(doc_id) AS rep_id, count(*) AS n_docs, any_value(ts) AS ts
+         |  FROM (SELECT doc_id, $ts AS ts FROM documents)
+         |  GROUP BY md5(array_to_string(ts, ' '))
+         |), sig AS (
+         |  SELECT rep_id, $mhs FROM sets
          |), bands AS (
          |  $bands
          |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-         |), toksets AS (
-         |  SELECT doc_id, $ts AS ts FROM documents
+         |  SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
          |)
-         |SELECT p.id_a, p.id_b, ${sqlJaccard("ta.ts", "tb.ts")} AS jaccard
+         |SELECT p.id_a, p.id_b, sa.n_docs AS n_docs_a, sb.n_docs AS n_docs_b,
+         |       ${sqlJaccard("sa.ts", "sb.ts")} AS jaccard
          |FROM pairs p
-         |JOIN toksets ta ON p.id_a = ta.doc_id
-         |JOIN toksets tb ON p.id_b = tb.doc_id
-         |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= 0.9
+         |JOIN sets sa ON p.id_a = sa.rep_id
+         |JOIN sets sb ON p.id_b = sb.rep_id
+         |WHERE len(sa.ts) * 10 >= len(sb.ts) * 9 AND len(sb.ts) * 10 >= len(sa.ts) * 9
+         |  AND ${sqlJaccard("sa.ts", "sb.ts")} >= 0.9
          |ORDER BY id_a, id_b""".stripMargin }
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val ts = tokenSet(col("text"))
-    val sig = docs.select(col("doc_id") +: (0 until 8).map(i => minhash(i, ts).as(s"mh$i")): _*)
-    val bandArr = array((0 until 4).map(i =>
-      md5(concat(col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")))): _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h")))
+    val ts = array_sort(tokenSet(col("text")))
+    val sets = docs.select(col("doc_id"), ts.as("ts"))
+      .groupBy(md5(concat_ws(" ", col("ts"))).as("set_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"),
+        first(col("ts")).as("ts"))
+    val sig = sets.select(
+      col("rep_id") +: col("n_docs") +: col("ts") +:
+        (0 until 8).map(i => minhash(i, col("ts")).as(s"mh$i")): _*)
+      .cache() // reused 4× in the DAG (both band sides + both member joins)
+    val bandArr = array((0 until 2).map(i =>
+      md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+    val bands = sig.select(col("rep_id"), posexplode(bandArr).as(Seq("band", "h")))
     val pairs = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"))
       .distinct()
-    val toksets = docs.select(col("doc_id"), ts.as("ts"))
+    val members = sig.select(col("rep_id"), col("n_docs"), col("ts"))
     pairs
-      .join(toksets.alias("ta"), col("id_a") === col("ta.doc_id"))
-      .join(toksets.alias("tb"), col("id_b") === col("tb.doc_id"))
-      .select(col("id_a"), col("id_b"), jaccard(col("ta.ts"), col("tb.ts")).as("jaccard"))
+      .join(members.alias("sa"), col("id_a") === col("sa.rep_id"))
+      .join(members.alias("sb"), col("id_b") === col("sb.rep_id"))
+      .filter(size(col("sa.ts")) * 10 >= size(col("sb.ts")) * 9
+        && size(col("sb.ts")) * 10 >= size(col("sa.ts")) * 9)
+      .select(col("id_a"), col("id_b"),
+        col("sa.n_docs").as("n_docs_a"), col("sb.n_docs").as("n_docs_b"),
+        graft.functions.SortedArrayJaccard(col("sa.ts"), col("sb.ts")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash per document (16-bit) + its Hamming-ball near-dups:
-    * pairs at Hamming distance ≤ 2 over the whole corpus.
+  /** SimHash near-duplicates, scaled the Manku/Jain/Sarma way:
+    * 32-bit simhash per document; identical hashes collapse to one
+    * representative group; candidate *hash pairs* come from an
+    * equi-join on 4×8-bit chunks (Hamming ≤ 3 ⟹ some chunk is
+    * identical, by pigeonhole — no O(n²) scan); candidates are then
+    * verified with popcount(xor) ≤ 3. Output is one row per near-dup
+    * hash-group pair with member counts.
     */
   val d04SimhashNearDup = Q(
     "d04_simhash_near_dup",
     { val ts = "list_distinct(string_split(text, ' '))"
+      val bands = (0 until 4).map(i =>
+        s"SELECT rep_id, simhash, $i AS chunk_idx, (simhash >> ${8 * i}) & 255 AS chunk FROM groups")
+        .mkString("\n  UNION ALL ")
       s"""WITH sh AS (
-         |  SELECT doc_id, ${simhashDuckSql(ts)} AS simhash FROM documents
+         |  SELECT doc_id, ${simhashDuckSql(ts, 32)} AS simhash FROM documents
+         |), groups AS (
+         |  SELECT simhash, min(doc_id) AS rep_id, count(*) AS n_docs
+         |  FROM sh GROUP BY simhash
+         |), chunks AS (
+         |  $bands
+         |), pairs AS (
+         |  SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.rep_id < b.rep_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 2
+         |SELECT p.id_a, p.id_b, ga.n_docs AS n_docs_a, gb.n_docs AS n_docs_b, p.hamming
+         |FROM pairs p
+         |JOIN groups ga ON p.id_a = ga.rep_id
+         |JOIN groups gb ON p.id_b = gb.rep_id
          |ORDER BY id_a, id_b""".stripMargin }
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    docs.createOrReplaceTempView("graft_docs_simhash")
-    val ts = "array_distinct(split(text, ' '))"
-    val sh = s.sql(
-      s"SELECT doc_id, ${simhashSparkSql(ts)} AS simhash FROM graft_docs_simhash")
-    sh.alias("a")
-      .join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").cast("long").bitwiseXOR(col("b.simhash").cast("long")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= 2)
+    // Explode-based simhash: ONE md5 per distinct token, then 32
+    // conditional sums per doc — same bits as the per-bit-lambda
+    // spelling the oracle uses, ~30× cheaper (and the shuffle-by-doc
+    // shape that scales: token rows partition freely).
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (1 to 32).map { j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"c$j")
+    }
+    val simhash = (1 to 32).map { j =>
+      when(col(s"c$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sh = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+    val groups = sh.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      .cache()
+    val chunks = groups.select(col("rep_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), 8 * i).bitwiseAND(255)): _*)).as(Seq("chunk_idx", "chunk")))
+    val pairs = chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk")
+          && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+    pairs
+      .join(groups.alias("ga"), col("id_a") === col("ga.rep_id"))
+      .join(groups.alias("gb"), col("id_b") === col("gb.rep_id"))
+      .select(col("id_a"), col("id_b"),
+        col("ga.n_docs").as("n_docs_a"), col("gb.n_docs").as("n_docs_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -151,13 +217,13 @@ object Dedup {
   ) { (s, d) =>
     Tables.documents(s, d).filter(col("doc_id") < 100)
       .createOrReplaceTempView("graft_docs_ngram")
-    val g = "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
-      "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i+1), ' ', element_at(split(text, ' '), i+2))))"
+    val g = "array_sort(array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+      "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i+1), ' ', element_at(split(text, ' '), i+2)))))"
     val grams = s.sql(s"SELECT doc_id, $g AS gs FROM graft_docs_ngram")
     grams.alias("a")
       .join(grams.alias("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        jaccard(col("a.gs"), col("b.gs")).as("jaccard3"))
+        graft.functions.SortedArrayJaccard(col("a.gs"), col("b.gs")).as("jaccard3"))
       .orderBy(col("jaccard3").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
