@@ -1,0 +1,73 @@
+package graft.engine
+
+/** Dynamic event-value model: exactly the type lattice that survives
+  * the reference's per-hop serialization boundary
+  * (/root/reference/src/zlmp.zig:167-202 — nil, boolean, i64, f64,
+  * byte-string, table; SURVEY.md §1.2). Anything else (functions,
+  * threads, userdata) is *silently dropped* when events are built
+  * from raw values, mirroring zlmp.zig:194-201.
+  */
+sealed trait EValue
+
+object EValue {
+  case object ENil extends EValue
+  final case class EBool(v: Boolean) extends EValue
+  final case class EInt(v: Long) extends EValue
+  final case class EFloat(v: Double) extends EValue
+  final case class EStr(v: String) extends EValue
+  /** Tables keep arbitrary key types (the reference serializes mixed
+    * integer/string keys as map keys — zlmp.zig:190-192, 204-265).
+    */
+  final case class EMap(v: Map[EValue, EValue]) extends EValue
+
+  /** Build an EValue from a raw Scala value, applying the reference's
+    * drop rule: representable values convert, everything else (e.g.
+    * closures) returns None and vanishes from the enclosing map —
+    * the observable contract of zlmp.zig:194-201, 267-272.
+    */
+  def fromAny(v: Any): Option[EValue] = v match {
+    case null          => Some(ENil)
+    case b: Boolean    => Some(EBool(b))
+    case i: Int        => Some(EInt(i.toLong))
+    case l: Long       => Some(EInt(l))
+    case f: Float      => Some(EFloat(f.toDouble))
+    case d: Double     => Some(EFloat(d))
+    case s: String     => Some(EStr(s))
+    case m: Map[_, _]  =>
+      val pairs = m.flatMap { case (k, value) =>
+        for (ek <- fromAny(k); ev <- fromAny(value)) yield ek -> ev
+      }
+      Some(EMap(pairs.toMap))
+    case _             => None // functions/threads/etc: dropped
+  }
+}
+
+/** An event: a data-only dynamic table flowing through the stream
+  * (reference docunomicon/README.md:50-53). The reserved `$topic`
+  * string field selects routing (main.zig:189-209).
+  */
+final case class DynEvent(fields: Map[EValue, EValue]) {
+  import EValue._
+
+  def topic: Option[String] = fields.get(EStr(DynEvent.TopicKey)) match {
+    case Some(EStr(s)) => Some(s)
+    case _             => None
+  }
+
+  def get(key: String): Option[EValue] = fields.get(EStr(key))
+
+  def updated(key: String, v: EValue): DynEvent =
+    DynEvent(fields.updated(EStr(key), v))
+
+  def removed(key: String): DynEvent = DynEvent(fields - EStr(key))
+}
+
+object DynEvent {
+  val TopicKey = "$topic"
+
+  /** Build from raw Scala pairs with the drop rule applied. */
+  def of(pairs: (Any, Any)*): DynEvent =
+    DynEvent(pairs.flatMap { case (k, v) =>
+      for (ek <- EValue.fromAny(k); ev <- EValue.fromAny(v)) yield ek -> ev
+    }.toMap)
+}

@@ -1,0 +1,151 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** MessagePack-subset codec for events — a clean-room Scala
+  * re-expression of the observable wire contract of the reference's
+  * serializer (/root/reference/src/zlmp.zig), which runs on *every*
+  * hop (main.zig:154, 165, 212-224):
+  *
+  *  - integers take the smallest encoding: positive/negative fixint,
+  *    int8/16/32/64 (zlmp.zig:281-315);
+  *  - floats encode as Float32 iff losslessly representable, else
+  *    Float64 (zlmp.zig:333-360);
+  *  - strings take the smallest tag: fixstr/str8/str16/str32
+  *    (zlmp.zig:369-424);
+  *  - tables ALWAYS encode as Map32 regardless of size
+  *    (zlmp.zig:204-265);
+  *  - the decoder accepts exactly the tags the encoder emits and
+  *    rejects everything else (zlmp.zig:475-594).
+  *
+  * In production paths Tungsten/Encoders replace this wholesale
+  * (SURVEY.md §1.4); the codec exists because the round-trip-per-hop
+  * drop rule is part of the reference's testable semantics.
+  */
+object EventCodec {
+  import EValue._
+
+  final class UnrecognizedTag(tag: Int)
+      extends RuntimeException(f"unrecognized MessagePack tag 0x$tag%02x")
+
+  // --- encode ---
+
+  def encode(v: EValue): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    write(out, v)
+    out.toByteArray
+  }
+
+  private def write(out: ByteArrayOutputStream, v: EValue): Unit = v match {
+    case ENil      => out.write(0xc0)
+    case EBool(b)  => out.write(if (b) 0xc3 else 0xc2)
+    case EInt(i)   => writeInt(out, i)
+    case EFloat(d) => writeFloat(out, d)
+    case EStr(s)   => writeStr(out, s)
+    case EMap(m)   =>
+      out.write(0xdf) // always map32
+      writeBe32(out, m.size)
+      // deterministic key order so encode is a pure function
+      m.toSeq.sortBy { case (k, _) => keyOrder(k) }.foreach { case (k, value) =>
+        write(out, k); write(out, value)
+      }
+  }
+
+  private def keyOrder(k: EValue): (Int, Long, Double, String) = k match {
+    case EInt(i)   => (0, i, 0.0, "")
+    case EFloat(d) => (1, 0L, d, "")
+    case EStr(s)   => (2, 0L, 0.0, s)
+    case EBool(b)  => (3, if (b) 1L else 0L, 0.0, "")
+    case ENil      => (4, 0L, 0.0, "")
+    case EMap(_)   => (5, 0L, 0.0, "")
+  }
+
+  private def writeInt(out: ByteArrayOutputStream, i: Long): Unit = {
+    if (i >= 0 && i <= 0x7f) out.write(i.toInt)                       // pos fixint
+    else if (i < 0 && i >= -32) out.write(0xe0 | (i.toInt & 0x1f))    // neg fixint
+    else if (i >= Byte.MinValue && i <= Byte.MaxValue) { out.write(0xd0); out.write(i.toInt & 0xff) }
+    else if (i >= Short.MinValue && i <= Short.MaxValue) { out.write(0xd1); writeBe16(out, i.toInt) }
+    else if (i >= Int.MinValue && i <= Int.MaxValue) { out.write(0xd2); writeBe32(out, i.toInt) }
+    else { out.write(0xd3); writeBe64(out, i) }
+  }
+
+  private def writeFloat(out: ByteArrayOutputStream, d: Double): Unit = {
+    val f = d.toFloat
+    val lossless = f.toDouble == d || (d.isNaN && f.isNaN)
+    if (lossless) { out.write(0xca); writeBe32(out, java.lang.Float.floatToIntBits(f)) }
+    else { out.write(0xcb); writeBe64(out, java.lang.Double.doubleToLongBits(d)) }
+  }
+
+  private def writeStr(out: ByteArrayOutputStream, s: String): Unit = {
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val n = bytes.length
+    if (n <= 31) out.write(0xa0 | n)
+    else if (n <= 0xff) { out.write(0xd9); out.write(n) }
+    else if (n <= 0xffff) { out.write(0xda); writeBe16(out, n) }
+    else { out.write(0xdb); writeBe32(out, n) }
+    out.write(bytes, 0, n)
+  }
+
+  private def writeBe16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeBe32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeBe64(out: ByteArrayOutputStream, v: Long): Unit = {
+    writeBe32(out, (v >>> 32).toInt); writeBe32(out, v.toInt)
+  }
+
+  // --- decode ---
+
+  def decode(bytes: Array[Byte]): EValue = {
+    val buf = ByteBuffer.wrap(bytes)
+    val v = read(buf)
+    v
+  }
+
+  private def read(buf: ByteBuffer): EValue = {
+    val tag = buf.get() & 0xff
+    tag match {
+      case t if t <= 0x7f          => EInt(t.toLong)                 // pos fixint
+      case t if t >= 0xe0          => EInt((t.toByte).toLong)        // neg fixint
+      case t if (t & 0xe0) == 0xa0 => readStr(buf, t & 0x1f)         // fixstr
+      case 0xc0                    => ENil
+      case 0xc2                    => EBool(false)
+      case 0xc3                    => EBool(true)
+      case 0xca                    => EFloat(java.lang.Float.intBitsToFloat(buf.getInt()).toDouble)
+      case 0xcb                    => EFloat(java.lang.Double.longBitsToDouble(buf.getLong()))
+      case 0xd0                    => EInt(buf.get().toLong)
+      case 0xd1                    => EInt(buf.getShort().toLong)
+      case 0xd2                    => EInt(buf.getInt().toLong)
+      case 0xd3                    => EInt(buf.getLong())
+      case 0xd9                    => readStr(buf, buf.get() & 0xff)
+      case 0xda                    => readStr(buf, buf.getShort() & 0xffff)
+      case 0xdb                    => readStr(buf, buf.getInt())
+      case 0xdf                    =>
+        val n = buf.getInt()
+        EMap((0 until n).map(_ => (read(buf), read(buf))).toMap)
+      case other                   => throw new UnrecognizedTag(other)
+    }
+  }
+
+  private def readStr(buf: ByteBuffer, n: Int): EStr = {
+    val bytes = new Array[Byte](n)
+    buf.get(bytes)
+    EStr(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  /** The per-hop barrier: serialize then deserialize
+    * (main.zig:212-224). For EValue trees this is an identity —
+    * the drop rule already applied at construction — but it is kept
+    * on the hop path so codec regressions surface in engine tests.
+    */
+  def roundTrip(e: DynEvent): DynEvent =
+    decode(encode(EValue.EMap(e.fields))) match {
+      case EValue.EMap(m) => DynEvent(m)
+      case other          => throw new IllegalStateException(s"event decoded to non-map: $other")
+    }
+}

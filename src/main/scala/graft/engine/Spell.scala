@@ -1,0 +1,70 @@
+package graft.engine
+
+/** A spell: the user-programmable 1→0..1 transform — the reference's
+  * only user extension point (cast: main.zig:152-166,
+  * docunomicon/README.md:50-53), plus the documented-but-unshipped
+  * prepare/unprepare lifecycle hooks (docunomicon/README.md:35-47,
+  * README.md:82 — SURVEY.md §2A L1). The Lua VM is not ported; typed
+  * Scala closures play its role (SURVEY.md §7 design stance).
+  */
+trait Spell extends Serializable {
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+  /** Topic selector; None casts on every event (main.zig:189-209). */
+  def topic: Option[String] = None
+  /** Called once before the first cast (L1; default no-op). */
+  def prepare(): Unit = {}
+  /** Called once at teardown (L1; default no-op). */
+  def unprepare(): Unit = {}
+  /** The transform: Some(next event) continues the stream, None
+    * terminates it (nil return, main.zig:160-162).
+    */
+  def cast(event: DynEvent): Option[DynEvent]
+}
+
+/** Spell contract validation errors — the reference's three E3 error
+  * channels (main.zig:238-264; regression fixtures error-spell-does-
+  * not-return-table, error-missing-cast-function,
+  * error-spell-has-non-function-cast-member). Message *shape* is
+  * kept; exact Zig wording is not (SURVEY.md §7 hard parts).
+  */
+final case class SpellContractException(message: String)
+    extends RuntimeException(message)
+
+/** Dynamic spell loading: the analog of evaluating a Lua module and
+  * validating that it returned a table with a function-valued `cast`
+  * member. Accepts a duck-typed "module" (a Map) so all three
+  * contract errors remain reachable at runtime, as in the reference.
+  */
+object SpellLoader {
+  type CastFn = DynEvent => Option[DynEvent]
+
+  def fromModule(spellName: String, module: Any): Spell = module match {
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      mm.get("cast") match {
+        case Some(f: Function1[_, _]) =>
+          val castFn = f.asInstanceOf[CastFn]
+          val topicOpt = mm.get("topic") match {
+            case Some(t: String) => Some(t)
+            case Some(other) =>
+              throw SpellContractException(
+                s"spell '$spellName' has a non-string topic selector: $other")
+            case None => None
+          }
+          new Spell {
+            override def name: String = spellName
+            override def topic: Option[String] = topicOpt
+            override def cast(event: DynEvent): Option[DynEvent] = castFn(event)
+          }
+        case Some(other) =>
+          throw SpellContractException(
+            s"spell '$spellName' has a 'cast' member that is not a function (got: ${other.getClass.getSimpleName})")
+        case None =>
+          throw SpellContractException(
+            s"spell '$spellName' does not define a 'cast' function")
+      }
+    case other =>
+      throw SpellContractException(
+        s"spell '$spellName' did not evaluate to a table (got: ${String.valueOf(other)})")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+/** The spell execution engine — the reference's full dataflow
+  * re-expressed (SURVEY.md §3.1): topic-filter admission → per-hop
+  * serialization round trip → cast → feedback loop bounded at 1,000
+  * hops → nil termination.
+  */
+object SpellEngine {
+
+  /** main.zig:157 `runaway_loop_bound`. */
+  val RunawayLoopBound = 1000
+
+  /** Tri-state topic admission (main.zig:169-210; SURVEY.md §2A F1):
+    * pass iff the spell declares no topic, OR the event carries no
+    * topic, OR they are equal. Null passes on BOTH sides.
+    */
+  def matchesTopic(spellTopic: Option[String], event: DynEvent): Boolean =
+    (spellTopic, event.topic) match {
+      case (None, _)            => true
+      case (_, None)            => true
+      case (Some(st), Some(et)) => st == et
+    }
+
+  /** Run one seed event through the spell's feedback loop — the exact
+    * single-event semantics of `sanctum cast` (main.zig:127-166).
+    * Returns every event emitted by successive casts, in hop order
+    * (empty if the topic filter rejects the seed or the first cast
+    * returns None). Each hop crosses the codec barrier, so the drop
+    * rule and value fidelity are exercised per hop as in the
+    * reference (main.zig:154, 165).
+    */
+  def runSeed(spell: Spell, seed: DynEvent,
+      maxHops: Int = RunawayLoopBound): Vector[DynEvent] = {
+    spell.prepare()
+    try {
+      if (!matchesTopic(spell.topic, seed)) return Vector.empty
+      val out = Vector.newBuilder[DynEvent]
+      var current = EventCodec.roundTrip(seed)
+      var hops = 0
+      var done = false
+      while (!done && hops < maxHops) {
+        spell.cast(current) match {
+          case Some(next) =>
+            current = EventCodec.roundTrip(next)
+            out += current
+            hops += 1
+          case None =>
+            done = true
+        }
+      }
+      out.result()
+    } finally spell.unprepare()
+  }
+
+  /** Distributed analog: every row of the Dataset is an independent
+    * seed running its own bounded feedback loop inside one narrow
+    * flatMap — no driver-side iteration, no shuffle, arbitrarily
+    * parallel. Emits all hop outputs (use `.filter`/`.groupByKey`
+    * downstream for routing or state).
+    */
+  def castAll(events: Dataset[DynEvent], spell: Spell,
+      maxHops: Int = RunawayLoopBound): Dataset[DynEvent] = {
+    implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
+    events.flatMap { e => runSeed(spell, e, maxHops) }
+  }
+
+  /** Multi-spell topic routing (the reference's roadmap capability,
+    * README.md:93-94; SURVEY.md §2B): each spell sees the filtered
+    * stream its selector admits.
+    */
+  def route(events: Dataset[DynEvent], spells: Seq[Spell],
+      maxHops: Int = RunawayLoopBound): Map[String, Dataset[DynEvent]] = {
+    implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
+    spells.map { sp =>
+      sp.name -> castAll(events.filter((e: DynEvent) => matchesTopic(sp.topic, e)), sp, maxHops)
+    }.toMap
+  }
+}

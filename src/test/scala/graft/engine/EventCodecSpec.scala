@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties}
+import EValue._
+
+/** Generators shared by the scalacheck property suite. */
+object EValueGen {
+  val genScalar: Gen[EValue] = Gen.oneOf(
+    Gen.const(ENil),
+    Arbitrary.arbitrary[Boolean].map(EBool),
+    Arbitrary.arbitrary[Long].map(EInt),
+    Arbitrary.arbitrary[Double].map(EFloat),
+    Gen.alphaNumStr.map(EStr))
+
+  def genValue(depth: Int): Gen[EValue] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      4 -> genScalar,
+      1 -> Gen.mapOf(Gen.zip(genScalar, genValue(depth - 1))).map(EMap))
+}
+
+/** Round-trip property mirroring the reference codec's central
+  * invariant (zlmp.zig; SURVEY.md §5 rebuild plan item 2).
+  */
+object EventCodecProps extends Properties("EventCodec") {
+  property("encode∘decode = identity over the event value lattice") =
+    Prop.forAll(EValueGen.genValue(3)) { v =>
+      val back = EventCodec.decode(EventCodec.encode(v))
+      (v, back) match {
+        case (EFloat(a), EFloat(b)) if a.isNaN => b.isNaN
+        case _                                 => back == v
+      }
+    }
+
+  property("topic filter tri-state (F1): null passes both sides") =
+    Prop.forAll(Gen.option(Gen.alphaStr), Gen.option(Gen.alphaStr)) { (st, et) =>
+      val ev = et.map(t => DynEvent.of(DynEvent.TopicKey -> t))
+        .getOrElse(DynEvent.of("x" -> 1))
+      SpellEngine.matchesTopic(st, ev) == (st.isEmpty || et.isEmpty || st == et)
+    }
+}
+
+/** Deterministic codec facts (encoding widths, tag set). */
+class EventCodecSpec extends AnyFunSuite {
+
+  test("integers choose the smallest encoding (zlmp.zig:281-315)") {
+    assert(EventCodec.encode(EInt(5)).length == 1)      // pos fixint
+    assert(EventCodec.encode(EInt(-3)).length == 1)     // neg fixint
+    assert(EventCodec.encode(EInt(-100)).length == 2)   // int8
+    assert(EventCodec.encode(EInt(300)).length == 3)    // int16
+    assert(EventCodec.encode(EInt(70000)).length == 5)  // int32
+    assert(EventCodec.encode(EInt(1L << 40)).length == 9) // int64
+  }
+
+  test("floats narrow to f32 only when lossless (zlmp.zig:333-360)") {
+    assert(EventCodec.encode(EFloat(0.5)).length == 5)  // exactly representable
+    assert(EventCodec.encode(EFloat(0.1)).length == 9)  // not representable in f32
+    assert(EventCodec.decode(EventCodec.encode(EFloat(0.1))) == EFloat(0.1))
+  }
+
+  test("strings choose the smallest tag (zlmp.zig:369-424)") {
+    assert(EventCodec.encode(EStr("abc")).length == 1 + 3)          // fixstr
+    val s40 = "x" * 40
+    assert(EventCodec.encode(EStr(s40)).length == 2 + 40)           // str8
+    val s300 = "x" * 300
+    assert(EventCodec.encode(EStr(s300)).length == 3 + 300)         // str16
+  }
+
+  test("maps always encode as Map32 (zlmp.zig:204-265)") {
+    val enc = EventCodec.encode(EMap(Map(EStr("a") -> EInt(1))))
+    assert((enc(0) & 0xff) == 0xdf)
+    // 4-byte length even for a 1-entry map
+    assert(((enc(1) & 0xff) << 24 | (enc(2) & 0xff) << 16 | (enc(3) & 0xff) << 8 | (enc(4) & 0xff)) == 1)
+  }
+
+  test("decoder rejects tags the encoder never emits (zlmp.zig:589-592)") {
+    // 0x80 = fixmap (not emitted: maps are always map32); 0xc4 = bin8
+    intercept[EventCodec.UnrecognizedTag](
+      EventCodec.decode(Array(0x81, 0xa1, 'a'.toInt, 1).map(_.toByte)))
+    intercept[EventCodec.UnrecognizedTag](
+      EventCodec.decode(Array(0xc4, 0).map(_.toByte)))
+    // 0xcc = uint8 — reference decoder takes only signed families
+    intercept[EventCodec.UnrecognizedTag](
+      EventCodec.decode(Array(0xcc, 7).map(_.toByte)))
+  }
+
+  test("round trip applies to events and preserves the drop rule") {
+    val e = DynEvent.of("a" -> 1, "f" -> ((x: Int) => x), "s" -> "hi")
+    val rt = EventCodec.roundTrip(e)
+    assert(rt.get("a").contains(EInt(1)))
+    assert(rt.get("s").contains(EStr("hi")))
+    assert(rt.get("f").isEmpty)
+  }
+}
