@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row matching the driver's `events` table (FIXTURES.md
+  * §B) — the streaming analog of sanctum's energy stream with
+  * `event_type` playing `$topic` (SURVEY.md §1.4).
+  */
+final case class EventRow(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-key running aggregate emitted by the stateful cast pipeline. */
+final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming operator surface (SURVEY.md §2C "Streaming";
+  * M2 of the build plan): event-time windows + watermarks, session
+  * windows, streaming dedup, and the stateful spell pipeline — the
+  * reference's identity (stateful per-key event processing,
+  * README.md:107-109) on Spark's state store.
+  *
+  * All transforms are source-agnostic: they take the streaming
+  * DataFrame/Dataset, so the same code runs on MemoryStream in tests
+  * and kafka/file sources in production.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate with late-data drop. */
+  def tumblingAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window aggregate (overlapping windows). */
+  def slidingAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLen: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows: events gap-merged per user. */
+  def sessionAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
+      gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
+  /** Streaming dedup bounded by the watermark — state stays finite
+    * because keys older than the watermark are evicted
+    * (`dropDuplicatesWithinWatermark`, the streaming analog of d01).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** The stateful spell pipeline: durable keyed state per user
+    * (reference roadmap README.md:107-109 — "durable keyed spell
+    * state"), implemented with flatMapGroupsWithState. Each input
+    * event folds into the key's running aggregate; every update is
+    * emitted downstream (OutputMode.Update at the sink).
+    *
+    * Kept behind this small adapter because the Spark 4
+    * transformWithState API is still settling (SURVEY.md §7 hard
+    * parts) — swapping the implementation does not touch callers.
+    */
+  def statefulRunningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserRunning(userId, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

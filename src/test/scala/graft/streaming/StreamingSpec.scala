@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming behavior specs (SURVEY.md §5 item 4): MemoryStream +
+  * processAllAvailable drive each StreamOps transform synchronously.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): EventRow =
+    EventRow(id, ts(t), user, typ, v)
+
+  test("tumbling window agg finalizes windows and drops late data") {
+    import spark.implicits._
+    val in = MemoryStream[EventRow](spark)
+    val q = StreamOps.tumblingAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
+        ev(3, "2024-01-01 00:06:00"))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      in.addData(ev(4, "2024-01-01 01:00:00"))
+      q.processAllAvailable()
+      // a late event behind the watermark must be dropped
+      in.addData(ev(99, "2024-01-01 00:01:30"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .selectExpr("cast(window_start as string)", "n").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 00:00:00") == 2) // late event did NOT bump this
+      assert(rows("2024-01-01 00:05:00") == 1)
+    } finally q.stop()
+  }
+
+  test("session windows gap-merge per user") {
+    import spark.implicits._
+    val in = MemoryStream[EventRow](spark)
+    val q = StreamOps.sessionAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:03:00"), // one session
+        ev(3, "2024-01-01 00:20:00"))                               // separate session
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 02:00:00")) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .selectExpr("cast(session_start as string)", "cast(session_end as string)", "n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "2024-01-01 00:08:00", 2L)))
+      assert(rows.contains(("2024-01-01 00:20:00", "2024-01-01 00:25:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replays") {
+    import spark.implicits._
+    val in = MemoryStream[EventRow](spark)
+    val q = StreamOps.dedupWithinWatermark(in.toDF(), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 00:00:00"), ev(3, "2024-01-01 00:02:00")) // replay of 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateful spell pipeline keeps per-user running state across batches") {
+    import spark.implicits._
+    val in = MemoryStream[EventRow](spark)
+    val q = StreamOps.statefulRunningTotals(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stateful_out").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00", user = 7, v = 2.0),
+        ev(2, "2024-01-01 00:01:00", user = 7, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 00:02:00", user = 7, v = 5.0),
+        ev(4, "2024-01-01 00:02:30", user = 8, v = 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("stateful_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("total_value").as("total"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest(7L) == ((3L, 10.0)))  // state carried across batches
+      assert(latest(8L) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch topic dispatch fans one stream out to per-topic sinks (2B)") {
+    import spark.implicits._
+    val in = MemoryStream[EventRow](spark)
+    val sink = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // dispatch table: one filtered branch per subscribed topic
+        Seq("click", "purchase").foreach { topic =>
+          val n = batch.filter(org.apache.spark.sql.functions.col("event_type") === topic).count()
+          if (n > 0) sink.updateWith(topic) { c => Some(c.getOrElse(0L) + n) }
+        }
+      }
+      .start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00", typ = "click"),
+        ev(2, "2024-01-01 00:00:10", typ = "purchase"),
+        ev(3, "2024-01-01 00:00:20", typ = "click"),
+        ev(4, "2024-01-01 00:00:30", typ = "error"))
+      q.processAllAvailable()
+      assert(sink.toMap == Map("click" -> 2L, "purchase" -> 1L))
+    } finally q.stop()
+  }
+}
