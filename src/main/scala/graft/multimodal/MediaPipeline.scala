@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal row: opaque media payload + typed metadata — the
+  * column pattern for image/audio/video at scale (SURVEY.md §2C ⟨ns⟩
+  * "Multimodal columns"): media stays an opaque `binary` column that
+  * parquet stores/splits efficiently; everything queryable lives in
+  * typed metadata columns.
+  */
+final case class MediaRow(
+    media_id: Long,
+    kind: String,            // "image" | "audio" | …
+    payload: Array[Byte],
+    source: String)
+
+/** Typed features extracted by a decoder. */
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    width: Int,              // frame/image width (decoder-defined)
+    height: Int,
+    n_channels: Int,
+    checksum: Long)
+
+/** Decoder interface: the real implementation would wrap an image /
+  * audio library. THIS CONTAINER HAS NO MEDIA LIBS, so the shipped
+  * implementation is a clearly-marked deterministic stub — the Spark
+  * plumbing around it (schema, batching, partition distribution) is
+  * real and tested, and swapping in a real decoder touches only this
+  * trait.
+  */
+trait MediaDecoder extends Serializable {
+  def decode(row: MediaRow): MediaFeatures
+}
+
+/** STUB: derives pseudo-features deterministically from the payload
+  * bytes. Replace with a real codec binding in production.
+  */
+object FakeDecoder extends MediaDecoder {
+  override def decode(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = bytes.length.toLong,
+      width = 16 + (math.abs(checksum) % 1024).toInt,
+      height = 16 + (math.abs(checksum / 1024) % 1024).toInt,
+      n_channels = if (row.kind == "audio") 2 else 3,
+      checksum = checksum)
+  }
+}
+
+/** The decode stage: a batched per-partition map — each partition's
+  * rows stream through the decoder without collecting to the driver,
+  * so the stage scales with partition count and the decoder can
+  * amortize per-batch init (real codecs keep native contexts per
+  * partition, created once in the mapPartitions closure).
+  */
+object MediaPipeline {
+
+  def decodeAll(media: Dataset[MediaRow], decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder context would be created here
+      rows.map(decoder.decode)
+    }
+  }
+
+  /** Build a media Dataset from the documents table (payload = utf-8
+    * text bytes standing in for real blobs; prod swaps the loader).
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
+      .as[MediaRow]
+  }
+
+  /** Features joined back to metadata — the queryable multimodal
+    * table (media stays opaque; features are columns).
+    */
+  def featureTable(spark: SparkSession, dir: String,
+      decoder: MediaDecoder = FakeDecoder): DataFrame =
+    decodeAll(fromDocuments(spark, dir), decoder).toDF()
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** User-extension surface (SURVEY.md §2C rows U1-U3): scalar UDF,
+  * custom typed Aggregator (UDAF), and a 1→N UDTF-style expansion —
+  * the Spark analogs of the reference's Lua `cast` extension point
+  * (main.zig:152-166), here applied to columnar data.
+  *
+  * Performance note kept visible on purpose: built-in functions and
+  * native expressions beat UDFs (they code-gen; UDFs box and break
+  * whole-stage codegen). These queries exist because the *API
+  * surface* is part of the capability inventory; the equivalent
+  * built-in spellings live in ScalarFuncs/Dedup.
+  */
+object UserFns {
+
+  /** Group-level MinHash sketch as a typed Aggregator: per-document
+    * minima fold elementwise-min into the group sketch — associative
+    * and commutative, so partial (map-side) aggregation is exact and
+    * the shuffle carries one tiny array per group. min(union) ==
+    * elementwise-min of members, which is what the SQL oracle
+    * expresses over the per-doc signatures.
+    */
+  val K = 4
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Per-document k-minhash over the distinct-token set — same
+    * construction as functions/TextVec.minhash (md5 of seed-prefixed
+    * token, lexicographic min).
+    */
+  private[operators] def docMinhash(text: String): Array[String] = {
+    val toks = text.split(" ").distinct
+    Array.tabulate(K) { i =>
+      toks.iterator.map(t => md5Hex(s"$i:$t")).min
+    }
+  }
+
+  object MinhashSketch extends Aggregator[String, Array[String], String] {
+    def zero: Array[String] = Array.fill(K)("￿") // > any hex string
+    def reduce(buf: Array[String], text: String): Array[String] = {
+      val doc = docMinhash(text)
+      Array.tabulate(K)(i => if (doc(i) < buf(i)) doc(i) else buf(i))
+    }
+    def merge(a: Array[String], b: Array[String]): Array[String] =
+      Array.tabulate(K)(i => if (a(i) < b(i)) a(i) else b(i))
+    def finish(buf: Array[String]): String = buf.mkString(",")
+    def bufferEncoder: Encoder[Array[String]] = Encoders.kryo[Array[String]]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** U1: scalar Scala UDF (net price) — result bit-equal to the
+    * built-in spelling because the closure performs the identical
+    * IEEE ops.
+    */
+  val u01UdfScalar = Q(
+    "u01_udf_scalar",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity >= 49
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val netPrice = udf((price: Double, disc: Double) => price * (1 - disc))
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        netPrice(col("l_extendedprice"), col("l_discount")).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** U2: custom UDAF — group-level minhash sketch per source. The
+    * oracle recomputes it as the column-wise min of per-doc
+    * signatures (equivalent by associativity).
+    */
+  val u02UdafMinhash = Q(
+    "u02_udaf_minhash",
+    { val ts = "list_distinct(string_split(text, ' '))"
+      val mins = (0 until K).map(i =>
+        graft.functions.TextVec.sqlMinhash(i, ts)).zipWithIndex
+        .map { case (e, i) => s"min($e) AS m$i" }.mkString(", ")
+      s"""SELECT source, m0 || ',' || m1 || ',' || m2 || ',' || m3 AS sketch, n_docs
+         |FROM (SELECT source, $mins, count(*) AS n_docs
+         |      FROM documents GROUP BY source)
+         |ORDER BY source""".stripMargin }
+  ) { (s, d) =>
+    val sketch = udaf(MinhashSketch)
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sketch(col("text")).as("sketch"), count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** U3: UDTF-style 1→N expansion — tokenize with positions via a
+    * typed flatMap (the Dataset spelling of a generator; the
+    * codegen'd equivalent is posexplode).
+    */
+  val u03UdtfTokens = Q(
+    "u03_udtf_tokens",
+    """SELECT doc_id, pos, string_split(text, ' ')[pos] AS token
+      |FROM documents, range(1, 500) t(pos)
+      |WHERE doc_id < 50 AND pos <= len(string_split(text, ' '))
+      |ORDER BY doc_id, pos""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id").as[Long], col("text").as[String])
+      .flatMap { case (id, text) =>
+        text.split(" ").iterator.zipWithIndex.map { case (t, i) => (id, i + 1L, t) }
+      }
+      .toDF("doc_id", "pos", "token")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  def all: Seq[Q] = Seq(u01UdfScalar, u02UdafMinhash, u03UdtfTokens)
+}

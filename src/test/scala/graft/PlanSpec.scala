@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these plans
+  * survive a 100× scale-up are pinned here so a regression (lost
+  * pushdown, lost broadcast, lost partial agg) fails CI, not the
+  * cluster. (SURVEY.md §4: Catalyst provides these — this spec
+  * proves the queries are shaped so it actually does.)
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushed filters in:\n$p")
+    // PushedFilters rendering truncates; DataFilters carries the full list
+    assert("l_quantity#\\d+ > 45.0".r.findFirstIn(p).isDefined
+      && "l_discount#\\d+ >= 0.09".r.findFirstIn(p).isDefined,
+      s"expected quantity/discount pushdown in:\n$p")
+    // only the 5 needed columns are read, not all 11
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg in:\n$p")
+    assert(p.contains("partial_sum"), s"map-side partial aggregation missing in:\n$p")
+  }
+
+  test("q10: small dimension side is broadcast, not shuffled") {
+    val p = plan("q10_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("q13/q14: semi and anti joins stay semi/anti at the physical level") {
+    assert(plan("q13_join_semi").contains("LeftSemi"))
+    assert(plan("q14_join_anti").contains("LeftAnti"))
+  }
+
+  test("q40: global sort+limit plans as top-k, not a full sort") {
+    val p = plan("q40_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("d06/s01: similarity kernels run the codegen dot-product expression") {
+    assert(plan("d06_embedding_near_dup").contains("float_vec_dot"))
+    assert(plan("s01_cosine_topk").contains("float_vec_dot"))
+  }
+
+  test("d03: LSH candidate generation is an equi-join (shuffle), not a cross join") {
+    val p = plan("d03_lsh_near_dup")
+    assert(!p.contains("CartesianProduct"), s"LSH must not cartesian-join:\n$p")
+  }
+
+  test("q18: as-of join is window-based — no pairwise join explosion") {
+    val p = plan("q18_join_asof")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("decode stage runs per-partition and emits typed features") {
+    val feats = MediaPipeline.featureTable(spark, "/root/testdata/sf0.001")
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(!feats.columns.contains("payload"), "payload must not leak into features")
+    assert(feats.columns.toSet ==
+      Set("media_id", "kind", "n_bytes", "width", "height", "n_channels", "checksum"))
+  }
+
+  test("stub decoder is deterministic and kind-aware") {
+    val row = MediaRow(1L, "image", "hello".getBytes("UTF-8"), "src")
+    val a = FakeDecoder.decode(row)
+    val b = FakeDecoder.decode(row)
+    assert(a == b)
+    assert(a.n_bytes == 5)
+    assert(a.n_channels == 3)
+    assert(FakeDecoder.decode(row.copy(kind = "audio")).n_channels == 2)
+  }
+
+  test("decoding distributes: partition count is preserved, no driver collect") {
+    val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
+    val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
+    assert(decoded.rdd.getNumPartitions == 7)
+    assert(decoded.count() == 500)
+  }
+}
