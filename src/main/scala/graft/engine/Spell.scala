@@ -30,6 +30,14 @@ trait Spell extends Serializable {
 final case class SpellContractException(message: String)
     extends RuntimeException(message)
 
+/** Runtime-failure channel (E2, main.zig:302-306, 331-346): a cast
+  * that throws is reported with spell name + hop context, the JVM
+  * analog of the reference's line-annotated Lua error report.
+  */
+final case class SpellRuntimeException(spellName: String, hop: Int, cause: Throwable)
+    extends RuntimeException(
+      s"spell '$spellName' failed casting at hop $hop: ${cause.getMessage}", cause)
+
 /** Dynamic spell loading: the analog of evaluating a Lua module and
   * validating that it returned a table with a function-valued `cast`
   * member. Accepts a duck-typed "module" (a Map) so all three

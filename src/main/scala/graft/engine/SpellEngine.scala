@@ -41,7 +41,14 @@ object SpellEngine {
       var hops = 0
       var done = false
       while (!done && hops < maxHops) {
-        spell.cast(current) match {
+        val result =
+          try spell.cast(current)
+          catch {
+            case e: SpellRuntimeException => throw e
+            case scala.util.control.NonFatal(e) =>
+              throw SpellRuntimeException(spell.name, hops, e) // E2 channel
+          }
+        result match {
           case Some(next) =>
             current = EventCodec.roundTrip(next)
             out += current

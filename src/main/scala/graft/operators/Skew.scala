@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §2C scale mandate: "skewed
+  * keys → salting or AQE skew-join"). AQE's skew-join split is on by
+  * default in the sessions this library builds; `saltedJoin` is the
+  * explicit fallback for joins AQE can't split (e.g. a hot key on
+  * the build side of a non-broadcastable join).
+  */
+object Skew {
+
+  /** Equi-join `large ⋈ small` on `key`, spreading each hot key of
+    * the large side over `factor` salted sub-keys. The small side is
+    * replicated `factor`× (explode), so every salted partition finds
+    * its match. Deterministic: the salt is a hash of the large row's
+    * full tuple, not a random draw — results are reproducible and
+    * exactly equal to the unsalted join.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      factor: Int = 8): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(factor)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    saltedLarge.join(saltedSmall,
+        saltedLarge(key) === saltedSmall(key) &&
+          saltedLarge("__salt") === saltedSmall("__salt"))
+      .drop(saltedSmall(key))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink surface beyond the parquet default (SURVEY.md
+  * §2C "Scans/sources" / "Sinks"): CSV and JSON-lines with explicit
+  * schemas (schema inference re-reads the data — never at 100 TB),
+  * and bucketed parquet tables for shuffle-free co-located joins.
+  */
+object Sources {
+
+  /** CSV with explicit schema + header. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-lines with explicit schema (open-schema tails stay strings
+    * and are parsed per-query with from_json — SURVEY.md §1.4).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Write a bucketed+sorted external table: both sides of a
+    * frequent equi-join bucketed the same way join WITHOUT a
+    * shuffle — the 100 TB answer to repeated fact-fact joins.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+}

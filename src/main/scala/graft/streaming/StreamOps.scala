@@ -78,6 +78,28 @@ object StreamOps {
     * transformWithState API is still settling (SURVEY.md §7 hard
     * parts) — swapping the implementation does not touch callers.
     */
+  /** Stream-stream inner join with event-time bounds: each click
+    * joins purchases of the same user within [click, click+30min].
+    * Watermarks on BOTH sides + the range condition let Spark evict
+    * join state — unbounded-state stream joins don't survive
+    * production (SURVEY.md §2C "stream-stream join").
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   def statefulRunningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events

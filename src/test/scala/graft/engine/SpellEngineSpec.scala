@@ -97,6 +97,22 @@ class SpellEngineSpec extends AnyFunSuite {
     assert(SpellEngine.runSeed(forever, DynEvent.of("x" -> 1)).size == 1000)
   }
 
+  test("runtime cast failure reports spell + hop context (E2)") {
+    val explodesAtTwo = new Spell {
+      override def name = "explodes"
+      override def cast(e: DynEvent): Option[DynEvent] = e.get("counter") match {
+        case Some(EInt(2)) => throw new IllegalStateException("boom")
+        case Some(EInt(n)) => Some(e.updated("counter", EInt(n - 1)))
+        case _             => None
+      }
+    }
+    val ex = intercept[SpellRuntimeException](
+      SpellEngine.runSeed(explodesAtTwo, DynEvent.of("counter" -> 4)))
+    assert(ex.spellName == "explodes")
+    assert(ex.hop == 2) // two successful hops (3, 2) before the failing cast
+    assert(ex.getMessage.contains("boom"))
+  }
+
   test("error-spell-does-not-return-table") {
     val ex = intercept[SpellContractException](SpellLoader.fromModule("bad", 123))
     assert(ex.message.contains("did not evaluate to a table"))

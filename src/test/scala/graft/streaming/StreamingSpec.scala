@@ -107,6 +107,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to preceding clicks within the bound") {
+    import spark.implicits._
+    val clicks = MemoryStream[EventRow](spark)
+    val purchases = MemoryStream[EventRow](spark)
+    val q = StreamOps.clickToPurchaseJoin(clicks.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      clicks.addData(ev(10, "2024-01-01 00:00:00", user = 1, typ = "click"))
+      purchases.addData(
+        ev(20, "2024-01-01 00:10:00", user = 1, typ = "purchase", v = 9.0), // within 30min
+        ev(21, "2024-01-01 01:10:00", user = 1, typ = "purchase", v = 1.0), // outside
+        ev(22, "2024-01-01 00:10:00", user = 2, typ = "purchase", v = 2.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_out")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch topic dispatch fans one stream out to per-topic sinks (2B)") {
     import spark.implicits._
     val in = MemoryStream[EventRow](spark)
