@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql("… float_vec_dot(a,b)
+  * …")` works, not just the Column API. Install with
+  * `.withExtensions(new GraftExtensions)` at session build, or call
+  * `GraftExtensions.register(spark)` on a live session.
+  *
+  * This is the (a)/(b) tier of the custom-operator ladder — scalar
+  * codegen expressions. No custom LogicalPlan/Strategy exists on
+  * purpose: every whole-operator semantic in the inventory composes
+  * from Catalyst-planned built-ins (SURVEY.md §4 "start with none").
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def binary(name: String, make: (Expression, Expression) => Expression): Builder = {
+    case Seq(a, b) => make(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${exprs.size}")
+  }
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("float_vec_dot",
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      binary("float_vec_dot", FloatVecDot(_, _))),
+    ("sorted_array_jaccard",
+      new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),
+      binary("sorted_array_jaccard", SortedArrayJaccard(_, _))))
+
+  /** Register on an existing session (e.g. one the driver built). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

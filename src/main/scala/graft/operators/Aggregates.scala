@@ -146,6 +146,34 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Exact interpolated percentiles per group (both engines define
+    * quantiles as linear interpolation at rank p·(n−1) over the
+    * sorted values — identical arithmetic). The scalable variant for
+    * 100 TB is approx_percentile (t-digest) — engine-specific, so the
+    * exact form is the oracle-checked one.
+    */
+  val q27Percentiles = Q(
+    "q27_percentiles",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5)  AS p50,
+      |  quantile_cont(o_totalprice, 0.9)  AS p90,
+      |  quantile_cont(o_totalprice, 0.99) AS p99,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
-    q23Rollup, q24Cube, q25GroupingSets, q26Pivot)
+    q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles)
 }

@@ -241,6 +241,27 @@ object Joins {
       .orderBy(col("purchase_id"))
   }
 
+  /** Scalar subquery: orders beating the global average price.
+    * The subquery computes once and broadcasts as a literal.
+    */
+  val q19ScalarSubquery = Q(
+    "q19_scalar_subquery",
+    s"""SELECT o_orderkey, o_totalprice
+       |FROM orders
+       |WHERE o_totalprice > 1.5 * (SELECT ${sqlAvg2("o_totalprice")} FROM orders)
+       |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_ssq")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM graft_orders_ssq
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |  FROM graft_orders_ssq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
-    q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof)
+    q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof,
+    q19ScalarSubquery)
 }

