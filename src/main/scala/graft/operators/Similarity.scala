@@ -112,5 +112,73 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
-  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh)
+  /** IVF-style ANN: 8 data-derived centroids (embeddings 0..7);
+    * every vector is assigned to its nearest centroid by dot product
+    * (argmin over a fixed list — deterministic tie-break by index);
+    * queries probe only their own cell, then exact cosine top-3.
+    * At scale: cells partition the corpus, the centroid table
+    * broadcasts, and a query touches 1/n_cells of the data; more
+    * centroids (k-means-trained) and multi-probe are the production
+    * knobs — the plumbing here is the real shape.
+    */
+  val s03AnnIvf = Q(
+    "s03_ann_ivf",
+    { // nearest centroid = max dot; ties broken by lowest centroid id
+      def dots = (0 until 8).map(j => s"${sqlDot("e.embedding", s"c$j.embedding")} AS d$j").mkString(", ")
+      def whenChain = (0 until 8).map { j =>
+        val geAll = (0 until 8).filter(_ != j).map(k => s"d$j >= d$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString(" ")
+      s"""WITH ctr AS (
+         |  SELECT e.vec_id, e.embedding, ${sqlNorm("e.embedding")} AS nrm, $dots
+         |  FROM embeddings e,
+         |       ${(0 until 8).map(j => s"(SELECT embedding FROM embeddings WHERE vec_id = $j) c$j").mkString(",\n       ")}
+         |), cells AS (
+         |  SELECT vec_id, embedding, nrm, CASE $whenChain END AS cell FROM ctr
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cell, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cell, cos_sim, k FROM ranked
+         |WHERE k <= 3
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .groupBy()
+      .pivot("vec_id", 0 until 8)
+      .agg(first(col("embedding")))
+      .toDF((0 until 8).map(j => s"c$j"): _*)
+    val withDots = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id") +: col("embedding") +: col("nrm") +:
+        (0 until 8).map(j => dot(col("embedding"), col(s"c$j")).as(s"d$j")): _*)
+    val cell = (0 until 8).foldRight(lit(-1): org.apache.spark.sql.Column) { (j, els) =>
+      val geAll = (0 until 8).filter(_ != j)
+        .map(k => col(s"d$j") >= col(s"d$k")).reduce(_ && _)
+      when(geAll, lit(j)).otherwise(els)
+    }
+    val cells = withDots.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val scored = cells.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_cell").as("cell"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
+  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf)
 }

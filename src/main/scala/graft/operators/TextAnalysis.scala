@@ -141,5 +141,29 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint)
+  /** BPE-ish subword tokenization via regex (greedy ≤3-char chunks —
+    * a stand-in for a merges table; the pipeline shape is identical):
+    * per-corpus top-25 subwords by frequency. Explode → count →
+    * top-k; at scale the explode is map-side and the count is a
+    * two-phase agg on a bounded key space.
+    */
+  val t05BpeTokens = Q(
+    "t05_bpe_tokens",
+    """SELECT subword, count(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{1,3}')) AS subword
+      |      FROM documents)
+      |GROUP BY subword
+      |ORDER BY n DESC, subword
+      |LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z]{1,3}"), lit(0))).as("subword"))
+      .groupBy(col("subword"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("subword"))
+      .limit(25)
+  }
+
+  def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
+    t05BpeTokens)
 }

@@ -37,4 +37,12 @@ object Sources {
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /** Hive-style partitioned parquet: queries filtering on the
+    * partition column prune whole directories at planning time
+    * (PartitionFilters) — at 100 TB, partition-by-topic/date is what
+    * turns "scan everything" into "scan one slice".
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

@@ -63,6 +63,17 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned write prunes partitions at the scan (topic-partitioned events)") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val events = graft.Tables.events(spark, dir)
+    Sources.writePartitioned(events, tmp, "event_type")
+    val clicks = spark.read.parquet(tmp).filter(col("event_type") === "click")
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"),
+      s"expected partition pruning in:\n$plan")
+    assert(clicks.count() == events.filter(col("event_type") === "click").count())
+  }
+
   test("salted join equals the plain join exactly") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
