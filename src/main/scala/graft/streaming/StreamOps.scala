@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Typed event row matching the driver's `events` table (FIXTURES.md
   * §B) — the streaming analog of sanctum's energy stream with
@@ -114,5 +115,40 @@ object StreamOps {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** Spark-4-native variant of the stateful pipeline on
+    * transformWithState (`StatefulProcessor` + `ValueState`) — the
+    * API the reference's "durable keyed spell state + KV store"
+    * roadmap maps to long-term. Same semantics as
+    * statefulRunningTotals; kept side by side so the adapter can flip
+    * once the API is the default.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, EventRow, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserRunning(key, acc.n_events + 1, acc.total_value + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def statefulRunningTotalsTws(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

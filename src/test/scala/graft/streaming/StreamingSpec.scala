@@ -107,6 +107,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState variant keeps identical per-user state semantics") {
+    import spark.implicits._
+    // transformWithState needs column families => RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventRow](spark)
+    val q = StreamOps.statefulRunningTotalsTws(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_out").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00", user = 7, v = 2.0),
+        ev(2, "2024-01-01 00:01:00", user = 7, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 00:02:00", user = 7, v = 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("tws_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest(7L) == 3L)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases to preceding clicks within the bound") {
     import spark.implicits._
     val clicks = MemoryStream[EventRow](spark)
