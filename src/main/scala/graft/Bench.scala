@@ -27,16 +27,25 @@ object Bench {
     val names =
       (if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
        else SparkEntry.queries.keys.toSeq).sorted
+    // (name, seconds, succeeded); failures report -1s so a crashing
+    // query can never masquerade as a fast one
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      spark.catalog.clearCache() // queries may cache; don't leak across timings
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,10 +28,14 @@ object EValue {
   def fromAny(v: Any): Option[EValue] = v match {
     case null          => Some(ENil)
     case b: Boolean    => Some(EBool(b))
+    case b: Byte       => Some(EInt(b.toLong))
+    case sh: Short     => Some(EInt(sh.toLong))
     case i: Int        => Some(EInt(i.toLong))
     case l: Long       => Some(EInt(l))
+    case bi: scala.math.BigInt if bi.isValidLong => Some(EInt(bi.toLong))
     case f: Float      => Some(EFloat(f.toDouble))
     case d: Double     => Some(EFloat(d))
+    case c: Char       => Some(EStr(c.toString))
     case s: String     => Some(EStr(s))
     case m: Map[_, _]  =>
       val pairs = m.flatMap { case (k, value) =>

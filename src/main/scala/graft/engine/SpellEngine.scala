@@ -14,14 +14,24 @@ object SpellEngine {
 
   /** Tri-state topic admission (main.zig:169-210; SURVEY.md §2A F1):
     * pass iff the spell declares no topic, OR the event carries no
-    * topic, OR they are equal. Null passes on BOTH sides.
+    * topic, OR they are equal. Null passes on BOTH sides. An event
+    * whose `$topic` exists but is not a string is a hard error, as in
+    * the reference (main.zig event-side else branch).
     */
-  def matchesTopic(spellTopic: Option[String], event: DynEvent): Boolean =
-    (spellTopic, event.topic) match {
+  def matchesTopic(spellTopic: Option[String], event: DynEvent): Boolean = {
+    val eventTopic = event.fields.get(EValue.EStr(DynEvent.TopicKey)) match {
+      case None                    => None
+      case Some(EValue.EStr(s))    => Some(s)
+      case Some(other)             =>
+        throw SpellContractException(
+          s"event '${DynEvent.TopicKey}' is not a string: $other")
+    }
+    (spellTopic, eventTopic) match {
       case (None, _)            => true
       case (_, None)            => true
       case (Some(st), Some(et)) => st == et
     }
+  }
 
   /** Run one seed event through the spell's feedback loop — the exact
     * single-event semantics of `sanctum cast` (main.zig:127-166).
@@ -34,43 +44,64 @@ object SpellEngine {
   def runSeed(spell: Spell, seed: DynEvent,
       maxHops: Int = RunawayLoopBound): Vector[DynEvent] = {
     spell.prepare()
-    try {
-      if (!matchesTopic(spell.topic, seed)) return Vector.empty
-      val out = Vector.newBuilder[DynEvent]
-      var current = EventCodec.roundTrip(seed)
-      var hops = 0
-      var done = false
-      while (!done && hops < maxHops) {
-        val result =
-          try spell.cast(current)
-          catch {
-            case e: SpellRuntimeException => throw e
-            case scala.util.control.NonFatal(e) =>
-              throw SpellRuntimeException(spell.name, hops, e) // E2 channel
-          }
-        result match {
-          case Some(next) =>
-            current = EventCodec.roundTrip(next)
-            out += current
-            hops += 1
-          case None =>
-            done = true
+    try castLoop(spell, seed, maxHops)
+    finally spell.unprepare()
+  }
+
+  /** The lifecycle-free loop body: topic admission + bounded feedback
+    * loop with a codec round trip per hop.
+    */
+  private def castLoop(spell: Spell, seed: DynEvent, maxHops: Int): Vector[DynEvent] = {
+    if (!matchesTopic(spell.topic, seed)) return Vector.empty
+    val out = Vector.newBuilder[DynEvent]
+    var current = EventCodec.roundTrip(seed)
+    var hops = 0
+    var done = false
+    while (!done && hops < maxHops) {
+      val result =
+        try spell.cast(current)
+        catch {
+          case e: SpellRuntimeException => throw e
+          case scala.util.control.NonFatal(e) =>
+            throw SpellRuntimeException(spell.name, hops, e) // E2 channel
         }
+      result match {
+        case Some(next) =>
+          current = EventCodec.roundTrip(next)
+          out += current
+          hops += 1
+        case None =>
+          done = true
       }
-      out.result()
-    } finally spell.unprepare()
+    }
+    out.result()
   }
 
   /** Distributed analog: every row of the Dataset is an independent
     * seed running its own bounded feedback loop inside one narrow
-    * flatMap — no driver-side iteration, no shuffle, arbitrarily
-    * parallel. Emits all hop outputs (use `.filter`/`.groupByKey`
-    * downstream for routing or state).
+    * transformation — no driver-side iteration, no shuffle,
+    * arbitrarily parallel. The L1 lifecycle runs ONCE PER PARTITION
+    * (prepare before the first row, unprepare after the last), the
+    * distributed reading of "call once before the first cast" — so a
+    * spell opening a connection or loading a model pays per task, not
+    * per event.
     */
   def castAll(events: Dataset[DynEvent], spell: Spell,
       maxHops: Int = RunawayLoopBound): Dataset[DynEvent] = {
     implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
-    events.flatMap { e => runSeed(spell, e, maxHops) }
+    events.mapPartitions { rows =>
+      spell.prepare()
+      var closed = false
+      val it = rows.flatMap(e => castLoop(spell, e, maxHops))
+      new Iterator[DynEvent] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; spell.unprepare() }
+          h
+        }
+        override def next(): DynEvent = it.next()
+      }
+    }
   }
 
   /** Multi-spell topic routing (the reference's roadmap capability,

@@ -217,7 +217,8 @@ object Dedup {
   ) { (s, d) =>
     Tables.documents(s, d).filter(col("doc_id") < 100)
       .createOrReplaceTempView("graft_docs_ngram")
-    val g = "array_sort(array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+    val g = "array_sort(array_distinct(transform(" +
+      "CASE WHEN size(split(text, ' ')) >= 3 THEN sequence(1, size(split(text, ' ')) - 2) ELSE array() END, " +
       "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i+1), ' ', element_at(split(text, ' '), i+2)))))"
     val grams = s.sql(s"SELECT doc_id, $g AS gs FROM graft_docs_ngram")
     grams.alias("a")

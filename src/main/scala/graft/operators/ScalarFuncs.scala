@@ -62,7 +62,7 @@ object ScalarFuncs {
       |  CAST(day(o_orderdate) AS INT)     AS dy,
       |  CAST(quarter(o_orderdate) AS INT) AS qtr,
       |  o_orderdate + INTERVAL 30 DAY     AS due_date,
-      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
       |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin

@@ -38,7 +38,7 @@ object UserFns {
     * token, lexicographic min).
     */
   private[operators] def docMinhash(text: String): Array[String] = {
-    val toks = text.split(" ").distinct
+    val toks = text.split(" ", -1).distinct // -1: keep trailing empties, like string_split
     Array.tabulate(K) { i =>
       toks.iterator.map(t => md5Hex(s"$i:$t")).min
     }
@@ -105,17 +105,18 @@ object UserFns {
     */
   val u03UdtfTokens = Q(
     "u03_udtf_tokens",
-    """SELECT doc_id, pos, string_split(text, ' ')[pos] AS token
-      |FROM documents, range(1, 500) t(pos)
-      |WHERE doc_id < 50 AND pos <= len(string_split(text, ' '))
-      |ORDER BY doc_id, pos""".stripMargin
+    """SELECT doc_id, t.pos, string_split(text, ' ')[t.pos] AS token
+      |FROM documents,
+      |     LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS pos) t
+      |WHERE doc_id < 50
+      |ORDER BY doc_id, t.pos""".stripMargin
   ) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .select(col("doc_id").as[Long], col("text").as[String])
       .flatMap { case (id, text) =>
-        text.split(" ").iterator.zipWithIndex.map { case (t, i) => (id, i + 1L, t) }
+        text.split(" ", -1).iterator.zipWithIndex.map { case (t, i) => (id, i + 1L, t) }
       }
       .toDF("doc_id", "pos", "token")
       .orderBy(col("doc_id"), col("pos"))

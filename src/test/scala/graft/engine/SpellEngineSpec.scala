@@ -15,6 +15,17 @@ object CounterTopicSpell extends Spell {
     SpellEngineSpec.DecrementCounter.cast(e)
 }
 
+/** Counts lifecycle calls across executor tasks (local mode = one
+  * JVM, so a static counter observes all partitions).
+  */
+object LifecycleCountingSpell extends Spell {
+  val prepares = new java.util.concurrent.atomic.AtomicInteger(0)
+  val unprepares = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def prepare(): Unit = { prepares.incrementAndGet(); () }
+  override def unprepare(): Unit = { unprepares.incrementAndGet(); () }
+  override def cast(e: DynEvent): Option[DynEvent] = None
+}
+
 object SpellEngineSpec {
   /** test-suite/decrement-counter: spell decrements `counter`,
     * casting until it hits 0, then returns nil.
@@ -170,6 +181,41 @@ class SpellEngineSpec extends AnyFunSuite {
     val out = routed("counter_spell").collect()
     // topic=counter seed: 1 hop; topicless seed: 2 hops; 'other' filtered out
     assert(out.length == 3)
+  }
+
+  test("non-string event $topic is a hard error, as in the reference") {
+    val spell = new Spell {
+      override def topic: Option[String] = Some("counter")
+      override def cast(e: DynEvent): Option[DynEvent] = Some(e)
+    }
+    val bad = DynEvent.of("$topic" -> 42)
+    val ex = intercept[SpellContractException](SpellEngine.runSeed(spell, bad))
+    assert(ex.message.contains("not a string"))
+  }
+
+  test("numeric widening: Byte/Short/BigInt convert instead of dropping") {
+    val e = DynEvent.of("b" -> 5.toByte, "s" -> 7.toShort, "big" -> BigInt(12),
+      "huge" -> BigInt("170141183460469231731687303715884105727"), "c" -> 'x')
+    assert(e.get("b").contains(EInt(5)))
+    assert(e.get("s").contains(EInt(7)))
+    assert(e.get("big").contains(EInt(12)))
+    assert(e.get("huge").isEmpty) // beyond i64: not representable => dropped
+    assert(e.get("c").contains(EStr("x")))
+  }
+
+  test("castAll runs the L1 lifecycle once per partition, not per event") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    implicit val enc: org.apache.spark.sql.Encoder[DynEvent] =
+      org.apache.spark.sql.Encoders.kryo[DynEvent]
+    LifecycleCountingSpell.prepares.set(0)
+    LifecycleCountingSpell.unprepares.set(0)
+    val seeds = spark.createDataset(
+      (1 to 100).map(i => DynEvent.of("i" -> i))).repartition(4)
+    SpellEngine.castAll(seeds, LifecycleCountingSpell).collect()
+    assert(LifecycleCountingSpell.prepares.get == 4,
+      s"expected 4 prepares (one per partition), got ${LifecycleCountingSpell.prepares.get}")
+    assert(LifecycleCountingSpell.unprepares.get == 4)
   }
 
   test("prepare/unprepare lifecycle hooks run exactly once (L1)") {
