@@ -23,6 +23,8 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// forward the golden-freeze flag from the sbt JVM into forked test JVMs
+Test / javaOptions += s"-Dgraft.golden.update=${sys.props.getOrElse("graft.golden.update", "false")}"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

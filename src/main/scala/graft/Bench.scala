@@ -37,8 +37,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // queries may cache; don't leak across timings
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (ok) elapsed else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.util.LongAccumulator
 
 /** The spell execution engine — the reference's full dataflow
   * re-expressed (SURVEY.md §3.1): topic-filter admission → per-hop
@@ -93,6 +94,50 @@ object SpellEngine {
       spell.prepare()
       var closed = false
       val it = rows.flatMap(e => castLoop(spell, e, maxHops))
+      new Iterator[DynEvent] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; spell.unprepare() }
+          h
+        }
+        override def next(): DynEvent = it.next()
+      }
+    }
+  }
+
+  /** Per-spell telemetry (reference roadmap README.md:129-130:
+    * exec count/time, in/out counters — SURVEY.md §2B), carried by
+    * Spark accumulators so executor-side counts aggregate for free.
+    */
+  final case class SpellMetrics(
+      eventsIn: LongAccumulator,
+      eventsOut: LongAccumulator,
+      castNanos: LongAccumulator)
+
+  object SpellMetrics {
+    def create(spark: SparkSession, spellName: String): SpellMetrics = SpellMetrics(
+      spark.sparkContext.longAccumulator(s"graft.$spellName.events_in"),
+      spark.sparkContext.longAccumulator(s"graft.$spellName.events_out"),
+      spark.sparkContext.longAccumulator(s"graft.$spellName.cast_nanos"))
+  }
+
+  /** castAll with telemetry: counts admitted seeds, emitted hops, and
+    * wall nanos spent inside the cast loop.
+    */
+  def castAllMetered(events: Dataset[DynEvent], spell: Spell, metrics: SpellMetrics,
+      maxHops: Int = RunawayLoopBound): Dataset[DynEvent] = {
+    implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
+    events.mapPartitions { rows =>
+      spell.prepare()
+      var closed = false
+      val it = rows.flatMap { e =>
+        metrics.eventsIn.add(1)
+        val t0 = System.nanoTime()
+        val hopsOut = castLoop(spell, e, maxHops)
+        metrics.castNanos.add(System.nanoTime() - t0)
+        metrics.eventsOut.add(hopsOut.size)
+        hopsOut
+      }
       new Iterator[DynEvent] {
         override def hasNext: Boolean = {
           val h = it.hasNext

@@ -1,0 +1,75 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import EValue._
+
+/** Golden-output harness mirroring the reference's regression
+  * workflow (regression.py + `just freeze`, SURVEY.md §3.2-3.3):
+  * each case renders its hop outputs to canonical text and diffs
+  * against `src/test/resources/golden/<case>.txt`. Re-bless with
+  * `sbt -Dgraft.golden.update=true test` — the analog of `--freeze`.
+  */
+class GoldenSpec extends AnyFunSuite {
+
+  private val goldenDir = Paths.get(sys.props("user.dir"), "src", "test", "resources", "golden")
+  private val update = sys.props.get("graft.golden.update").contains("true")
+
+  private def render(v: EValue): String = v match {
+    case ENil      => "nil"
+    case EBool(b)  => b.toString
+    case EInt(i)   => i.toString
+    case EFloat(d) => d.toString
+    case EStr(s)   => "\"" + s + "\""
+    case EMap(m)   =>
+      m.toSeq.map { case (k, value) => render(k) + "=" + render(value) }
+        .sorted.mkString("{", ", ", "}")
+  }
+
+  private def check(name: String, hops: Vector[DynEvent]): Unit = {
+    val actual = hops.map(e => render(EMap(e.fields))).mkString("", "\n", "\n")
+    val file = goldenDir.resolve(s"$name.txt")
+    if (update) {
+      Files.createDirectories(goldenDir)
+      Files.writeString(file, actual)
+    } else {
+      assert(Files.exists(file),
+        s"golden file missing: $file — run sbt -Dgraft.golden.update=true test to bless")
+      val expected = Files.readString(file)
+      assert(actual == expected,
+        s"golden mismatch for $name\n--- expected\n$expected\n--- actual\n$actual")
+    }
+  }
+
+  import SpellEngineSpec.DecrementCounter
+
+  test("golden: decrement-counter") {
+    check("decrement-counter", SpellEngine.runSeed(DecrementCounter, DynEvent.of(
+      1 -> 1, 2 -> 2, 3 -> 3,
+      "counter" -> 10,
+      "foo" -> ((x: Int) => x),
+      "hello_world" -> "Hello, world!",
+      "is_abc" -> true,
+      "table" -> Map("xyz" -> true))))
+  }
+
+  test("golden: decrement-counter-float") {
+    check("decrement-counter-float",
+      SpellEngine.runSeed(DecrementCounter, DynEvent.of("counter" -> 10.5)))
+  }
+
+  test("golden: decrement-counter-implicit-return") {
+    check("decrement-counter-implicit-return",
+      SpellEngine.runSeed(DecrementCounter, DynEvent.of("counter" -> 2)))
+  }
+
+  test("golden: topic-singular-filtering (empty output)") {
+    val spell = new Spell {
+      override def topic: Option[String] = Some("counter")
+      override def cast(e: DynEvent): Option[DynEvent] = Some(e)
+    }
+    check("topic-singular-filtering",
+      SpellEngine.runSeed(spell, DynEvent.of("$topic" -> "not-a-counting-spell")))
+  }
+}

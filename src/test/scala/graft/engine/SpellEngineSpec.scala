@@ -203,6 +203,20 @@ class SpellEngineSpec extends AnyFunSuite {
     assert(e.get("c").contains(EStr("x")))
   }
 
+  test("castAllMetered reports in/out counts and cast time via accumulators") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    implicit val enc: org.apache.spark.sql.Encoder[DynEvent] =
+      org.apache.spark.sql.Encoders.kryo[DynEvent]
+    val metrics = SpellEngine.SpellMetrics.create(spark, "decrement")
+    val seeds = spark.createDataset(Seq(
+      DynEvent.of("counter" -> 3), DynEvent.of("counter" -> 2), DynEvent.of("counter" -> 0)))
+    SpellEngine.castAllMetered(seeds, DecrementCounter, metrics).collect()
+    assert(metrics.eventsIn.value == 3L)
+    assert(metrics.eventsOut.value == 5L) // 3 + 2 + 0 hops
+    assert(metrics.castNanos.value > 0L)
+  }
+
   test("castAll runs the L1 lifecycle once per partition, not per event") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()

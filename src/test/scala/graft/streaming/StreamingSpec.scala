@@ -149,6 +149,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming feedback loop: foreachBatch re-enqueues until termination (T2 analog)") {
+    import spark.implicits._
+    // Spark DAGs are acyclic; the reference's feedback loop becomes a
+    // re-enqueue into the input stream with the counter as the guard
+    // (SURVEY.md §7 hard parts). value plays `counter`.
+    val in = MemoryStream[EventRow](spark)
+    val terminal = scala.collection.concurrent.TrieMap.empty[Long, Long] // id -> hops seen
+    val q = in.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventRow], _: Long) =>
+        val rows = batch.collect()
+        val (alive, done) = rows.partition(_.value > 0)
+        done.foreach(r => terminal.updateWith(r.event_id)(c => Some(c.getOrElse(0L) + 1)))
+        if (alive.nonEmpty) {
+          val _ = in.addData(alive.map(r => r.copy(value = r.value - 1)).toIndexedSeq)
+        }
+      }
+      .start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00", v = 3.0), ev(2, "2024-01-01 00:00:01", v = 1.0))
+      q.processAllAvailable()
+      // each seed loops down to 0 exactly once
+      assert(terminal.toMap == Map(1L -> 1L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("spell castAll runs on a streaming Dataset (engine ⋈ streaming glue)") {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.engine.DynEvent] =
+      org.apache.spark.sql.Encoders.kryo[graft.engine.DynEvent]
+    import graft.engine.{DynEvent, SpellEngine}
+    import spark.implicits._
+    val in = MemoryStream[DynEvent](spark)
+    val out = SpellEngine.castAll(in.toDS(), graft.engine.SpellEngineSpec.DecrementCounter)
+      .map(e => e.get("counter").map(_.toString).getOrElse("?"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("spell_stream_out").start()
+    try {
+      in.addData(DynEvent.of("counter" -> 3))
+      q.processAllAvailable()
+      val vals = spark.table("spell_stream_out").as[String].collect().sorted
+      assert(vals.toSeq == Seq("EInt(0)", "EInt(1)", "EInt(2)"))
+    } finally q.stop()
+  }
+
   test("foreachBatch topic dispatch fans one stream out to per-topic sinks (2B)") {
     import spark.implicits._
     val in = MemoryStream[EventRow](spark)
