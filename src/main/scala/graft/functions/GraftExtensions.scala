@@ -16,10 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * from Catalyst-planned built-ins (SURVEY.md §4 "start with none").
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeFilter)
+  }
 }
 
 object GraftExtensions {
