@@ -1,0 +1,12 @@
+package graft
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]").config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").config("spark.sql.session.timeZone","UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- args) {
+      println(s"===== $n")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").explain("formatted")
+    }
+    spark.stop()
+  }
+}
