@@ -212,6 +212,31 @@ object ScalarFuncs {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Higher-order array functions: exists / forall / transform /
+    * filter / aggregate with lambdas — all codegen-free but
+    * vectorized per row, zero shuffle.
+    */
+  val q66HigherOrder = Q(
+    "q66_higher_order",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) > 0 AS INT) AS has_long_token,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 8)) = len(string_split(text, ' ')) AS INT) AS all_short,
+      |  array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3), t -> upper(t)), ' ') AS head3_upper,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN length(t) >= 4 THEN 1 ELSE 0 END)) AS BIGINT) AS n_ge4
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        exists(toks, t => length(t) > 5).cast("int").as("has_long_token"),
+        forall(toks, t => length(t) <= 8).cast("int").as("all_short"),
+        concat_ws(" ", transform(slice(toks, 1, 3), t => upper(t))).as("head3_upper"),
+        aggregate(toks, lit(0), (acc, t) => acc + when(length(t) >= 4, 1).otherwise(0))
+          .cast("long").as("n_ge4"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(q60String, q61Date, q62Math, q63Array, q64Json,
-    q65Conditional, q70TimeWindow)
+    q65Conditional, q66HigherOrder, q70TimeWindow)
 }
