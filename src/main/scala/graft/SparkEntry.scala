@@ -10,7 +10,7 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
+    Relational.all ++ SpellQueries.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
       SetOps.all ++ ScalarFuncs.all ++ Dedup.all ++ Similarity.all ++
       TextAnalysis.all ++ Multimodal.all ++ UserFns.all
 

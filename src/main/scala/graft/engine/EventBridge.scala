@@ -1,0 +1,27 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+
+/** Ingestion boundary between the driver's typed `events` table and
+  * the engine's dynamic event model (SURVEY.md §1.4): `event_type`
+  * plays `$topic`, scalar columns become fields, and the open-schema
+  * `props` JSON tail is carried as a string field (parsed per-spell
+  * when needed — mixed-key Lua tables don't map to one Spark type,
+  * the documented semantic delta).
+  */
+object EventBridge {
+  import EValue._
+
+  def fromEventsTable(events: DataFrame): Dataset[DynEvent] = {
+    implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
+    events.select("event_id", "event_type", "user_id", "value", "props")
+      .map { (r: Row) =>
+        DynEvent(Map[EValue, EValue](
+          EStr(DynEvent.TopicKey) -> EStr(r.getString(1)),
+          EStr("event_id") -> EInt(r.getLong(0)),
+          EStr("user_id") -> EInt(r.getLong(2)),
+          EStr("value") -> EFloat(r.getDouble(3)),
+          EStr("props") -> EStr(r.getString(4))))
+      }
+  }
+}

@@ -138,6 +138,16 @@ object EventCodec {
     EStr(new String(bytes, StandardCharsets.UTF_8))
   }
 
+  /** Debug dump sink (reference K2, main.zig:218-236, `--dump-events`):
+    * base64 of the serialized event, with the same msgpack-inspector
+    * URL convention for human debugging.
+    */
+  def dumpBase64(e: DynEvent): String =
+    java.util.Base64.getEncoder.encodeToString(encode(EValue.EMap(e.fields)))
+
+  def inspectionUrl(e: DynEvent): String =
+    s"https://msgpack.dbrgn.ch/#base64=${dumpBase64(e)}"
+
   /** The per-hop barrier: serialize then deserialize
     * (main.zig:212-224). For EValue trees this is an identity —
     * the drop rule already applied at construction — but it is kept

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.engine.{DynEvent, EValue, EventBridge, Spell, SpellEngine}
+import org.apache.spark.sql.functions._
+
+/** The spell engine under the DuckDB oracle: the reference's
+  * cast/feedback-loop semantics (SURVEY.md §2A T1/T2) are expressible
+  * as a recursive CTE, so the engine's distributed execution is
+  * hash-verified against an independent relational evaluation —
+  * the strongest correctness statement available for the engine.
+  */
+object SpellQueries {
+  import EValue._
+
+  /** The halving spell: emits the event with `value` halved and `hop`
+    * incremented while value > 1; returns nil (terminates) otherwise.
+    * Pure IEEE halving — bit-deterministic in any engine.
+    */
+  object HalvingSpell extends Spell {
+    override def cast(e: DynEvent): Option[DynEvent] =
+      (e.get("value"), e.get("hop")) match {
+        case (Some(EFloat(v)), Some(EInt(h))) if v > 1.0 =>
+          Some(e.updated("value", EFloat(v / 2)).updated("hop", EInt(h + 1)))
+        case _ => None
+      }
+  }
+
+  /** Every hop of every event's feedback loop, as rows. The DuckDB
+    * oracle replays the same loop with a recursive CTE.
+    */
+  val q04SpellCastLoop = Q(
+    "q04_spell_cast_loop",
+    """WITH RECURSIVE hops AS (
+      |  SELECT event_id, 0 AS hop, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, hop + 1, value / 2 FROM hops WHERE value > 1
+      |)
+      |SELECT event_id, hop, value FROM hops
+      |WHERE hop >= 1
+      |ORDER BY event_id, hop""".stripMargin
+  ) { (s, d) =>
+    val seeds = EventBridge.fromEventsTable(Tables.events(s, d))
+      .map { e => e.updated("hop", EInt(0)) }(
+        org.apache.spark.sql.Encoders.kryo[DynEvent])
+    val hops = SpellEngine.castAll(seeds, HalvingSpell)
+    import s.implicits._
+    hops.map { e =>
+      (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
+        e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
+        e.get("value") match { case Some(EFloat(v)) => v; case _ => Double.NaN })
+    }.toDF("event_id", "hop", "value")
+      .orderBy(col("event_id"), col("hop"))
+  }
+
+  def all: Seq[Q] = Seq(q04SpellCastLoop)
+}

@@ -85,6 +85,14 @@ class EventCodecSpec extends AnyFunSuite {
       EventCodec.decode(Array(0xcc, 7).map(_.toByte)))
   }
 
+  test("dump sink emits base64 msgpack with the inspector URL (K2)") {
+    val e = DynEvent.of("a" -> 1)
+    val b64 = EventCodec.dumpBase64(e)
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    assert(EventCodec.decode(bytes) == EMap(e.fields))
+    assert(EventCodec.inspectionUrl(e) == s"https://msgpack.dbrgn.ch/#base64=$b64")
+  }
+
   test("round trip applies to events and preserves the drop rule") {
     val e = DynEvent.of("a" -> 1, "f" -> ((x: Int) => x), "s" -> "hi")
     val rt = EventCodec.roundTrip(e)
