@@ -237,6 +237,32 @@ object ScalarFuncs {
       .orderBy(col("doc_id"))
   }
 
+  /** Map and struct construction + scalar field access (complex-type
+    * surface; outputs stay scalar so the oracle comparison is
+    * type-stable — DuckDB map access returns a list, hence `[1]`).
+    */
+  val q67MapStruct = Q(
+    "q67_map_struct",
+    """SELECT p_partkey,
+      |  map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS m_brand,
+      |  map(['brand', 'type'], [p_brand, p_type])['type'][1]  AS m_type,
+      |  struct_pack(sz := p_size, price := p_retailprice).sz    AS s_size,
+      |  struct_pack(sz := p_size, price := p_retailprice).price AS s_price
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+  ) { (s, d) =>
+    val m = map_from_arrays(
+      array(lit("brand"), lit("type")), array(col("p_brand"), col("p_type")))
+    val st = struct(col("p_size").as("sz"), col("p_retailprice").as("price"))
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        element_at(m, "brand").as("m_brand"),
+        element_at(m, "type").as("m_type"),
+        st.getField("sz").as("s_size"),
+        st.getField("price").as("s_price"))
+      .orderBy(col("p_partkey"))
+  }
+
   def all: Seq[Q] = Seq(q60String, q61Date, q62Math, q63Array, q64Json,
-    q65Conditional, q66HigherOrder, q70TimeWindow)
+    q65Conditional, q66HigherOrder, q67MapStruct, q70TimeWindow)
 }
