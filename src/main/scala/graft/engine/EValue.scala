@@ -37,11 +37,19 @@ object EValue {
     case d: Double     => Some(EFloat(d))
     case c: Char       => Some(EStr(c.toString))
     case s: String     => Some(EStr(s))
-    case m: Map[_, _]  =>
+    case m: scala.collection.Map[_, _] =>
       val pairs = m.flatMap { case (k, value) =>
         for (ek <- fromAny(k); ev <- fromAny(value)) yield ek -> ev
       }
       Some(EMap(pairs.toMap))
+    // sequences are Lua-style array-tables: maps with 1-based integer
+    // keys (zlmp serializes arrays exactly that way — zlmp.zig:190-192);
+    // non-representable elements drop their keys, like any table entry
+    case xs: scala.collection.Seq[_] =>
+      Some(EMap(xs.iterator.zipWithIndex.flatMap { case (x, i) =>
+        fromAny(x).map(EInt(i + 1L) -> _)
+      }.toMap))
+    case arr: Array[_] => fromAny(arr.toSeq)
     case _             => None // functions/threads/etc: dropped
   }
 }

@@ -14,14 +14,18 @@ object EventBridge {
 
   def fromEventsTable(events: DataFrame): Dataset[DynEvent] = {
     implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
+    // null columns map to ENil (a nil-valued table field), never to
+    // EStr(null)/NPE — the bridge must accept any nullable row
+    def field(r: Row, i: Int, mk: Row => EValue): EValue =
+      if (r.isNullAt(i)) EValue.ENil else mk(r)
     events.select("event_id", "event_type", "user_id", "value", "props")
       .map { (r: Row) =>
         DynEvent(Map[EValue, EValue](
-          EStr(DynEvent.TopicKey) -> EStr(r.getString(1)),
-          EStr("event_id") -> EInt(r.getLong(0)),
-          EStr("user_id") -> EInt(r.getLong(2)),
-          EStr("value") -> EFloat(r.getDouble(3)),
-          EStr("props") -> EStr(r.getString(4))))
+          EStr(DynEvent.TopicKey) -> field(r, 1, x => EStr(x.getString(1))),
+          EStr("event_id") -> field(r, 0, x => EInt(x.getLong(0))),
+          EStr("user_id") -> field(r, 2, x => EInt(x.getLong(2))),
+          EStr("value") -> field(r, 3, x => EFloat(x.getDouble(3))),
+          EStr("props") -> field(r, 4, x => EStr(x.getString(4)))))
       }
   }
 }

@@ -20,6 +20,13 @@ import java.nio.charset.StandardCharsets
   *  - the decoder accepts exactly the tags the encoder emits and
   *    rejects everything else (zlmp.zig:475-594).
   *
+  * Deliberate divergence: the reference decodes negative fixints by
+  * bit-casting only the low 5 bits (zlmg i5 cast), which mis-decodes
+  * the tags for −32..−17 as +0..+15 after one hop; this codec
+  * sign-extends the full byte per the MessagePack spec, so those
+  * values round-trip correctly. We reproduce the reference's wire
+  * format, not its decoder bug.
+  *
   * In production paths Tungsten/Encoders replace this wholesale
   * (SURVEY.md §1.4); the codec exists because the round-trip-per-hop
   * drop rule is part of the reference's testable semantics.

@@ -19,20 +19,21 @@ object SpellEngine {
     * whose `$topic` exists but is not a string is a hard error, as in
     * the reference (main.zig event-side else branch).
     */
-  def matchesTopic(spellTopic: Option[String], event: DynEvent): Boolean = {
-    val eventTopic = event.fields.get(EValue.EStr(DynEvent.TopicKey)) match {
-      case None                    => None
-      case Some(EValue.EStr(s))    => Some(s)
-      case Some(other)             =>
-        throw SpellContractException(
-          s"event '${DynEvent.TopicKey}' is not a string: $other")
+  def matchesTopic(spellTopic: Option[String], event: DynEvent): Boolean =
+    spellTopic match {
+      // spell-side nil check first, as in the reference: the event's
+      // $topic is never inspected (so never validated) for an
+      // untopiced spell
+      case None => true
+      case Some(st) =>
+        event.fields.get(EValue.EStr(DynEvent.TopicKey)) match {
+          case None                 => true
+          case Some(EValue.EStr(e)) => st == e
+          case Some(other)          =>
+            throw SpellContractException(
+              s"event '${DynEvent.TopicKey}' is not a string: $other")
+        }
     }
-    (spellTopic, eventTopic) match {
-      case (None, _)            => true
-      case (_, None)            => true
-      case (Some(st), Some(et)) => st == et
-    }
-  }
 
   /** Run one seed event through the spell's feedback loop — the exact
     * single-event semantics of `sanctum cast` (main.zig:127-166).
@@ -92,16 +93,12 @@ object SpellEngine {
     implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
     events.mapPartitions { rows =>
       spell.prepare()
-      var closed = false
-      val it = rows.flatMap(e => castLoop(spell, e, maxHops))
-      new Iterator[DynEvent] {
-        override def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !closed) { closed = true; spell.unprepare() }
-          h
-        }
-        override def next(): DynEvent = it.next()
-      }
+      // unprepare at task completion — fires on normal exhaustion,
+      // on mid-partition failure, AND when the consumer stops early
+      // (limit/take), unlike an exhaustion-triggered iterator hook
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => spell.unprepare()))
+      rows.flatMap(e => castLoop(spell, e, maxHops))
     }
   }
 
@@ -121,30 +118,30 @@ object SpellEngine {
       spark.sparkContext.longAccumulator(s"graft.$spellName.cast_nanos"))
   }
 
-  /** castAll with telemetry: counts admitted seeds, emitted hops, and
-    * wall nanos spent inside the cast loop.
+  /** castAll with telemetry: counts topic-admitted seeds, emitted
+    * hops, and wall nanos inside the cast loop. Standard accumulator
+    * caveat applies: transformation-side counters re-add if the
+    * partition is recomputed (second action on an uncached Dataset,
+    * task retry, speculation) — cache the result before reusing it
+    * when exact counts matter.
     */
   def castAllMetered(events: Dataset[DynEvent], spell: Spell, metrics: SpellMetrics,
       maxHops: Int = RunawayLoopBound): Dataset[DynEvent] = {
     implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
     events.mapPartitions { rows =>
       spell.prepare()
-      var closed = false
-      val it = rows.flatMap { e =>
-        metrics.eventsIn.add(1)
-        val t0 = System.nanoTime()
-        val hopsOut = castLoop(spell, e, maxHops)
-        metrics.castNanos.add(System.nanoTime() - t0)
-        metrics.eventsOut.add(hopsOut.size)
-        hopsOut
-      }
-      new Iterator[DynEvent] {
-        override def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !closed) { closed = true; spell.unprepare() }
-          h
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => spell.unprepare()))
+      rows.flatMap { e =>
+        if (!matchesTopic(spell.topic, e)) Vector.empty
+        else {
+          metrics.eventsIn.add(1)
+          val t0 = System.nanoTime()
+          val hopsOut = castLoop(spell, e, maxHops)
+          metrics.castNanos.add(System.nanoTime() - t0)
+          metrics.eventsOut.add(hopsOut.size)
+          hopsOut
         }
-        override def next(): DynEvent = it.next()
       }
     }
   }
@@ -155,6 +152,9 @@ object SpellEngine {
     */
   def route(events: Dataset[DynEvent], spells: Seq[Spell],
       maxHops: Int = RunawayLoopBound): Map[String, Dataset[DynEvent]] = {
+    val dup = spells.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate spell names would silently drop subscriptions: ${dup.mkString(", ")}")
     implicit val enc: Encoder[DynEvent] = Encoders.kryo[DynEvent]
     spells.map { sp =>
       sp.name -> castAll(events.filter((e: DynEvent) => matchesTopic(sp.topic, e)), sp, maxHops)

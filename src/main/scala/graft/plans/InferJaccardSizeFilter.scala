@@ -51,11 +51,20 @@ object InferJaccardSizeFilter extends Rule[LogicalPlan] with PredicateHelper {
     if (inferred.isEmpty) None else Some((inferred :+ cond).reduce(And))
   }
 
-  /** min ≥ c·max, expressed symmetrically in exact double arithmetic. */
+  /** min ≥ c·max, expressed symmetrically. The multiplier is relaxed
+    * by 1e-9 relative so the inferred bound stays conservative under
+    * floating-point evaluation: the jaccard predicate compares a
+    * ROUNDED quotient against c, so a row can pass with a true ratio
+    * up to a few ulps below c — a strict c·size bound would drop it
+    * (concrete case: threshold 0.28 with sizes 7 and 25). The margin
+    * is ~10⁷ ulps, far beyond any accumulation of rounding error,
+    * while still pruning everything meaningfully below the threshold.
+    */
   private def sizeBounds(a: Expression, b: Expression, c: Double): Seq[Expression] = {
     def sz(e: Expression) = Cast(Size(e), DoubleType)
+    val cSafe = Literal(c * (1.0 - 1e-9))
     Seq(
-      GreaterThanOrEqual(sz(a), Multiply(Literal(c), sz(b))),
-      GreaterThanOrEqual(sz(b), Multiply(Literal(c), sz(a))))
+      GreaterThanOrEqual(sz(a), Multiply(cSafe, sz(b))),
+      GreaterThanOrEqual(sz(b), Multiply(cSafe, sz(a))))
   }
 }

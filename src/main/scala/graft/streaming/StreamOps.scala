@@ -69,16 +69,6 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** The stateful spell pipeline: durable keyed state per user
-    * (reference roadmap README.md:107-109 — "durable keyed spell
-    * state"), implemented with flatMapGroupsWithState. Each input
-    * event folds into the key's running aggregate; every update is
-    * emitted downstream (OutputMode.Update at the sink).
-    *
-    * Kept behind this small adapter because the Spark 4
-    * transformWithState API is still settling (SURVEY.md §7 hard
-    * parts) — swapping the implementation does not touch callers.
-    */
   /** Stream-stream inner join with event-time bounds: each click
     * joins purchases of the same user within [click, click+30min].
     * Watermarks on BOTH sides + the range condition let Spark evict
@@ -101,6 +91,16 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** The stateful spell pipeline: durable keyed state per user
+    * (reference roadmap README.md:107-109 — "durable keyed spell
+    * state"), implemented with flatMapGroupsWithState. Each input
+    * event folds into the key's running aggregate; every update is
+    * emitted downstream (OutputMode.Update at the sink).
+    *
+    * Kept behind this small adapter because the Spark 4
+    * transformWithState API is still settling (SURVEY.md §7 hard
+    * parts) — swapping the implementation does not touch callers.
+    */
   def statefulRunningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events

@@ -191,6 +191,18 @@ class SpellEngineSpec extends AnyFunSuite {
     val bad = DynEvent.of("$topic" -> 42)
     val ex = intercept[SpellContractException](SpellEngine.runSeed(spell, bad))
     assert(ex.message.contains("not a string"))
+    // …but an untopiced spell never inspects the event's $topic, so it
+    // casts normally (reference checks the spell side first)
+    assert(SpellEngine.matchesTopic(None, bad))
+  }
+
+  test("sequences become Lua-style array-tables (1-based integer keys)") {
+    val e = DynEvent.of("tags" -> List("a", "b"), "nums" -> Array(7, 8, 9))
+    assert(e.get("tags").contains(EMap(Map(EInt(1) -> EStr("a"), EInt(2) -> EStr("b")))))
+    assert(e.get("nums").contains(EMap(Map(EInt(1) -> EInt(7), EInt(2) -> EInt(8), EInt(3) -> EInt(9)))))
+    // non-representable elements drop their keys, like any table entry
+    val mixed = DynEvent.of("xs" -> List(1, (x: Int) => x, 3))
+    assert(mixed.get("xs").contains(EMap(Map(EInt(1) -> EInt(1), EInt(3) -> EInt(3)))))
   }
 
   test("numeric widening: Byte/Short/BigInt convert instead of dropping") {
