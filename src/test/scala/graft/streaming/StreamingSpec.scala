@@ -192,6 +192,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source end-to-end: AvailableNow over the real events parquet") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    // events.ts is TIMESTAMP(NANOS): stream it as long nanos (the
+    // same legacy conf Tables.events uses) and truncate to µs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.tumblingAgg(stream, "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("file_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val n = spark.table("file_stream_out").count()
+      // append mode emits only watermark-closed windows; all but the
+      // final open hour of the fixture should be present
+      assert(n > 0, "no closed windows emitted from the file stream")
+      val total = spark.table("file_stream_out")
+        .agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0)
+      assert(total > 500, s"expected most of the ~1k fixture events, got $total")
+    } finally q.stop()
+  }
+
   test("foreachBatch topic dispatch fans one stream out to per-topic sinks (2B)") {
     import spark.implicits._
     val in = MemoryStream[EventRow](spark)
