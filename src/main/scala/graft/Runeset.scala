@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The "runeset" analog (reference README.md:143-144 — a YAML file
+  * naming the spells to load and their configuration): a plain typed
+  * config with a properties-style parser (no YAML dependency in this
+  * build), feeding session construction. Spells get their config via
+  * `spellConf` — the reference passes the runeset's per-spell table
+  * to `prepare(config)` (docunomicon/README.md:35-47).
+  */
+final case class Runeset(
+    master: String = "local[4]",
+    shufflePartitions: Int = 4,
+    timezone: String = "UTC",
+    maxHops: Int = graft.engine.SpellEngine.RunawayLoopBound,
+    spellConf: Map[String, Map[String, String]] = Map.empty) {
+
+  def buildSession(appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", timezone)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+}
+
+object Runeset {
+
+  /** Parse `key = value` lines; `spell.<name>.<key> = v` nests into
+    * that spell's config table. '#' starts a comment.
+    */
+  def parse(text: String): Runeset = {
+    val pairs = text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k.trim -> v.trim
+      }.toList
+    val base = pairs.toMap
+    val spellConf = pairs.collect {
+      case (k, v) if k.startsWith("spell.") && k.count(_ == '.') >= 2 =>
+        val rest = k.stripPrefix("spell.")
+        val (name, key) = rest.splitAt(rest.indexOf('.'))
+        (name, key.stripPrefix("."), v)
+    }.groupBy(_._1).map { case (n, xs) => n -> xs.map(x => x._2 -> x._3).toMap }
+    Runeset(
+      master = base.getOrElse("master", "local[4]"),
+      shufflePartitions = base.get("shuffle_partitions").map(_.toInt).getOrElse(4),
+      timezone = base.getOrElse("timezone", "UTC"),
+      maxHops = base.get("max_hops").map(_.toInt)
+        .getOrElse(graft.engine.SpellEngine.RunawayLoopBound),
+      spellConf = spellConf)
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunesetSpec extends AnyFunSuite {
+
+  test("parses base settings and per-spell config tables") {
+    val r = Runeset.parse(
+      """# graft runeset
+        |master = local[8]
+        |shuffle_partitions = 16
+        |max_hops = 50
+        |spell.counter.topic = counter
+        |spell.counter.step = 2
+        |spell.audit.level = verbose
+        |""".stripMargin)
+    assert(r.master == "local[8]")
+    assert(r.shufflePartitions == 16)
+    assert(r.timezone == "UTC")
+    assert(r.maxHops == 50)
+    assert(r.spellConf == Map(
+      "counter" -> Map("topic" -> "counter", "step" -> "2"),
+      "audit" -> Map("level" -> "verbose")))
+  }
+
+  test("defaults hold for an empty runeset") {
+    val r = Runeset.parse("")
+    assert(r.master == "local[4]" && r.maxHops == 1000 && r.spellConf.isEmpty)
+  }
+}
