@@ -56,6 +56,44 @@ object FakeDecoder extends MediaDecoder {
   }
 }
 
+/** A transformed media payload (resize output). */
+final case class ResizedMedia(
+    media_id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])
+
+/** One sampled frame of a media payload. */
+final case class MediaFrame(
+    media_id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
+
+/** Transform stages the mandate names beyond decode: resize and
+  * frame-sample. STUBBED like the decoder (no media libs in this
+  * container): resize emits a deterministic byte slice standing in
+  * for the scaled image; frame-sample cuts N evenly-spaced byte
+  * windows standing in for video frames. The Spark-side shape —
+  * per-partition batching, typed rows, opaque binary in/out — is the
+  * real contract a codec binding drops into.
+  */
+trait MediaTransforms extends Serializable {
+  def resize(row: MediaRow, w: Int, h: Int): ResizedMedia
+  def sampleFrames(row: MediaRow, n: Int): Seq[MediaFrame]
+}
+
+object FakeTransforms extends MediaTransforms {
+  override def resize(row: MediaRow, w: Int, h: Int): ResizedMedia = {
+    val target = math.max(1, math.min(row.payload.length, w * h / 64))
+    ResizedMedia(row.media_id, row.kind, w, h, row.payload.take(target))
+  }
+
+  override def sampleFrames(row: MediaRow, n: Int): Seq[MediaFrame] = {
+    val len = row.payload.length
+    if (len == 0 || n <= 0) Seq.empty
+    else (0 until n).map { i =>
+      val off = (len.toLong * i) / n
+      val end = math.min(len, off.toInt + math.max(1, len / n))
+      MediaFrame(row.media_id, i, off, row.payload.slice(off.toInt, end))
+    }
+  }
+}
+
 /** The decode stage: a batched per-partition map — each partition's
   * rows stream through the decoder without collecting to the driver,
   * so the stage scales with partition count and the decoder can
@@ -63,6 +101,22 @@ object FakeDecoder extends MediaDecoder {
   * partition, created once in the mapPartitions closure).
   */
 object MediaPipeline {
+
+  /** Resize stage: 1→1 typed map, binary in / binary out. */
+  def resizeAll(media: Dataset[MediaRow], w: Int, h: Int,
+      transforms: MediaTransforms = FakeTransforms): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(transforms.resize(_, w, h)))
+  }
+
+  /** Frame-sampling stage: 1→N expansion (the media analog of a
+    * generator/UDTF) — still per-partition, no driver involvement.
+    */
+  def sampleFramesAll(media: Dataset[MediaRow], framesPer: Int,
+      transforms: MediaTransforms = FakeTransforms): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(transforms.sampleFrames(_, framesPer)))
+  }
 
   def decodeAll(media: Dataset[MediaRow], decoder: MediaDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -30,6 +30,29 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(FakeDecoder.decode(row.copy(kind = "audio")).n_channels == 2)
   }
 
+  test("resize stage is 1→1 with bounded deterministic output") {
+    val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001")
+    val resized = MediaPipeline.resizeAll(media, 64, 64)
+    val rows = resized.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.width == 64 && r.height == 64))
+    assert(rows.forall(r => r.payload.length <= 64 * 64 / 64))
+    // deterministic: same input, same bytes
+    val again = MediaPipeline.resizeAll(media, 64, 64).collect()
+    assert(rows.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => java.util.Arrays.equals(a.payload, b.payload) })
+  }
+
+  test("frame sampling is a 1→N expansion with ordered offsets") {
+    val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001")
+    val frames = MediaPipeline.sampleFramesAll(media, 4)
+    assert(frames.count() == 500 * 4)
+    val one = frames.filter(_.media_id == 0L).collect().sortBy(_.frame_idx)
+    assert(one.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(one.map(_.offset).toSeq == one.map(_.offset).toSeq.sorted)
+    assert(one.forall(_.frame_bytes.nonEmpty))
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
