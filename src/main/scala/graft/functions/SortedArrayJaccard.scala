@@ -42,7 +42,8 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       else if (c < 0) i += 1
       else j += 1
     }
-    inter.toDouble / (n + m - inter)
+    val union = n + m - inter
+    if (union == 0) 0.0 else inter.toDouble / union // jaccard(∅,∅) ≔ 0
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,6 +51,7 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val union = ctx.freshName("union")
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
@@ -59,7 +61,8 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
          |  if ($c == 0) { $inter++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = ((double) $inter) / ($n + $m - $inter);
+         |int $union = $n + $m - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
        """.stripMargin
     })
 

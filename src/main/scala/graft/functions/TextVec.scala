@@ -59,12 +59,14 @@ object TextVec {
     */
   def jaccard(aSet: Column, bSet: Column): Column = {
     val inter = size(array_intersect(aSet, bSet)).cast("double")
-    inter / (size(aSet) + size(bSet) - inter)
+    val union = size(aSet) + size(bSet) - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
   def sqlJaccard(aSet: String, bSet: String): String = {
     val inter = s"CAST(len(list_intersect($aSet, $bSet)) AS DOUBLE)"
-    s"$inter / (len($aSet) + len($bSet) - $inter)"
+    val union = s"(len($aSet) + len($bSet) - $inter)"
+    s"CASE WHEN $union = 0 THEN 0.0 ELSE $inter / $union END"
   }
 
   /** N-bit SimHash over a token-set: bit j is set iff the majority

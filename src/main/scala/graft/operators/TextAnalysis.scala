@@ -93,7 +93,7 @@ object TextAnalysis {
          |  least(CAST(len($toks) AS DOUBLE) / 40.0, 1.0) AS len_score,
          |  CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
          |  CAST($stop AS DOUBLE) / len($toks) AS stopword_ratio,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS dense_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif(length(text), 0) AS dense_ratio,
          |  0.4 * least(CAST(len($toks) AS DOUBLE) / 40.0, 1.0)
          |    + 0.4 * (CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks))
          |    + 0.2 * (CAST($stop AS DOUBLE) / len($toks)) AS quality
@@ -111,8 +111,8 @@ object TextAnalysis {
         lenScore.as("len_score"),
         ttr.as("ttr"),
         stopRatio.as("stopword_ratio"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") / length(col("text")))
-          .as("dense_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double")
+          / nullif(length(col("text")), lit(0))).as("dense_ratio"),
         (lenScore * 0.4 + ttr * 0.4 + stopRatio * 0.2).as("quality"))
       .orderBy(col("doc_id"))
   }

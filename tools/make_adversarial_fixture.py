@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Dev-only: build an adversarial copy of an sf fixture dir with edge-case
+documents (empty text, single token, trailing/double spaces, >500 tokens,
+exact duplicates, permutations). Used to stress oracle parity beyond what
+the driver-generated corpus exercises.
+
+Usage: python3 tools/make_adversarial_fixture.py <srcSfDir> <outDir>
+"""
+import shutil, sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+def main(src, out):
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(out, f))
+    long_text = " ".join(f"tok{i % 37}" for i in range(600))
+    texts = [
+        "",                               # 0: empty
+        "hello",                          # 1: single token
+        "a b",                            # 2: two tokens (3-gram edge)
+        "a b c",                          # 3: exactly three
+        "trailing space ",                # 4: trailing empty token
+        "double  space",                  # 5: consecutive spaces
+        long_text,                        # 6: >500 tokens
+        "same same text here",            # 7: dup pair a
+        "same same text here",            # 8: dup pair b
+        "here text same same",            # 9: permutation of 7
+    ]
+    langs = ["en", "fr", "de", "es", "zh", "en", "fr", "de", "es", "zh"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array([f"src{i % 3}" for i in range(10)], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    print(f"adversarial fixture at {out} (10 docs)")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
