@@ -29,7 +29,7 @@ object Aggregates {
        |  ${sqlAvg2("l_quantity")} AS avg_qty,
        |  (CAST(sum(${sqlD2("l_quantity")} * ${sqlD2("l_quantity")}) AS DOUBLE)
        |   - CAST(sum(${sqlD2("l_quantity")}) AS DOUBLE) * CAST(sum(${sqlD2("l_quantity")}) AS DOUBLE) / count(*))
-       |  / (count(*) - 1) AS var_qty
+       |  / nullif(count(*) - 1, 0) AS var_qty
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
@@ -45,7 +45,7 @@ object Aggregates {
         avg2(col("l_quantity")).as("avg_qty"),
         ((sum(q * q).cast("double")
           - sum(q).cast("double") * sum(q).cast("double") / count(lit(1)))
-          / (count(lit(1)) - lit(1))).as("var_qty"))
+          / nullif(count(lit(1)) - lit(1), lit(0))).as("var_qty"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -238,9 +238,11 @@ object Dedup {
        |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
        |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |       ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+       |       CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |            ELSE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS cos_sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.35
+       |WHERE a.nrm * b.nrm > 0
+       |  AND ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.35
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
@@ -248,7 +250,8 @@ object Dedup {
     e.alias("a")
       .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        when(col("a.nrm") * col("b.nrm") === 0, 0.0)
+          .otherwise(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
       .filter(col("cos_sim") > 0.35)
       .orderBy(col("id_a"), col("id_b"))

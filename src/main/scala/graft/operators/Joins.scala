@@ -205,11 +205,11 @@ object Joins {
   val q18JoinAsof = Q(
     "q18_join_asof",
     """WITH tagged AS (
-      |  SELECT user_id, ts, event_id, value,
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
       |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
       |  FROM events WHERE event_type IN ('click', 'purchase')
       |), scanned AS (
-      |  SELECT user_id, ts, event_id, value, kind,
+      |  SELECT user_id, ts, event_id, kind,
       |         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
       |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
@@ -225,7 +225,7 @@ object Joins {
   ) { (s, d) =>
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+      .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "click", 0).otherwise(1).as("kind"))
     // clicks sort before a purchase at the same ts (kind asc) => "at or before"
     val w = Window.partitionBy(col("user_id"))

@@ -26,7 +26,8 @@ object Similarity {
        |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
        |), scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+       |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -43,7 +44,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("k", row_number().over(w))
       .filter(col("k") <= 5)
@@ -72,7 +75,8 @@ object Similarity {
          |       (SELECT embedding FROM embeddings WHERE vec_id = 3) p3
          |), scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
-         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
          |  FROM buck q JOIN buck c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 10
          |), ranked AS (
@@ -96,6 +100,9 @@ object Similarity {
       when(dot(col("embedding"), col(s"p$j")) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     val buck = e.crossJoin(broadcast(planes))
+      // a corpus smaller than the plane count leaves null plane columns;
+      // match the oracle (whose plane subqueries are then empty): no rows
+      .filter((0 until 4).map(j => col(s"p$j").isNotNull).reduce(_ && _))
       .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
     val q = buck.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -104,7 +111,9 @@ object Similarity {
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col("q_bucket").as("bucket"),
-        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("k", row_number().over(w))
       .filter(col("k") <= 3)
@@ -137,7 +146,8 @@ object Similarity {
          |  SELECT vec_id, embedding, nrm, CASE $whenChain END AS cell FROM ctr
          |), scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
-         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
          |  FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 10
          |), ranked AS (
@@ -157,6 +167,8 @@ object Similarity {
       .agg(first(col("embedding")))
       .toDF((0 until 8).map(j => s"c$j"): _*)
     val withDots = e.crossJoin(broadcast(centroids))
+      // match the oracle when the corpus has < 8 vectors (empty result)
+      .filter((0 until 8).map(j => col(s"c$j").isNotNull).reduce(_ && _))
       .select(col("vec_id") +: col("embedding") +: col("nrm") +:
         (0 until 8).map(j => dot(col("embedding"), col(s"c$j")).as(s"d$j")): _*)
     val cell = (0 until 8).foldRight(lit(-1): org.apache.spark.sql.Column) { (j, els) =>
@@ -172,7 +184,9 @@ object Similarity {
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col("q_cell").as("cell"),
-        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("k", row_number().over(w))
       .filter(col("k") <= 3)

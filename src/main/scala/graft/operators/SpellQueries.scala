@@ -34,7 +34,8 @@ object SpellQueries {
     """WITH RECURSIVE hops AS (
       |  SELECT event_id, 0 AS hop, value FROM events
       |  UNION ALL
-      |  SELECT event_id, hop + 1, value / 2 FROM hops WHERE value > 1
+      |  SELECT event_id, hop + 1, value / 2 FROM hops
+      |  WHERE value > 1 AND NOT isnan(value) AND hop < 1000
       |)
       |SELECT event_id, hop, value FROM hops
       |WHERE hop >= 1
