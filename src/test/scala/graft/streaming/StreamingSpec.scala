@@ -192,6 +192,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("range queries over live state: the statestore reader (roadmap README.md:110)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the reference's own bridge from streaming to queries:
+    // "SELECT * FROM state WHERE v > 10 AND v < 20"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[EventRow](spark)
+    val q = StreamOps.statefulRunningTotals(in.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("state_range_out").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 00:00:00", user = 1, v = 5.0),
+        ev(2, "2024-01-01 00:00:10", user = 2, v = 15.0),
+        ev(3, "2024-01-01 00:00:20", user = 3, v = 25.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    // state rows expose key/value structs; range-filter over the value
+    val mid = state
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.total_value").as("total"))
+      .filter(col("total") > 10 && col("total") < 20)
+      .as[(Long, Double)].collect()
+    assert(mid.toSeq == Seq((2L, 15.0)))
+  }
+
   test("file source end-to-end: AvailableNow over the real events parquet") {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
