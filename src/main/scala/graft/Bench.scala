@@ -20,9 +20,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: JIT + codegen + parquet footer caches
+    // untimed warmup: JIT + codegen + parquet footer caches, including
+    // the md5/higher-order/codegen-kernel paths the (alphabetically
+    // first) dedup queries hit — otherwise their timings carry the
+    // one-time compilation cost and dominate run-to-run variance
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(10).count()
+    val wDocs = Tables.documents(spark, sfDir).limit(64)
+      .selectExpr("array_sort(array_distinct(split(text, ' '))) AS ts")
+    wDocs.selectExpr(
+      "array_min(transform(ts, t -> md5(concat('0:', t)))) AS mh",
+      "aggregate(ts, 0, (a, t) -> a + length(t)) AS n").count()
+    val wEmb = Tables.embeddings(spark, sfDir).limit(64)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    wEmb.alias("a").crossJoin(wEmb.alias("b"))
+      .select(graft.functions.FloatVecDot(
+        org.apache.spark.sql.functions.col("a.embedding"),
+        org.apache.spark.sql.functions.col("b.embedding")).as("d"))
+      .agg(org.apache.spark.sql.functions.sum("d")).count()
+    spark.catalog.clearCache()
 
     val names =
       (if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
