@@ -28,9 +28,10 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(10).count()
     val wDocs = Tables.documents(spark, sfDir).limit(64)
       .selectExpr("array_sort(array_distinct(split(text, ' '))) AS ts")
-    wDocs.selectExpr(
-      "array_min(transform(ts, t -> md5(concat('0:', t)))) AS mh",
-      "aggregate(ts, 0, (a, t) -> a + length(t)) AS n").count()
+    wDocs.select(
+      graft.functions.MinHashSigs(org.apache.spark.sql.functions.col("ts"), 8).as("mh"),
+      org.apache.spark.sql.functions.expr(
+        "aggregate(ts, 0, (a, t) -> a + length(t))").as("n")).count()
     val wEmb = Tables.embeddings(spark, sfDir).limit(64)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding"))
@@ -45,12 +46,18 @@ object Bench {
       (if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
        else SparkEntry.queries.keys.toSeq).sorted
     // (name, seconds, succeeded); failures report -1s so a crashing
-    // query can never masquerade as a fast one
+    // query can never masquerade as a fast one. The timed action is a
+    // noop-format write, not count(): count() lets Catalyst prune every
+    // unused column, so pure-projection queries would be timed with
+    // their expensive expressions optimized away (r1 bench flaw).
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

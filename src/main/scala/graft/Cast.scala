@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.engine.{DynEvent, EValue, EventCodec, Spell, SpellContractException, SpellEngine, SpellRuntimeException}
+import graft.spells.ExampleSpells
+
+/** The `cast` CLI — the reference's only user command
+  * (`sanctum cast <spell> --seed <seed> [--dump-events]`,
+  * /root/reference/src/main.zig:60-75): load a spell, load a seed
+  * event, run the bounded feedback loop, optionally dumping every
+  * event (seed included, as in main.zig:155) as a msgpack-inspector
+  * URL.
+  *
+  * The spell argument is a registered spell name (graft.spells
+  * registry), a Spell object's fully-qualified class name (the JVM's
+  * "load a module" — `Class.forName` plays Lua's dofile), or a path
+  * to a file whose first non-comment line is either of those. The
+  * seed is a JSON object file — the schemaless analog of the
+  * reference's Lua seed table.
+  *
+  * Exit codes: 0 ok, 1 usage, 2 spell load/contract error (E1/E3),
+  * 3 runtime cast error (E2).
+  */
+object Cast {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toIndexedSeq))
+
+  private def usage(): Unit =
+    System.err.println("Usage: `cast <spell_name_or_class_or_file> --seed <path_to_seed_file> [--dump-events] [--max-hops N]`")
+
+  def run(args: Seq[String]): Int = {
+    if (args.isEmpty || args.head != "cast") {
+      System.err.println(
+        s"Unrecognized command '${args.headOption.getOrElse("")}', expected one of ['cast']")
+      usage()
+      return 1
+    }
+    if (args.size < 2) {
+      System.err.println(s"Expected at least two commandline arguments, but found ${args.size}.")
+      usage()
+      return 1
+    }
+    val spellRef = args(1)
+    val seedPath = args.sliding(2).collectFirst { case Seq("--seed", p) => p }
+    val dumpEvents = args.contains("--dump-events")
+    val maxHops = args.sliding(2).collectFirst { case Seq("--max-hops", n) => n.toInt }
+      .getOrElse(SpellEngine.RunawayLoopBound)
+    if (seedPath.isEmpty) {
+      System.err.println(
+        "Expected to find '--seed <path_to_event_seed_file>' arguments, but they were not found.")
+      usage()
+      return 1
+    }
+
+    val spell =
+      try loadSpell(spellRef)
+      catch {
+        case e: SpellContractException =>
+          System.err.println(e.getMessage); return 2
+        case e: Exception =>
+          System.err.println(s"Unable to load spell '$spellRef': ${e.getMessage}"); return 2
+      }
+    val seed =
+      try loadSeed(seedPath.get)
+      catch {
+        case e: Exception =>
+          System.err.println(s"Unable to open seed event file '${seedPath.get}': ${e.getMessage}")
+          return 1
+      }
+
+    if (dumpEvents) println(EventCodec.inspectionUrl(seed)) // seed crosses the barrier first
+    try {
+      val hops = SpellEngine.runSeed(spell, seed, maxHops)
+      if (dumpEvents) hops.foreach(h => println(EventCodec.inspectionUrl(h)))
+      0
+    } catch {
+      case e: SpellRuntimeException => System.err.println(e.getMessage); 3
+      case e: SpellContractException => System.err.println(e.getMessage); 2
+    }
+  }
+
+  /** Resolve a spell reference: registry name → FQCN of a Spell
+    * object → file containing either. Validation failures use the
+    * same contract-error channel as SpellLoader (E1/E3).
+    */
+  private[graft] def loadSpell(ref: String): Spell =
+    ExampleSpells.byName.get(ref) match {
+      case Some(sp) => sp
+      case None =>
+        val target =
+          if (Files.isRegularFile(Paths.get(ref))) {
+            val lines = Files.readAllLines(Paths.get(ref), StandardCharsets.UTF_8).asScala
+            lines.map(_.trim).find(l => l.nonEmpty && !l.startsWith("--") && !l.startsWith("#"))
+              .getOrElse(throw SpellContractException(
+                s"spell file '$ref' does not name a spell"))
+          } else ref
+        ExampleSpells.byName.getOrElse(target, loadSpellObject(target))
+    }
+
+  private def loadSpellObject(fqcn: String): Spell = {
+    val clazz =
+      try Class.forName(if (fqcn.endsWith("$")) fqcn else fqcn + "$")
+      catch {
+        case _: ClassNotFoundException =>
+          throw SpellContractException(
+            s"spell '$fqcn' is not a registered spell name or loadable class " +
+              s"(registered: ${ExampleSpells.byName.keys.toSeq.sorted.mkString(", ")})")
+      }
+    clazz.getField("MODULE$").get(null) match {
+      case sp: Spell => sp
+      case other => throw SpellContractException(
+        s"spell '$fqcn' did not evaluate to a Spell (got: ${other.getClass.getName})")
+    }
+  }
+
+  /** Parse a JSON-object seed file into a DynEvent via the drop rule
+    * (EValue.fromAny). Jackson is already on the Spark classpath; no
+    * extra dependency.
+    */
+  private[graft] def loadSeed(path: String): DynEvent = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readValue(text, classOf[java.util.Map[String, Object]])
+    EValue.fromAny(jsonToAny(root)) match {
+      case Some(EValue.EMap(m)) => DynEvent(m)
+      case other => throw new IllegalArgumentException(
+        s"seed did not evaluate to an event table: $other")
+    }
+  }
+
+  private def jsonToAny(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => (k, jsonToAny(x)) }.toMap
+    case l: java.util.List[_] => l.asScala.map(jsonToAny).toSeq
+    case x => x
+  }
+}

@@ -102,6 +102,26 @@ object SpellEngine {
     }
   }
 
+  /** Columnar variant of [[castAll]] for fixed-schema pipelines: the
+    * input and output stay typed Products (Tungsten rows — codegen'd,
+    * prunable, spillable), and the dynamic event exists only
+    * transiently inside the partition. Full engine semantics are
+    * preserved — topic admission, per-hop codec round trip, runaway
+    * bound — but nothing crosses an operator boundary as opaque kryo
+    * bytes. Round 1's q04 spent 32 s mostly in three kryo ser/deser
+    * boundaries (map → mapPartitions → map); this collapses them into
+    * ONE narrow transformation with columnar edges.
+    */
+  def castAllColumnar[I, O: Encoder](events: Dataset[I], spell: Spell,
+      toEvent: I => DynEvent, fromHop: DynEvent => O,
+      maxHops: Int = RunawayLoopBound): Dataset[O] =
+    events.mapPartitions { rows =>
+      spell.prepare()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => spell.unprepare()))
+      rows.flatMap(r => castLoop(spell, toEvent(r), maxHops).map(fromHop))
+    }
+
   /** Per-spell telemetry (reference roadmap README.md:129-130:
     * exec count/time, in/out counters — SURVEY.md §2B), carried by
     * Spark accumulators so executor-side counts aggregate for free.

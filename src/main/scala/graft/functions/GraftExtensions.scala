@@ -39,7 +39,15 @@ object GraftExtensions {
       binary("float_vec_dot", FloatVecDot(_, _))),
     ("sorted_array_jaccard",
       new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),
-      binary("sorted_array_jaccard", SortedArrayJaccard(_, _))))
+      binary("sorted_array_jaccard", SortedArrayJaccard(_, _))),
+    ("minhash_sigs",
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      {
+        case Seq(ts, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          MinHashSigs(ts, k)
+        case exprs => throw new IllegalArgumentException(
+          s"minhash_sigs expects (array<string>, int literal), got ${exprs.size} args")
+      }))
 
   /** Register on an existing session (e.g. one the driver built). */
   def register(spark: SparkSession): Unit =

@@ -44,14 +44,22 @@ object TextVec {
 
   def sqlNorm(x: String): String = s"sqrt(${sqlDot(x, x)})"
 
-  /** Minhash i over a token-set column: min md5 of seed-prefixed
-    * shingles. Hex strings compare lexicographically = numerically.
+  /** Minhash i over a token-set column: min over tokens of hash-family
+    * member i, where member i is hex digits [4i, 4i+4) of ONE md5(t)
+    * — 8 disjoint 16-bit hashes from a single digest per token,
+    * instead of 8 digests of seed-prefixed tokens (round-1 design
+    * that made d03 the slowest query on the board). Fixed-width
+    * lowercase hex compares lexicographically = numerically in both
+    * engines. The codegen kernel [[MinHashSigs]] computes all k
+    * members in one pass with identical semantics; this declarative
+    * form remains as the single-member spelling and documentation of
+    * the contract.
     */
   def minhash(i: Int, tokSet: Column): Column =
-    array_min(transform(tokSet, t => md5(concat(lit(s"$i:"), t))))
+    array_min(transform(tokSet, t => substring(md5(t), 4 * i + 1, 4)))
 
   def sqlMinhash(i: Int, tokSet: String): String =
-    s"list_aggregate(list_transform($tokSet, t -> md5('$i:' || t)), 'min')"
+    s"list_aggregate(list_transform($tokSet, t -> substr(md5(t), ${4 * i + 1}, 4)), 'min')"
 
   /** Jaccard similarity of two *distinct-element* array columns using
     * |A∩B| / (|A| + |B| − |A∩B|) — integer counts, one deterministic

@@ -83,15 +83,25 @@ object ScalarFuncs {
 
   /** Math functions (only bit-deterministic ones: IEEE sqrt, abs,
     * ceil/floor, sign, greatest/least, integer modulo).
+    *
+    * Output TYPES are pinned explicitly on both sides: Spark's
+    * `ceil(double)` returns BIGINT while DuckDB's returns DOUBLE, and
+    * Spark's `signum` returns DOUBLE while DuckDB's `sign` returns
+    * TINYINT — the round-1 driver hash caught exactly this drift
+    * (5 vs 5.0 hash differently even though the values are "equal").
+    * Integer casts also make negative zero unrepresentable, closing
+    * the `-0.0` divergence on inputs in (-1, 0).
     */
   val q62Math = Q(
     "q62_math_funcs",
     """SELECT s_suppkey,
       |  abs(s_acctbal)                     AS abs_bal,
-      |  ceil(s_acctbal)                    AS ceil_bal,
-      |  floor(s_acctbal)                   AS floor_bal,
+      |  CAST(ceil(s_acctbal) AS BIGINT)    AS ceil_bal,
+      |  CAST(floor(s_acctbal) AS BIGINT)   AS floor_bal,
       |  sqrt(abs(s_acctbal))               AS sqrt_bal,
-      |  sign(s_acctbal)                    AS sign_bal,
+      |  CAST(CASE WHEN s_acctbal > 0 THEN 1
+      |            WHEN s_acctbal < 0 THEN -1
+      |            ELSE 0 END AS INT)       AS sign_bal,
       |  greatest(s_acctbal, 1000.0)        AS hi_bal,
       |  least(s_acctbal, 1000.0)           AS lo_bal,
       |  s_suppkey % 7                      AS mod7,
@@ -102,10 +112,12 @@ object ScalarFuncs {
     Tables.supplier(s, d)
       .select(col("s_suppkey"),
         abs(col("s_acctbal")).as("abs_bal"),
-        ceil(col("s_acctbal")).as("ceil_bal"),
-        floor(col("s_acctbal")).as("floor_bal"),
+        ceil(col("s_acctbal")).cast("long").as("ceil_bal"),
+        floor(col("s_acctbal")).cast("long").as("floor_bal"),
         sqrt(abs(col("s_acctbal"))).as("sqrt_bal"),
-        signum(col("s_acctbal")).as("sign_bal"),
+        when(col("s_acctbal") > 0, 1)
+          .when(col("s_acctbal") < 0, -1)
+          .otherwise(0).cast("int").as("sign_bal"),
         greatest(col("s_acctbal"), lit(1000.0)).as("hi_bal"),
         least(col("s_acctbal"), lit(1000.0)).as("lo_bal"),
         (col("s_suppkey") % 7).as("mod7"),

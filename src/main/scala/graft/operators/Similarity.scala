@@ -104,6 +104,7 @@ object Similarity {
       // match the oracle (whose plane subqueries are then empty): no rows
       .filter((0 until 4).map(j => col(s"p$j").isNotNull).reduce(_ && _))
       .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
+      .cache() // bucket assignment feeds BOTH join sides — compute once
     val q = buck.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
@@ -177,6 +178,7 @@ object Similarity {
       when(geAll, lit(j)).otherwise(els)
     }
     val cells = withDots.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
+      .cache() // assignment subtree (8 dots + argmin) feeds BOTH join sides — compute once
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell").as("q_cell"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.engine.{DynEvent, EValue, EventBridge, Spell, SpellEngine}
+import graft.engine.{DynEvent, EValue, Spell, SpellEngine}
 import org.apache.spark.sql.functions._
 
 /** The spell engine under the DuckDB oracle: the reference's
@@ -41,16 +41,30 @@ object SpellQueries {
       |WHERE hop >= 1
       |ORDER BY event_id, hop""".stripMargin
   ) { (s, d) =>
-    val seeds = EventBridge.fromEventsTable(Tables.events(s, d))
-      .map { e => e.updated("hop", EInt(0)) }(
-        org.apache.spark.sql.Encoders.kryo[DynEvent])
-    val hops = SpellEngine.castAll(seeds, HalvingSpell)
+    // Columnar edges (SpellEngine.castAllColumnar): the seed rows
+    // enter and the hop rows leave as typed Products — Tungsten rows,
+    // whole-stage codegen, column pruning at the scan — while the
+    // DynEvent + per-hop codec barrier lives only inside the
+    // partition. Round 1 ran this through three kryo boundaries and
+    // paid 32 s at sf0.1 for it.
     import s.implicits._
-    hops.map { e =>
-      (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
-        e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
-        e.get("value") match { case Some(EFloat(v)) => v; case _ => Double.NaN })
-    }.toDF("event_id", "hop", "value")
+    val seeds = Tables.events(s, d)
+      .select(col("event_id"), col("value"))
+      .as[(java.lang.Long, java.lang.Double)]
+    SpellEngine.castAllColumnar[(java.lang.Long, java.lang.Double), (Long, Long, Double)](
+      seeds, HalvingSpell,
+      toEvent = { case (id, v) =>
+        DynEvent(Map[EValue, EValue](
+          EStr("event_id") -> (if (id == null) ENil else EInt(id)),
+          EStr("value") -> (if (v == null) ENil else EFloat(v)),
+          EStr("hop") -> EInt(0)))
+      },
+      fromHop = { e =>
+        (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
+          e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
+          e.get("value") match { case Some(EFloat(v)) => v; case _ => Double.NaN })
+      })
+      .toDF("event_id", "hop", "value")
       .orderBy(col("event_id"), col("hop"))
   }
 

@@ -34,13 +34,15 @@ object UserFns {
   }
 
   /** Per-document k-minhash over the distinct-token set — same
-    * construction as functions/TextVec.minhash (md5 of seed-prefixed
-    * token, lexicographic min).
+    * construction as functions/TextVec.minhash and the MinHashSigs
+    * kernel: ONE md5 per token, family member i = hex digits
+    * [4i, 4i+4), lexicographic min of the fixed-width substrings.
     */
   private[operators] def docMinhash(text: String): Array[String] = {
     val toks = text.split(" ", -1).distinct // -1: keep trailing empties, like string_split
+    val hs = toks.map(md5Hex)
     Array.tabulate(K) { i =>
-      toks.iterator.map(t => md5Hex(s"$i:$t")).min
+      hs.iterator.map(h => h.substring(4 * i, 4 * i + 4)).min
     }
   }
 

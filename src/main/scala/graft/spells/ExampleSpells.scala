@@ -1,0 +1,52 @@
+package graft.spells
+
+import graft.engine.{DynEvent, EValue, Spell}
+
+/** Example spells loadable by name through the `graft.Cast` CLI —
+  * JVM analogs of the reference's Lua regression spells
+  * (/root/reference/src/tests/test-suite). Top-level objects so they
+  * serialize cleanly into tasks.
+  */
+object ExampleSpells {
+  import EValue._
+
+  /** decrement-counter/spell.lua: decrement `counter` each hop,
+    * printing progress; stop at 0. Print wording matches the
+    * fixture's stdout.assert exactly.
+    */
+  object DecrementCounter extends Spell {
+    override def name: String = "decrement-counter"
+    override def cast(event: DynEvent): Option[DynEvent] =
+      event.get("counter") match {
+        case Some(EInt(c)) if c <= 1 =>
+          println("The counter has reached 0, stopping.")
+          None
+        case Some(EInt(c)) =>
+          println(s"The counter is now ${c - 1}.")
+          Some(event.updated("counter", EInt(c - 1)))
+        case Some(EFloat(c)) if c <= 1 =>
+          println("The counter has reached 0, stopping.")
+          None
+        case Some(EFloat(c)) =>
+          // decrement-counter-float variant: %d formatting of a float
+          println(s"The counter is now ${(c - 1).toLong}.")
+          Some(event.updated("counter", EFloat(c - 1)))
+        case _ => None
+      }
+  }
+
+  /** topic-singular-filtering/spell.lua: a topic-selective spell. */
+  object TopicEcho extends Spell {
+    override def name: String = "topic-echo"
+    override def topic: Option[String] = Some("alpha")
+    override def cast(event: DynEvent): Option[DynEvent] = {
+      println("The topic-selective spell was cast.")
+      None
+    }
+  }
+
+  /** Registry for the CLI: spell-name → instance. */
+  val byName: Map[String, Spell] = Map(
+    "decrement-counter" -> DecrementCounter,
+    "topic-echo" -> TopicEcho)
+}

@@ -18,10 +18,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and format stably
+        # collapse -0.0 and format stably; the "f:" tag keeps a DOUBLE
+        # column from silently matching a BIGINT one (5.0 vs 5) — the
+        # driver's hash distinguishes them, so we must too (q62 r1 bug)
         if v == 0.0:
             v = 0.0
-        return f"{v:.17g}"
+        return f"f:{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
