@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF ANN with TRAINED centroids (round-1 verdict item 9): a
+  * deterministic Lloyd's k-means — fixed init (embeddings 0..7 as
+  * k=8 seeds), fixed 3 iterations, similarity = dot product, ties to
+  * the lowest centroid id, empty cells carry their previous centroid
+  * — followed by the same cell-probe top-3 search as s03. Every step
+  * is expressible bit-identically in both engines:
+  *
+  *  - assignment: argmax-by-dot via row_number() (identical window
+  *    semantics), dot = FloatDoubleVecDot ≡ DuckDB list_reduce fold;
+  *  - update: per-dimension means via SCALED-INTEGER sums —
+  *    floor(v · 2^20) as BIGINT, summed exactly (order-free), then
+  *    one double division sequence. Raw double sums would depend on
+  *    accumulation order; float→DECIMAL casts have engine-specific
+  *    rounding at the last digit. Power-of-two scaling is exact and
+  *    floor() is engine-identical (DuckDB CAST(double AS BIGINT)
+  *    ROUNDS while Spark truncates — so the cast only ever sees an
+  *    already-integral value).
+  *
+  * Scale: per-iteration work is one broadcast crossJoin (k rows) +
+  * one window + one explode-aggregate — all shuffle-bounded by the
+  * corpus, no driver-side data; the driver holds only the k×dim
+  * model (the same contract as MLlib's KMeans). At 100 TB you train
+  * on a sample and assign the full corpus once; the assignment +
+  * probe here IS that full-corpus path.
+  */
+object AnnKmeans {
+
+  private val K = 8
+  private val Iters = 3
+  private val Scale = "1048576.0" // 2^20 — exact power-of-two scaling
+
+  private def sqlAssign(k: Int): String =
+    s"""a$k AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlDot("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c${k - 1} c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  private def sqlUpdate(k: Int): String =
+    s"""x$k AS (
+       |  SELECT a.cell, u.i AS dim, a.embedding[u.i] AS v
+       |  FROM a$k a, LATERAL (SELECT unnest(generate_series(1, len(a.embedding))) AS i) u
+       |), m$k AS (
+       |  SELECT cell, dim,
+       |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) / $Scale AS m
+       |  FROM x$k GROUP BY cell, dim
+       |), s$k AS (
+       |  SELECT c.cid, u.i AS dim, c.cent[u.i] AS prev
+       |  FROM c${k - 1} c, LATERAL (SELECT unnest(generate_series(1, len(c.cent))) AS i) u
+       |), c$k AS (
+       |  SELECT s.cid, list(COALESCE(m.m, s.prev) ORDER BY s.dim) AS cent
+       |  FROM s$k s LEFT JOIN m$k m ON m.cell = s.cid AND m.dim = s.dim
+       |  GROUP BY s.cid
+       |)""".stripMargin
+
+  val s04AnnIvfKmeans = Q(
+    "s04_ann_ivf_kmeans",
+    { val iters = (1 to Iters).map(k => s"${sqlAssign(k)}, ${sqlUpdate(k)}").mkString(",\n")
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < $K
+         |),
+         |$iters,
+         |${sqlAssign(Iters + 1)},
+         |fin AS (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm, cell
+         |  FROM a${Iters + 1}
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
+         |  FROM fin q JOIN fin c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cell, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cell, cos_sim, k FROM ranked
+         |WHERE k <= 3
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+
+    def centsDF(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF("cid", "cent")
+
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dot",
+          graft.functions.FloatDoubleVecDot(col("embedding"), col("cent")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    }
+
+    // the k×dim model lives on the driver (the MLlib KMeans contract);
+    // corpus data never does
+    var cents: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < K)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+
+    for (_ <- 1 to Iters) {
+      val means = assign(centsDF(cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+        .agg((sum(floor(col("v").cast("double") * Scale.toDouble).cast("long")).cast("double")
+          / count(lit(1)).cast("double") / Scale.toDouble).as("m"))
+        .as[(Long, Int, Double)].collect()
+        .map { case (c, dim, m) => (c, dim) -> m }.toMap
+      cents = cents.map { case (cid, prev) =>
+        (cid, prev.indices.map(i => means.getOrElse((cid, i + 1), prev(i))).toVector)
+      }
+    }
+
+    val fin = assign(centsDF(cents))
+      .withColumn("nrm", norm(col("embedding")))
+      .cache() // final assignment feeds BOTH join sides
+    val q = fin.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val scored = fin.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_cell").as("cell"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
+  def all: Seq[Q] = Seq(s04AnnIvfKmeans)
+}

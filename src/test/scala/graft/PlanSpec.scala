@@ -72,4 +72,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d06: near-dup candidates come from a band equi-join, not an O(n²) theta join") {
+    val p = plan("d06_embedding_near_dup")
+    // the only nested-loop allowed is the 1-row hyperplane broadcast;
+    // the pair join itself must hash on (band, bucket)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi pair-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bucket join must not cartesian:\n$p")
+  }
+
+  test("s04: trained-IVF probe joins on the cell key and broadcasts the query side") {
+    val p = plan("s04_ann_ivf_kmeans")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast cell-probe join in:\n$p")
+    assert(p.contains("float_double_vec_dot"),
+      s"expected the mixed-type codegen dot kernel in:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("d02: minhash signatures evaluate the kernel, zero exchanges") {
+    val df = SparkEntry.queries("d02_minhash_signature")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("minhash_sigs"), s"expected the MinHashSigs kernel in:\n$p")
+    // per-row signatures need no shuffle at all (the final orderBy is
+    // the only exchange)
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles in:\n$p")
+  }
 }

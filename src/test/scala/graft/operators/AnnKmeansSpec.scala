@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the trained-IVF ANN (s04): recall against the
+  * exact brute-force top-k (s01), plus the structural invariant that
+  * every returned neighbor shares the query's trained cell.
+  */
+class AnnKmeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every s04 neighbor lies in the query's cell, k ranks are 1..3") {
+    val rows = AnnKmeans.s04AnnIvfKmeans.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.sameElements(1 to rs.length))
+      // one cell per query: the probe never crossed cells
+      assert(rs.map(_.getLong(2)).distinct.length === 1)
+    }
+  }
+
+  test("recall@3 vs exact top-3 is at least 0.3 (single-probe IVF, k=8 cells)") {
+    val exact = Similarity.s01CosineTopk.run(spark, dir).collect()
+      .filter(_.getInt(3) <= 3) // k column
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = AnnKmeans.s04AnnIvfKmeans.run(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      val a = approx.getOrElse(q, Set.empty)
+      val e = exact(q)
+      a.intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // single-probe with 8 cells on 50 vectors: empirically ~0.5+; pin a
+    // conservative floor so a broken training loop (e.g. all vectors in
+    // one cell, or garbage centroids) fails loudly
+    assert(mean >= 0.3, s"mean recall@3 = $mean, per-query = $recalls")
+    spark.catalog.clearCache()
+  }
+}

@@ -42,6 +42,13 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that crashed in Verify writes no result dir at all —
+    # that must FAIL loudly, not silently skip (q71 r2 lesson)
+    missing = [k for k in oracle
+               if not os.path.isdir(f"{out_dir}/{k}")]
+    for k in missing:
+        print(f"FAIL {k}: no spark result directory (query crashed in Verify?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
