@@ -89,13 +89,22 @@ object Aggregates {
     def within(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       when(abs(approx.cast("double") - exact.cast("double"))
         <= exact.cast("double") * 0.06, 1).otherwise(0).cast("int")
-    Tables.lineitem(s, d).agg(
+    // Two separate single-row aggregates, not one: mixing DISTINCT and
+    // HLL aggs in one agg makes Spark's expand-based multi-distinct
+    // plan key the partial HashAggregate by the expanded columns —
+    // ~4×rows groups, each allocating three multi-KB HLL buffers
+    // (6.1 s at sf0.1 vs 2.2+1.7 s split). The join of two 1-row
+    // frames is free (broadcast nested loop over single rows).
+    val li = Tables.lineitem(s, d)
+    val exact = li.agg(
       countDistinct(col("l_suppkey")).as("n_supp"),
       countDistinct(col("l_partkey")).as("n_part"),
-      countDistinct(col("l_orderkey")).as("n_ord"),
+      countDistinct(col("l_orderkey")).as("n_ord"))
+    val approx = li.agg(
       approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp"),
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ord"))
+    exact.crossJoin(approx)
       .select(col("n_supp"), col("n_part"), col("n_ord"),
         within(col("approx_supp"), col("n_supp")).as("supp_within_3rsd"),
         within(col("approx_part"), col("n_part")).as("part_within_3rsd"),

@@ -149,24 +149,42 @@ object Windows {
   }
 
   /** RANGE frame (value-based, peers included): count + exact sum of
-    * orders within ±5000 of each order's price, per status.
+    * orders within ±5000.00 of each order's price, per status.
+    *
+    * Spelled as a difference of two prefix RANGE frames
+    * ([unbounded, +k] − [unbounded, −(k+1)]) rather than one sliding
+    * ±k frame: Spark re-aggregates the whole buffer every time a
+    * sliding frame's lower bound moves (O(rows × frame size) — 20 s
+    * at sf0.1 over ~1,300-row frames), while prefix frames only ever
+    * add rows (O(rows)). The range is anchored on exact integer
+    * cents in BOTH spellings so the two engines' frame membership is
+    * bit-identical (a double epsilon like 5000.01 is not: `p − 5000`
+    * rounds differently from `p − 5000.01` near 2-decimal values).
     */
   val q35WindowRangeFrame = Q(
     "q35_window_range",
     """SELECT o_orderkey, o_orderstatus, o_totalprice,
-      |  count(*) OVER w AS n_near,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_near
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-      |             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+      |  count(*) OVER wle - count(*) OVER wlt AS n_near,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER wle
+      |       - coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER wlt, 0) AS DOUBLE) AS sum_near
+      |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |WINDOW
+      |  wle AS (PARTITION BY o_orderstatus ORDER BY cents
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 500000 FOLLOWING),
+      |  wlt AS (PARTITION BY o_orderstatus ORDER BY cents
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 500001 PRECEDING)
       |ORDER BY o_orderkey""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
-      .rangeBetween(-5000, 5000)
+    val base = Window.partitionBy(col("o_orderstatus")).orderBy(col("cents"))
+    val wle = base.rangeBetween(Window.unboundedPreceding, 500000L)
+    val wlt = base.rangeBetween(Window.unboundedPreceding, -500001L)
     Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        count(lit(1)).over(w).as("n_near"),
-        sum(d2(col("o_totalprice"))).over(w).cast("double").as("sum_near"))
+        (count(lit(1)).over(wle) - count(lit(1)).over(wlt)).as("n_near"),
+        (sum(d2(col("o_totalprice"))).over(wle)
+          - coalesce(sum(d2(col("o_totalprice"))).over(wlt), lit(0)))
+          .cast("double").as("sum_near"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time registered queries end-to-end exactly as Bench does.
+  * Usage: Test/runMain graft.tools.ProfileQuery <sfDir> <name> [<name>...]
+  * Each query runs twice (cold, warm) with cache cleared between runs.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (name <- names; run <- Seq("cold", "warm")) {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"[prof] $name%-24s $run%-5s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
