@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import graft.engine.{DynEvent, EValue, EventCodec, Spell, SpellContractException, SpellEngine, SpellRuntimeException}
+import graft.engine.{DynEvent, ErrorReport, EValue, EventCodec, Spell, SpellContractException, SpellEngine, SpellRuntimeException}
 import graft.spells.ExampleSpells
 
 /** The `cast` CLI — the reference's only user command
@@ -22,8 +22,11 @@ import graft.spells.ExampleSpells
   * seed is a JSON object file — the schemaless analog of the
   * reference's Lua seed table.
   *
-  * Exit codes: 0 ok, 1 usage, 2 spell load/contract error (E1/E3),
-  * 3 runtime cast error (E2).
+  * Error reports mirror the reference byte-for-byte in format
+  * (main.zig:238-264 contract headlines + 316-394 annotated source
+  * dumps, golden-pinned by src/test/resources/test-suite/error-*),
+  * and every explained error exits 1 as the reference does
+  * (main.zig:31-37; each error-* fixture's exitcode.assert is 1).
   */
 object Cast {
 
@@ -31,6 +34,18 @@ object Cast {
 
   private def usage(): Unit =
     System.err.println("Usage: `cast <spell_name_or_class_or_file> --seed <path_to_seed_file> [--dump-events] [--max-hops N]`")
+
+  /** Where a spell reference resolved from: the file's full text and
+    * the 1-based line holding the reference (None for bare refs).
+    */
+  private final case class SourceInfo(text: String, line: Int)
+
+  private sealed trait Resolution
+  private final case class Resolved(spell: Spell) extends Resolution
+  /** E3: headline + full source dump, no focus (main.zig:238-264). */
+  private final case class ContractError(headline: String) extends Resolution
+  /** E1: focused, ±1 context (main.zig:348-365). */
+  private final case class SyntaxError(message: String) extends Resolution
 
   def run(args: Seq[String]): Int = {
     if (args.isEmpty || args.head != "cast") {
@@ -56,14 +71,23 @@ object Cast {
       return 1
     }
 
-    val spell =
-      try loadSpell(spellRef)
-      catch {
-        case e: SpellContractException =>
-          System.err.println(e.getMessage); return 2
-        case e: Exception =>
-          System.err.println(s"Unable to load spell '$spellRef': ${e.getMessage}"); return 2
-      }
+    val (resolution, srcInfo) = resolveSpell(spellRef)
+    val spell = resolution match {
+      case Resolved(sp) => sp
+      case ContractError(headline) =>
+        System.err.println(headline)
+        srcInfo.foreach(si => System.err.print(ErrorReport.sourceContext(si.text)))
+        return 1
+      case SyntaxError(message) =>
+        srcInfo match {
+          case Some(si) =>
+            System.err.println(s"Spell contains syntax error on line ${si.line}: $message")
+            System.err.print(ErrorReport.sourceContext(si.text, Some(si.line), 1))
+          case None =>
+            System.err.println(s"Spell contains syntax error: $message")
+        }
+        return 1
+    }
     val seed =
       try loadSeed(seedPath.get)
       catch {
@@ -78,42 +102,90 @@ object Cast {
       if (dumpEvents) hops.foreach(h => println(EventCodec.inspectionUrl(h)))
       0
     } catch {
-      case e: SpellRuntimeException => System.err.println(e.getMessage); 3
-      case e: SpellContractException => System.err.println(e.getMessage); 2
+      case e: SpellRuntimeException =>
+        srcInfo match {
+          case Some(si) =>
+            System.err.println(s"Runtime error in spell on line ${si.line}: ${e.getMessage}")
+            System.err.print(ErrorReport.sourceContext(si.text, Some(si.line), 1))
+          case None => System.err.println(e.getMessage)
+        }
+        1
+      case e: SpellContractException => System.err.println(e.getMessage); 1
     }
   }
 
-  /** Resolve a spell reference: registry name → FQCN of a Spell
-    * object → file containing either. Validation failures use the
-    * same contract-error channel as SpellLoader (E1/E3).
+  /** Reference-exact contract headlines (main.zig:241, 249, 255-258;
+    * "lua table" becomes "spell module" — the one word that would be
+    * untrue on the JVM).
     */
-  private[graft] def loadSpell(ref: String): Spell =
+  private def notModule(tag: String) =
+    s"Unable magic detected. The spell must return a spell module, but found a $tag instead."
+  private val missingCast =
+    "Unstable magic detected. The spell is missing the required function named 'cast'."
+  private def nonFunctionCast(tag: String) =
+    s"Unstable magic detected. The spell is missing required function 'cast'. Found a '$tag' called 'cast' instead."
+
+  /** Resolve a spell reference: registry name → FQCN of a Spell
+    * object → file containing either. Files carry source context for
+    * the annotated error reports.
+    */
+  private def resolveSpell(ref: String): (Resolution, Option[SourceInfo]) =
     ExampleSpells.byName.get(ref) match {
-      case Some(sp) => sp
-      case None =>
-        val target =
-          if (Files.isRegularFile(Paths.get(ref))) {
-            val lines = Files.readAllLines(Paths.get(ref), StandardCharsets.UTF_8).asScala
-            lines.map(_.trim).find(l => l.nonEmpty && !l.startsWith("--") && !l.startsWith("#"))
-              .getOrElse(throw SpellContractException(
-                s"spell file '$ref' does not name a spell"))
-          } else ref
-        ExampleSpells.byName.getOrElse(target, loadSpellObject(target))
+      case Some(sp) => (Resolved(sp), None)
+      case None if Files.isRegularFile(Paths.get(ref)) =>
+        val text = new String(Files.readAllBytes(Paths.get(ref)), StandardCharsets.UTF_8)
+        val lines = text.split("\n", -1)
+        lines.iterator.zipWithIndex
+          .map { case (l, i) => (l.trim, i + 1) }
+          .find { case (l, _) => l.nonEmpty && !l.startsWith("--") && !l.startsWith("#") } match {
+          case None =>
+            (SyntaxError("spell file does not name a spell"), Some(SourceInfo(text, 1)))
+          case Some((token, line)) =>
+            (resolveToken(token), Some(SourceInfo(text, line)))
+        }
+      case None => (resolveToken(ref), None)
     }
 
-  private def loadSpellObject(fqcn: String): Spell = {
-    val clazz =
-      try Class.forName(if (fqcn.endsWith("$")) fqcn else fqcn + "$")
-      catch {
-        case _: ClassNotFoundException =>
-          throw SpellContractException(
-            s"spell '$fqcn' is not a registered spell name or loadable class " +
-              s"(registered: ${ExampleSpells.byName.keys.toSeq.sorted.mkString(", ")})")
-      }
-    clazz.getField("MODULE$").get(null) match {
-      case sp: Spell => sp
-      case other => throw SpellContractException(
-        s"spell '$fqcn' did not evaluate to a Spell (got: ${other.getClass.getName})")
+  /** The analog of validating what the evaluated Lua module returned
+    * (main.zig:238-264): literals are "not a module"; a module
+    * without a usable `cast` hits the missing/non-function channels;
+    * an unresolvable name is the syntax-error channel.
+    */
+  private def resolveToken(token: String): Resolution =
+    if (token.matches("[+-]?[0-9]+([.][0-9]+)?")) ContractError(notModule("number"))
+    else if (token == "true" || token == "false") ContractError(notModule("boolean"))
+    else if (token.startsWith("\"") || token.startsWith("'")) ContractError(notModule("string"))
+    else ExampleSpells.byName.get(token) match {
+      case Some(sp) => Resolved(sp)
+      case None => loadObject(token)
+    }
+
+  private def loadObject(fqcn: String): Resolution = {
+    val moduleClass =
+      try Some(Class.forName(if (fqcn.endsWith("$")) fqcn else fqcn + "$"))
+      catch { case _: ClassNotFoundException => None }
+    moduleClass match {
+      case None =>
+        // a plain class with no module (companion object) behind it?
+        try { Class.forName(fqcn); ContractError(notModule("class")) }
+        catch {
+          case _: ClassNotFoundException =>
+            SyntaxError(s"unresolvable spell reference '$fqcn'")
+        }
+      case Some(c) =>
+        val module =
+          try c.getField("MODULE$").get(null)
+          catch { case _: NoSuchFieldException => null }
+        module match {
+          case sp: Spell => Resolved(sp)
+          case null => ContractError(notModule("class"))
+          case m =>
+            m.getClass.getMethods.find(_.getName == "cast") match {
+              case None => ContractError(missingCast)
+              case Some(member) =>
+                ContractError(nonFunctionCast(member.getReturnType.getSimpleName.toLowerCase))
+            }
+        }
     }
   }
 

@@ -1,0 +1,25 @@
+package graft.engine
+
+/** Reference-exact error-report source annotation
+  * (/root/reference/src/main.zig:367-394, `printSourceCodeContext`):
+  * 4-wide right-aligned line numbers, `" | "` separator, a
+  * `"---> | "` arrow on the focus line, ±`contextLines` rows around
+  * the focus (whole file when there is no focus), and the trailing
+  * empty segment after a final newline included — the reference
+  * splits with `std.mem.splitSequence`, which yields it, and its
+  * golden `stderr.assert` files end with that `"   N | "` line.
+  */
+object ErrorReport {
+
+  def sourceContext(source: String, focusLine: Option[Int] = None, contextLines: Int = 0): String = {
+    val lines = source.split("\n", -1) // -1 keeps the trailing empty segment
+    val (start, end) = focusLine match {
+      case Some(l) => (math.max(1, l - contextLines), math.min(l + contextLines, lines.length))
+      case None => (1, lines.length)
+    }
+    (start to end).map { i =>
+      if (focusLine.contains(i)) s"---> | ${lines(i - 1)}\n"
+      else f"$i%4d | ${lines(i - 1)}\n"
+    }.mkString
+  }
+}

@@ -24,8 +24,10 @@ trait Spell extends Serializable {
 /** Spell contract validation errors — the reference's three E3 error
   * channels (main.zig:238-264; regression fixtures error-spell-does-
   * not-return-table, error-missing-cast-function,
-  * error-spell-has-non-function-cast-member). Message *shape* is
-  * kept; exact Zig wording is not (SURVEY.md §7 hard parts).
+  * error-spell-has-non-function-cast-member). At this layer the
+  * message carries shape + context; the `cast` CLI (graft.Cast)
+  * layers the reference's exact headline + annotated-source report
+  * on top, golden-pinned by ErrorFixturesSpec.
   */
 final case class SpellContractException(message: String)
     extends RuntimeException(message)

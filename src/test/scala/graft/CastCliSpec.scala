@@ -100,14 +100,14 @@ class CastCliSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
-  test("error channels: unknown command=1, missing seed=1, unknown spell=2") {
+  test("error channels: unknown command, missing seed, unknown spell all exit 1 (main.zig:31-37)") {
     assert(captureRun("zap", "decrement-counter")._1 === 1)
     assert(captureRun("cast", "decrement-counter")._1 === 1)
     val seed = seedFile("""{"counter": 1}""")
-    assert(captureRun("cast", "no.such.Spell", "--seed", seed)._1 === 2)
+    assert(captureRun("cast", "no.such.Spell", "--seed", seed)._1 === 1)
   }
 
-  test("runtime cast failure maps to the E2 channel (exit 3)") {
+  test("runtime cast failure maps to the E2 channel") {
     object Boom extends engine.Spell {
       override def cast(e: engine.DynEvent) = throw new IllegalStateException("boom")
     }

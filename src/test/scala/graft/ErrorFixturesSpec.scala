@@ -1,0 +1,56 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-stderr regression harness for the `cast` CLI error
+  * channels, mirroring the reference's regression.py contract
+  * (/root/reference/src/tests/regression.py:127-150): discover every
+  * fixture under src/test/resources/test-suite/, run
+  * `cast <spell.spell> --seed <seed.json>`, and diff captured stderr
+  * against `stderr.assert` byte-for-byte plus the exit code against
+  * `exitcode.assert`. `-Dgraft.golden.update=true` re-blesses the
+  * goldens, like the reference's `--freeze` (regression.py:82-106).
+  */
+class ErrorFixturesSpec extends AnyFunSuite {
+
+  private val suiteDir = Paths.get("src", "test", "resources", "test-suite")
+  private val freeze = sys.props.get("graft.golden.update").contains("true")
+
+  private def fixtures: Seq[Path] =
+    Files.list(suiteDir).iterator.asScala.toSeq
+      .filter(p => Files.isRegularFile(p.resolve("spell.spell")))
+      .sortBy(_.getFileName.toString)
+
+  private def runCli(fixture: Path): (Int, String) = {
+    val err = new ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new PrintStream(err, true, "UTF-8"))
+    val rc =
+      try Cast.run(Seq("cast", fixture.resolve("spell.spell").toString,
+        "--seed", fixture.resolve("seed.json").toString))
+      finally System.setErr(prevErr)
+    (rc, new String(err.toByteArray, StandardCharsets.UTF_8))
+  }
+
+  assert(Files.isDirectory(suiteDir), s"fixture suite missing: $suiteDir")
+
+  for (fixture <- fixtures) {
+    test(s"golden stderr: ${fixture.getFileName}") {
+      val (rc, stderr) = runCli(fixture)
+      if (freeze) {
+        Files.writeString(fixture.resolve("stderr.assert"), stderr)
+        Files.writeString(fixture.resolve("exitcode.assert"), s"$rc\n")
+      }
+      val wantErr = Files.readString(fixture.resolve("stderr.assert"))
+      val wantRc = Files.readString(fixture.resolve("exitcode.assert")).trim.toInt
+      assert(stderr === wantErr, s"stderr mismatch in ${fixture.getFileName}")
+      assert(rc === wantRc, s"exit code mismatch in ${fixture.getFileName}")
+    }
+  }
+}

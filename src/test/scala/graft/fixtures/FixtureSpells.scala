@@ -1,0 +1,22 @@
+package graft.fixtures
+
+import graft.engine.{DynEvent, Spell}
+
+/** Contract-violating "modules" for the error-* golden fixtures
+  * (src/test/resources/test-suite/error-*), mirroring the reference's
+  * regression cases (/root/reference/src/tests/test-suite/error-*):
+  * a module with no cast member, a module whose cast is a string, and
+  * a spell whose cast throws at runtime.
+  */
+object SpellMissingCast {
+  val power: Int = 9000
+}
+
+object SpellStringCast {
+  val cast: String = "Hello, world!"
+}
+
+object SpellBoom extends Spell {
+  override def cast(event: DynEvent): Option[DynEvent] =
+    throw new IllegalStateException("boom")
+}
