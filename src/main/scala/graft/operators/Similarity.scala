@@ -196,5 +196,67 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
-  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf)
+  /** kNN classification on top of the exact top-k search: each query
+    * vector (vec_id < 10) is labeled by majority vote of its 5
+    * nearest neighbors' `label`s (ties broken by lowest label — a
+    * fixed, engine-portable rule), reported next to the true label.
+    * This is the standard label-propagation / quality-annotation use
+    * of a similarity index in a training-data pipeline; the plan adds
+    * one small groupBy and one broadcast-sized join to s01's single
+    * corpus scan.
+    */
+  val s05KnnClassify = Q(
+    "s05_knn_classify",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+       |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, label, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+       |  FROM scored
+       |), votes AS (
+       |  SELECT query_id, label, count(*) AS n_votes
+       |  FROM ranked WHERE k <= 5
+       |  GROUP BY query_id, label
+       |), winner AS (
+       |  SELECT query_id, label AS pred_label, n_votes,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS r
+       |  FROM votes
+       |)
+       |SELECT w.query_id, q.label AS true_label, w.pred_label, w.n_votes
+       |FROM winner w JOIN embeddings q ON w.query_id = q.vec_id
+       |WHERE w.r = 1
+       |ORDER BY w.query_id""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val votes = scored.withColumn("k", row_number().over(wk))
+      .filter(col("k") <= 5)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("n_votes").desc, col("label"))
+    val winner = votes.withColumn("r", row_number().over(wr))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+    broadcast(winner) // ≤ #queries rows — the corpus-sized label table streams past it
+      .join(emb.select(col("vec_id"), col("label").as("true_label")),
+        col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"), col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
+  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify)
 }

@@ -69,5 +69,54 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("window_start"), col("event_type"))
   }
 
-  def all: Seq[Q] = Seq(q71StreamReplay)
+  /** Sessionization: per-user session windows with an 8-hour
+    * inactivity gap, via Spark's native `session_window` (the same
+    * Catalyst operator the streaming path uses — StreamingSpec drives
+    * it under a watermark; here batch mode makes it oracle-checkable).
+    * The DuckDB spelling is the classic gaps-and-islands rewrite:
+    * sessions break where `ts - lag(ts) >= gap`, which is exactly
+    * Spark's merge rule (events merge while next.start < last.end =
+    * last.ts + gap; µs timestamps compare exactly in both engines).
+    * session_end is last event + gap, matching session_window.end.
+    *
+    * Scale notes: state is keyed by user_id — the shuffle partitions
+    * by user, sessions never cross keys, and the window sort is
+    * per-user local. The 8 h gap sits between the corpus's p50 and
+    * p90 inter-event gaps, so both merges and breaks are exercised.
+    */
+  val q72Sessionize = Q(
+    "q72_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), marked AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked
+      |)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL 8 HOUR AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    graft.Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize)
 }

@@ -164,6 +164,125 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Repetition filtering (the Gopher-rules shape): per-document
+    * duplicate-token fraction and most-frequent-bigram fraction, plus
+    * the keep/drop decision. Both fractions are integer-count
+    * divisions (deterministic doubles). Per-row lambdas only — zero
+    * shuffle; the O(m²) bigram count is bounded by document token
+    * count, not corpus size, so the operator stays embarrassingly
+    * parallel at 100 TB.
+    */
+  val t06RepetitionFilter = Q(
+    "t06_repetition_filter",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), grams AS (
+      |  SELECT doc_id, tk,
+      |         list_transform(generate_series(1, len(tk) - 1),
+      |                        i -> tk[i] || ' ' || tk[i+1]) AS bg
+      |  FROM toks
+      |), counted AS (
+      |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+      |         list_max(list_transform(list_distinct(bg),
+      |                                 g -> len(list_filter(bg, x -> x = g)))) AS top_bg
+      |  FROM grams
+      |), fracs AS (
+      |  SELECT doc_id, n_tokens,
+      |         1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+      |         CASE WHEN n_tokens < 2 THEN 0.0
+      |              ELSE CAST(top_bg AS DOUBLE) / (n_tokens - 1) END AS top_bigram_frac
+      |  FROM counted
+      |)
+      |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+      |       CAST(top_bigram_frac <= 0.05 AND dup_token_frac <= 0.6 AS INT) AS keep
+      |FROM fracs
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs_rep")
+    // layered projections so each intermediate (tokens, bigram array,
+    // per-gram counts) is a named column evaluated once per row — an
+    // earlier inline spelling re-built the bigram array inside the
+    // per-gram lambda (O(m³) interpreted work, 66 s at sf0.001).
+    // Guarded sequence: Spark's sequence(1, 0) DESCENDS instead of
+    // returning empty, and element_at(tk, 0) then throws.
+    s.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, split(text, ' ') AS tk FROM graft_docs_rep
+        |), grams AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN size(tk) >= 2
+        |              THEN transform(sequence(1, size(tk) - 1),
+        |                             i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+        |              ELSE array() END AS bg
+        |  FROM toks
+        |), counted AS (
+        |  SELECT doc_id, size(tk) AS n_tokens, size(array_distinct(tk)) AS n_distinct,
+        |         array_max(transform(array_distinct(bg),
+        |                             g -> size(filter(bg, x -> x = g)))) AS top_bg
+        |  FROM grams
+        |), fracs AS (
+        |  SELECT doc_id, n_tokens,
+        |         1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+        |         CASE WHEN n_tokens < 2 THEN 0.0
+        |              ELSE CAST(top_bg AS DOUBLE) / (n_tokens - 1) END AS top_bigram_frac
+        |  FROM counted
+        |)
+        |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+        |       CAST(top_bigram_frac <= 0.05 AND dup_token_frac <= 0.6 AS INT) AS keep
+        |FROM fracs
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** TF-IDF-style term scoring: top-3 terms per document (doc_id<50)
+    * by `tf · N / df`. Rational scoring instead of `tf · ln(N/df)` on
+    * purpose: ln is a libm call whose low bits may differ between the
+    * JVM and DuckDB, while integer-valued doubles multiply and divide
+    * bit-identically — the ranking is the same monotone order. The
+    * shape is the scalable one: explode → two-phase (doc,term) count,
+    * term-keyed df aggregate, broadcastable scalar N, per-doc top-k
+    * window.
+    */
+  val t07Tfidf = Q(
+    "t07_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |  WHERE tf.doc_id < 50
+      |), ranked AS (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS k
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tf, df, tfidf, k FROM ranked
+      |WHERE k <= 3
+      |ORDER BY doc_id, k""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
-    t05BpeTokens)
+    t05BpeTokens, t06RepetitionFilter, t07Tfidf)
 }

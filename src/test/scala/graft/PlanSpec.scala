@@ -98,4 +98,34 @@ class PlanSpec extends AnyFunSuite {
     // the only exchange)
     assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles in:\n$p")
   }
+
+  test("q72: sessionization runs the native SessionWindow, partitioned by user") {
+    val p = plan("q72_sessionize")
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      s"expected the native session-window operator in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q35: RANGE frames are prefix frames in ONE window pass (no sliding re-aggregation)") {
+    val df = SparkEntry.queries("q35_window_range")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // both prefix frames share (partition, order) ⇒ a single Window node
+    assert("RunningWindowFunction|Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("5000 PRECEDING") && !p.contains("AND 500000 PRECEDING"),
+      s"sliding frame crept back in:\n$p")
+    assert(p.contains("unboundedpreceding"), s"expected prefix frames in:\n$p")
+  }
+
+  test("t06: repetition filter is per-row only — the sort is the single exchange") {
+    val df = SparkEntry.queries("t06_repetition_filter")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles in:\n$p")
+  }
+
+  test("s05: kNN classify scans the corpus once and broadcasts the tiny sides") {
+    val p = plan("s05_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast query side in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
