@@ -73,7 +73,7 @@ object Dedup {
     { val ts = "list_sort(list_distinct(string_split(text, ' ')))"
       val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
       val bands = (0 until 2).map(i =>
-        s"SELECT rep_id, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
+        s"SELECT rep_id, n_docs, ts, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH sets AS (
          |  SELECT md5(array_to_string(ts, ' ')) AS set_hash,
@@ -81,20 +81,16 @@ object Dedup {
          |  FROM (SELECT doc_id, $ts AS ts FROM documents)
          |  GROUP BY md5(array_to_string(ts, ' '))
          |), sig AS (
-         |  SELECT rep_id, $mhs FROM sets
+         |  SELECT rep_id, n_docs, ts, $mhs FROM sets
          |), bands AS (
          |  $bands
-         |), pairs AS (
-         |  SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
          |)
-         |SELECT p.id_a, p.id_b, sa.n_docs AS n_docs_a, sb.n_docs AS n_docs_b,
-         |       ${sqlJaccard("sa.ts", "sb.ts")} AS jaccard
-         |FROM pairs p
-         |JOIN sets sa ON p.id_a = sa.rep_id
-         |JOIN sets sb ON p.id_b = sb.rep_id
-         |WHERE len(sa.ts) * 10 >= len(sb.ts) * 9 AND len(sb.ts) * 10 >= len(sa.ts) * 9
-         |  AND ${sqlJaccard("sa.ts", "sb.ts")} >= 0.9
+         |SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+         |       a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+         |       ${sqlJaccard("a.ts", "b.ts")} AS jaccard
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
+         |WHERE len(a.ts) * 10 >= len(b.ts) * 9 AND len(b.ts) * 10 >= len(a.ts) * 9
+         |  AND ${sqlJaccard("a.ts", "b.ts")} >= 0.9
          |ORDER BY id_a, id_b""".stripMargin }
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -107,27 +103,27 @@ object Dedup {
     val sig = sets.select(
       col("rep_id") +: col("n_docs") +: col("ts") +:
         (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
-      .cache() // reused 4× in the DAG (both band sides + both member joins)
+      .cache() // reused by both band-join sides — compute the kernel once
     val bandArr = array((0 until 2).map(i =>
       md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
         col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
-    val bands = sig.select(col("rep_id"), posexplode(bandArr).as(Seq("band", "h")))
-    val pairs = bands.alias("a")
+    // bands carry (n_docs, ts) so candidates verify INLINE in the band
+    // join — the Jaccard + size prefilter cut ~2M candidates to ~27k
+    // BEFORE any further exchange (the earlier shape distinct'ed the
+    // 2M pairs, then shuffled twice more to re-join the member sets).
+    val bands = sig.select(col("rep_id"), col("n_docs"), col("ts"),
+      posexplode(bandArr).as(Seq("band", "h")))
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h")
           && col("a.rep_id") < col("b.rep_id"))
-      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"))
-      .distinct()
-    val members = sig.select(col("rep_id"), col("n_docs"), col("ts"))
-    pairs
-      .join(members.alias("sa"), col("id_a") === col("sa.rep_id"))
-      .join(members.alias("sb"), col("id_b") === col("sb.rep_id"))
-      .filter(size(col("sa.ts")) * 10 >= size(col("sb.ts")) * 9
-        && size(col("sb.ts")) * 10 >= size(col("sa.ts")) * 9)
-      .select(col("id_a"), col("id_b"),
-        col("sa.n_docs").as("n_docs_a"), col("sb.n_docs").as("n_docs_b"),
-        graft.functions.SortedArrayJaccard(col("sa.ts"), col("sb.ts")).as("jaccard"))
+      .filter(size(col("a.ts")) * 10 >= size(col("b.ts")) * 9
+        && size(col("b.ts")) * 10 >= size(col("a.ts")) * 9)
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        col("a.n_docs").as("n_docs_a"), col("b.n_docs").as("n_docs_b"),
+        graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
+      .distinct() // a pair can match in both bands
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -118,5 +118,60 @@ object StreamReplay {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize)
+  /** Stream-stream join under the oracle: view→purchase attribution
+    * (purchases within 12 h of a view by the same user) runs as an
+    * ACTUAL two-stream inner join — two file sources over the same
+    * events table, append-mode memory sink, AvailableNow — and is
+    * hash-compared to the independent batch join the oracle runs.
+    * Inner stream-stream joins buffer both sides' state and emit on
+    * match, so the complete replay equals the batch join exactly; no
+    * watermark is declared on purpose (state cleanup would be the
+    * production knob — StreamingSpec covers the watermarked variant;
+    * here unbounded retention makes replay == batch provable).
+    *
+    * Scale notes: the join state is keyed by user_id — Spark
+    * partitions both sides by the equi-key, so state and matching
+    * stay node-local; the time-interval condition bounds each probe.
+    */
+  val q73StreamJoinReplay = Q(
+    "q73_stream_join_replay",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |)
+      |SELECT a.user_id,
+      |       a.event_id AS view_id, b.event_id AS purchase_id,
+      |       a.ts AS view_ts, b.ts AS purchase_ts
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR
+      |ORDER BY a.user_id, view_id, purchase_id""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, prefix: String) =
+      s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+      col("view_user") === col("purchase_user")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+    val sinkName = "graft_q73_replay"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay)
 }
