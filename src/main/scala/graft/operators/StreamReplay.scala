@@ -173,5 +173,37 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
-  def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay)
+  /** Streaming dedup under the oracle: `dropDuplicates` over a
+    * key-only projection (user_id, event_type) — the state is the
+    * seen-key set, and because the row IS the key, whichever arrival
+    * wins the race produces the same output row, so the append-mode
+    * replay equals batch DISTINCT deterministically. (Keeping
+    * non-key columns would make "first seen" arrival-order-dependent
+    * — that variant is the watermarked dropDuplicatesWithinWatermark
+    * in StreamingSpec, which no batch oracle can express.)
+    */
+  val q74StreamDedupReplay = Q(
+    "q74_stream_dedup_replay",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val sinkName = "graft_q74_replay"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("user_id"), col("event_type"))
+  }
+
+  def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
+    q74StreamDedupReplay)
 }
