@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     Relational.all ++ SpellQueries.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
       SetOps.all ++ ScalarFuncs.all ++ StreamReplay.all ++ Dedup.all ++
-      Similarity.all ++ AnnKmeans.all ++ TextAnalysis.all ++ Multimodal.all ++ UserFns.all
+      Similarity.all ++ AnnKmeans.all ++ TextAnalysis.all ++ Multimodal.all ++
+      Sampling.all ++ UserFns.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

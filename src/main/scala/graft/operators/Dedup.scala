@@ -240,40 +240,50 @@ object Dedup {
     * 0.35 threshold vs a single 4-bit table's ≈ 0.14; at scale you
     * add bands/tables, not pairs.
     */
-  val d06EmbeddingNearDup = Q(
-    "d06_embedding_near_dup",
-    { def bit(j: Int, w: Int) =
-        s"(CASE WHEN ${sqlDot("e.embedding", s"p$j.embedding")} > 0 THEN $w ELSE 0 END)"
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
-         |), buck AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm,
-         |         ${bit(0, 1)} + ${bit(1, 2)} AS b0,
-         |         ${bit(2, 1)} + ${bit(3, 2)} AS b1
-         |  FROM e,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) p0,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 1) p1,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 2) p2,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 3) p3
-         |), bands AS (
-         |  SELECT vec_id, 0 AS band, b0 AS bucket FROM buck
-         |  UNION ALL
-         |  SELECT vec_id, 1 AS band, b1 AS bucket FROM buck
-         |), pairs AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |)
-         |SELECT p.id_a, p.id_b,
-         |       CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
-         |            ELSE ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) END AS cos_sim
-         |FROM pairs p
-         |JOIN buck ea ON p.id_a = ea.vec_id
-         |JOIN buck eb ON p.id_b = eb.vec_id
-         |WHERE ea.nrm * eb.nrm > 0
-         |  AND ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) > 0.35
-         |ORDER BY id_a, id_b""".stripMargin }
-  ) { (s, d) =>
+  /** DuckDB CTE chain ending in `verified(id_a, id_b, cos_sim)` —
+    * the bucket-then-verify near-dup pairs shared by d06 (which
+    * emits them) and d07 (which clusters them).
+    */
+  private def embPairsCtes: String = {
+    def bit(j: Int, w: Int) =
+      s"(CASE WHEN ${sqlDot("e.embedding", s"p$j.embedding")} > 0 THEN $w ELSE 0 END)"
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |), buck AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, e.nrm,
+       |         ${bit(0, 1)} + ${bit(1, 2)} AS b0,
+       |         ${bit(2, 1)} + ${bit(3, 2)} AS b1
+       |  FROM e,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) p0,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 1) p1,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 2) p2,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 3) p3
+       |), bands AS (
+       |  SELECT vec_id, 0 AS band, b0 AS bucket FROM buck
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS band, b1 AS bucket FROM buck
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), verified AS MATERIALIZED (
+       |  SELECT p.id_a, p.id_b,
+       |         CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) END AS cos_sim
+       |  FROM pairs p
+       |  JOIN buck ea ON p.id_a = ea.vec_id
+       |  JOIN buck eb ON p.id_b = eb.vec_id
+       |  WHERE ea.nrm * eb.nrm > 0
+       |    AND ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) > 0.35
+       |)""".stripMargin
+  }
+
+  /** Spark side of [[embPairsCtes]]: verified near-dup pairs
+    * `(id_a, id_b, cos_sim)`, cosine > 0.35, from the 2-band
+    * hyperplane bucketing. Cached candidates feed both verify joins.
+    */
+  private def verifiedEmbeddingPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val planes = emb.filter(col("vec_id") < 4)
@@ -306,9 +316,108 @@ object Dedup {
             / (col("ea.nrm") * col("eb.nrm")))
           .as("cos_sim"))
       .filter(col("cos_sim") > 0.35)
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d06EmbeddingNearDup = Q(
+    "d06_embedding_near_dup",
+    s"""WITH $embPairsCtes
+       |SELECT id_a, id_b, cos_sim FROM verified
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    verifiedEmbeddingPairs(s, d).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Near-duplicate *clusters* via bounded hop-plus-pointer-jump
+    * min-label propagation over the d06 edge set — the closure step
+    * production dedup needs (keep one doc per cluster, not per
+    * pair). Every node starts labeled with its own id; each round
+    * does (1) HOP: m(v) = min label over N(v) ∪ {v}, then (2) JUMP:
+    * l'(v) = m(m(v)) — pointer jumping, valid because m(v) ≤ v keeps
+    * labels inside the node set. A hop extends reach by one edge and
+    * a jump chases the current label's own label, compounding reach
+    * (plain hop-only propagation needed ~13 rounds to converge on
+    * sf0.1's chainy near-dup graph; hop+jump converges in 7 —
+    * CcRounds = 8 keeps one round of margin, and ClusterProbeSpec
+    * asserts labels(k) == labels(k+1) on the test corpus). Both
+    * engines run the identical round count, so results are
+    * bit-equal regardless.
+    *
+    * Scale: each round is two equi-joins + one min-aggregate — O(k)
+    * shuffles, linear in |E|, no cartesian anywhere; this is the
+    * same round structure as the large-star/small-star CC algorithm
+    * (O(log n) rounds on any graph).
+    */
+  val CcRounds = 8
+
+  /** Hop+jump min-label propagation over the d06 edge set for
+    * `rounds` iterations; the round count is a parameter so
+    * ClusterProbeSpec can assert labels(k) == labels(k+1) — true
+    * convergence — on the test corpora.
+    */
+  private[operators] def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val verified = verifiedEmbeddingPairs(s, d)
+    val sym = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = sym.select(col("src")).distinct()
+    val g = sym.union(nodes.select(col("src"), col("src").as("dst"))).cache()
+    var labels = nodes.select(col("src").as("vec_id"), col("src").as("label"))
+    for (_ <- 1 to rounds) {
+      // localCheckpoint truncates lineage: the jump references m TWICE,
+      // so without it the logical plan (and Catalyst analysis time)
+      // doubles every round — 2^k copies of the whole pair-generation
+      // subtree. One label-table materialization per round is the
+      // standard iterative-graph pattern (same role as Pregel's
+      // per-superstep materialization).
+      val m = g.alias("g")
+        .join(labels.alias("l"), col("g.dst") === col("l.vec_id"))
+        .groupBy(col("g.src"))
+        .agg(min(col("l.label")).as("label"))
+        .select(col("src").as("vec_id"), col("label"))
+        .localCheckpoint()
+      labels = m.alias("a")
+        .join(m.alias("b"), col("a.label") === col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.label"))
+    }
+    labels
+  }
+
+  val d07DedupClusters = Q(
+    "d07_dedup_clusters",
+    { val rounds = (1 to CcRounds).map(i =>
+        s"m$i AS MATERIALIZED (SELECT g.src AS vec_id, min(l.label) AS label " +
+          s"FROM g JOIN l${i - 1} l ON g.dst = l.vec_id GROUP BY g.src),\n  " +
+          s"l$i AS (SELECT a.vec_id, b.label FROM m$i a JOIN m$i b ON a.label = b.vec_id)")
+        .mkString(",\n  ")
+      s"""WITH $embPairsCtes,
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM verified
+         |), nodes AS (
+         |  SELECT DISTINCT src FROM sym
+         |), g AS MATERIALIZED (
+         |  SELECT src, dst FROM sym
+         |  UNION ALL
+         |  SELECT src, src AS dst FROM nodes
+         |), l0 AS (
+         |  SELECT src AS vec_id, src AS label FROM nodes
+         |),
+         |  $rounds
+         |SELECT l.vec_id, l.label AS cluster_id, c.n_members
+         |FROM l$CcRounds l
+         |JOIN (SELECT label, count(*) AS n_members FROM l$CcRounds GROUP BY label) c
+         |  ON l.label = c.label
+         |ORDER BY vec_id""".stripMargin }
+  ) { (s, d) =>
+    val labels = clusterLabels(s, d, CcRounds)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.alias("l")
+      .join(sizes.alias("c"), col("l.label") === col("c.label"))
+      .select(col("l.vec_id"), col("l.label").as("cluster_id"), col("c.n_members"))
+      .orderBy(col("vec_id"))
   }
 
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
-    d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup)
+    d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters)
 }

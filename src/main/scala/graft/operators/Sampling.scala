@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation (SURVEY.md §2C
+  * ⟨ns⟩ scope): content-hash-keyed sampling is how large pipelines
+  * downsample, rebalance, and split corpora REPRODUCIBLY — rerunning
+  * the job, on any cluster layout, selects the same rows (unlike
+  * `TABLESAMPLE`/`rand()`, which are seed- and partitioning-
+  * dependent and can't be oracle-checked).
+  *
+  * All three queries key on `md5(cast(doc_id AS string))`: fixed-width
+  * lowercase hex compares lexicographically = numerically in both
+  * engines, so thresholds are plain string compares — per-row filter
+  * work, zero shuffle for p01/p03, embarrassingly parallel at 100 TB.
+  */
+object Sampling {
+
+  private val HashKey = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  private def hashKey = substring(md5(col("doc_id").cast("string")), 1, 4)
+
+  /** ~5% uniform sample: keep rows whose 16-bit hash prefix falls
+    * under 0x0ccd (3277/65536 ≈ 5.00%). Pure per-row filter — the
+    * sample decision needs no coordination, so it pushes to the scan
+    * and costs one comparison per row at any scale.
+    */
+  val p01SampleUniform = Q(
+    "p01_sample_uniform",
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE $HashKey < '0ccd'
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(hashKey < "0ccd")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Balanced per-stratum downsample: the first 30 docs per lang in
+    * hash order (hash-then-rank makes "first" reproducible, not
+    * arrival-ordered) — the rebalance-the-language-mixture op.
+    * Scale note: rank-within-stratum is one shuffle by stratum; when
+    * strata are huge, production swaps the exact rank for a hash
+    * threshold ≈ target/|stratum| (p01's shape) or a two-phase
+    * partial top-N — the contract (deterministic balanced subset)
+    * stays the same.
+    */
+  val p02SampleStratified = Q(
+    "p02_sample_stratified",
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY $HashKey, doc_id) AS rk
+       |  FROM documents
+       |) WHERE rk <= 30
+       |ORDER BY lang, rk""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("lang")).orderBy(hashKey, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 30)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Deterministic train/val/test split (90/5/5 by hash prefix:
+    * train < 0xe666, val < 0xf333, else test), reported as per-lang
+    * split sizes. Assignment is per-row and stable under reruns and
+    * re-partitioning — the property that keeps eval sets leak-free
+    * across pipeline versions. One partial-aggregated groupBy over
+    * (lang, split): 1 shuffle of ≤ |langs|·3 rows.
+    */
+  val p03SplitAssign = Q(
+    "p03_split_assign",
+    s"""SELECT lang, split, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM (
+       |  SELECT lang, doc_id,
+       |         CASE WHEN $HashKey < 'e666' THEN 'train'
+       |              WHEN $HashKey < 'f333' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |GROUP BY lang, split
+       |ORDER BY lang, split""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        when(hashKey < "e666", "train")
+          .when(hashKey < "f333", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  def all: Seq[Q] = Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign)
+}

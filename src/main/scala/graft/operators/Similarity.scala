@@ -131,21 +131,52 @@ object Similarity {
     * centroids (k-means-trained) and multi-probe are the production
     * knobs — the plumbing here is the real shape.
     */
+  /** Shared IVF plumbing (s03 single-probe, s06 multi-probe): the
+    * corpus crossed with the 8 broadcast data-derived centroids,
+    * yielding per-row dots d0..d7, plus the argmax cell expression
+    * (ties to the lowest centroid id).
+    */
+  private def centroidDots(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .groupBy()
+      .pivot("vec_id", 0 until 8)
+      .agg(first(col("embedding")))
+      .toDF((0 until 8).map(j => s"c$j"): _*)
+    e.crossJoin(broadcast(centroids))
+      // match the oracle when the corpus has < 8 vectors (empty result)
+      .filter((0 until 8).map(j => col(s"c$j").isNotNull).reduce(_ && _))
+      .select(col("vec_id") +: col("embedding") +: col("nrm") +:
+        (0 until 8).map(j => dot(col("embedding"), col(s"c$j")).as(s"d$j")): _*)
+  }
+
+  private def cellExpr: org.apache.spark.sql.Column =
+    (0 until 8).foldRight(lit(-1): org.apache.spark.sql.Column) { (j, els) =>
+      val geAll = (0 until 8).filter(_ != j)
+        .map(k => col(s"d$j") >= col(s"d$k")).reduce(_ && _)
+      when(geAll, lit(j)).otherwise(els)
+    }
+
+  private def sqlCtrCells: String = {
+    def dots = (0 until 8).map(j => s"${sqlDot("e.embedding", s"c$j.embedding")} AS d$j").mkString(", ")
+    def whenChain = (0 until 8).map { j =>
+      val geAll = (0 until 8).filter(_ != j).map(k => s"d$j >= d$k").mkString(" AND ")
+      s"WHEN $geAll THEN $j"
+    }.mkString(" ")
+    s"""ctr AS (
+       |  SELECT e.vec_id, e.embedding, ${sqlNorm("e.embedding")} AS nrm, $dots
+       |  FROM embeddings e,
+       |       ${(0 until 8).map(j => s"(SELECT embedding FROM embeddings WHERE vec_id = $j) c$j").mkString(",\n       ")}
+       |), cells AS (
+       |  SELECT vec_id, embedding, nrm, CASE $whenChain END AS cell FROM ctr
+       |)""".stripMargin
+  }
+
   val s03AnnIvf = Q(
     "s03_ann_ivf",
-    { // nearest centroid = max dot; ties broken by lowest centroid id
-      def dots = (0 until 8).map(j => s"${sqlDot("e.embedding", s"c$j.embedding")} AS d$j").mkString(", ")
-      def whenChain = (0 until 8).map { j =>
-        val geAll = (0 until 8).filter(_ != j).map(k => s"d$j >= d$k").mkString(" AND ")
-        s"WHEN $geAll THEN $j"
-      }.mkString(" ")
-      s"""WITH ctr AS (
-         |  SELECT e.vec_id, e.embedding, ${sqlNorm("e.embedding")} AS nrm, $dots
-         |  FROM embeddings e,
-         |       ${(0 until 8).map(j => s"(SELECT embedding FROM embeddings WHERE vec_id = $j) c$j").mkString(",\n       ")}
-         |), cells AS (
-         |  SELECT vec_id, embedding, nrm, CASE $whenChain END AS cell FROM ctr
-         |), scored AS (
+    { s"""WITH $sqlCtrCells, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
          |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
          |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
@@ -160,24 +191,8 @@ object Similarity {
          |WHERE k <= 3
          |ORDER BY query_id, k""".stripMargin }
   ) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = emb.filter(col("vec_id") < 8)
-      .groupBy()
-      .pivot("vec_id", 0 until 8)
-      .agg(first(col("embedding")))
-      .toDF((0 until 8).map(j => s"c$j"): _*)
-    val withDots = e.crossJoin(broadcast(centroids))
-      // match the oracle when the corpus has < 8 vectors (empty result)
-      .filter((0 until 8).map(j => col(s"c$j").isNotNull).reduce(_ && _))
-      .select(col("vec_id") +: col("embedding") +: col("nrm") +:
-        (0 until 8).map(j => dot(col("embedding"), col(s"c$j")).as(s"d$j")): _*)
-    val cell = (0 until 8).foldRight(lit(-1): org.apache.spark.sql.Column) { (j, els) =>
-      val geAll = (0 until 8).filter(_ != j)
-        .map(k => col(s"d$j") >= col(s"d$k")).reduce(_ && _)
-      when(geAll, lit(j)).otherwise(els)
-    }
-    val cells = withDots.select(col("vec_id"), col("embedding"), col("nrm"), cell.as("cell"))
+    val cells = centroidDots(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
       .cache() // assignment subtree (8 dots + argmin) feeds BOTH join sides — compute once
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -258,5 +273,69 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify)
+  /** Multi-probe IVF ANN: same cell index as s03, but each query
+    * probes its TOP-2 cells by centroid dot (rank over d0..d7,
+    * ties to the lowest centroid id) instead of only the argmax —
+    * the standard recall knob for IVF indexes: candidates roughly
+    * double while staying O(q · n/n_cells), and vectors just across
+    * a Voronoi boundary from the query become reachable. Corpus
+    * cells are disjoint, so the two probes can't produce duplicate
+    * candidates. `probe` in the output records which probe (1 or 2)
+    * found each neighbor.
+    */
+  val s06AnnMultiprobe = Q(
+    "s06_ann_multiprobe",
+    { val unpiv = (0 until 8).map(j =>
+        s"SELECT vec_id, embedding, nrm, $j AS pcell, d$j AS pd FROM ctr WHERE vec_id < 10")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sqlCtrCells, qd AS (
+         |  $unpiv
+         |), probes AS (
+         |  SELECT vec_id, embedding, nrm, pcell, probe FROM (
+         |    SELECT vec_id, embedding, nrm, pcell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY pd DESC, pcell) AS probe
+         |    FROM qd
+         |  ) WHERE probe <= 2
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.pcell AS cell, q.probe,
+         |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
+         |  FROM probes q JOIN cells c ON q.pcell = c.cell AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cell, probe, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cell, probe, cos_sim, k FROM ranked
+         |WHERE k <= 3
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val withDots = centroidDots(s, d).cache() // feeds corpus cells AND query probes
+    val cells = withDots
+      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("pd").desc, col("pcell"))
+    val probes = withDots.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until 8).map(j => col(s"d$j")): _*)).as(Seq("pcell", "pd")))
+      .withColumn("probe", row_number().over(wq))
+      .filter(col("probe") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("pcell"), col("probe"))
+    val scored = cells.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("pcell").as("cell"), col("probe"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("probe"),
+        col("cos_sim"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
+  def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
+    s06AnnMultiprobe)
 }

@@ -283,6 +283,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("k"))
   }
 
+  /** Corpus vocabulary builder: top-50 whole-word terms by collection
+    * frequency, with document frequency alongside — the first step of
+    * tokenizer/vocab training over a corpus. Shape: map-side explode
+    * → two-phase (term) aggregate → `TakeOrderedAndProject` top-k (NO
+    * global sort — the per-partition top-50s merge on the driver),
+    * then a rank window over just the 50 survivors.
+    */
+  val t08Vocab = Q(
+    "t08_vocab",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), v AS (
+      |  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+      |  FROM tok GROUP BY term
+      |  ORDER BY cf DESC, term
+      |  LIMIT 50
+      |)
+      |SELECT term, cf, df,
+      |       row_number() OVER (ORDER BY cf DESC, term) AS rk
+      |FROM v
+      |ORDER BY rk""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val top = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(50)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("term"))
+    top.withColumn("rk", row_number().over(w))
+      .orderBy(col("rk"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
-    t05BpeTokens, t06RepetitionFilter, t07Tfidf)
+    t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab)
 }

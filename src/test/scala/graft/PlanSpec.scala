@@ -128,4 +128,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast query side in:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("p01: hash-sample is a per-row filter — the sort is the single exchange") {
+    val df = SparkEntry.queries("p01_sample_uniform")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles in:\n$p")
+    assert(!p.contains("text#"), "sample decision must not read the text column")
+  }
+
+  test("t08: vocab top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("t08_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("s06: multi-probe join broadcasts the probe side, no cartesian pair join") {
+    val p = plan("s06_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("d07: every cluster round is an equi-join — no cartesian anywhere") {
+    val p = plan("d07_dedup_clusters")
+    assert(!p.contains("CartesianProduct"), s"cluster rounds must not cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the round-2 dedup/ANN additions: d07's bounded
+  * label propagation must actually CONVERGE on the test corpus (the
+  * query's contract is "labels after k rounds", engine-identical
+  * either way, but a non-converged k would mis-split clusters), and
+  * s06's multi-probe recall of the exact top-3 must be at least
+  * single-probe s03's (probing 2 cells can only widen the candidate
+  * set).
+  */
+class ClusterProbeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d07 label propagation has converged by CcRounds on sf0.001") {
+    spark.sparkContext.setLogLevel("WARN")
+    def labelsAt(rounds: Int): Map[Long, Long] =
+      Dedup.clusterLabels(spark, dir, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atK = labelsAt(Dedup.CcRounds)
+    assert(atK.nonEmpty)
+    assert(atK === labelsAt(Dedup.CcRounds + 1),
+      s"labels still changing after ${Dedup.CcRounds} rounds — raise CcRounds")
+    // and each cluster's label is its min member id (canonical form)
+    atK.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+
+  test("s06 multi-probe recall@3 >= s03 single-probe recall@3") {
+    spark.sparkContext.setLogLevel("WARN")
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topSet(Similarity.s01CosineTopk.run(spark, dir)
+      .filter(col("k") <= 3))
+    val single = topSet(Similarity.s03AnnIvf.run(spark, dir))
+    val multi = topSet(Similarity.s06AnnMultiprobe.run(spark, dir))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val rSingle = recall(single)
+    val rMulti = recall(multi)
+    info(f"recall@3 single-probe=$rSingle%.3f multi-probe=$rMulti%.3f")
+    assert(rMulti >= rSingle)
+    assert(rMulti > 0.5, "multi-probe recall unexpectedly low")
+  }
+}
