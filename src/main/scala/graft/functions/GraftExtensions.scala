@@ -47,6 +47,21 @@ object GraftExtensions {
           MinHashSigs(ts, k)
         case exprs => throw new IllegalArgumentException(
           s"minhash_sigs expects (array<string>, int literal), got ${exprs.size} args")
+      }),
+    ("max_dup_count",
+      new ExpressionInfo(classOf[MaxDupCount].getName, "max_dup_count"),
+      {
+        case Seq(xs) => MaxDupCount(xs)
+        case exprs => throw new IllegalArgumentException(
+          s"max_dup_count expects 1 argument, got ${exprs.size}")
+      }),
+    ("simhash_bits",
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      {
+        case Seq(ts, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          SimHashBits(ts, n)
+        case exprs => throw new IllegalArgumentException(
+          s"simhash_bits expects (array<string>, int literal), got ${exprs.size} args")
       }))
 
   /** Register on an existing session (e.g. one the driver built). */

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Max element multiplicity of an `array<string>` column in ONE
+  * hash-map pass: `max_dup_count(['a','b','a']) = 2`. Replaces the
+  * declarative `array_max(transform(array_distinct(xs), g ->
+  * size(filter(xs, x -> x = g))))` — which is O(m²) in interpreted
+  * lambda trees (distinct × full rescan) — with O(m) compiled work.
+  * t06's most-frequent-bigram fraction is the motivating use: 600-
+  * token documents paid ~360k lambda evaluations per row for an
+  * answer one counting pass produces.
+  *
+  * Differences from the declarative spelling, chosen deliberately:
+  * empty array → 0 (not NULL — callers guard the empty case
+  * explicitly, and a primitive result keeps codegen branch-free);
+  * null *elements* are skipped. The DuckDB oracle keeps the lambda
+  * spelling — bit-equal on every non-empty array.
+  */
+case class MaxDupCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "max_dup_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MaxDupCount.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MaxDupCount.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxDupCount {
+
+  def compute(xs: ArrayData): Int = {
+    val n = xs.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](n * 2)
+    var max = 0
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        val k = xs.getUTF8String(i)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > max) max = c
+      }
+      i += 1
+    }
+    max
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(MaxDupCount(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native n-bit SimHash over an `array<string>` token-set column:
+  * bit j (0-based) is set iff the majority of tokens have md5 hex
+  * digit j+1 ≥ 8 — each hex digit's top bit is an independent hash
+  * bit, so n ≤ 32 (md5 has 32 hex digits).
+  *
+  * Semantics are IDENTICAL to the declarative per-bit spelling
+  * (TextVec.simhashSparkSql / simhashDuckSql, which remains the
+  * DuckDB oracle spelling): hex digit ≥ 8 ⟺ hex char ≥ '8', summed
+  * ±1 per token, bit set when the sum is positive. But: ONE md5 per
+  * token and all n counters updated in a single tight JVM loop,
+  * instead of n interpreted aggregate-lambda trees (or the explode →
+  * 32 conditional sums → groupBy-by-doc shuffle that round 1's d04
+  * used — this kernel makes simhash a per-row projection with ZERO
+  * shuffle, the same upgrade MinHashSigs gave d03).
+  *
+  * Null array ⇒ null (UnaryExpression null-intolerance); null
+  * elements are skipped (they contribute to no counter — matching
+  * list_transform's NULL propagating into list_sum, which ignores
+  * nulls); an empty set yields 0L in both engines (list_sum([]) is
+  * NULL, and `CASE WHEN NULL > 0` falls to the ELSE 0 branch).
+  */
+case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 32, s"simhash_bits supports 1..32 bits, got $nBits")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashBits.compute(input.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashBits.compute($c, $nBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(tokens: ArrayData, nBits: Int): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](nBits)
+    val digest = md.get()
+    var idx = 0
+    while (idx < n) {
+      if (!tokens.isNullAt(idx)) {
+        digest.reset()
+        val d = digest.digest(tokens.getUTF8String(idx).getBytes)
+        var j = 0
+        while (j < nBits) {
+          // hex digit j+1 = high nibble of byte j/2 when j is even
+          val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 15 else d(j >> 1) & 15
+          counts(j) += (if (nib >= 8) 1 else -1)
+          j += 1
+        }
+      }
+      idx += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < nBits) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  def apply(c: Column, nBits: Int): Column =
+    ColumnBridge.column(SimHashBits(ColumnBridge.expression(c), nBits))
+}

@@ -162,21 +162,14 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin }
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // Explode-based simhash: ONE md5 per distinct token, then 32
-    // conditional sums per doc — same bits as the per-bit-lambda
-    // spelling the oracle uses, ~30× cheaper (and the shuffle-by-doc
-    // shape that scales: token rows partition freely).
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val bitSums = (1 to 32).map { j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"c$j")
-    }
-    val simhash = (1 to 32).map { j =>
-      when(col(s"c$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sh = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    // Per-row codegen simhash kernel: ONE md5 per distinct token, all
+    // 32 counters in a tight loop ([[graft.functions.SimHashBits]] —
+    // same bits as the per-bit-lambda spelling the oracle uses).
+    // Round 1 exploded tokens and ran 32 conditional sums through a
+    // groupBy-by-doc; the kernel makes signature computation a pure
+    // projection — ZERO shuffle before the group collapse.
+    val sh = docs.select(col("doc_id"),
+      graft.functions.SimHashBits(tokenSet(col("text")), 32).as("simhash"))
     val groups = sh.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
       .cache()

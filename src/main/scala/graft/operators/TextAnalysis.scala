@@ -199,38 +199,35 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d).createOrReplaceTempView("graft_docs_rep")
-    // layered projections so each intermediate (tokens, bigram array,
-    // per-gram counts) is a named column evaluated once per row — an
-    // earlier inline spelling re-built the bigram array inside the
-    // per-gram lambda (O(m³) interpreted work, 66 s at sf0.001).
+    // Layered projections so each intermediate (tokens, bigram array)
+    // is a named column evaluated once per row — an earlier inline
+    // spelling re-built the bigram array inside the per-gram lambda
+    // (O(m³) interpreted work, 66 s at sf0.001). The per-gram count
+    // itself is the MaxDupCount kernel: one O(m) counting pass
+    // instead of the O(m²) distinct × filter lambda scan (same
+    // values; empty-bg rows are covered by the n_tokens < 2 guard).
     // Guarded sequence: Spark's sequence(1, 0) DESCENDS instead of
     // returning empty, and element_at(tk, 0) then throws.
-    s.sql(
-      """WITH toks AS (
-        |  SELECT doc_id, split(text, ' ') AS tk FROM graft_docs_rep
-        |), grams AS (
-        |  SELECT doc_id, tk,
-        |         CASE WHEN size(tk) >= 2
-        |              THEN transform(sequence(1, size(tk) - 1),
-        |                             i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
-        |              ELSE array() END AS bg
-        |  FROM toks
-        |), counted AS (
-        |  SELECT doc_id, size(tk) AS n_tokens, size(array_distinct(tk)) AS n_distinct,
-        |         array_max(transform(array_distinct(bg),
-        |                             g -> size(filter(bg, x -> x = g)))) AS top_bg
-        |  FROM grams
-        |), fracs AS (
-        |  SELECT doc_id, n_tokens,
-        |         1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
-        |         CASE WHEN n_tokens < 2 THEN 0.0
-        |              ELSE CAST(top_bg AS DOUBLE) / (n_tokens - 1) END AS top_bigram_frac
-        |  FROM counted
-        |)
-        |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
-        |       CAST(top_bigram_frac <= 0.05 AND dup_token_frac <= 0.6 AS INT) AS keep
-        |FROM fracs
-        |ORDER BY doc_id""".stripMargin)
+    val grams = s.sql(
+      """SELECT doc_id, tk,
+        |       CASE WHEN size(tk) >= 2
+        |            THEN transform(sequence(1, size(tk) - 1),
+        |                           i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+        |            ELSE array() END AS bg
+        |FROM (SELECT doc_id, split(text, ' ') AS tk FROM graft_docs_rep)""".stripMargin)
+    val fracs = grams.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        graft.functions.MaxDupCount(col("bg")).as("top_bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        when(col("n_tokens") < 2, 0.0)
+          .otherwise(col("top_bg").cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+    fracs.select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_bigram_frac"),
+        (col("top_bigram_frac") <= 0.05 && col("dup_token_frac") <= 0.6)
+          .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** TF-IDF-style term scoring: top-3 terms per document (doc_id<50)

@@ -99,6 +99,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles in:\n$p")
   }
 
+  test("d04: simhash runs the per-row kernel — no token explode, no pre-collapse shuffle") {
+    val p = plan("d04_simhash_near_dup")
+    assert(p.contains("simhash_bits"), s"expected the SimHashBits kernel in:\n$p")
+    assert(!p.contains("Generate explode"), s"token explode crept back in:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q72: sessionization runs the native SessionWindow, partitioned by user") {
     val p = plan("q72_sessionize")
     assert(p.contains("session_window") || p.contains("SessionWindow"),

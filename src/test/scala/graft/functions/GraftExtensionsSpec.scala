@@ -23,6 +23,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(jac == 2.0 / 4.0)
   }
 
+  test("simhash_bits kernel is bit-equal to the declarative per-bit spelling") {
+    GraftExtensions.register(spark)
+    // real corpus + hand-picked edge cases (empty-string token, single
+    // token, duplicate-free long set)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("array_distinct(split(text, ' ')) AS ts")
+      .union(spark.sql("SELECT array('') AS ts"))
+      .union(spark.sql("SELECT array('lone') AS ts"))
+    val mismatches = docs.selectExpr(
+      s"simhash_bits(ts, 32) AS kernel",
+      s"${TextVec.simhashSparkSql("ts", 32)} AS declarative")
+      .filter("kernel <> declarative").count()
+    assert(mismatches == 0)
+  }
+
+  test("max_dup_count kernel equals the declarative distinct×filter spelling") {
+    GraftExtensions.register(spark)
+    val arrays = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS xs")
+      .union(spark.sql("SELECT array('a','a','a') AS xs"))
+      .union(spark.sql("SELECT array('x') AS xs"))
+    val mismatches = arrays.selectExpr(
+      "max_dup_count(xs) AS kernel",
+      "array_max(transform(array_distinct(xs), g -> size(filter(xs, x -> x = g)))) AS declarative")
+      .filter("kernel <> declarative").count()
+    assert(mismatches == 0)
+    // empty array: kernel returns 0 where the lambda spelling is NULL
+    assert(spark.sql("SELECT max_dup_count(array())").head().getInt(0) == 0)
+  }
+
   test("withExtensions installs the functions at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
