@@ -55,6 +55,13 @@ object GraftExtensions {
         case exprs => throw new IllegalArgumentException(
           s"max_dup_count expects 1 argument, got ${exprs.size}")
       }),
+    ("roll_hash",
+      new ExpressionInfo(classOf[RollHash].getName, "roll_hash"),
+      {
+        case Seq(xs) => RollHash(xs)
+        case exprs => throw new IllegalArgumentException(
+          s"roll_hash expects 1 argument, got ${exprs.size}")
+      }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       {

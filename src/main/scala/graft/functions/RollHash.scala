@@ -1,0 +1,77 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Polynomial rolling hash over a token-sequence column:
+  * fold `(acc·31 + v(t)) mod 1e9+7` with seed 0, where v(t) is the
+  * 16-bit value of the first 4 hex digits of md5(t) — the order-
+  * sensitive document fingerprint of t04 (TextVec.rollhashSparkSql /
+  * rollhashDuckSql, which stays the DuckDB oracle spelling).
+  *
+  * The declarative lambda evaluates `md5(t)` FOUR times per token
+  * (once per hex-digit lookup — interpreted HOF trees get no
+  * common-subexpression elimination); this kernel computes one
+  * digest per token in a tight loop. Arithmetic parity: v < 2^16 and
+  * acc < 1e9+7, so `acc·31 + v` stays far under 2^63 — exact in
+  * both engines.
+  *
+  * Null array ⇒ null; a null ELEMENT poisons the fold to null,
+  * exactly like the lambda spelling (md5(NULL) propagates through
+  * the aggregate). Empty array ⇒ 0 (the fold seed) in both engines.
+  */
+case class RollHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "roll_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollHash.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rh")
+      s"""
+         |java.lang.Long $r = graft.functions.RollHash.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollHash {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(toks: ArrayData): java.lang.Long = {
+    val n = toks.numElements()
+    var acc = 0L
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      digest.reset()
+      val d = digest.digest(toks.getUTF8String(i).getBytes)
+      val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      acc = (acc * 31 + v) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(RollHash(ColumnBridge.expression(c)))
+}

@@ -62,5 +62,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(m01MultimodalJoin, m02BinaryMeta)
+  /** Deterministic frame sampling over the opaque media column: each
+    * row is treated as a clip of n_chars "frames" (1 byte = 1 frame
+    * in the toy payload; prod swaps in container metadata), and 4
+    * uniformly-strided frame indices are emitted per clip with the
+    * sampled byte as the frame fingerprint. This is the 1→N
+    * map-side explode shape real frame sampling uses — no shuffle,
+    * output linear in clips × sample count, sampling offsets pure
+    * arithmetic so any engine (or a decode stage downstream of
+    * either) picks identical frames.
+    */
+  val m03FrameSample = Q(
+    "m03_frame_sample",
+    """SELECT doc_id, n_frames, i AS sample_i, i * stride AS frame_idx,
+      |       substr(text, CAST(i * stride + 1 AS INT), 1) AS frame_byte
+      |FROM (
+      |  SELECT doc_id, text, n_chars AS n_frames,
+      |         greatest(n_chars // 4, 1) AS stride,
+      |         unnest(generate_series(0, 3)) AS i
+      |  FROM documents
+      |)
+      |WHERE i * stride < n_frames
+      |ORDER BY doc_id, sample_i""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars").as("n_frames"),
+        greatest(expr("n_chars div 4"), lit(1L)).as("stride"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .withColumn("frame_idx", col("i") * col("stride"))
+      .filter(col("frame_idx") < col("n_frames"))
+      .select(col("doc_id"), col("n_frames"), col("i").as("sample_i"),
+        col("frame_idx"),
+        expr("substr(text, CAST(frame_idx + 1 AS INT), 1)").as("frame_byte"))
+      .orderBy(col("doc_id"), col("sample_i"))
+  }
+
+  def all: Seq[Q] = Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample)
 }

@@ -131,14 +131,15 @@ object TextAnalysis {
          |FROM documents
          |ORDER BY doc_id""".stripMargin }
   ) { (s, d) =>
-    Tables.documents(s, d).createOrReplaceTempView("graft_docs_fp")
-    val toks = "split(text, ' ')"
-    s.sql(
-      s"""SELECT doc_id,
-         |  md5(array_join(array_sort(array_distinct($toks)), ' ')) AS canonical_print,
-         |  ${rollhashSparkSql(toks)} AS rolling_print
-         |FROM graft_docs_fp
-         |ORDER BY doc_id""".stripMargin)
+    // rolling_print runs the RollHash kernel: one md5 per token in a
+    // tight loop vs FOUR per token in the interpreted lambda spelling
+    // (which remains the oracle's and TextVec's documented contract)
+    val tk = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tk)))).as("canonical_print"),
+        graft.functions.RollHash(tk).as("rolling_print"))
+      .orderBy(col("doc_id"))
   }
 
   /** BPE-ish subword tokenization via regex (greedy ≤3-char chunks —

@@ -53,6 +53,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT max_dup_count(array())").head().getInt(0) == 0)
   }
 
+  test("roll_hash kernel equals the declarative fold spelling") {
+    GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS tk")
+      .union(spark.sql("SELECT array('') AS tk"))
+    val mismatches = docs.selectExpr(
+      "roll_hash(tk) AS kernel",
+      s"${TextVec.rollhashSparkSql("tk")} AS declarative")
+      .filter("kernel <> declarative").count()
+    assert(mismatches == 0)
+  }
+
   test("withExtensions installs the functions at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
