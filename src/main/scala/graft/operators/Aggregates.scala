@@ -208,6 +208,36 @@ object Aggregates {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Filtered aggregation (the SQL:2003 FILTER clause): per-group
+    * conditional counts/sums/distincts without exploding the query
+    * into self-joins or CASE pyramids. Spark compiles each FILTER
+    * into the aggregate's input projection — still one two-phase
+    * hash agg, one shuffle; the exact-decimal sum keeps the double
+    * column bit-deterministic (Exact.d2 contract).
+    */
+  val q28FilteredAgg = Q(
+    "q28_filtered_agg",
+    """SELECT l_returnflag,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS qty_discounted,
+      |  count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS n_taxed_supp
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_fagg")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS qty_discounted,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS n_taxed_supp
+        |FROM graft_li_fagg
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
-    q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles)
+    q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg)
 }

@@ -26,6 +26,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * pushdown/pruning machinery as parquet, so heterogenous lakes
+    * (parquet + ORC side by side) read through one code path.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Write a bucketed+sorted external table: both sides of a
     * frequent equi-join bucketed the same way join WITHOUT a
     * shuffle — the 100 TB answer to repeated fact-fact joins.

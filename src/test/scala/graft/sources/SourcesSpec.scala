@@ -37,6 +37,20 @@ class SourcesSpec extends AnyFunSuite {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round trip preserves rows and schema, with predicate pushdown") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Sources.writeOrc(customer, tmp)
+    val back = Sources.readOrc(spark, tmp)
+    assert(back.schema == customer.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+    // the ORC scan gets the same pushdown treatment as parquet
+    val plan = back.filter(col("c_custkey") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(c_custkey,100"), s"no ORC pushdown in:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle on the join key") {
     val tmpA = Files.createTempDirectory("graft_bkt_a").toString
     val tmpB = Files.createTempDirectory("graft_bkt_b").toString
