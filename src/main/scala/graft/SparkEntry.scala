@@ -13,7 +13,7 @@ object SparkEntry {
     Relational.all ++ SpellQueries.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
       SetOps.all ++ ScalarFuncs.all ++ StreamReplay.all ++ Dedup.all ++
       Similarity.all ++ AnnKmeans.all ++ TextAnalysis.all ++ Multimodal.all ++
-      Sampling.all ++ UserFns.all
+      Sampling.all ++ Curation.all ++ UserFns.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline, as ONE declarative query:
+  * quality-filter → exact-dedup (canonical keeper) → deterministic
+  * split assignment. This is the composition story for the ⟨ns⟩
+  * operators — each stage is an operator the inventory already
+  * verifies in isolation (t03's quality formula, d01's min-id keeper,
+  * p03's hash bands), chained the way a training-data pipeline
+  * actually runs them. Catalyst fuses the quality projection and
+  * filter into the scan; the only shuffle is the dedup window's
+  * partition-by-content-hash; split assignment is per-row again.
+  *
+  * Stage order is part of the contract: dedup runs AMONG
+  * quality-passing docs (filter-then-dedup), so a low-quality copy
+  * can't shadow a passing duplicate.
+  */
+object Curation {
+
+  val c01Curate = Q(
+    "c01_curate",
+    { val toks = "string_split(text, ' ')"
+      val stop = s"len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"
+      val quality =
+        s"""0.4 * least(CAST(len($toks) AS DOUBLE) / 40.0, 1.0)
+           |    + 0.4 * (CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks))
+           |    + 0.2 * (CAST($stop AS DOUBLE) / len($toks))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, md5(text) AS content_hash,
+         |         $quality AS quality
+         |  FROM documents
+         |), keepers AS (
+         |  SELECT doc_id, lang, quality,
+         |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |  FROM q WHERE quality >= 0.5
+         |)
+         |SELECT doc_id, lang,
+         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       quality
+         |FROM keepers WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    val stop = size(filter(tk, t => t.isin(Seq("the", "a", "of", "to", "and").map(lit): _*)))
+    val quality = least(size(tk).cast("double") / 40.0, lit(1.0)) * 0.4 +
+      (size(array_distinct(tk)).cast("double") / size(tk)) * 0.4 +
+      (stop.cast("double") / size(tk)) * 0.2
+    val splitKey = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"),
+        quality.as("quality"))
+      .filter(col("quality") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        when(splitKey < "e666", "train")
+          .when(splitKey < "f333", "val")
+          .otherwise("test").as("split"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(c01Curate)
+}

@@ -154,6 +154,13 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("c01: curation pipeline fuses to one content-hash shuffle plus the final sort") {
+    val df = SparkEntry.queries("c01_curate")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d07: every cluster round is an equi-join — no cartesian anywhere") {
     val p = plan("d07_dedup_clusters")
     assert(!p.contains("CartesianProduct"), s"cluster rounds must not cartesian:\n$p")
