@@ -68,12 +68,62 @@ object Bench {
       spark.catalog.clearCache() // queries may cache; don't leak across timings
       (name, if (ok) elapsed else -1.0, ok)
     }
+    // Cast-throughput micro-metric: the reference's only published
+    // numbers are casts/sec (~500 ns/cast Lua micro-bench,
+    // README.md:60-62 → BASELINE.md). Time the engine analog —
+    // castAllColumnar over the events seeds, one spell invocation per
+    // hop — and report ns/cast so the number is tracked round-over-
+    // round next to the query timings. Casts = seeds (each cast once)
+    // + emitted hops (each re-cast, incl. the final drop-producing
+    // invocation folded into its emit).
+    val castMetric = try {
+      import spark.implicits._
+      import graft.engine.{DynEvent, EValue, SpellEngine}
+      import EValue._
+      import org.apache.spark.sql.functions.col
+      val seeds = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("value"))
+        .as[(java.lang.Long, java.lang.Double)]
+      val nSeeds = seeds.count()
+      val t0 = System.nanoTime()
+      val nHops = SpellEngine.castAllColumnar[(java.lang.Long, java.lang.Double), (Long, Long, Double)](
+        seeds, graft.operators.SpellQueries.HalvingSpell,
+        toEvent = { case (id, v) =>
+          DynEvent(Map[EValue, EValue](
+            EStr("event_id") -> (if (id == null) ENil else EInt(id)),
+            EStr("value") -> (if (v == null) ENil else EFloat(v)),
+            EStr("hop") -> EInt(0)))
+        },
+        fromHop = { e =>
+          (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
+            e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
+            e.get("value") match { case Some(EFloat(f)) => f; case _ => Double.NaN })
+        }).count()
+      val elapsedNs = System.nanoTime() - t0
+      val casts = nSeeds + nHops
+      val nsPerCast = if (casts > 0) elapsedNs.toDouble / casts else -1.0
+      s""","cast_bench":{"casts":$casts,"wall_sec":${elapsedNs / 1e9},"ns_per_cast":$nsPerCast}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cast micro-bench failed: ${e.getMessage}"); ""
+    }
+    spark.catalog.clearCache()
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$castMetric,"sf":"$sfDir"}"""
+    // Write the JSON to a file FIRST: the driver's round-2 stdout
+    // tail-capture truncated the head of the (long) JSON line and
+    // lost 17 queries' timings; the file copy is the loss-proof record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -62,8 +62,17 @@ object Cast {
     val spellRef = args(1)
     val seedPath = args.sliding(2).collectFirst { case Seq("--seed", p) => p }
     val dumpEvents = args.contains("--dump-events")
-    val maxHops = args.sliding(2).collectFirst { case Seq("--max-hops", n) => n.toInt }
-      .getOrElse(SpellEngine.RunawayLoopBound)
+    val maxHopsRaw = args.sliding(2).collectFirst { case Seq("--max-hops", n) => n }
+    val maxHops = maxHopsRaw match {
+      case None => SpellEngine.RunawayLoopBound
+      case Some(n) => n.toIntOption match {
+        case Some(v) => v
+        case None =>
+          System.err.println(s"Expected an integer for '--max-hops', but found '$n'.")
+          usage()
+          return 1
+      }
+    }
     if (seedPath.isEmpty) {
       System.err.println(
         "Expected to find '--seed <path_to_event_seed_file>' arguments, but they were not found.")

@@ -33,6 +33,31 @@ object GraftExtensions {
       s"$name expects 2 arguments, got ${exprs.size}")
   }
 
+  /** (array, k) builders where k must fold to an integer constant at
+    * plan time (the kernel's member/bit count fixes codegen shape).
+    * Accepts any foldable integral expression — `8`, `8L`, `4+4` —
+    * not just an IntegerType literal, and distinguishes wrong-arity
+    * from non-constant-k in the error.
+    */
+  private def arrayWithConstInt(name: String, make: (Expression, Int) => Expression): Builder = {
+    case Seq(ts, k) =>
+      val folded =
+        if (k.foldable) k.eval() match {
+          case i: Int => Some(i)
+          case l: Long if l.isValidInt => Some(l.toInt)
+          case s: Short => Some(s.toInt)
+          case b: Byte => Some(b.toInt)
+          case _ => None
+        } else None
+      folded match {
+        case Some(i) => make(ts, i)
+        case None => throw new IllegalArgumentException(
+          s"$name expects its 2nd argument to be an integer constant (e.g. 8 or 8L), got ${k.sql}")
+      }
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects 2 arguments (array<string>, int constant), got ${exprs.size}")
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("float_vec_dot",
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
@@ -42,12 +67,7 @@ object GraftExtensions {
       binary("sorted_array_jaccard", SortedArrayJaccard(_, _))),
     ("minhash_sigs",
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      {
-        case Seq(ts, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-          MinHashSigs(ts, k)
-        case exprs => throw new IllegalArgumentException(
-          s"minhash_sigs expects (array<string>, int literal), got ${exprs.size} args")
-      }),
+      arrayWithConstInt("minhash_sigs", MinHashSigs(_, _))),
     ("max_dup_count",
       new ExpressionInfo(classOf[MaxDupCount].getName, "max_dup_count"),
       {
@@ -64,12 +84,7 @@ object GraftExtensions {
       }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
-      {
-        case Seq(ts, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-          SimHashBits(ts, n)
-        case exprs => throw new IllegalArgumentException(
-          s"simhash_bits expects (array<string>, int literal), got ${exprs.size} args")
-      }))
+      arrayWithConstInt("simhash_bits", SimHashBits(_, _))))
 
   /** Register on an existing session (e.g. one the driver built). */
   def register(spark: SparkSession): Unit =

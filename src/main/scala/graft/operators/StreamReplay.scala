@@ -36,6 +36,23 @@ object StreamReplay {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Scopes the nanosAsLong reader conf to `body` (the streaming
+    * replays run eagerly inside it — AvailableNow + awaitTermination —
+    * so the source is fully read before the conf is restored).
+    * Without the restore, the setting leaked to every later query in
+    * the shared Verify/Bench session.
+    */
+  private def withNanosAsLong[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val q71StreamReplay = Q(
     "q71_stream_replay",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
@@ -45,8 +62,7 @@ object StreamReplay {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
-  ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  ) { (s, d) => withNanosAsLong(s) {
     // the file source wants a directory; glob-filter it to the events table
     val stream = s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -67,7 +83,7 @@ object StreamReplay {
       .start()
     query.awaitTermination()
     s.table(sinkName).orderBy(col("window_start"), col("event_type"))
-  }
+  } }
 
   /** Sessionization: per-user session windows with an 8-hour
     * inactivity gap, via Spark's native `session_window` (the same
@@ -146,8 +162,7 @@ object StreamReplay {
       | AND a.event_type = 'view' AND b.event_type = 'purchase'
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR
       |ORDER BY a.user_id, view_id, purchase_id""".stripMargin
-  ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  ) { (s, d) => withNanosAsLong(s) {
     def side(eventType: String, prefix: String) =
       s.readStream.schema(eventsSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -171,7 +186,7 @@ object StreamReplay {
       .start()
     query.awaitTermination()
     s.table(sinkName).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
-  }
+  } }
 
   /** Streaming dedup under the oracle: `dropDuplicates` over a
     * key-only projection (user_id, event_type) — the state is the
@@ -186,8 +201,7 @@ object StreamReplay {
     "q74_stream_dedup_replay",
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
-  ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  ) { (s, d) => withNanosAsLong(s) {
     val deduped = s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .select(col("user_id"), col("event_type"))
@@ -202,7 +216,7 @@ object StreamReplay {
       .start()
     query.awaitTermination()
     s.table(sinkName).orderBy(col("user_id"), col("event_type"))
-  }
+  } }
 
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay)

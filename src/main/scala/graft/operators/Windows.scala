@@ -167,7 +167,7 @@ object Windows {
       |  count(*) OVER wle - count(*) OVER wlt AS n_near,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER wle
       |       - coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER wlt, 0) AS DOUBLE) AS sum_near
-      |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
       |WINDOW
       |  wle AS (PARTITION BY o_orderstatus ORDER BY cents
       |          RANGE BETWEEN UNBOUNDED PRECEDING AND 500000 FOLLOWING),
@@ -179,7 +179,11 @@ object Windows {
     val wle = base.rangeBetween(Window.unboundedPreceding, 500000L)
     val wlt = base.rangeBetween(Window.unboundedPreceding, -500001L)
     Tables.orders(s, d)
-      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      // floor(p*100 + 0.5), not round(p*100): the repo's oracle rule
+      // bans round() on doubles (Spark HALF_UP vs DuckDB could in
+      // principle diverge near .5); floor is the same IEEE op sequence
+      // in both engines, so cents is bit-identical by construction.
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         (count(lit(1)).over(wle) - count(lit(1)).over(wlt)).as("n_near"),
         (sum(d2(col("o_totalprice"))).over(wle)

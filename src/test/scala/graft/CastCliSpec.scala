@@ -107,6 +107,13 @@ class CastCliSpec extends AnyFunSuite {
     assert(captureRun("cast", "no.such.Spell", "--seed", seed)._1 === 1)
   }
 
+  test("non-integer --max-hops exits 1 via the usage channel, no stack trace") {
+    val seed = seedFile("""{"counter": 3}""")
+    val (rc, _) = captureRun(
+      "cast", "decrement-counter", "--seed", seed, "--max-hops", "banana")
+    assert(rc === 1)
+  }
+
   test("runtime cast failure maps to the E2 channel") {
     object Boom extends engine.Spell {
       override def cast(e: engine.DynEvent) = throw new IllegalStateException("boom")

@@ -65,6 +65,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("const-int k accepts BIGINT and foldable literals, rejects non-constants") {
+    GraftExtensions.register(spark)
+    // 8L (BIGINT literal) and a foldable expression both fold to the same kernel
+    val r = spark.sql(
+      "SELECT minhash_sigs(array('a','b'), 8L) AS l, " +
+        "minhash_sigs(array('a','b'), 4 + 4) AS f, " +
+        "minhash_sigs(array('a','b'), 8) AS i").head()
+    assert(r.getSeq[String](0) == r.getSeq[String](2))
+    assert(r.getSeq[String](1) == r.getSeq[String](2))
+    assert(spark.sql("SELECT simhash_bits(array('a'), 32L)").head().getLong(0)
+      == spark.sql("SELECT simhash_bits(array('a'), 32)").head().getLong(0))
+    // non-constant k: the error names the real problem, not arity
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(array('a'), cast(id AS INT)) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer constant"), e.getMessage)
+  }
+
   test("withExtensions installs the functions at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
