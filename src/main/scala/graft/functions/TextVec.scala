@@ -44,6 +44,49 @@ object TextVec {
 
   def sqlNorm(x: String): String = s"sqrt(${sqlDot(x, x)})"
 
+  /** Embedding dimensionality of the driver corpus (TESTDATA.md:
+    * `embeddings.parquet` is `array<float>[64]` at every sf). The
+    * seeded planes/centroids below are built at this width; a corpus
+    * with a different width would need the constant changed (the dot
+    * kernels truncate to the shorter operand, so a mismatch degrades
+    * recall rather than erroring).
+    */
+  val EmbDim = 64
+
+  /** Seeded corpus-independent ±1 hyperplane (LSH plane / IVF corner
+    * centroid): component i of plane `j` is +1 iff the first hex
+    * nibble of md5("gp_<j>_<i>") is < 8, i.e. the top bit of the
+    * digest's first byte is 0 — an unbiased deterministic coin that
+    * both engines can compute exactly. Round 2 derived planes and
+    * centroids from embeddings 0..N (corpus-prefix-dependent — a
+    * quality hazard the round-2 verdict flagged); this construction
+    * depends only on the seed string, and ±1 components are exact in
+    * float, so `dot(e, plane)` is the same signed sum in both
+    * engines bit-for-bit.
+    */
+  def seededPlane(j: Int, dim: Int = EmbDim): Seq[Float] =
+    (0 until dim).map { i =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gp_${j}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((digest(0) & 0x80) == 0) 1.0f else -1.0f
+    }
+
+  /** [[seededPlane]] as a constant-foldable Column (array<float>
+    * literal — the planner inlines it, so bucket assignment is a pure
+    * per-row projection with no join at all).
+    */
+  def seededPlaneCol(j: Int, dim: Int = EmbDim): Column =
+    typedlit(seededPlane(j, dim))
+
+  /** DuckDB spelling of the identical construction (evaluate once in
+    * a 1-row CTE and cross-join it, mirroring how Spark constant-
+    * folds the literal).
+    */
+  def sqlSeededPlane(j: Int, dim: Int = EmbDim): String =
+    s"list_transform(range(0, $dim), i -> " +
+      s"CASE WHEN substr(md5('gp_${j}_' || CAST(i AS VARCHAR)), 1, 1) < '8' " +
+      s"THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END)"
+
   /** Minhash i over a token-set column: min over tokens of hash-family
     * member i, where member i is hex digits [4i, 4i+4) of ONE md5(t)
     * — 8 disjoint 16-bit hashes from a single digest per token,

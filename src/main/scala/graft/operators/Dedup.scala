@@ -225,13 +225,14 @@ object Dedup {
   /** Embedding near-duplicates, bucket-then-verify (the 100 TB
     * shape — round 1 shipped an uncapped O(n²) theta self-join here;
     * the verdict flagged it and this is the prescribed rewrite):
-    * 4 random-hyperplane signs (planes = embeddings 0..3, data-
-    * derived so the construction is oracle-checkable) are split into
-    * 2 bands of 2 bits; same-(band, bucket) candidates — an
-    * equi-self-join, ONE shuffle, no cartesian — are then verified
-    * with exact cosine > 0.35. Two OR'd bands ≈ 0.6 recall at the
-    * 0.35 threshold vs a single 4-bit table's ≈ 0.14; at scale you
-    * add bands/tables, not pairs.
+    * 4 seeded corpus-independent ±1 hyperplane signs
+    * ([[graft.functions.TextVec.seededPlane]] — constant literals,
+    * so bucketing is a pure projection with no corpus-prefix
+    * dependence) are split into 2 bands of 2 bits; same-(band,
+    * bucket) candidates — an equi-self-join, ONE shuffle, no
+    * cartesian — are then verified with exact cosine > 0.35. Two
+    * OR'd bands keep recall well above a single 4-bit table's; at
+    * scale you add bands/tables, not pairs.
     */
   /** DuckDB CTE chain ending in `verified(id_a, id_b, cos_sim)` —
     * the bucket-then-verify near-dup pairs shared by d06 (which
@@ -239,18 +240,16 @@ object Dedup {
     */
   private def embPairsCtes: String = {
     def bit(j: Int, w: Int) =
-      s"(CASE WHEN ${sqlDot("e.embedding", s"p$j.embedding")} > 0 THEN $w ELSE 0 END)"
-    s"""e AS (
+      s"(CASE WHEN ${sqlDot("e.embedding", s"p.p$j")} > 0 THEN $w ELSE 0 END)"
+    s"""planes AS (
+       |  SELECT ${(0 until 4).map(j => s"${sqlSeededPlane(j)} AS p$j").mkString(",\n         ")}
+       |), e AS (
        |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
        |), buck AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, e.nrm,
        |         ${bit(0, 1)} + ${bit(1, 2)} AS b0,
        |         ${bit(2, 1)} + ${bit(3, 2)} AS b1
-       |  FROM e,
-       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) p0,
-       |       (SELECT embedding FROM embeddings WHERE vec_id = 1) p1,
-       |       (SELECT embedding FROM embeddings WHERE vec_id = 2) p2,
-       |       (SELECT embedding FROM embeddings WHERE vec_id = 3) p3
+       |  FROM e, planes p
        |), bands AS (
        |  SELECT vec_id, 0 AS band, b0 AS bucket FROM buck
        |  UNION ALL
@@ -279,16 +278,10 @@ object Dedup {
       d: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val planes = emb.filter(col("vec_id") < 4)
-      .groupBy()
-      .pivot("vec_id", Seq(0, 1, 2, 3))
-      .agg(first(col("embedding")))
-      .toDF("p0", "p1", "p2", "p3")
+    // seeded constant planes: band-bucket assignment is a pure projection
     def bit(j: Int, w: Int) =
-      when(dot(col("embedding"), col(s"p$j")) > 0, lit(w)).otherwise(lit(0))
-    val buck = e.crossJoin(broadcast(planes))
-      // corpus smaller than the plane count ⇒ empty oracle subqueries ⇒ no rows
-      .filter((0 until 4).map(j => col(s"p$j").isNotNull).reduce(_ && _))
+      when(dot(col("embedding"), seededPlaneCol(j)) > 0, lit(w)).otherwise(lit(0))
+    val buck = e
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (bit(0, 1) + bit(1, 2)).as("b0"), (bit(2, 1) + bit(3, 2)).as("b1"))
       .cache() // feeds both band sides and both verify joins

@@ -53,26 +53,28 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
-  /** LSH-bucketed approximate NN: 4 hyperplanes (data-derived, so the
-    * construction is deterministic and oracle-checkable) give a 4-bit
-    * sign bucket; neighbors are only searched within the query's
-    * bucket, then top-3 by exact cosine. Documented recall tradeoff —
-    * at scale, bucket count grows with corpus size.
+  /** LSH-bucketed approximate NN: 4 seeded corpus-independent ±1
+    * hyperplanes ([[graft.functions.TextVec.seededPlane]]) give a
+    * 4-bit sign bucket; neighbors are only searched within the
+    * query's bucket, then top-3 by exact cosine. The planes are
+    * constant literals, so bucket assignment is a pure per-row
+    * projection — no join, no corpus dependence (round 2 used
+    * embeddings 0..3 as planes, which tied index quality to the
+    * corpus prefix). Documented recall tradeoff — at scale, plane
+    * count (bucket count) grows with corpus size.
     */
   val s02AnnLsh = Q(
     "s02_ann_lsh",
     { def bit(j: Int) =
-        s"(CASE WHEN ${sqlDot("e.embedding", s"p$j.embedding")} > 0 THEN ${1 << j} ELSE 0 END)"
-      s"""WITH e AS (
+        s"(CASE WHEN ${sqlDot("e.embedding", s"p.p$j")} > 0 THEN ${1 << j} ELSE 0 END)"
+      s"""WITH planes AS (
+         |  SELECT ${(0 until 4).map(j => s"${sqlSeededPlane(j)} AS p$j").mkString(",\n         ")}
+         |), e AS (
          |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
          |), buck AS (
          |  SELECT e.vec_id, e.embedding, e.nrm,
          |         ${(0 until 4).map(bit).mkString(" + ")} AS bucket
-         |  FROM e,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) p0,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 1) p1,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 2) p2,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 3) p3
+         |  FROM e, planes p
          |), scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
          |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
@@ -90,19 +92,11 @@ object Similarity {
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    // one-row frame of the 4 hyperplane vectors, broadcast to the scan
-    val planes = emb.filter(col("vec_id") < 4)
-      .groupBy()
-      .pivot("vec_id", Seq(0, 1, 2, 3))
-      .agg(first(col("embedding")))
-      .toDF("p0", "p1", "p2", "p3")
+    // seeded constant planes: bucket assignment is a pure projection
     val bucket = (0 until 4).map { j =>
-      when(dot(col("embedding"), col(s"p$j")) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(col("embedding"), seededPlaneCol(j)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    val buck = e.crossJoin(broadcast(planes))
-      // a corpus smaller than the plane count leaves null plane columns;
-      // match the oracle (whose plane subqueries are then empty): no rows
-      .filter((0 until 4).map(j => col(s"p$j").isNotNull).reduce(_ && _))
+    val buck = e
       .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
       .cache() // bucket assignment feeds BOTH join sides — compute once
     val q = buck.filter(col("vec_id") < 10)
@@ -122,34 +116,36 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
-  /** IVF-style ANN: 8 data-derived centroids (embeddings 0..7);
+  /** IVF-style ANN: 8 seeded corpus-independent ±1 corner centroids
+    * ([[graft.functions.TextVec.seededPlane]] with a distinct seed
+    * offset — each cell is "which signed-sum corner aligns best");
     * every vector is assigned to its nearest centroid by dot product
-    * (argmin over a fixed list — deterministic tie-break by index);
+    * (argmax over a fixed list — deterministic tie-break by index);
     * queries probe only their own cell, then exact cosine top-3.
-    * At scale: cells partition the corpus, the centroid table
-    * broadcasts, and a query touches 1/n_cells of the data; more
-    * centroids (k-means-trained) and multi-probe are the production
-    * knobs — the plumbing here is the real shape.
+    * At scale: cells partition the corpus, assignment is a pure
+    * projection (constant centroids), and a query touches 1/n_cells
+    * of the data; TRAINED centroids (s04's k-means) and multi-probe
+    * (s06) are the production knobs — the plumbing here is the real
+    * shape, with no corpus-prefix dependence (round 2 used
+    * embeddings 0..7 as centroids).
     */
+  /** Seed offset separating IVF centroids from the s02/d06 LSH
+    * planes (plane ids 0..3 are taken; centroids use 100..107).
+    */
+  private val CentroidSeedBase = 100
+
   /** Shared IVF plumbing (s03 single-probe, s06 multi-probe): the
-    * corpus crossed with the 8 broadcast data-derived centroids,
-    * yielding per-row dots d0..d7, plus the argmax cell expression
+    * corpus with per-row dots d0..d7 against the 8 constant seeded
+    * centroids (pure projection), plus the argmax cell expression
     * (ties to the lowest centroid id).
     */
   private def centroidDots(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = emb.filter(col("vec_id") < 8)
-      .groupBy()
-      .pivot("vec_id", 0 until 8)
-      .agg(first(col("embedding")))
-      .toDF((0 until 8).map(j => s"c$j"): _*)
-    e.crossJoin(broadcast(centroids))
-      // match the oracle when the corpus has < 8 vectors (empty result)
-      .filter((0 until 8).map(j => col(s"c$j").isNotNull).reduce(_ && _))
-      .select(col("vec_id") +: col("embedding") +: col("nrm") +:
-        (0 until 8).map(j => dot(col("embedding"), col(s"c$j")).as(s"d$j")): _*)
+    emb.select(col("vec_id") +: col("embedding") +:
+      norm(col("embedding")).as("nrm") +:
+      (0 until 8).map(j =>
+        dot(col("embedding"), seededPlaneCol(CentroidSeedBase + j)).as(s"d$j")): _*)
   }
 
   private def cellExpr: org.apache.spark.sql.Column =
@@ -160,15 +156,16 @@ object Similarity {
     }
 
   private def sqlCtrCells: String = {
-    def dots = (0 until 8).map(j => s"${sqlDot("e.embedding", s"c$j.embedding")} AS d$j").mkString(", ")
+    def dots = (0 until 8).map(j => s"${sqlDot("e.embedding", s"c.c$j")} AS d$j").mkString(", ")
     def whenChain = (0 until 8).map { j =>
       val geAll = (0 until 8).filter(_ != j).map(k => s"d$j >= d$k").mkString(" AND ")
       s"WHEN $geAll THEN $j"
     }.mkString(" ")
-    s"""ctr AS (
+    s"""ctrs AS (
+       |  SELECT ${(0 until 8).map(j => s"${sqlSeededPlane(CentroidSeedBase + j)} AS c$j").mkString(",\n         ")}
+       |), ctr AS (
        |  SELECT e.vec_id, e.embedding, ${sqlNorm("e.embedding")} AS nrm, $dots
-       |  FROM embeddings e,
-       |       ${(0 until 8).map(j => s"(SELECT embedding FROM embeddings WHERE vec_id = $j) c$j").mkString(",\n       ")}
+       |  FROM embeddings e, ctrs c
        |), cells AS (
        |  SELECT vec_id, embedding, nrm, CASE $whenChain END AS cell FROM ctr
        |)""".stripMargin
