@@ -2,70 +2,223 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextVec._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-curation pipeline, as ONE declarative query:
   * quality-filter → exact-dedup (canonical keeper) → deterministic
-  * split assignment. This is the composition story for the ⟨ns⟩
-  * operators — each stage is an operator the inventory already
-  * verifies in isolation (t03's quality formula, d01's min-id keeper,
-  * p03's hash bands), chained the way a training-data pipeline
-  * actually runs them. Catalyst fuses the quality projection and
-  * filter into the scan; the only shuffle is the dedup window's
-  * partition-by-content-hash; split assignment is per-row again.
+  * split assignment (c01), extended with the near-dup collapse stage
+  * (c02) — the real production order for a training corpus. Each
+  * stage is an operator the inventory already verifies in isolation
+  * (t03's quality formula, d01's min-id keeper, d03's banded LSH
+  * pairs, d07's label propagation, p03's hash bands), chained the
+  * way a training-data pipeline actually runs them. Catalyst fuses
+  * the quality projection and filter into the scan; exact dedup is
+  * the one content-hash shuffle; the near-dup stage adds only banded
+  * equi-joins (never a cartesian); split assignment is per-row again.
   *
   * Stage order is part of the contract: dedup runs AMONG
   * quality-passing docs (filter-then-dedup), so a low-quality copy
-  * can't shadow a passing duplicate.
+  * can't shadow a passing duplicate; near-dup collapse runs AMONG
+  * exact keepers, so its candidate space is already linear in
+  * distinct content.
   */
 object Curation {
 
-  val c01Curate = Q(
-    "c01_curate",
-    { val toks = "string_split(text, ' ')"
-      val stop = s"len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"
-      val quality =
-        s"""0.4 * least(CAST(len($toks) AS DOUBLE) / 40.0, 1.0)
-           |    + 0.4 * (CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks))
-           |    + 0.2 * (CAST($stop AS DOUBLE) / len($toks))""".stripMargin
-      s"""WITH q AS (
-         |  SELECT doc_id, lang, md5(text) AS content_hash,
-         |         $quality AS quality
-         |  FROM documents
-         |), keepers AS (
-         |  SELECT doc_id, lang, quality,
-         |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
-         |  FROM q WHERE quality >= 0.5
-         |)
-         |SELECT doc_id, lang,
-         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
-         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
-         |            ELSE 'test' END AS split,
-         |       quality
-         |FROM keepers WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin }
-  ) { (s, d) =>
+  /** t03's quality score (paired spellings, identical IEEE ops). */
+  private val sqlToks = "string_split(text, ' ')"
+  private val sqlQuality = {
+    val stop = s"len(list_filter($sqlToks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"
+    s"""0.4 * least(CAST(len($sqlToks) AS DOUBLE) / 40.0, 1.0)
+       |    + 0.4 * (CAST(len(list_distinct($sqlToks)) AS DOUBLE) / len($sqlToks))
+       |    + 0.2 * (CAST($stop AS DOUBLE) / len($sqlToks))""".stripMargin
+  }
+  private def sparkQuality: Column = {
     val tk = tokens(col("text"))
     val stop = size(filter(tk, t => t.isin(Seq("the", "a", "of", "to", "and").map(lit): _*)))
-    val quality = least(size(tk).cast("double") / 40.0, lit(1.0)) * 0.4 +
+    least(size(tk).cast("double") / 40.0, lit(1.0)) * 0.4 +
       (size(array_distinct(tk)).cast("double") / size(tk)) * 0.4 +
       (stop.cast("double") / size(tk)) * 0.2
-    val splitKey = substring(md5(col("doc_id").cast("string")), 1, 4)
+  }
+
+  /** p03's deterministic 90/5/5 split (md5-keyed: reproducible under
+    * any partitioning, unlike rand()/TABLESAMPLE).
+    */
+  private def sqlSplit(idExpr: String) =
+    s"""CASE WHEN substr(md5(CAST($idExpr AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+       |            WHEN substr(md5(CAST($idExpr AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+       |            ELSE 'test' END""".stripMargin
+  private def sparkSplit: Column = {
+    val key = substring(md5(col("doc_id").cast("string")), 1, 4)
+    when(key < "e666", "train").when(key < "f333", "val").otherwise("test")
+  }
+
+  val c01Curate = Q(
+    "c01_curate",
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, md5(text) AS content_hash,
+       |         $sqlQuality AS quality
+       |  FROM documents
+       |), keepers AS (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+       |  FROM q WHERE quality >= 0.5
+       |)
+       |SELECT doc_id, lang,
+       |       ${sqlSplit("doc_id")} AS split,
+       |       quality
+       |FROM keepers WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"),
-        quality.as("quality"))
+        sparkQuality.as("quality"))
       .filter(col("quality") >= 0.5)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"),
-        when(splitKey < "e666", "train")
-          .when(splitKey < "f333", "val")
-          .otherwise("test").as("split"),
-        col("quality"))
+      .select(col("doc_id"), col("lang"), sparkSplit.as("split"), col("quality"))
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(c01Curate)
+  /** Round budget for c02's near-dup component collapse. The text
+    * near-dup graph (Jaccard ≥ 0.9 over token sets, after exact
+    * keepers collapse) has far shorter chains than d07's embedding
+    * graph; 4 hop+jump rounds cover reach ≫ any observed chain, and
+    * the runtime convergence probe fails loudly if a corpus ever
+    * exhausts it.
+    */
+  val C02Rounds = 4
+
+  /** c01 + the near-dup collapse stage: quality-filter → exact-dedup
+    * keeper → MinHash-LSH near-dup *cluster* keeper (one doc per
+    * connected component of the Jaccard ≥ 0.9 graph, d03's banded
+    * candidate generation + d07's label propagation) → deterministic
+    * split. A near-identical copy (trailing whitespace, one token
+    * changed) survives c01's exact dedup but is collapsed here.
+    *
+    * Scale shape: identical token sets collapse first (groupBy), so
+    * the band join runs over distinct sets; candidates come from a
+    * banded equi-join verified inline; the component collapse is
+    * O(rounds) equi-joins on the (tiny) edge set; the final keeper
+    * test is a broadcast-sized left join back to the doc list. No
+    * cartesian anywhere (pinned in PlanSpec).
+    */
+  val c02CurateNearDup = Q(
+    "c02_curate_neardup",
+    { val ts = "list_sort(list_distinct(string_split(text, ' ')))"
+      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+      val bandsSql = (0 until 2).map(i =>
+        s"SELECT rep_id, ts, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
+        .mkString("\n  UNION ALL ")
+      val rounds = (1 to C02Rounds).map(i =>
+        s"m$i AS MATERIALIZED (SELECT g.src AS node_id, min(l.label) AS label " +
+          s"FROM g JOIN l${i - 1} l ON g.dst = l.node_id GROUP BY g.src),\n  " +
+          s"l$i AS (SELECT a.node_id, b.label FROM m$i a JOIN m$i b ON a.label = b.node_id)")
+        .mkString(",\n  ")
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text, $sqlQuality AS quality FROM documents
+         |), keepers AS (
+         |  SELECT doc_id, lang, quality, text FROM (
+         |    SELECT doc_id, lang, quality, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM q WHERE quality >= 0.5
+         |  ) WHERE rn = 1
+         |), ksets AS (
+         |  SELECT doc_id, lang, quality, $ts AS ts FROM keepers
+         |), sets AS MATERIALIZED (
+         |  SELECT md5(array_to_string(ts, ' ')) AS set_hash, min(doc_id) AS rep_id,
+         |         any_value(ts) AS ts
+         |  FROM ksets
+         |  GROUP BY md5(array_to_string(ts, ' '))
+         |), doc_reps AS (
+         |  SELECT k.doc_id, k.lang, k.quality, s.rep_id
+         |  FROM (SELECT doc_id, lang, quality, md5(array_to_string(ts, ' ')) AS set_hash
+         |        FROM ksets) k
+         |  JOIN sets s ON k.set_hash = s.set_hash
+         |), sig AS (
+         |  SELECT rep_id, ts, $mhs FROM sets
+         |), bands AS (
+         |  $bandsSql
+         |), edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.rep_id AS e_src, b.rep_id AS e_dst
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
+         |  WHERE len(a.ts) * 10 >= len(b.ts) * 9 AND len(b.ts) * 10 >= len(a.ts) * 9
+         |    AND ${sqlJaccard("a.ts", "b.ts")} >= 0.9
+         |), sym AS (
+         |  SELECT e_src AS src, e_dst AS dst FROM edges
+         |  UNION ALL
+         |  SELECT e_dst AS src, e_src AS dst FROM edges
+         |), nodes AS (
+         |  SELECT DISTINCT src FROM sym
+         |), g AS MATERIALIZED (
+         |  SELECT src, dst FROM sym
+         |  UNION ALL
+         |  SELECT src, src AS dst FROM nodes
+         |), l0 AS (
+         |  SELECT src AS node_id, src AS label FROM nodes
+         |),
+         |  $rounds,
+         |labels AS (
+         |  SELECT node_id AS rep_id, label FROM l$C02Rounds
+         |)
+         |SELECT d.doc_id, d.lang,
+         |       ${sqlSplit("d.doc_id")} AS split,
+         |       d.quality
+         |FROM doc_reps d LEFT JOIN labels l ON d.rep_id = l.rep_id
+         |WHERE d.doc_id = coalesce(l.label, d.rep_id)
+         |ORDER BY d.doc_id""".stripMargin }
+  ) { (s, d) =>
+    val wExact = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val keepers = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("content_hash"), sparkQuality.as("quality"))
+      .filter(col("quality") >= 0.5)
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") === 1)
+    val ksets = keepers
+      .select(col("doc_id"), col("lang"), col("quality"),
+        array_sort(tokenSet(col("text"))).as("ts"))
+      .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
+    val sets = ksets.groupBy(col("set_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
+      .cache() // feeds doc_reps AND the signature/band pipeline
+    val docReps = ksets.select(col("doc_id"), col("lang"), col("quality"), col("set_hash"))
+      .join(sets.select(col("set_hash"), col("rep_id")), "set_hash")
+      .select(col("doc_id"), col("lang"), col("quality"), col("rep_id"))
+    val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
+    val sig = sets.select(
+      col("rep_id") +: col("ts") +:
+        (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
+      .cache() // both band-join sides — compute the kernel once
+    val bandArr = array((0 until 2).map(i =>
+      md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+    val bands = sig.select(col("rep_id"), col("ts"),
+      posexplode(bandArr).as(Seq("band", "h")))
+    val edges = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h")
+          && col("a.rep_id") < col("b.rep_id"))
+      .filter(size(col("a.ts")) * 10 >= size(col("b.ts")) * 9
+        && size(col("b.ts")) * 10 >= size(col("a.ts")) * 9)
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .cache() // referenced 3× by the propagation graph
+    val (g, labelsRaw) = Dedup.propagateLabels(edges, C02Rounds)
+    val labels = labelsRaw.localCheckpoint()
+    Dedup.assertConverged(g, labels, C02Rounds, "c02_curate_neardup")
+    docReps.alias("d")
+      .join(labels.select(col("vec_id").as("rep_id"), col("label")).alias("l"),
+        col("d.rep_id") === col("l.rep_id"), "left")
+      .filter(col("doc_id") === coalesce(col("label"), col("d.rep_id")))
+      .select(col("doc_id"), col("lang"), sparkSplit.as("split"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup)
 }

@@ -355,8 +355,20 @@ object Dedup {
     // verify-joins subtree executes ~3× before g materializes (the
     // round-2 judge's one measured hotspot).
     val verified = verifiedEmbeddingPairs(s, d).cache()
-    val sym = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
+    propagateLabels(verified, rounds)
+  }
+
+  /** Hop+jump min-label propagation over an undirected edge set
+    * `pairs(id_a, id_b)` for `rounds` iterations. Returns the cached
+    * self-loop graph `g(src, dst)` (for convergence probes) and the
+    * final `labels(vec_id, label)`. Shared by d07 (embedding
+    * near-dup clusters) and c02 (text near-dup collapse in the
+    * curation pipeline).
+    */
+  private[operators] def propagateLabels(pairs: org.apache.spark.sql.DataFrame,
+      rounds: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val nodes = sym.select(col("src")).distinct()
     val g = sym.union(nodes.select(col("src"), col("src").as("dst"))).cache()
     var labels = nodes.select(col("src").as("vec_id"), col("src").as("label"))
@@ -378,6 +390,25 @@ object Dedup {
         .select(col("a.vec_id"), col("b.label"))
     }
     (g, labels)
+  }
+
+  /** One-extra-hop convergence probe over [[propagateLabels]] output:
+    * throws if any node's min-neighbor-label still differs from its
+    * label (stale labels would silently mis-split clusters on a
+    * corpus with longer chains than the round budget covers).
+    * `labels` should be materialized (localCheckpoint) by the caller.
+    */
+  private[operators] def assertConverged(g: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame, rounds: Int, query: String): Unit = {
+    val changed = g.alias("g")
+      .join(labels.alias("l"), col("g.dst") === col("l.vec_id"))
+      .groupBy(col("g.src")).agg(min(col("l.label")).as("nlabel"))
+      .join(labels.alias("c"), col("src") === col("c.vec_id"))
+      .filter(col("nlabel") =!= col("c.label"))
+      .count()
+    if (changed > 0) throw new IllegalStateException(
+      s"$query: min-label propagation not converged after $rounds rounds " +
+        s"($changed labels still changing); raise the round budget for this corpus")
   }
 
   val d07DedupClusters = Q(
@@ -417,15 +448,7 @@ object Dedup {
     // wrong). One extra hop over the cached graph is cheap (~1/8 of
     // the propagation cost); fail loudly rather than mis-split
     // clusters silently.
-    val changed = g.alias("g")
-      .join(labels.alias("l"), col("g.dst") === col("l.vec_id"))
-      .groupBy(col("g.src")).agg(min(col("l.label")).as("nlabel"))
-      .join(labels.alias("c"), col("src") === col("c.vec_id"))
-      .filter(col("nlabel") =!= col("c.label"))
-      .count()
-    if (changed > 0) throw new IllegalStateException(
-      s"d07_dedup_clusters: min-label propagation not converged after $CcRounds rounds " +
-        s"($changed labels still changing); raise Dedup.CcRounds for this corpus")
+    assertConverged(g, labels, CcRounds, "d07_dedup_clusters")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     labels.alias("l")
       .join(sizes.alias("c"), col("l.label") === col("c.label"))

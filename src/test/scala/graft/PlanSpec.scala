@@ -161,6 +161,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c02: near-dup curation keeps banded equi-joins — no cartesian anywhere") {
+    val df = SparkEntry.queries("c02_curate_neardup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"curation must not cartesian:\n$p")
+    // the keeper test joins the (checkpointed, tiny) label table back
+    // to the doc list — broadcastable by size, never a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("d07: every cluster round is an equi-join — no cartesian anywhere") {
     val p = plan("d07_dedup_clusters")
     assert(!p.contains("CartesianProduct"), s"cluster rounds must not cartesian:\n$p")
