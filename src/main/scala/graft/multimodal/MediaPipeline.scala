@@ -56,6 +56,72 @@ object FakeDecoder extends MediaDecoder {
   }
 }
 
+/** REAL pure-JVM decoder for one trivial format: binary PPM ("P6").
+  * The container has no media libraries, but PPM needs none — the
+  * header is ASCII (`P6 <width> <height> <maxval>`, '#' comments
+  * allowed between tokens, one whitespace byte before pixel data)
+  * and the payload is raw RGB. This makes the decode stage of the
+  * m-series a real parser behind the same [[MediaDecoder]] trait the
+  * stubs use; [[SniffingDecoder]] routes P6 payloads here and
+  * everything else to the stub.
+  */
+object PpmDecoder extends MediaDecoder {
+
+  def isPpm(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 'P' && bytes(1) == '6' &&
+      (bytes(2) == ' ' || bytes(2) == '\t' || bytes(2) == '\n' ||
+        bytes(2) == '\r' || bytes(2) == '#')
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isPpm(b), s"media_id=${row.media_id}: not a P6 PPM payload")
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def token(): Int = {
+      skipWs()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"media_id=${row.media_id}: malformed PPM header")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    require(maxval > 0 && maxval < 65536, s"media_id=${row.media_id}: bad PPM maxval $maxval")
+    i += 1 // exactly ONE whitespace byte separates the header from pixels
+    val bytesPerSample = if (maxval < 256) 1 else 2
+    require(b.length - i >= w.toLong * h * 3 * bytesPerSample,
+      s"media_id=${row.media_id}: truncated PPM pixel data")
+    var checksum = 0L
+    var j = i
+    while (j < b.length) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = w,
+      height = h,
+      n_channels = 3,
+      checksum = checksum)
+  }
+}
+
+/** Content-sniffing decoder: real formats go to their real parser,
+  * everything else to `fallback` (the stub, until more codecs land).
+  */
+final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
+  override def decode(row: MediaRow): MediaFeatures =
+    if (PpmDecoder.isPpm(row.payload)) PpmDecoder.decode(row)
+    else fallback.decode(row)
+}
+
 /** A transformed media payload (resize output). */
 final case class ResizedMedia(
     media_id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])

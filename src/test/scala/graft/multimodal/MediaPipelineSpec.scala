@@ -53,6 +53,42 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(one.forall(_.frame_bytes.nonEmpty))
   }
 
+  /** A real in-memory P6 PPM: header (with a comment line) + raw RGB. */
+  private def ppmBytes(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val header = s"P6\n# fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ rgb
+  }
+
+  test("PPM decoder parses real fixture bytes end-to-end through the decode stage") {
+    import spark.implicits._
+    val rgb2x3 = Array.tabulate(2 * 3 * 3)(i => (i * 7).toByte)
+    val rows = Seq(
+      MediaRow(1L, "image", ppmBytes(2, 3, rgb2x3), "fixture"),
+      MediaRow(2L, "image", ppmBytes(1, 1, Array[Byte](10, 20, 30)), "fixture"),
+      MediaRow(3L, "audio", "not a ppm at all".getBytes("UTF-8"), "fixture"))
+    val feats = MediaPipeline.decodeAll(rows.toDS().repartition(2), SniffingDecoder())
+      .collect().map(f => f.media_id -> f).toMap
+    // real parse: dimensions come from the HEADER, not the stub heuristic
+    assert(feats(1L).width == 2 && feats(1L).height == 3 && feats(1L).n_channels == 3)
+    assert(feats(2L).width == 1 && feats(2L).height == 1)
+    // checksum covers exactly the pixel bytes (header excluded)
+    val expected = rgb2x3.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    assert(feats(1L).checksum == expected)
+    // non-PPM payloads still flow through the stub — mixed corpora work
+    assert(feats(3L).n_channels == 2) // FakeDecoder's audio path
+  }
+
+  test("PPM decoder rejects truncated or malformed payloads loudly") {
+    val bad = MediaRow(9L, "image", "P6\n2 3\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2),
+      "fixture")
+    val e = intercept[IllegalArgumentException](PpmDecoder.decode(bad))
+    assert(e.getMessage.contains("truncated"))
+    val notPpm = MediaRow(10L, "image", "JFIF....".getBytes("US-ASCII"), "fixture")
+    intercept[IllegalArgumentException](PpmDecoder.decode(notPpm))
+    // and the sniffing wrapper routes it to the stub instead of failing
+    assert(SniffingDecoder().decode(notPpm).n_bytes == 8L)
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)

@@ -251,6 +251,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB provider: stop, then resume from checkpoint with state intact") {
+    import spark.implicits._
+    // the production durable-keyed-state configuration (roadmap
+    // README.md:107-109): RocksDB state store + a restart that must
+    // recover per-key state from the checkpoint, not recompute it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toString
+      val in = MemoryStream[EventRow](spark)
+      // foreachBatch sink: the memory sink refuses checkpoint recovery
+      val latest = scala.collection.concurrent.TrieMap.empty[Long, (Long, Double)]
+      def start() = StreamOps.statefulRunningTotals(in.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserRunning], _: Long) =>
+          batch.collect().foreach { r =>
+            latest.put(r.user_id, (r.n_events, r.total_value))
+          }
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData(ev(1, "2024-01-01 00:00:00", user = 7, v = 2.0),
+          ev(2, "2024-01-01 00:01:00", user = 7, v = 3.0))
+        q1.processAllAvailable()
+        // the provider is really RocksDB (its metrics surface in progress)
+        assert(q1.lastProgress.json.contains("rocksdb"),
+          s"expected RocksDB state metrics in: ${q1.lastProgress.json}")
+        assert(latest(7L) == ((2L, 5.0)))
+      } finally q1.stop()
+      // restart: a NEW query over the same checkpoint must RECOVER the
+      // (2 events, 5.0 total) state rather than recompute from scratch
+      latest.clear()
+      val q2 = start()
+      try {
+        in.addData(ev(3, "2024-01-01 00:02:00", user = 7, v = 5.0))
+        q2.processAllAvailable()
+        // 3 events / 10.0 total proves the pre-restart state was
+        // restored from the RocksDB checkpoint (the map was cleared)
+        assert(latest(7L) == ((3L, 10.0)),
+          s"state not recovered across restart: ${latest.toMap}")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("rate source end-to-end: windowed agg over the built-in rate stream") {
+    import org.apache.spark.sql.functions.{col, count, sum, window}
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "200").load() // columns: timestamp, value
+    val agg = rate.groupBy(window(col("timestamp"), "1 second"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("rate_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      var total = 0L
+      while (total == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+        val agged = spark.table("rate_out")
+          .agg(sum(col("n"))).head()
+        total = if (agged.isNullAt(0)) 0L else agged.getLong(0)
+      }
+      assert(total > 0, "rate source produced no rows within the timeout")
+    } finally q.stop()
+  }
+
   test("foreachBatch topic dispatch fans one stream out to per-topic sinks (2B)") {
     import spark.implicits._
     val in = MemoryStream[EventRow](spark)
