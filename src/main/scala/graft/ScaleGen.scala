@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe corpus generator: derives an N× corpus from a driver
+  * sf directory so the headline ⟨ns⟩ queries can be MEASURED a data
+  * decade up (the round-2 verdict's top item — the 100 TB story
+  * should rest on measured scaling, not only plan shapes).
+  *
+  * Replication preserves workload *structure* instead of stacking
+  * exact copies (which would distort dedup semantics):
+  *  - documents: replica k re-keys doc_id by +k·N and prefixes every
+  *    token with `r<k>` (k>0), so each replica reproduces the
+  *    original near-dup structure exactly while sharing NO tokens
+  *    across replicas — true near-dup output scales linearly by
+  *    construction, and any super-linear runtime is the operator's
+  *    own doing, not an artifact of cloned content.
+  *  - embeddings: replica k re-keys vec_id by +k·N and cyclically
+  *    rotates the vector by 7k positions — within-replica cosines
+  *    are EXACTLY preserved (rotation is an isometry of the dot
+  *    product under matching rotation), while cross-replica pairs
+  *    decorrelate to near-random.
+  *
+  * Usage: ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.count()
+    val reps = spark.range(factor).toDF("rep")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              t => concat(lit("r"), col("rep"), t))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .withColumn("n_chars", length(col("text")).cast("int"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVecs = emb.count()
+    val dim = graft.functions.TextVec.EmbDim
+    val shifted = (0 until factor).map { k =>
+      val shift = (7 * k) % dim
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      emb.select((col("vec_id") + lit(k.toLong * nVecs)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ union _)
+    shifted
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"""{"docs":${nDocs * factor},"vecs":${nVecs * factor},"out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Scale-probe runner (round-2 verdict item 1): times the headline
+  * ⟨ns⟩ queries at two or more scales (normally the driver's sf0.1
+  * and a ScaleGen-derived 10× corpus) and records per-query seconds
+  * + output rows, so the 100 TB scaling claims rest on measured
+  * decades, not only pinned plan shapes.
+  *
+  * Two probe families run at every scale:
+  *  - the REGISTERED oracle queries, exactly as correctness-checked
+  *    (fixed index widths, right-sized for the sf0.01 oracle corpus
+  *    — a fixed bucket count is O(n²/buckets) by design, so these
+  *    document where reconfiguration becomes necessary);
+  *  - the WIDE variants — the same operators with their documented
+  *    scale knobs turned (LSH bits ∝ log n, 64-bit simhash chunks) —
+  *    which are the production configuration for the larger corpus
+  *    and are expected to scale ≈ linearly.
+  *
+  * Usage: ScaleProbe <label=dir> [<label=dir> …]
+  * Output: one JSON object printed AND written to
+  * SPARK_GRAFT_SCALE_OUT (default /root/repo/SCALE_r03.json).
+  */
+object ScaleProbe {
+
+  /** Registered headline queries (subset of SparkEntry.queries). */
+  private val registered = Seq(
+    "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
+    "d07_dedup_clusters", "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
+    "s05_knn_classify", "s06_ann_multiprobe", "c01_curate",
+    "c02_curate_neardup", "t07_tfidf")
+
+  /** Wide variants: operators with their scale knobs turned to the
+    * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
+    * occupancy at the sf0.1 level; 64-bit simhash widens chunks from
+    * 8 to 16 bits = 256 → 65k buckets).
+    */
+  private def wideVariants(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
+    "d04_wide_64bit" -> (() =>
+      graft.operators.Dedup.simhashNearDupParam(s, dir, nBits = 64, nChunks = 4, maxHamming = 3)),
+    "d06_wide_5bit" -> (() =>
+      graft.operators.Dedup.verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "d07_wide_5bit" -> (() => {
+      val verified = graft.operators.Dedup
+        .verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 5).cache()
+      val rounds = graft.operators.Dedup.CcRounds
+      val (g, labelsRaw) = graft.operators.Dedup.propagateLabels(verified, rounds)
+      val labels = labelsRaw.localCheckpoint()
+      graft.operators.Dedup.assertConverged(g, labels, rounds, "d07_wide_5bit")
+      val sizes = labels.groupBy(col("label"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_members"))
+      labels.alias("l").join(sizes.alias("c"), col("l.label") === col("c.label"))
+        .select(col("l.vec_id"), col("l.label").as("cluster_id"), col("c.n_members"))
+        .orderBy(col("vec_id"))
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.toSeq.map { a =>
+      val Array(label, dir) = a.split("=", 2); (label, dir)
+    }
+    require(scales.nonEmpty, "usage: ScaleProbe <label=dir> [<label=dir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // JIT/codegen warmup outside the measurements (Bench's pattern)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time(name: String, build: () => DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val (sec, rows) =
+        try {
+          val df = build()
+          df.write.format("noop").mode("overwrite").save()
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          (elapsed, df.count()) // rows counted AFTER the timed action
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name failed: ${e.getMessage}")
+          (-1.0, -1L)
+        }
+      spark.catalog.clearCache()
+      (name, sec, rows)
+    }
+
+    val results = scales.map { case (label, dir) =>
+      // pay the parquet-footer + first-touch cost once per scale dir
+      Tables.documents(spark, dir).limit(10).count()
+      Tables.embeddings(spark, dir).limit(10).count()
+      val reg = registered.map(n => time(n, () => SparkEntry.queries(n)(spark, dir)))
+      val wide = wideVariants(spark, dir).map { case (n, b) => time(n, b) }
+      label -> (reg ++ wide)
+    }
+
+    def fmt(rs: Seq[(String, Double, Long)]): String =
+      rs.map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString("{", ",", "}")
+    val scalesJson = results.map { case (l, rs) => s""""$l":${fmt(rs)}""" }.mkString("{", ",", "}")
+    // pairwise ratio of the LAST scale over the FIRST, per query
+    val ratios =
+      if (results.size >= 2) {
+        val first = results.head._2.map(r => r._1 -> r._2).toMap
+        val last = results.last._2.map(r => r._1 -> r._2).toMap
+        last.keys.toSeq.sorted.flatMap { n =>
+          (first.get(n), last.get(n)) match {
+            case (Some(a), Some(b)) if a > 0 && b > 0 =>
+              Some(s""""$n":${(b / a * 100).round / 100.0}""")
+            case _ => None
+          }
+        }.mkString("{", ",", "}")
+      } else "{}"
+    val json =
+      s"""{"metric":"scale_probe","scales":$scalesJson,"sec_ratio_last_over_first":$ratios}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r03.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[scale] could not write $out: ${e.getMessage}")
+    }
+    println(json)
+    spark.stop()
+  }
+}

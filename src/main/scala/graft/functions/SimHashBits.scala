@@ -12,7 +12,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
 /** Native n-bit SimHash over an `array<string>` token-set column:
   * bit j (0-based) is set iff the majority of tokens have md5 hex
   * digit j+1 ≥ 8 — each hex digit's top bit is an independent hash
-  * bit, so n ≤ 32 (md5 has 32 hex digits).
+  * bit. Bits 32..63 draw on the SECOND-highest bit of hex digit
+  * j−31 (digit & 4 — equally unbiased and independent of the top
+  * bit), so n ≤ 64 from one digest; the 64-bit width is the scale
+  * knob for the Manku chunk join (wider hash ⇒ wider chunks ⇒ more
+  * buckets at the same Hamming guarantee).
   *
   * Semantics are IDENTICAL to the declarative per-bit spelling
   * (TextVec.simhashSparkSql / simhashDuckSql, which remains the
@@ -31,7 +35,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * NULL, and `CASE WHEN NULL > 0` falls to the ELSE 0 branch).
   */
 case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
-  require(nBits >= 1 && nBits <= 32, s"simhash_bits supports 1..32 bits, got $nBits")
+  require(nBits >= 1 && nBits <= 64, s"simhash_bits supports 1..64 bits, got $nBits")
 
   override def dataType: DataType = LongType
 
@@ -65,9 +69,13 @@ object SimHashBits {
         val d = digest.digest(tokens.getUTF8String(idx).getBytes)
         var j = 0
         while (j < nBits) {
-          // hex digit j+1 = high nibble of byte j/2 when j is even
-          val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 15 else d(j >> 1) & 15
-          counts(j) += (if (nib >= 8) 1 else -1)
+          // hex digit (j mod 32)+1 = high nibble of byte when even index;
+          // bits 0..31 take the digit's top bit (>= 8), bits 32..63 its
+          // second bit (& 4) — two independent unbiased coins per digit
+          val nibIdx = j & 31
+          val nib = if ((nibIdx & 1) == 0) (d(nibIdx >> 1) >> 4) & 15 else d(nibIdx >> 1) & 15
+          val hit = if (j < 32) nib >= 8 else (nib & 4) != 0
+          counts(j) += (if (hit) 1 else -1)
           j += 1
         }
       }

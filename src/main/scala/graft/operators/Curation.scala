@@ -84,12 +84,13 @@ object Curation {
 
   /** Round budget for c02's near-dup component collapse. The text
     * near-dup graph (Jaccard ≥ 0.9 over token sets, after exact
-    * keepers collapse) has far shorter chains than d07's embedding
-    * graph; 4 hop+jump rounds cover reach ≫ any observed chain, and
-    * the runtime convergence probe fails loudly if a corpus ever
-    * exhausts it.
+    * keepers collapse) has much shorter chains than d07's embedding
+    * graph, but the 10× scale probe found 4 rounds (reach ~2^4) one
+    * hop short on the sf1 corpus; 8 rounds give reach ~2^8 ≫ any
+    * observed chain, and the runtime convergence probe fails loudly
+    * if a corpus ever exhausts it.
     */
-  val C02Rounds = 4
+  val C02Rounds = 8
 
   /** c01 + the near-dup collapse stage: quality-filter → exact-dedup
     * keeper → MinHash-LSH near-dup *cluster* keeper (one doc per

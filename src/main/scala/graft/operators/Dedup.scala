@@ -160,29 +160,49 @@ object Dedup {
          |JOIN groups ga ON p.id_a = ga.rep_id
          |JOIN groups gb ON p.id_b = gb.rep_id
          |ORDER BY id_a, id_b""".stripMargin }
-  ) { (s, d) =>
+  ) { (s, d) => simhashNearDupParam(s, d, nBits = 32, nChunks = 4, maxHamming = 3) }
+
+  /** Parameterized Manku chunk-join SimHash near-dup (the d04 body).
+    * `nBits`/`nChunks` are the scale knobs: chunk width = nBits /
+    * nChunks, bucket count per chunk table = 2^chunkWidth, and the
+    * pigeonhole guarantee (Hamming ≤ maxHamming ⟹ some chunk
+    * identical) needs nChunks > maxHamming. The registered d04 pins
+    * 32/4 (8-bit chunks, 256 buckets — right-sized for the sf0.01
+    * oracle corpus); ScaleProbe runs 64/4 (16-bit chunks, 65k
+    * buckets) at sf1 — the same "grow buckets with the corpus"
+    * reconfiguration production applies, available because
+    * [[graft.functions.SimHashBits]] draws up to 64 bits from one
+    * digest.
+    */
+  private[graft] def simhashNearDupParam(s: org.apache.spark.sql.SparkSession,
+      d: String, nBits: Int, nChunks: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    require(nChunks > maxHamming, "pigeonhole needs more chunks than the Hamming budget")
+    require(nBits % nChunks == 0, s"nBits=$nBits must split evenly into $nChunks chunks")
+    val chunkBits = nBits / nChunks
+    val mask = (1L << chunkBits) - 1
     val docs = Tables.documents(s, d)
     // Per-row codegen simhash kernel: ONE md5 per distinct token, all
-    // 32 counters in a tight loop ([[graft.functions.SimHashBits]] —
+    // counters in a tight loop ([[graft.functions.SimHashBits]] —
     // same bits as the per-bit-lambda spelling the oracle uses).
     // Round 1 exploded tokens and ran 32 conditional sums through a
     // groupBy-by-doc; the kernel makes signature computation a pure
     // projection — ZERO shuffle before the group collapse.
     val sh = docs.select(col("doc_id"),
-      graft.functions.SimHashBits(tokenSet(col("text")), 32).as("simhash"))
+      graft.functions.SimHashBits(tokenSet(col("text")), nBits).as("simhash"))
     val groups = sh.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
       .cache()
     val chunks = groups.select(col("rep_id"), col("simhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("simhash"), 8 * i).bitwiseAND(255)): _*)).as(Seq("chunk_idx", "chunk")))
+        posexplode(array((0 until nChunks).map(i =>
+          shiftright(col("simhash"), chunkBits * i).bitwiseAND(mask)): _*))
+          .as(Seq("chunk_idx", "chunk")))
     val pairs = chunks.alias("a")
       .join(chunks.alias("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk")
           && col("a.rep_id") < col("b.rep_id"))
       .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .distinct()
     pairs
       .join(groups.alias("ga"), col("id_a") === col("ga.rep_id"))
@@ -275,18 +295,36 @@ object Dedup {
     * hyperplane bucketing. Cached candidates feed both verify joins.
     */
   private def verifiedEmbeddingPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    verifiedEmbeddingPairsParam(s, d, nBands = 2, bitsPerBand = 2)
+
+  /** Parameterized bucket-then-verify near-dup pairs. `bitsPerBand`
+    * is THE scale knob: bits ∝ log₂(corpus) keeps per-bucket
+    * occupancy (and therefore candidate-pair count, which grows as
+    * Σ_buckets O(n_b²)) roughly constant per row; `nBands` is the
+    * recall knob (each extra OR'd band is another chance to collide).
+    * The seeded planes make any width available with no retuning —
+    * plane j of band b is seededPlane(b·bitsPerBand + j). The
+    * oracle-registered d06/d07 pin 2×2 (right-sized for the sf0.01
+    * correctness corpus); ScaleProbe runs wider tables at sf1 — the
+    * same production reconfiguration a 100 TB deployment applies.
+    */
+  private[graft] def verifiedEmbeddingPairsParam(s: org.apache.spark.sql.SparkSession,
+      d: String, nBands: Int, bitsPerBand: Int,
+      cosThreshold: Double = 0.35): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     // seeded constant planes: band-bucket assignment is a pure projection
     def bit(j: Int, w: Int) =
       when(dot(col("embedding"), seededPlaneCol(j)) > 0, lit(w)).otherwise(lit(0))
+    def bandBucket(b: Int) =
+      (0 until bitsPerBand).map(i => bit(b * bitsPerBand + i, 1 << i)).reduce(_ + _)
     val buck = e
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (bit(0, 1) + bit(1, 2)).as("b0"), (bit(2, 1) + bit(3, 2)).as("b1"))
+      .select(col("vec_id") +: col("embedding") +: col("nrm") +:
+        (0 until nBands).map(b => bandBucket(b).as(s"b$b")): _*)
       .cache() // feeds both band sides and both verify joins
     val bands = buck.select(col("vec_id"),
-      posexplode(array(col("b0"), col("b1"))).as(Seq("band", "bucket")))
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)).as(Seq("band", "bucket")))
     val pairs = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -301,7 +339,7 @@ object Dedup {
           .otherwise(dot(col("ea.embedding"), col("eb.embedding"))
             / (col("ea.nrm") * col("eb.nrm")))
           .as("cos_sim"))
-      .filter(col("cos_sim") > 0.35)
+      .filter(col("cos_sim") > cosThreshold)
   }
 
   val d06EmbeddingNearDup = Q(
@@ -321,19 +359,21 @@ object Dedup {
     * l'(v) = m(m(v)) — pointer jumping, valid because m(v) ≤ v keeps
     * labels inside the node set. A hop extends reach by one edge and
     * a jump chases the current label's own label, compounding reach
-    * (plain hop-only propagation needed ~13 rounds to converge on
-    * sf0.1's chainy near-dup graph; hop+jump converges in 7 —
-    * CcRounds = 8 keeps one round of margin, and ClusterProbeSpec
-    * asserts labels(k) == labels(k+1) on the test corpus). Both
-    * engines run the identical round count, so results are
-    * bit-equal regardless.
+    * to ~2^rounds on chain-shaped components. The seeded planes
+    * (round 3) raised recall, so the sf0.1 graph got denser AND
+    * chainier: empirically it converges at 10 rounds (572 labels
+    * still moving at 8) — CcRounds = 12 keeps two rounds of margin,
+    * ClusterProbeSpec asserts labels(k) == labels(k+1) on the test
+    * corpus, and the runtime probe in d07 fails loudly rather than
+    * ship stale labels on a chainier corpus. Both engines run the
+    * identical round count, so results are bit-equal regardless.
     *
     * Scale: each round is two equi-joins + one min-aggregate — O(k)
     * shuffles, linear in |E|, no cartesian anywhere; this is the
     * same round structure as the large-star/small-star CC algorithm
     * (O(log n) rounds on any graph).
     */
-  val CcRounds = 8
+  val CcRounds = 12
 
   /** Hop+jump min-label propagation over the d06 edge set for
     * `rounds` iterations; the round count is a parameter so
@@ -365,7 +405,7 @@ object Dedup {
     * near-dup clusters) and c02 (text near-dup collapse in the
     * curation pipeline).
     */
-  private[operators] def propagateLabels(pairs: org.apache.spark.sql.DataFrame,
+  private[graft] def propagateLabels(pairs: org.apache.spark.sql.DataFrame,
       rounds: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -398,7 +438,7 @@ object Dedup {
     * corpus with longer chains than the round budget covers).
     * `labels` should be materialized (localCheckpoint) by the caller.
     */
-  private[operators] def assertConverged(g: org.apache.spark.sql.DataFrame,
+  private[graft] def assertConverged(g: org.apache.spark.sql.DataFrame,
       labels: org.apache.spark.sql.DataFrame, rounds: Int, query: String): Unit = {
     val changed = g.alias("g")
       .join(labels.alias("l"), col("g.dst") === col("l.vec_id"))

@@ -65,6 +65,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("64-bit simhash: low 32 bits equal the 32-bit hash; high bits populated") {
+    GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("array_distinct(split(text, ' ')) AS ts")
+    // bits 0..31 use the identical rule in both widths, so they must agree
+    val mismatches = docs.selectExpr(
+      "simhash_bits(ts, 64) & 4294967295 AS low64",
+      "simhash_bits(ts, 32) AS h32")
+      .filter("low64 <> h32").count()
+    assert(mismatches == 0)
+    // the upper 32 bits are a real (non-constant) hash, not padding
+    val distinctHigh = docs.selectExpr("simhash_bits(ts, 64) >> 32 AS hi")
+      .distinct().count()
+    assert(distinctHigh > 10, s"upper simhash bits look degenerate: $distinctHigh values")
+  }
+
   test("const-int k accepts BIGINT and foldable literals, rejects non-constants") {
     GraftExtensions.register(spark)
     // 8L (BIGINT literal) and a foldable expression both fold to the same kernel
