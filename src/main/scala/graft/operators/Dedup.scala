@@ -413,12 +413,17 @@ object Dedup {
     val g = sym.union(nodes.select(col("src"), col("src").as("dst"))).cache()
     var labels = nodes.select(col("src").as("vec_id"), col("src").as("label"))
     for (_ <- 1 to rounds) {
-      // localCheckpoint truncates lineage: the jump references m TWICE,
-      // so without it the logical plan (and Catalyst analysis time)
+      // EAGER localCheckpoint truncates lineage: the jump references
+      // m TWICE, so without it the logical plan (and the execution)
       // doubles every round — 2^k copies of the whole pair-generation
-      // subtree. One label-table materialization per round is the
-      // standard iterative-graph pattern (same role as Pregel's
-      // per-superstep materialization).
+      // subtree. The lazy variant (localCheckpoint(eager = false))
+      // was measured 30% faster at sf0.1 (fewer scheduled jobs) but
+      // 8× SLOWER at sf1 — until materialization the un-truncated
+      // DAG is planned in full and concurrent stages duplicate the
+      // round's work (the scale probe caught it: 17.9 s → 140 s).
+      // One eager materialization per round is the standard
+      // iterative-graph pattern (Pregel's per-superstep barrier) and
+      // the right trade at every scale that matters.
       val m = g.alias("g")
         .join(labels.alias("l"), col("g.dst") === col("l.vec_id"))
         .groupBy(col("g.src"))
