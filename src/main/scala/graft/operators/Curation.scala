@@ -221,5 +221,56 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup)
+  /** Sequence packing — the step between a curated corpus and a
+    * training run: concatenate documents in a deterministic order
+    * and split the token stream into fixed-budget training sequences
+    * (GPT-style packing: documents may straddle a sequence
+    * boundary). Emits, per document, the half-open range of
+    * sequences it lands in and its token offset within the first.
+    *
+    * Scale shape: packing is a running sum, which is inherently
+    * sequential — so production packers shard first and pack within
+    * shards. Here the window partitions by (lang, 16 md5 shards):
+    * each shard packs independently (one bounded-width window per
+    * shard, no global sort), so the plan is one keyed shuffle and
+    * parallelism grows with the shard count, the knob a 100 TB run
+    * turns up. Sequence ids are per-shard, exactly like per-shard
+    * training files. All arithmetic is integer (BIGINT in both
+    * engines — DuckDB's HUGEINT sum is pinned back to BIGINT), so
+    * the oracle hash is exact.
+    */
+  val c03PackSequences = Q(
+    "c03_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |         len(string_split(text, ' ')) AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, shard, n_tok,
+      |         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, shard, n_tok,
+      |       (cum - n_tok) // 512 AS seq_start,
+      |       (cum - 1) // 512 AS seq_end,
+      |       (cum - n_tok) % 512 AS offset_in_seq
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        expr("(cum - n_tok) div 512").as("seq_start"),
+        expr("(cum - 1) div 512").as("seq_end"),
+        ((col("cum") - col("n_tok")) % 512).as("offset_in_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences)
 }

@@ -315,6 +315,125 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** PII scrub — detect and redact email addresses and phone-shaped
+    * tokens before a corpus reaches training. The synthetic corpus
+    * contains no PII, so both spellings first inject one
+    * deterministic email + phone per row (derived from `doc_id`,
+    * identical in both engines) and then run the real machinery:
+    * count matches, redact, and re-scan the redacted text to prove
+    * zero residual matches (`n_residual` is oracle-hashed, so a
+    * regex-dialect divergence between Java regex and DuckDB's RE2
+    * fails the gate — the patterns stay inside the common subset:
+    * explicit classes, `{m,}` bounds, no lookaround).
+    *
+    * Scale shape: pure per-row projection, fully codegen'd, zero
+    * shuffle — the same cost model as t01-t04.
+    */
+  val t09PiiScrub = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    Q(
+      "t09_pii_scrub",
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com ref +1-555-'
+         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+         |  FROM documents
+         |), red AS (
+         |  SELECT doc_id, raw,
+         |         regexp_replace(regexp_replace(raw, '$email', '<EMAIL>', 'g'),
+         |                        '$phone', '<PHONE>', 'g') AS redacted
+         |  FROM inj
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(raw, '$email')) AS n_emails,
+         |       len(regexp_extract_all(raw, '$phone')) AS n_phones,
+         |       redacted,
+         |       len(regexp_extract_all(redacted, '$email'))
+         |         + len(regexp_extract_all(redacted, '$phone')) AS n_residual
+         |FROM red ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val raw = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com ref +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val redacted = regexp_replace(
+        regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(raw, lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(raw, lit(phone), lit(0))).as("n_phones"),
+          redacted.as("redacted"),
+          (size(regexp_extract_all(redacted, lit(email), lit(0)))
+            + size(regexp_extract_all(redacted, lit(phone), lit(0)))).as("n_residual"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Benchmark-contamination check — which corpus documents share
+    * verbatim 8-grams with a held-out benchmark set (here: p01's
+    * deterministic 5% md5 sample standing in for the eval set)?
+    * Reports, per contaminated corpus doc, how many distinct
+    * 8-grams overlap, how many benchmark docs are hit, and the
+    * contaminated fraction of the doc's own distinct 8-grams — the
+    * n-gram-overlap decontamination test used before training runs.
+    *
+    * Scale shape: the benchmark side is small by definition, so the
+    * gram join BROADCASTs it (at 100 TB the corpus stream never
+    * shuffles; production compresses the broadcast set further into
+    * a bloom filter, trading exactness of `n_bench_docs` for
+    * memory — the per-doc verdict column stays the same).
+    */
+  val t10Contamination = {
+    val g8sql = (0 until 8).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+    Q(
+      "t10_contamination",
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' AS is_bench
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, is_bench,
+         |         CASE WHEN len(tk) >= 8 THEN
+         |           list_distinct(list_transform(generate_series(1, len(tk) - 7), i -> $g8sql))
+         |         ELSE [] END AS gs
+         |  FROM tok
+         |), g AS (
+         |  SELECT doc_id, is_bench, len(gs) AS n_tot, unnest(gs) AS gram FROM grams
+         |)
+         |SELECT c.doc_id,
+         |       count(DISTINCT c.gram) AS n_shared,
+         |       count(DISTINCT b.doc_id) AS n_bench_docs,
+         |       CAST(count(DISTINCT c.gram) AS DOUBLE) / max(c.n_tot) AS contam_frac
+         |FROM g c JOIN g b ON c.gram = b.gram AND b.is_bench AND NOT c.is_bench
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    ) { (s, d) =>
+      val tk = tokens(col("text"))
+      val gs = when(size(tk) >= 8,
+        array_distinct(transform(sequence(lit(1), size(tk) - 7),
+          i => concat_ws(" ", (0 until 8).map(j => element_at(tk, i + j)): _*))))
+        .otherwise(array().cast("array<string>"))
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd").as("is_bench"),
+          gs.as("gs"))
+        .select(col("doc_id"), col("is_bench"), size(col("gs")).as("n_tot"),
+          explode(col("gs")).as("gram"))
+      g.filter(!col("is_bench")).alias("c")
+        .join(broadcast(g.filter(col("is_bench")).alias("b")),
+          col("c.gram") === col("b.gram"))
+        .groupBy(col("c.doc_id"))
+        .agg(count_distinct(col("c.gram")).as("n_shared"),
+          count_distinct(col("b.doc_id")).as("n_bench_docs"),
+          (count_distinct(col("c.gram")).cast("double") / max(col("c.n_tot")))
+            .as("contam_frac"))
+        .orderBy(col("c.doc_id"))
+    }
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
-    t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab)
+    t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
+    t10Contamination)
 }

@@ -176,4 +176,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cluster rounds must not cartesian:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("c03: per-shard packing is one keyed shuffle (window), no global sort before it") {
+    val p = plan("c03_pack_sequences")
+    // one Exchange for the (lang, shard) window partitioning, one for
+    // the final presentation ORDER BY — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles in:\n$p")
+    assert(p.contains("Window"), s"expected window-based running sum in:\n$p")
+  }
+
+  test("t09: PII scrub is a pure per-row projection — no shuffle except the final sort") {
+    val p = plan("t09_pii_scrub")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"PII scrub must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"PII scrub must not join:\n$p")
+  }
+
+  test("t10: contamination check broadcasts the benchmark gram set, no cartesian") {
+    val p = plan("t10_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench side in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus gram stream must not shuffle for the join:\n$p")
+  }
 }

@@ -21,7 +21,7 @@ class QueriesSpec extends AnyFunSuite {
 
   // queries whose result is legitimately empty/small at sf0.001
   private val mayBeEmpty = Set("d03_lsh_near_dup", "d04_simhash_near_dup",
-    "d06_embedding_near_dup", "q53_except")
+    "d06_embedding_near_dup", "q53_except", "t10_contamination")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
