@@ -26,6 +26,30 @@ object TextVec {
   /** Distinct tokens (set semantics for shingle/minhash work). */
   def tokenSet(c: Column): Column = array_distinct(split(c, " "))
 
+  /** Distinct word 8-grams of a token-array column — the verbatim
+    * shingles used by the benchmark-contamination check (t10, c04).
+    * Empty for docs shorter than 8 tokens (guarded: Spark's
+    * `sequence(1, n)` with n < 1 counts DOWN, which would index past
+    * the array).
+    */
+  def grams8(tk: Column): Column =
+    when(size(tk) >= 8,
+      array_distinct(transform(sequence(lit(1), size(tk) - 7),
+        i => concat_ws(" ", (0 until 8).map(j => element_at(tk, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB spelling of [[grams8]] over a list expression `tk` —
+    * same guard, same `' '` joiner, so gram strings are byte-equal.
+    * `tk` must not reference the lambda variable name `i`.
+    */
+  def sqlGrams8(tk: String): String = {
+    val g8 = (0 until 8).map(j => if (j == 0) s"$tk[i]" else s"$tk[i+$j]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len($tk) >= 8 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len($tk) - 7), i -> $g8)) " +
+      "ELSE [] END"
+  }
+
   /** Sequential-fold dot product of two float-array columns, in
     * double. Order: ((0 + x1*y1) + x2*y2) + … — matches sqlDot.
     * Backed by the codegen FloatVecDot expression (identical IEEE

@@ -92,33 +92,24 @@ object Curation {
     */
   val C02Rounds = 8
 
-  /** c01 + the near-dup collapse stage: quality-filter → exact-dedup
-    * keeper → MinHash-LSH near-dup *cluster* keeper (one doc per
-    * connected component of the Jaccard ≥ 0.9 graph, d03's banded
-    * candidate generation + d07's label propagation) → deterministic
-    * split. A near-identical copy (trailing whitespace, one token
-    * changed) survives c01's exact dedup but is collapsed here.
-    *
-    * Scale shape: identical token sets collapse first (groupBy), so
-    * the band join runs over distinct sets; candidates come from a
-    * banded equi-join verified inline; the component collapse is
-    * O(rounds) equi-joins on the (tiny) edge set; the final keeper
-    * test is a broadcast-sized left join back to the doc list. No
-    * cartesian anywhere (pinned in PlanSpec).
+  /** Shared DuckDB CTE chain for the near-dup curation pipeline —
+    * quality filter → exact keeper → MinHash-LSH near-dup component
+    * keeper — ending in `kept(doc_id, lang, quality)`. c02 appends
+    * the split projection; c04 inserts the decontamination stage
+    * first.
     */
-  val c02CurateNearDup = Q(
-    "c02_curate_neardup",
-    { val ts = "list_sort(list_distinct(string_split(text, ' ')))"
-      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
-      val bandsSql = (0 until 2).map(i =>
-        s"SELECT rep_id, ts, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
-        .mkString("\n  UNION ALL ")
-      val rounds = (1 to C02Rounds).map(i =>
-        s"m$i AS MATERIALIZED (SELECT g.src AS node_id, min(l.label) AS label " +
-          s"FROM g JOIN l${i - 1} l ON g.dst = l.node_id GROUP BY g.src),\n  " +
-          s"l$i AS (SELECT a.node_id, b.label FROM m$i a JOIN m$i b ON a.label = b.node_id)")
-        .mkString(",\n  ")
-      s"""WITH q AS (
+  private def sqlNearDupKeptCtes: String = {
+    val ts = "list_sort(list_distinct(string_split(text, ' ')))"
+    val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+    val bandsSql = (0 until 2).map(i =>
+      s"SELECT rep_id, ts, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    val rounds = (1 to C02Rounds).map(i =>
+      s"m$i AS MATERIALIZED (SELECT g.src AS node_id, min(l.label) AS label " +
+        s"FROM g JOIN l${i - 1} l ON g.dst = l.node_id GROUP BY g.src),\n  " +
+        s"l$i AS (SELECT a.node_id, b.label FROM m$i a JOIN m$i b ON a.label = b.node_id)")
+      .mkString(",\n  ")
+    s"""q AS (
          |  SELECT doc_id, lang, text, $sqlQuality AS quality FROM documents
          |), keepers AS (
          |  SELECT doc_id, lang, quality, text FROM (
@@ -163,14 +154,20 @@ object Curation {
          |  $rounds,
          |labels AS (
          |  SELECT node_id AS rep_id, label FROM l$C02Rounds
-         |)
-         |SELECT d.doc_id, d.lang,
-         |       ${sqlSplit("d.doc_id")} AS split,
-         |       d.quality
-         |FROM doc_reps d LEFT JOIN labels l ON d.rep_id = l.rep_id
-         |WHERE d.doc_id = coalesce(l.label, d.rep_id)
-         |ORDER BY d.doc_id""".stripMargin }
-  ) { (s, d) =>
+         |), kept AS (
+         |  SELECT d.doc_id, d.lang, d.quality
+         |  FROM doc_reps d LEFT JOIN labels l ON d.rep_id = l.rep_id
+         |  WHERE d.doc_id = coalesce(l.label, d.rep_id)
+         |)""".stripMargin
+  }
+
+  /** Spark side of [[sqlNearDupKeptCtes]]: the kept docs
+    * `(doc_id, lang, quality)` after quality filter → exact-dedup
+    * keeper → near-dup component keeper. `probeName` labels the
+    * runtime convergence probe's failure message.
+    */
+  private def nearDupKept(s: SparkSession, d: String,
+      probeName: String): DataFrame = {
     val wExact = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     val keepers = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -212,11 +209,88 @@ object Curation {
       .cache() // referenced 3× by the propagation graph
     val (g, labelsRaw) = Dedup.propagateLabels(edges, C02Rounds)
     val labels = labelsRaw.localCheckpoint()
-    Dedup.assertConverged(g, labels, C02Rounds, "c02_curate_neardup")
+    Dedup.assertConverged(g, labels, C02Rounds, probeName)
     docReps.alias("d")
       .join(labels.select(col("vec_id").as("rep_id"), col("label")).alias("l"),
         col("d.rep_id") === col("l.rep_id"), "left")
       .filter(col("doc_id") === coalesce(col("label"), col("d.rep_id")))
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  /** c01 + the near-dup collapse stage: quality-filter → exact-dedup
+    * keeper → MinHash-LSH near-dup *cluster* keeper (one doc per
+    * connected component of the Jaccard ≥ 0.9 graph, d03's banded
+    * candidate generation + d07's label propagation) → deterministic
+    * split. A near-identical copy (trailing whitespace, one token
+    * changed) survives c01's exact dedup but is collapsed here.
+    *
+    * Scale shape: identical token sets collapse first (groupBy), so
+    * the band join runs over distinct sets; candidates come from a
+    * banded equi-join verified inline; the component collapse is
+    * O(rounds) equi-joins on the (tiny) edge set; the final keeper
+    * test is a broadcast-sized left join back to the doc list. No
+    * cartesian anywhere (pinned in PlanSpec).
+    */
+  val c02CurateNearDup = Q(
+    "c02_curate_neardup",
+    s"""WITH $sqlNearDupKeptCtes
+       |SELECT doc_id, lang, ${sqlSplit("doc_id")} AS split, quality
+       |FROM kept
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    nearDupKept(s, d, "c02_curate_neardup")
+      .select(col("doc_id"), col("lang"), sparkSplit.as("split"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** c02 + the DECONTAMINATION stage: after the near-dup component
+    * keeper, drop (a) the benchmark docs themselves (p01's
+    * deterministic 5% md5 sample, standing in for the held-out eval
+    * set — eval data never trains) and (b) any kept doc sharing a
+    * verbatim 8-gram with a benchmark doc (t10's overlap test).
+    * Quality-filter → exact-dedup → near-dup collapse → decontam →
+    * split: the full pre-training curation order.
+    *
+    * Scale shape: adds to c02 only per-row gram projections and one
+    * BROADCAST join against the (small-by-definition) benchmark gram
+    * set — the corpus stream never shuffles for the contamination
+    * test, and the keeper set anti-joins a contaminated-id set that
+    * is at most benchmark-sized per gram bucket.
+    */
+  val c04CurateDecontam = Q(
+    "c04_curate_decontam",
+    s"""WITH $sqlNearDupKeptCtes,
+       |kept_grams AS (
+       |  SELECT k.doc_id, unnest(${sqlGrams8("string_split(dd.text, ' ')")}) AS gram
+       |  FROM kept k JOIN documents dd ON k.doc_id = dd.doc_id
+       |), bench_grams AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(${sqlGrams8("string_split(text, ' ')")}) AS gram
+       |  FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+       |), contaminated AS (
+       |  SELECT DISTINCT kg.doc_id
+       |  FROM kept_grams kg JOIN bench_grams b ON kg.gram = b.gram
+       |)
+       |SELECT doc_id, lang, ${sqlSplit("doc_id")} AS split, quality
+       |FROM kept
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '0ccd'
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val kept = nearDupKept(s, d, "c04_curate_decontam").cache()
+    val docs = Tables.documents(s, d)
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
+    val benchGrams = docs.filter(isBench)
+      .select(explode(grams8(tokens(col("text")))).as("gram"))
+      .distinct()
+    val keptGrams = kept.select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(grams8(tokens(col("text")))).as("gram"))
+    val contaminated = keptGrams
+      .join(broadcast(benchGrams), "gram")
+      .select(col("doc_id")).distinct()
+    kept.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), sparkSplit.as("split"), col("quality"))
       .orderBy(col("doc_id"))
   }
@@ -272,5 +346,6 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences)
+  def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
+    c04CurateDecontam)
 }

@@ -385,8 +385,6 @@ object TextAnalysis {
     * memory — the per-doc verdict column stays the same).
     */
   val t10Contamination = {
-    val g8sql = (0 until 8).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
-      .mkString(" || ' ' || ")
     Q(
       "t10_contamination",
       s"""WITH tok AS (
@@ -394,10 +392,7 @@ object TextAnalysis {
          |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' AS is_bench
          |  FROM documents
          |), grams AS (
-         |  SELECT doc_id, is_bench,
-         |         CASE WHEN len(tk) >= 8 THEN
-         |           list_distinct(list_transform(generate_series(1, len(tk) - 7), i -> $g8sql))
-         |         ELSE [] END AS gs
+         |  SELECT doc_id, is_bench, ${sqlGrams8("tk")} AS gs
          |  FROM tok
          |), g AS (
          |  SELECT doc_id, is_bench, len(gs) AS n_tot, unnest(gs) AS gram FROM grams
@@ -410,11 +405,7 @@ object TextAnalysis {
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin
     ) { (s, d) =>
-      val tk = tokens(col("text"))
-      val gs = when(size(tk) >= 8,
-        array_distinct(transform(sequence(lit(1), size(tk) - 7),
-          i => concat_ws(" ", (0 until 8).map(j => element_at(tk, i + j)): _*))))
-        .otherwise(array().cast("array<string>"))
+      val gs = grams8(tokens(col("text")))
       val g = Tables.documents(s, d)
         .select(col("doc_id"),
           (substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd").as("is_bench"),

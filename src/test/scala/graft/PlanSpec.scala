@@ -191,6 +191,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"PII scrub must not join:\n$p")
   }
 
+  test("c04: decontam stage broadcasts bench grams; pipeline keeps banded equi-joins") {
+    val df = SparkEntry.queries("c04_curate_decontam")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench-gram join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"decontam must not cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("t10: contamination check broadcasts the benchmark gram set, no cartesian") {
     val p = plan("t10_contamination")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench side in:\n$p")
