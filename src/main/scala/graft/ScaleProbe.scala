@@ -30,7 +30,8 @@ object ScaleProbe {
     "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
     "d07_dedup_clusters", "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "c01_curate",
-    "c02_curate_neardup", "t07_tfidf")
+    "c02_curate_neardup", "c03_pack_sequences", "c04_curate_decontam",
+    "t07_tfidf", "t09_pii_scrub", "t10_contamination")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -113,12 +113,78 @@ object PpmDecoder extends MediaDecoder {
   }
 }
 
+/** REAL pure-JVM decoder for the audio analog of PPM: RIFF/WAVE PCM.
+  * The header is a fixed 12-byte RIFF preamble followed by
+  * size-prefixed chunks; `fmt ` carries channels / sample rate /
+  * bits-per-sample and `data` carries raw samples — no compression,
+  * no library needed. [[MediaFeatures]]'s image-shaped fields are
+  * mapped as documented on the fields below (the trait's contract is
+  * "typed metadata out of an opaque payload", not pixels).
+  */
+object WavDecoder extends MediaDecoder {
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isWav(b), s"media_id=${row.media_id}: not a RIFF/WAVE payload")
+    var i = 12
+    var channels = -1; var sampleRate = -1L; var blockAlign = -1
+    var frames = -1L; var checksum = 0L; var seenData = false
+    while (i + 8 <= b.length && (!seenData || channels < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = u32(b, i + 4)
+      val body = i + 8
+      require(body + size <= b.length,
+        s"media_id=${row.media_id}: truncated WAV chunk '$id'")
+      if (id == "fmt ") {
+        require(size >= 16, s"media_id=${row.media_id}: short fmt chunk")
+        val audioFormat = u16(b, body)
+        require(audioFormat == 1,
+          s"media_id=${row.media_id}: only PCM WAV supported, got format $audioFormat")
+        channels = u16(b, body + 2)
+        sampleRate = u32(b, body + 4)
+        blockAlign = u16(b, body + 12)
+        require(channels > 0 && blockAlign > 0,
+          s"media_id=${row.media_id}: malformed fmt chunk")
+      } else if (id == "data") {
+        require(channels > 0, s"media_id=${row.media_id}: data chunk before fmt")
+        frames = size / blockAlign
+        var j = body
+        val end = body + size.toInt
+        while (j < end) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+        seenData = true
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    require(seenData, s"media_id=${row.media_id}: no data chunk")
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = sampleRate.toInt, // sample rate in Hz
+      height = frames.toInt, // frames (samples per channel)
+      n_channels = channels,
+      checksum = checksum) // over the data chunk only, same fold as PPM
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
   * everything else to `fallback` (the stub, until more codecs land).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =
     if (PpmDecoder.isPpm(row.payload)) PpmDecoder.decode(row)
+    else if (WavDecoder.isWav(row.payload)) WavDecoder.decode(row)
     else fallback.decode(row)
 }
 

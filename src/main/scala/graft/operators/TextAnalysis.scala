@@ -374,15 +374,22 @@ object TextAnalysis {
     * verbatim 8-grams with a held-out benchmark set (here: p01's
     * deterministic 5% md5 sample standing in for the eval set)?
     * Reports, per contaminated corpus doc, how many distinct
-    * 8-grams overlap, how many benchmark docs are hit, and the
-    * contaminated fraction of the doc's own distinct 8-grams — the
-    * n-gram-overlap decontamination test used before training runs.
+    * 8-grams overlap, the contaminated fraction of the doc's own
+    * distinct 8-grams, and the benchmark document frequency of the
+    * hottest shared gram (`max_bench_df` separates "overlaps one
+    * bench doc's unique text" from "overlaps boilerplate shared by
+    * many") — the n-gram-overlap decontamination test run before
+    * training.
     *
-    * Scale shape: the benchmark side is small by definition, so the
-    * gram join BROADCASTs it (at 100 TB the corpus stream never
-    * shuffles; production compresses the broadcast set further into
-    * a bloom filter, trading exactness of `n_bench_docs` for
-    * memory — the per-doc verdict column stays the same).
+    * Scale shape: the benchmark side is aggregated to ONE row per
+    * gram (gram, bench df) BEFORE the join — a per-bench-doc side
+    * would multiply every frequent shingle by its bench df and blow
+    * the join up quadratically in hot grams (the 10× scale probe
+    * measured exactly that: 24.6 s at sf0.1 for the per-doc
+    * spelling, 1-2 s aggregated). Being small by definition, the
+    * per-gram set BROADCASTs, so the corpus stream never shuffles
+    * for the join; production compresses it further into a bloom
+    * filter (dropping `max_bench_df`), same per-doc verdict.
     */
   val t10Contamination = {
     Q(
@@ -396,12 +403,15 @@ object TextAnalysis {
          |  FROM tok
          |), g AS (
          |  SELECT doc_id, is_bench, len(gs) AS n_tot, unnest(gs) AS gram FROM grams
+         |), bench_g AS MATERIALIZED (
+         |  SELECT gram, count(DISTINCT doc_id) AS bench_df
+         |  FROM g WHERE is_bench GROUP BY gram
          |)
          |SELECT c.doc_id,
-         |       count(DISTINCT c.gram) AS n_shared,
-         |       count(DISTINCT b.doc_id) AS n_bench_docs,
-         |       CAST(count(DISTINCT c.gram) AS DOUBLE) / max(c.n_tot) AS contam_frac
-         |FROM g c JOIN g b ON c.gram = b.gram AND b.is_bench AND NOT c.is_bench
+         |       count(*) AS n_shared,
+         |       max(b.bench_df) AS max_bench_df,
+         |       CAST(count(*) AS DOUBLE) / max(c.n_tot) AS contam_frac
+         |FROM g c JOIN bench_g b ON c.gram = b.gram AND NOT c.is_bench
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin
     ) { (s, d) =>
@@ -412,14 +422,16 @@ object TextAnalysis {
           gs.as("gs"))
         .select(col("doc_id"), col("is_bench"), size(col("gs")).as("n_tot"),
           explode(col("gs")).as("gram"))
+      // one row per bench gram: corpus grams are already distinct per
+      // doc (grams8 dedups), so count(*) after the join = n_shared
+      val benchG = g.filter(col("is_bench")).groupBy(col("gram"))
+        .agg(count_distinct(col("doc_id")).as("bench_df"))
       g.filter(!col("is_bench")).alias("c")
-        .join(broadcast(g.filter(col("is_bench")).alias("b")),
-          col("c.gram") === col("b.gram"))
+        .join(broadcast(benchG.alias("b")), col("c.gram") === col("b.gram"))
         .groupBy(col("c.doc_id"))
-        .agg(count_distinct(col("c.gram")).as("n_shared"),
-          count_distinct(col("b.doc_id")).as("n_bench_docs"),
-          (count_distinct(col("c.gram")).cast("double") / max(col("c.n_tot")))
-            .as("contam_frac"))
+        .agg(count(lit(1)).as("n_shared"),
+          max(col("b.bench_df")).as("max_bench_df"),
+          (count(lit(1)).cast("double") / max(col("c.n_tot"))).as("contam_frac"))
         .orderBy(col("c.doc_id"))
     }
   }

@@ -89,6 +89,56 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(SniffingDecoder().decode(notPpm).n_bytes == 8L)
   }
 
+  /** A real in-memory PCM WAV: RIFF preamble + fmt + data chunks. */
+  private def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * bitsPerSample / 8
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  test("WAV decoder parses real fixture bytes end-to-end through the decode stage") {
+    import spark.implicits._
+    val pcm = Array.tabulate(100 * 2 * 2)(i => (i * 13).toByte) // 100 stereo 16-bit frames
+    val rows = Seq(
+      MediaRow(20L, "audio", wavBytes(2, 44100, 16, pcm), "fixture"),
+      MediaRow(21L, "audio", wavBytes(1, 8000, 8, Array[Byte](1, 2, 3, 4)), "fixture"),
+      MediaRow(22L, "image", "not audio".getBytes("UTF-8"), "fixture"))
+    val feats = MediaPipeline.decodeAll(rows.toDS().repartition(2), SniffingDecoder())
+      .collect().map(f => f.media_id -> f).toMap
+    // real parse: rate/frames/channels come from the HEADER chunks
+    assert(feats(20L).width == 44100 && feats(20L).height == 100 && feats(20L).n_channels == 2)
+    assert(feats(21L).width == 8000 && feats(21L).height == 4 && feats(21L).n_channels == 1)
+    // checksum covers exactly the data chunk (headers excluded), same fold as PPM
+    val expected = pcm.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    assert(feats(20L).checksum == expected)
+    // non-WAV payloads still flow through the stub — mixed corpora work
+    assert(feats(22L).n_channels == 3) // FakeDecoder's image path
+  }
+
+  test("WAV decoder rejects truncated or non-PCM payloads loudly") {
+    val good = wavBytes(2, 44100, 16, Array[Byte](1, 2, 3, 4))
+    val truncated = MediaRow(30L, "audio", good.dropRight(2), "fixture")
+    val e = intercept[IllegalArgumentException](WavDecoder.decode(truncated))
+    assert(e.getMessage.contains("truncated"))
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // audioFormat = IEEE float
+    val e2 = intercept[IllegalArgumentException](
+      WavDecoder.decode(MediaRow(31L, "audio", nonPcm, "fixture")))
+    assert(e2.getMessage.contains("only PCM"))
+    // and the sniffing wrapper routes junk to the stub instead of failing
+    val junk = MediaRow(32L, "audio", "MP3junk!".getBytes("US-ASCII"), "fixture")
+    assert(SniffingDecoder().decode(junk).n_bytes == 8L)
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
