@@ -96,5 +96,71 @@ object Sampling {
       .orderBy(col("lang"), col("split"))
   }
 
-  def all: Seq[Q] = Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign)
+  /** Domain-mixture rebalance — the "data mixing" step of a training
+    * pipeline: each source gets a target weight, the final corpus is
+    * the largest one where every source can fill its share from what
+    * it has (the most-oversubscribed source binds), and each source
+    * contributes its quota of docs picked in hash order. Weights here
+    * derive deterministically from the source id (srcN → N%4+1, so
+    * four mixture tiers); a production run would broadcast a real
+    * weights table — the math is identical.
+    *
+    * All quota arithmetic is integer (BIGINT `div`), so both engines
+    * compute bit-identical quotas: dfinal = min_s(n_s·W div w_s),
+    * quota_s = w_s·dfinal div W. Shuffle shape: one tiny per-source
+    * agg, one rank-within-source window (same scale caveat as p02 —
+    * at huge strata swap the exact rank for a hash threshold
+    * ≈ quota/|stratum|), and the ≤|sources|-row quota table is
+    * broadcast back onto the ranked stream.
+    */
+  val p04DomainMixture = Q(
+    "p04_domain_mixture",
+    s"""WITH src AS (
+       |  SELECT source,
+       |         CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
+       |         count(*) AS n_total
+       |  FROM documents GROUP BY 1, 2
+       |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM src),
+       |cap AS (SELECT CAST(min(n_total * tw // weight) AS BIGINT) AS dfinal FROM src, tot),
+       |quota AS (
+       |  SELECT source, weight, n_total,
+       |         CAST((weight * dfinal) // tw AS BIGINT) AS quota
+       |  FROM src, tot, cap
+       |), ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY $HashKey, doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT q.source, q.weight, q.n_total, q.quota, count(*) AS n_kept,
+       |       CAST(sum(r.n_chars) AS BIGINT) AS kept_chars, min(r.doc_id) AS first_doc
+       |FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.quota
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY q.source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val src = docs
+      .withColumn("weight",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_total"))
+    val tot = src.agg(sum(col("weight")).as("tw"))
+    val cap = src.crossJoin(broadcast(tot))
+      .agg(min(expr("n_total * tw DIV weight")).as("dfinal"))
+    val quota = src.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+      .select(col("source"), col("weight"), col("n_total"),
+        expr("(weight * dfinal) DIV tw").as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(hashKey, col("doc_id"))
+    val ranked = docs.withColumn("rk", row_number().over(w))
+    ranked.alias("r")
+      .join(broadcast(quota).alias("q"),
+        col("r.source") === col("q.source") && col("r.rk") <= col("q.quota"))
+      .groupBy(col("q.source"), col("q.weight"), col("q.n_total"), col("q.quota"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("r.n_chars")).as("kept_chars"),
+        min(col("r.doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[Q] =
+    Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture)
 }
