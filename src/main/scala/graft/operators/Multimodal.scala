@@ -97,5 +97,88 @@ object Multimodal {
       .orderBy(col("doc_id"), col("sample_i"))
   }
 
-  def all: Seq[Q] = Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample)
+  /** Deterministic P6 PPM payload: real header + raw RGB, pixel j =
+    * (doc_id + j) mod 256. Every byte is a pure function of doc_id,
+    * so the DECODED metadata is algebraically predictable by the
+    * oracle while the Spark side round-trips actual bytes.
+    */
+  private def ppmBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 8).toInt
+    val h = (3 + docId % 5).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](3 * w * h)
+    var j = 0
+    while (j < px.length) { px(j) = ((docId + j) % 256).toByte; j += 1 }
+    header ++ px
+  }
+
+  /** Deterministic canonical 44-byte-header RIFF/WAVE PCM payload:
+    * 16-bit mono, rate = 8000 + (doc_id mod 4)·4000, n = 64 +
+    * doc_id mod 64 frames, sample i = ((doc_id·31 + i·7) mod 2¹⁶) −
+    * 2¹⁵ little-endian.
+    */
+  private def wavBytes(docId: Long): Array[Byte] = {
+    val rate = (8000 + (docId % 4) * 4000).toInt
+    val n = (64 + docId % 64).toInt
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byteRate = rate · blockAlign
+      .putShort(2).putShort(16) // blockAlign, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((docId * 31 + i * 7) % 65536) - 32768).toShort); i += 1
+    }
+    buf.array()
+  }
+
+  /** End-to-end REAL codec round-trip: synthesize genuine P6 PPM
+    * (even ids) / RIFF-WAVE PCM (odd ids) payloads per-partition,
+    * decode them through `SniffingDecoder`'s actual byte parsers, and
+    * emit the decoded metadata. The oracle computes the same fields
+    * algebraically from doc_id — an encoder that writes a wrong chunk
+    * size or a decoder that mis-parses a header hash-mismatches. Pure
+    * 1→1 map both stages, zero shuffle; the mapPartitions batching is
+    * the shape a native codec binding drops into.
+    */
+  val m04MediaDecode = Q(
+    "m04_media_decode",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
+      |  CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 8
+      |       ELSE 8000 + (doc_id % 4) * 4000 END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 5
+      |       ELSE 64 + doc_id % 64 END AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_channels,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN 9 + length(CAST(4 + doc_id % 8 AS VARCHAR))
+      |            + length(CAST(3 + doc_id % 5 AS VARCHAR))
+      |            + 3 * (4 + doc_id % 8) * (3 + doc_id % 5)
+      |       ELSE 44 + 2 * (64 + doc_id % 64) END AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        if (id % 2 == 0) MediaRow(id, "ppm", ppmBytes(id), src)
+        else MediaRow(id, "wav", wavBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"), col("kind").as("fmt"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  def all: Seq[Q] =
+    Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode)
 }
