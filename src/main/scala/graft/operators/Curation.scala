@@ -257,10 +257,14 @@ object Curation {
     * test, and the keeper set anti-joins a contaminated-id set that
     * is at most benchmark-sized per gram bucket.
     */
-  val c04CurateDecontam = Q(
-    "c04_curate_decontam",
-    s"""WITH $sqlNearDupKeptCtes,
-       |kept_grams AS (
+  /** DuckDB CTEs appended after [[sqlNearDupKeptCtes]] for the
+    * decontamination stage, ending in `clean(doc_id, lang, quality)`
+    * — the kept set minus the benchmark sample and every doc sharing
+    * a verbatim 8-gram with it. c04 appends the split projection;
+    * c05 inserts the mixture rebalance first.
+    */
+  private def sqlDecontamCleanCtes: String =
+    s"""kept_grams AS (
        |  SELECT k.doc_id, unnest(${sqlGrams8("string_split(dd.text, ' ')")}) AS gram
        |  FROM kept k JOIN documents dd ON k.doc_id = dd.doc_id
        |), bench_grams AS MATERIALIZED (
@@ -270,14 +274,19 @@ object Curation {
        |), contaminated AS (
        |  SELECT DISTINCT kg.doc_id
        |  FROM kept_grams kg JOIN bench_grams b ON kg.gram = b.gram
-       |)
-       |SELECT doc_id, lang, ${sqlSplit("doc_id")} AS split, quality
-       |FROM kept
-       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '0ccd'
-       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-       |ORDER BY doc_id""".stripMargin
-  ) { (s, d) =>
-    val kept = nearDupKept(s, d, "c04_curate_decontam").cache()
+       |), clean AS (
+       |  SELECT doc_id, lang, quality
+       |  FROM kept
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '0ccd'
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |)""".stripMargin
+
+  /** Spark side of [[sqlDecontamCleanCtes]]: [[nearDupKept]] minus
+    * the benchmark sample and its 8-gram contamination set.
+    */
+  private def decontamKept(s: SparkSession, d: String,
+      probeName: String): DataFrame = {
+    val kept = nearDupKept(s, d, probeName).cache()
     val docs = Tables.documents(s, d)
     val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
     val benchGrams = docs.filter(isBench)
@@ -291,7 +300,82 @@ object Curation {
       .select(col("doc_id")).distinct()
     kept.filter(!isBench)
       .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  val c04CurateDecontam = Q(
+    "c04_curate_decontam",
+    s"""WITH $sqlNearDupKeptCtes,
+       |$sqlDecontamCleanCtes
+       |SELECT doc_id, lang, ${sqlSplit("doc_id")} AS split, quality
+       |FROM clean
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    decontamKept(s, d, "c04_curate_decontam")
       .select(col("doc_id"), col("lang"), sparkSplit.as("split"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The COMPLETE pre-training pipeline: c04 + the domain-mixture
+    * rebalance (p04's integer-exact quota math) between
+    * decontamination and split — quality → exact dedup → near-dup
+    * collapse → decontam → mixture → split, each stage an operator
+    * the inventory verifies in isolation. Emits the final per-doc
+    * training manifest (doc_id, lang, source, split, quality).
+    *
+    * Scale shape: adds to c04 one tiny per-source agg, a
+    * rank-within-source window over the (already heavily reduced)
+    * clean set, and a broadcast of the ≤|sources|-row quota table.
+    * Mixture runs AFTER decontam so quotas are filled from admissible
+    * docs only — rebalancing before dropping contaminated docs would
+    * under-fill the affected sources' shares.
+    */
+  val c05CurateMixture = Q(
+    "c05_curate_mixture",
+    s"""WITH $sqlNearDupKeptCtes,
+       |$sqlDecontamCleanCtes,
+       |srcd AS (
+       |  SELECT c.doc_id, c.lang, c.quality, dd.source
+       |  FROM clean c JOIN documents dd ON c.doc_id = dd.doc_id
+       |), src AS (
+       |  SELECT source,
+       |         CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
+       |         count(*) AS n_total
+       |  FROM srcd GROUP BY 1, 2
+       |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM src),
+       |cap AS (SELECT CAST(min(n_total * tw // weight) AS BIGINT) AS dfinal FROM src, tot),
+       |quota AS (
+       |  SELECT source, CAST((weight * dfinal) // tw AS BIGINT) AS quota
+       |  FROM src, tot, cap
+       |), ranked AS (
+       |  SELECT doc_id, lang, quality, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
+       |  FROM srcd
+       |)
+       |SELECT r.doc_id, r.lang, r.source, ${sqlSplit("r.doc_id")} AS split, r.quality
+       |FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.quota
+       |ORDER BY r.doc_id""".stripMargin
+  ) { (s, d) =>
+    val clean = decontamKept(s, d, "c05_curate_mixture")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .cache() // feeds the per-source agg AND the ranked stream
+    val src = clean
+      .withColumn("weight",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_total"))
+    val tot = src.agg(sum(col("weight")).as("tw"))
+    val cap = src.crossJoin(broadcast(tot))
+      .agg(min(expr("n_total * tw DIV weight")).as("dfinal"))
+    val quota = src.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+      .select(col("source"), expr("(weight * dfinal) DIV tw").as("quota"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(substring(md5(col("doc_id").cast("string")), 1, 4), col("doc_id"))
+    clean.withColumn("rk", row_number().over(wRank))
+      .join(broadcast(quota), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        sparkSplit.as("split"), col("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -347,5 +431,5 @@ object Curation {
   }
 
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
-    c04CurateDecontam)
+    c04CurateDecontam, c05CurateMixture)
 }

@@ -206,4 +206,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"corpus gram stream must not shuffle for the join:\n$p")
   }
+
+  test("p04: mixture quota table is broadcast onto the ranked stream, no cartesian") {
+    val p = plan("p04_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast quota join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mixture must not cartesian:\n$p")
+    assert(!p.contains("text#"), "quota math must not read the text column")
+  }
+
+  test("m04: codec round-trip is map-side only — no shuffle except the final sort") {
+    val df = SparkEntry.queries("m04_media_decode")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1, s"decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"decode must not join:\n$p")
+  }
+
+  test("c05: mixture stage broadcasts quotas; pipeline keeps banded equi-joins") {
+    val df = SparkEntry.queries("c05_curate_mixture")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast quota join in:\n$p")
+    // the scalar tot/cap joins are broadcast-one-row nested loops by
+    // construction (the repo-wide crossJoin pattern) — only an
+    // unkeyed join of two DATA-sized sides would be a scale defect,
+    // and that plans as CartesianProduct, pinned here
+    assert(!p.contains("CartesianProduct"), s"mixture pipeline must not cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
 }
