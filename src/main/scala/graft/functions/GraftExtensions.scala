@@ -84,7 +84,10 @@ object GraftExtensions {
       }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
-      arrayWithConstInt("simhash_bits", SimHashBits(_, _))))
+      arrayWithConstInt("simhash_bits", SimHashBits(_, _))),
+    ("word_grams",
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      arrayWithConstInt("word_grams", WordGrams(_, _))))
 
   /** Register on an existing session (e.g. one the driver built). */
   def register(spark: SparkSession): Unit =

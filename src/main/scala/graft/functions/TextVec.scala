@@ -27,16 +27,16 @@ object TextVec {
   def tokenSet(c: Column): Column = array_distinct(split(c, " "))
 
   /** Distinct word 8-grams of a token-array column — the verbatim
-    * shingles used by the benchmark-contamination check (t10, c04).
-    * Empty for docs shorter than 8 tokens (guarded: Spark's
-    * `sequence(1, n)` with n < 1 counts DOWN, which would index past
-    * the array).
+    * shingles used by the benchmark-contamination check (t10,
+    * c04/c05). Backed by the [[graft.functions.WordGrams]] codegen
+    * kernel: one token-array materialization + a tight shingle loop,
+    * identical values to the declarative
+    * `array_distinct(transform(sequence(…), i -> concat_ws(' ', …)))`
+    * spelling, which re-evaluated the token-producing expression per
+    * `element_at` (~8·|tk| splits per doc) once CollapseProject
+    * inlined it.
     */
-  def grams8(tk: Column): Column =
-    when(size(tk) >= 8,
-      array_distinct(transform(sequence(lit(1), size(tk) - 7),
-        i => concat_ws(" ", (0 until 8).map(j => element_at(tk, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+  def grams8(tk: Column): Column = graft.functions.WordGrams(tk, 8)
 
   /** DuckDB spelling of [[grams8]] over a list expression `tk` —
     * same guard, same `' '` joiner, so gram strings are byte-equal.

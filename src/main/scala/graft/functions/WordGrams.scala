@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-n-gram shingles over an `array<string>` token column:
+  * the distinct space-joined windows of `n` consecutive tokens, in
+  * first-occurrence order. Fewer than `n` tokens ⇒ empty array; null
+  * array ⇒ null (UnaryExpression null-intolerance); null *elements*
+  * are skipped inside a window, matching `concat_ws`.
+  *
+  * Semantics are IDENTICAL to the declarative spelling
+  * `array_distinct(transform(sequence(1, size(tk)-n+1), i ->
+  * concat_ws(' ', element_at(tk, i)..element_at(tk, i+n-1))))` —
+  * whose DuckDB twin (TextVec.sqlGrams8) stays the oracle spelling —
+  * but the token array is materialized ONCE and shingled in a tight
+  * loop. The lambda spelling re-evaluates whatever expression
+  * produced `tk` (typically `split(text)`) for every `element_at`
+  * once CollapseProject inlines the alias: n per window, ~n·|tk|
+  * splits per document, outside whole-stage codegen. The round-3
+  * bench measured t10's gram projection alone at 24 s on sf0.1;
+  * this kernel removes that blowup for t10/c04/c05.
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2 && n <= 64, s"word_grams supports window 2..64, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGrams {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    // LinkedHashSet = array_distinct's keep-first-occurrence order
+    val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(c), n))
+}

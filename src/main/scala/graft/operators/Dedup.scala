@@ -228,12 +228,12 @@ object Dedup {
          |ORDER BY jaccard3 DESC, id_a, id_b
          |LIMIT 20""".stripMargin }
   ) { (s, d) =>
-    Tables.documents(s, d).filter(col("doc_id") < 100)
-      .createOrReplaceTempView("graft_docs_ngram")
-    val g = "array_sort(array_distinct(transform(" +
-      "CASE WHEN size(split(text, ' ')) >= 3 THEN sequence(1, size(split(text, ' ')) - 2) ELSE array() END, " +
-      "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i+1), ' ', element_at(split(text, ' '), i+2)))))"
-    val grams = s.sql(s"SELECT doc_id, $g AS gs FROM graft_docs_ngram")
+    // WordGrams kernel + sort = the declarative
+    // array_sort(array_distinct(transform(..))) spelling without its
+    // per-element_at re-split blowup (see WordGrams Scaladoc)
+    val grams = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        array_sort(graft.functions.WordGrams(split(col("text"), " "), 3)).as("gs"))
     grams.alias("a")
       .join(grams.alias("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -99,6 +99,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer constant"), e.getMessage)
   }
 
+  test("word_grams kernel equals the declarative shingle spelling") {
+    GraftExtensions.register(spark)
+    // real corpus + the guard edge cases (exactly n−1, exactly n,
+    // duplicate-heavy tokens)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS tk")
+      .union(spark.sql("SELECT array('a','b','c','d','e','f','g') AS tk"))
+      .union(spark.sql("SELECT array('a','b','c','d','e','f','g','h') AS tk"))
+      .union(spark.sql("SELECT array('x','x','x','x','x','x','x','x','x') AS tk"))
+    val declarative =
+      "CASE WHEN size(tk) >= 8 THEN array_distinct(transform(sequence(1, size(tk) - 7), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2), " +
+        "element_at(tk, i+3), element_at(tk, i+4), element_at(tk, i+5), element_at(tk, i+6), " +
+        "element_at(tk, i+7)))) ELSE array() END"
+    val mismatches = docs.selectExpr(
+      "word_grams(tk, 8) AS kernel", s"$declarative AS declarative")
+      .filter("kernel <> declarative").count()
+    assert(mismatches == 0)
+  }
+
   test("withExtensions installs the functions at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
