@@ -86,11 +86,12 @@ object Curation {
     * near-dup graph (Jaccard ≥ 0.9 over token sets, after exact
     * keepers collapse) has much shorter chains than d07's embedding
     * graph, but the 10× scale probe found 4 rounds (reach ~2^4) one
-    * hop short on the sf1 corpus; 8 rounds give reach ~2^8 ≫ any
-    * observed chain, and the runtime convergence probe fails loudly
-    * if a corpus ever exhausts it.
+    * hop short on the sf1 corpus; 12 rounds give reach ≫ any observed
+    * chain — margin that is FREE since propagateLabels exits at the
+    * fixpoint — and the runtime convergence probe fails loudly if a
+    * corpus ever exhausts it.
     */
-  val C02Rounds = 8
+  val C02Rounds = 12
 
   /** Shared DuckDB CTE chain for the near-dup curation pipeline —
     * quality filter → exact keeper → MinHash-LSH near-dup component
