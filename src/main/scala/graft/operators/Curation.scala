@@ -180,6 +180,7 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("quality"),
         array_sort(tokenSet(col("text"))).as("ts"))
       .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
+      .cache() // quality HOFs + exact-dedup window feed BOTH sets and doc_reps
     val sets = ksets.groupBy(col("set_hash"))
       .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
       .cache() // feeds doc_reps AND the signature/band pipeline
