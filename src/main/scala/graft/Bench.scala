@@ -66,6 +66,11 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // queries may cache; don't leak across timings
+      // also drop localCheckpoint blocks (clearCache doesn't): the
+      // propagation queries leave one per round and the orphans skew
+      // later timings via memory pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, if (ok) elapsed else -1.0, ok)
     }
     // Cast-throughput micro-metric: the reference's only published

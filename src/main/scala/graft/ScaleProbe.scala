@@ -90,6 +90,11 @@ object ScaleProbe {
           (-1.0, -1L)
         }
       spark.catalog.clearCache()
+      // clearCache drops table caches but NOT localCheckpoint blocks;
+      // the propagation queries leave one per round, and the orphans
+      // accumulate memory pressure that skews later queries' timings
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, sec, rows)
     }
 

@@ -29,6 +29,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // queries may cache; bound memory across the run
+      spark.sparkContext.getPersistentRDDs.values // incl. checkpoint blocks
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -333,6 +333,70 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** Symmetric int8 absmax quantization of the embedding column —
+    * the storage-scale path for a 100 TB vector store (4× smaller
+    * than f32, SIMD-friendly dot products downstream): per vector,
+    * scale = absmax/127 and qᵢ = floor(xᵢ·127/absmax + 0.5), the
+    * nearest-int map whose reconstruction error is ≤ scale/2 per
+    * element — pinned per row by `max_abs_err`. `q_md5` hashes the
+    * comma-joined codes, so BOTH engines must produce every int8
+    * code identically; all arithmetic is IEEE double with textually
+    * parallel spellings (the repo's floor(v+0.5) rounding — no
+    * round()-on-double divergence).
+    *
+    * Scale shape: pure per-row projection — zero shuffle, quantizes
+    * an arbitrarily large corpus embarrassingly parallel; the
+    * (vec_id, scale, q) triple is what a production store persists.
+    */
+  val s07QuantizeInt8 = Q(
+    "s07_quantize_int8",
+    """WITH base AS (
+      |  SELECT vec_id, embedding, len(embedding) AS n_dims,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, n_dims, embedding, amax,
+      |         CASE WHEN amax = 0
+      |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(embedding,
+      |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+      |         END AS q
+      |  FROM base
+      |)
+      |SELECT vec_id, n_dims,
+      |       CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+      |       md5(array_to_string(q, ',')) AS q_md5,
+      |       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+      |       CASE WHEN amax = 0 THEN 0.0
+      |            ELSE list_max(list_transform(embedding, x ->
+      |              abs(CAST(x AS DOUBLE)
+      |                  - CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)
+      |                    * (amax / 127.0))))
+      |       END AS max_abs_err
+      |FROM qz ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        size(col("embedding")).as("n_dims"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("amax"))
+    val qz = base.withColumn("q",
+      when(col("amax") === 0,
+        transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") * 127.0 / col("amax") + 0.5))))
+    qz.select(col("vec_id"), col("n_dims"),
+      when(col("amax") === 0, 0.0).otherwise(col("amax") / 127.0).as("scale"),
+      md5(concat_ws(",", transform(col("q"), v => v.cast("string")))).as("q_md5"),
+      aggregate(transform(col("q"), v => abs(v)), lit(0L), (a, v) => a + v).as("q_l1"),
+      when(col("amax") === 0, 0.0)
+        .otherwise(array_max(transform(col("embedding"), x =>
+          abs(x.cast("double")
+            - floor(x.cast("double") * 127.0 / col("amax") + 0.5)
+              * (col("amax") / 127.0)))))
+        .as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
-    s06AnnMultiprobe)
+    s06AnnMultiprobe, s07QuantizeInt8)
 }
