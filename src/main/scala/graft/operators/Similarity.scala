@@ -397,6 +397,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s01's exact top-5 search run over the DEQUANTIZED int8 vectors
+    * (s07's codes × scale) — the query that proves the 4×-compressed
+    * store still ranks: Int8QuantSpec asserts recall@5 ≥ 0.9 vs s01
+    * on the exact index. Both engines dequantize with the identical
+    * integer codes and double scale, and score with the same ordered
+    * dot-product fold ([[graft.functions.DoubleVecDot]] ≡
+    * TextVec.sqlDot), so cos_sim is bit-equal, not approximately
+    * equal. Same scale shape as s01: broadcast query side, single
+    * corpus scan, per-query top-k window.
+    */
+  val s08DequantTopk = Q(
+    "s08_dequant_topk",
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings
+       |), dq AS (
+       |  SELECT vec_id,
+       |         CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0.0)
+       |              ELSE list_transform(embedding, x ->
+       |                CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)
+       |                  * (amax / 127.0))
+       |         END AS xq
+       |  FROM base
+       |), e AS (
+       |  SELECT vec_id, xq, ${sqlNorm("xq")} AS nrm FROM dq
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("q.xq", "c.xq")} / (q.nrm * c.nrm) END AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, k FROM ranked
+       |WHERE k <= 5
+       |ORDER BY query_id, k""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.DoubleVecDot
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("amax"))
+    val dq = base.select(col("vec_id"),
+      when(col("amax") === 0, transform(col("embedding"), _ => lit(0.0)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") * 127.0 / col("amax") + 0.5)
+            * (col("amax") / 127.0)))
+        .as("xq"))
+    val e = dq.select(col("vec_id"), col("xq"),
+      sqrt(DoubleVecDot(col("xq"), col("xq"))).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("xq").as("q_xq"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(DoubleVecDot(col("q_xq"), col("xq")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 5)
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
-    s06AnnMultiprobe, s07QuantizeInt8)
+    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk)
 }
