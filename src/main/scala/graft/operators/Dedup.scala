@@ -524,6 +524,44 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Directional 8-gram CONTAINMENT — the asymmetric near-dup
+    * relation Jaccard misses: a short doc quoted verbatim inside a
+    * long one scores |G_a∩G_b|/|G_a| ≈ 1 from the quote's side while
+    * Jaccard stays low. Like d05, this is the capped exactness
+    * baseline (first 100 docs, top-20 pairs); the scale path for
+    * containment is the same banded candidate generation as d03 with
+    * the verify predicate swapped (containment-LSH bands on the
+    * SHORTER side's grams).
+    */
+  val d08Containment = Q(
+    "d08_containment",
+    { val g = sqlGrams8("string_split(text, ' ')")
+      s"""WITH g AS (
+         |  SELECT doc_id, $g AS gs FROM documents WHERE doc_id < 100
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(a.gs) AS n_grams_a,
+         |       len(list_intersect(a.gs, b.gs)) AS n_shared,
+         |       CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs) AS containment
+         |FROM g a JOIN g b ON a.doc_id <> b.doc_id AND len(a.gs) > 0
+         |ORDER BY containment DESC, id_a, id_b
+         |LIMIT 20""".stripMargin }
+  ) { (s, d) =>
+    val g = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), grams8(tokens(col("text"))).as("gs"))
+    g.alias("a")
+      .join(g.alias("b"),
+        col("a.doc_id") =!= col("b.doc_id") && size(col("a.gs")) > 0)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(col("a.gs")).cast("long").as("n_grams_a"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("long").as("n_shared"),
+        (size(array_intersect(col("a.gs"), col("b.gs"))).cast("double")
+          / size(col("a.gs"))).as("containment"))
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
-    d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters)
+    d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
+    d08Containment)
 }
