@@ -86,29 +86,45 @@ object Bench {
       import graft.engine.{DynEvent, EValue, SpellEngine}
       import EValue._
       import org.apache.spark.sql.functions.col
-      val seeds = Tables.events(spark, sfDir)
+      def castAll(ds: org.apache.spark.sql.Dataset[(java.lang.Long, java.lang.Double)]): Long =
+        SpellEngine.castAllColumnar[(java.lang.Long, java.lang.Double), (Long, Long, Double)](
+          ds, graft.operators.SpellQueries.HalvingSpell,
+          toEvent = { case (id, v) =>
+            DynEvent(Map[EValue, EValue](
+              EStr("event_id") -> (if (id == null) ENil else EInt(id)),
+              EStr("value") -> (if (v == null) ENil else EFloat(v)),
+              EStr("hop") -> EInt(0)))
+          },
+          fromHop = { e =>
+            (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
+              e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
+              e.get("value") match { case Some(EFloat(f)) => f; case _ => Double.NaN })
+          }).count()
+      // two deployment shapes, both cached so the scan is untimed:
+      // single partition (comparable to the reference's single-thread
+      // ~500 ns/cast Lua number — the driver corpus is one parquet
+      // row group, so this is also what an unrepartitioned read gets)
+      // and one partition per core (the engine's actual answer).
+      val single = Tables.events(spark, sfDir)
         .select(col("event_id"), col("value"))
         .as[(java.lang.Long, java.lang.Double)]
-        .cache() // materialize the scan: time casting, not parquet decode
-      val nSeeds = seeds.count()
+        .coalesce(1).cache()
+      val nSeeds = single.count()
       val t0 = System.nanoTime()
-      val nHops = SpellEngine.castAllColumnar[(java.lang.Long, java.lang.Double), (Long, Long, Double)](
-        seeds, graft.operators.SpellQueries.HalvingSpell,
-        toEvent = { case (id, v) =>
-          DynEvent(Map[EValue, EValue](
-            EStr("event_id") -> (if (id == null) ENil else EInt(id)),
-            EStr("value") -> (if (v == null) ENil else EFloat(v)),
-            EStr("hop") -> EInt(0)))
-        },
-        fromHop = { e =>
-          (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
-            e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
-            e.get("value") match { case Some(EFloat(f)) => f; case _ => Double.NaN })
-        }).count()
-      val elapsedNs = System.nanoTime() - t0
+      val nHops = castAll(single)
+      val singleNs = System.nanoTime() - t0
+      val par = single.repartition(spark.sparkContext.defaultParallelism).cache()
+      par.count() // materialize the repartition outside the timing
+      val t1 = System.nanoTime()
+      castAll(par)
+      val parNs = System.nanoTime() - t1
+      single.unpersist(); par.unpersist()
       val casts = nSeeds + nHops
-      val nsPerCast = if (casts > 0) elapsedNs.toDouble / casts else -1.0
-      s""","cast_bench":{"casts":$casts,"wall_sec":${elapsedNs / 1e9},"ns_per_cast":$nsPerCast}"""
+      val nsSingle = if (casts > 0) singleNs.toDouble / casts else -1.0
+      val nsPar = if (casts > 0) parNs.toDouble / casts else -1.0
+      val perSec = if (parNs > 0) casts / (parNs / 1e9) else -1.0
+      s""","cast_bench":{"casts":$casts,"wall_sec":${singleNs / 1e9},"ns_per_cast":$nsSingle,""" +
+        s""""wall_sec_parallel":${parNs / 1e9},"ns_per_cast_parallel":$nsPar,"casts_per_sec_parallel":${perSec.round}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cast micro-bench failed: ${e.getMessage}"); ""
     }
