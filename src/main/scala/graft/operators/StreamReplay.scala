@@ -218,6 +218,67 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("user_id"), col("event_type"))
   } }
 
+  /** The reference's ACTUAL deployment shape — events stream through
+    * a spell continuously (§2A T1/T2 in the streaming dimension, not
+    * just q04's batch replay): `SpellEngine.castAllColumnar`, the
+    * very same engine function q04 runs in batch, executes INSIDE a
+    * Structured Streaming job (cast loops are per-seed independent,
+    * so the narrow mapPartitions is a legal stateless streaming
+    * transform), append-mode memory sink, AvailableNow trigger. The
+    * oracle replays the loop with q04's recursive CTE — so streaming
+    * execution, batch execution, and an independent relational
+    * evaluation all hash-agree on every hop of every feedback loop.
+    *
+    * Scale notes: stateless 1→N map per micro-batch — no streaming
+    * state at all, arbitrarily parallel; the memory sink is the test
+    * harness (production = per-microbatch real sink), result size
+    * oracle-bounded. StreamingSpec drives the same pipeline through
+    * a multi-batch MemoryStream to pin batch-boundary independence.
+    */
+  val q75StreamCastReplay = Q(
+    "q75_stream_cast_replay",
+    """WITH RECURSIVE hops AS (
+      |  SELECT event_id, 0 AS hop, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, hop + 1, value / 2 FROM hops
+      |  WHERE value > 1 AND NOT isnan(value) AND hop < 1000
+      |)
+      |SELECT event_id, hop, value FROM hops
+      |WHERE hop >= 1
+      |ORDER BY event_id, hop""".stripMargin
+  ) { (s, d) => withNanosAsLong(s) {
+    import s.implicits._
+    import graft.engine.{DynEvent, EValue, SpellEngine}
+    import EValue._
+    val stream = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val seeds = stream.select(col("event_id"), col("value"))
+      .as[(java.lang.Long, java.lang.Double)]
+    val hops = SpellEngine.castAllColumnar[(java.lang.Long, java.lang.Double), (Long, Long, Double)](
+      seeds, SpellQueries.HalvingSpell,
+      toEvent = { case (id, v) =>
+        DynEvent(Map[EValue, EValue](
+          EStr("event_id") -> (if (id == null) ENil else EInt(id)),
+          EStr("value") -> (if (v == null) ENil else EFloat(v)),
+          EStr("hop") -> EInt(0)))
+      },
+      fromHop = { e =>
+        (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
+          e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
+          e.get("value") match { case Some(EFloat(v)) => v; case _ => Double.NaN })
+      }).toDF("event_id", "hop", "value")
+    val sinkName = "graft_q75_cast_replay"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = hops.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("event_id"), col("hop"))
+  } }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
-    q74StreamDedupReplay)
+    q74StreamDedupReplay, q75StreamCastReplay)
 }

@@ -346,4 +346,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(sink.toMap == Map("click" -> 2L, "purchase" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming cast pipeline is batch-boundary independent (q75's engine path)") {
+    import spark.implicits._
+    import graft.engine.{DynEvent, EValue, SpellEngine}
+    import EValue._
+    def toEvent(r: (Long, Double)): DynEvent =
+      DynEvent(Map[EValue, EValue](
+        EStr("event_id") -> EInt(r._1), EStr("value") -> EFloat(r._2),
+        EStr("hop") -> EInt(0)))
+    def fromHop(e: DynEvent): (Long, Long, Double) =
+      (e.get("event_id") match { case Some(EInt(i)) => i; case _ => -1L },
+        e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
+        e.get("value") match { case Some(EFloat(v)) => v; case _ => Double.NaN })
+    val seeds = Seq((1L, 9.0), (2L, 100.0), (3L, 0.5), (4L, 33.0))
+    // batch reference: all seeds in one go
+    val expected = SpellEngine.castAllColumnar(
+        spark.createDataset(seeds), graft.operators.SpellQueries.HalvingSpell,
+        toEvent, fromHop _)
+      .collect().toSet
+    // streaming: same seeds split across three micro-batches
+    val in = MemoryStream[(Long, Double)](spark)
+    val hops = SpellEngine.castAllColumnar(
+      in.toDS(), graft.operators.SpellQueries.HalvingSpell, toEvent, fromHop _)
+    val q = hops.writeStream.outputMode("append").format("memory")
+      .queryName("graft_cast_mb").start()
+    try {
+      in.addData(seeds(0))
+      q.processAllAvailable()
+      in.addData(seeds(1), seeds(2))
+      q.processAllAvailable()
+      in.addData(seeds(3))
+      q.processAllAvailable()
+      val got = spark.table("graft_cast_mb")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected,
+        "hop set must not depend on how seeds split into micro-batches")
+    } finally q.stop()
+  }
 }
