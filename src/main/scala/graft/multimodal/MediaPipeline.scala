@@ -72,9 +72,16 @@ object PpmDecoder extends MediaDecoder {
       (bytes(2) == ' ' || bytes(2) == '\t' || bytes(2) == '\n' ||
         bytes(2) == '\r' || bytes(2) == '#')
 
-  override def decode(row: MediaRow): MediaFeatures = {
-    val b = row.payload
-    require(isPpm(b), s"media_id=${row.media_id}: not a P6 PPM payload")
+  /** Parsed P6 header: dimensions, maxval, and the pixel-data start
+    * offset. Shared by decode and the real resize transform.
+    */
+  private[multimodal] final case class PpmHeader(
+      w: Int, h: Int, maxval: Int, pixelStart: Int) {
+    def bytesPerSample: Int = if (maxval < 256) 1 else 2
+  }
+
+  private[multimodal] def parseHeader(b: Array[Byte], mediaId: Long): PpmHeader = {
+    require(isPpm(b), s"media_id=$mediaId: not a P6 PPM payload")
     var i = 2
     def skipWs(): Unit = {
       var done = false
@@ -88,26 +95,32 @@ object PpmDecoder extends MediaDecoder {
     def token(): Int = {
       skipWs()
       require(i < b.length && b(i) >= '0' && b(i) <= '9',
-        s"media_id=${row.media_id}: malformed PPM header")
+        s"media_id=$mediaId: malformed PPM header")
       var v = 0
       while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
       v
     }
     val w = token(); val h = token(); val maxval = token()
-    require(maxval > 0 && maxval < 65536, s"media_id=${row.media_id}: bad PPM maxval $maxval")
+    require(maxval > 0 && maxval < 65536, s"media_id=$mediaId: bad PPM maxval $maxval")
     i += 1 // exactly ONE whitespace byte separates the header from pixels
-    val bytesPerSample = if (maxval < 256) 1 else 2
-    require(b.length - i >= w.toLong * h * 3 * bytesPerSample,
-      s"media_id=${row.media_id}: truncated PPM pixel data")
+    val hdr = PpmHeader(w, h, maxval, i)
+    require(b.length - i >= w.toLong * h * 3 * hdr.bytesPerSample,
+      s"media_id=$mediaId: truncated PPM pixel data")
+    hdr
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    val hdr = parseHeader(b, row.media_id)
     var checksum = 0L
-    var j = i
+    var j = hdr.pixelStart
     while (j < b.length) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
     MediaFeatures(
       media_id = row.media_id,
       kind = row.kind,
       n_bytes = b.length.toLong,
-      width = w,
-      height = h,
+      width = hdr.w,
+      height = hdr.h,
       n_channels = 3,
       checksum = checksum)
   }
@@ -134,46 +147,61 @@ object WavDecoder extends MediaDecoder {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
       ((b(i + 3) & 0xffL) << 24)
 
-  override def decode(row: MediaRow): MediaFeatures = {
-    val b = row.payload
-    require(isWav(b), s"media_id=${row.media_id}: not a RIFF/WAVE payload")
+  /** Located PCM chunks: fmt fields + the data chunk's byte range.
+    * Shared by decode and the real frame-sampling transform.
+    */
+  private[multimodal] final case class WavChunks(
+      channels: Int, sampleRate: Long, blockAlign: Int,
+      dataStart: Int, dataSize: Int) {
+    def frames: Long = dataSize.toLong / blockAlign
+  }
+
+  private[multimodal] def parseChunks(b: Array[Byte], mediaId: Long): WavChunks = {
+    require(isWav(b), s"media_id=$mediaId: not a RIFF/WAVE payload")
     var i = 12
     var channels = -1; var sampleRate = -1L; var blockAlign = -1
-    var frames = -1L; var checksum = 0L; var seenData = false
-    while (i + 8 <= b.length && (!seenData || channels < 0)) {
+    var dataStart = -1; var dataSize = -1
+    while (i + 8 <= b.length && (dataStart < 0 || channels < 0)) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = u32(b, i + 4)
       val body = i + 8
       require(body + size <= b.length,
-        s"media_id=${row.media_id}: truncated WAV chunk '$id'")
+        s"media_id=$mediaId: truncated WAV chunk '$id'")
       if (id == "fmt ") {
-        require(size >= 16, s"media_id=${row.media_id}: short fmt chunk")
+        require(size >= 16, s"media_id=$mediaId: short fmt chunk")
         val audioFormat = u16(b, body)
         require(audioFormat == 1,
-          s"media_id=${row.media_id}: only PCM WAV supported, got format $audioFormat")
+          s"media_id=$mediaId: only PCM WAV supported, got format $audioFormat")
         channels = u16(b, body + 2)
         sampleRate = u32(b, body + 4)
         blockAlign = u16(b, body + 12)
         require(channels > 0 && blockAlign > 0,
-          s"media_id=${row.media_id}: malformed fmt chunk")
+          s"media_id=$mediaId: malformed fmt chunk")
       } else if (id == "data") {
-        require(channels > 0, s"media_id=${row.media_id}: data chunk before fmt")
-        frames = size / blockAlign
-        var j = body
-        val end = body + size.toInt
-        while (j < end) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
-        seenData = true
+        require(channels > 0, s"media_id=$mediaId: data chunk before fmt")
+        dataStart = body
+        dataSize = size.toInt
       }
       i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    require(seenData, s"media_id=${row.media_id}: no data chunk")
+    require(dataStart >= 0, s"media_id=$mediaId: no data chunk")
+    WavChunks(channels, sampleRate, blockAlign, dataStart, dataSize)
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    val c = parseChunks(b, row.media_id)
+    var checksum = 0L
+    var j = c.dataStart
+    val end = c.dataStart + c.dataSize
+    while (j < end) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
     MediaFeatures(
       media_id = row.media_id,
       kind = row.kind,
       n_bytes = b.length.toLong,
-      width = sampleRate.toInt, // sample rate in Hz
-      height = frames.toInt, // frames (samples per channel)
-      n_channels = channels,
+      width = c.sampleRate.toInt, // sample rate in Hz
+      height = c.frames.toInt, // frames (samples per channel)
+      n_channels = c.channels,
       checksum = checksum) // over the data chunk only, same fold as PPM
   }
 }
@@ -197,12 +225,13 @@ final case class MediaFrame(
     media_id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
 
 /** Transform stages the mandate names beyond decode: resize and
-  * frame-sample. STUBBED like the decoder (no media libs in this
-  * container): resize emits a deterministic byte slice standing in
-  * for the scaled image; frame-sample cuts N evenly-spaced byte
-  * windows standing in for video frames. The Spark-side shape —
-  * per-partition batching, typed rows, opaque binary in/out — is the
-  * real contract a codec binding drops into.
+  * frame-sample. [[SniffingTransforms]] implements them FOR REAL on
+  * the formats whose parsers exist (nearest-neighbor P6 resize,
+  * sample-aligned WAV frame windows); [[FakeTransforms]] remains the
+  * labeled stub for everything else (no media libs in this
+  * container). The Spark-side shape — per-partition batching, typed
+  * rows, opaque binary in/out — is the contract any further codec
+  * binding drops into.
   */
 trait MediaTransforms extends Serializable {
   def resize(row: MediaRow, w: Int, h: Int): ResizedMedia
@@ -222,6 +251,79 @@ object FakeTransforms extends MediaTransforms {
       val off = (len.toLong * i) / n
       val end = math.min(len, off.toInt + math.max(1, len / n))
       MediaFrame(row.media_id, i, off, row.payload.slice(off.toInt, end))
+    }
+  }
+}
+
+/** REAL transforms for the formats whose parsers exist, mirroring
+  * [[SniffingDecoder]]: nearest-neighbor resize for 8-bit P6 PPM
+  * (raw RGB in, valid P6 out) and sample-aligned frame windows for
+  * RIFF/WAVE PCM; everything else routes to `fallback`.
+  */
+final case class SniffingTransforms(fallback: MediaTransforms = FakeTransforms)
+    extends MediaTransforms {
+
+  override def resize(row: MediaRow, w: Int, h: Int): ResizedMedia =
+    if (PpmDecoder.isPpm(row.payload)) SniffingTransforms.resizePpm(row, w, h)
+    else fallback.resize(row, w, h)
+
+  override def sampleFrames(row: MediaRow, n: Int): Seq[MediaFrame] =
+    if (WavDecoder.isWav(row.payload)) SniffingTransforms.sampleWavFrames(row, n)
+    else fallback.sampleFrames(row, n)
+}
+
+object SniffingTransforms {
+
+  /** Nearest-neighbor P6 resize: source pixel (x·w₀/w, y·h₀/h) per
+    * target pixel, re-emitted as a valid P6 payload — decodable by
+    * [[PpmDecoder]], so resize→decode round-trips in the pipeline.
+    * 8-bit (maxval < 256) only; 16-bit P6 routes nowhere today and
+    * fails loudly rather than corrupt samples.
+    */
+  private[multimodal] def resizePpm(row: MediaRow, w: Int, h: Int): ResizedMedia = {
+    require(w > 0 && h > 0, s"media_id=${row.media_id}: bad resize target ${w}x$h")
+    val b = row.payload
+    val hdr = PpmDecoder.parseHeader(b, row.media_id)
+    require(hdr.maxval < 256,
+      s"media_id=${row.media_id}: resize supports 8-bit PPM, maxval=${hdr.maxval}")
+    val header = s"P6\n$w $h\n${hdr.maxval}\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * hdr.h / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * hdr.w / w).toInt
+        val src = hdr.pixelStart + (sy * hdr.w + sx) * 3
+        val dst = header.length + (y * w + x) * 3
+        out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    ResizedMedia(row.media_id, row.kind, w, h, out)
+  }
+
+  /** `n` evenly-spaced PCM frame windows, aligned to blockAlign so a
+    * window never splits a sample across channels; `offset` is the
+    * window's byte offset into the payload (always frame-aligned
+    * inside the data chunk).
+    */
+  private[multimodal] def sampleWavFrames(row: MediaRow, n: Int): Seq[MediaFrame] = {
+    val b = row.payload
+    val c = WavDecoder.parseChunks(b, row.media_id)
+    val total = c.frames
+    if (total == 0 || n <= 0) Seq.empty
+    else {
+      val perWindow = math.max(1L, total / n)
+      (0 until math.min(n.toLong, total).toInt).map { i =>
+        val startFrame = total * i / n
+        val endFrame = math.min(total, startFrame + perWindow)
+        val off = c.dataStart + startFrame * c.blockAlign
+        val end = c.dataStart + endFrame * c.blockAlign
+        MediaFrame(row.media_id, i, off, b.slice(off.toInt, end.toInt))
+      }
     }
   }
 }

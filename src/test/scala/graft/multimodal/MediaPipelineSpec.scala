@@ -124,6 +124,55 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(feats(22L).n_channels == 3) // FakeDecoder's image path
   }
 
+  test("real PPM resize: nearest-neighbor pixels, valid P6 out, decode round-trips") {
+    import spark.implicits._
+    // 2x2 source: four distinct pixels
+    val rgb = Array[Byte](
+      10, 11, 12,   20, 21, 22,
+      30, 31, 32,   40, 41, 42)
+    val rows = Seq(MediaRow(1L, "image", ppmBytes(2, 2, rgb), "fixture"),
+      MediaRow(2L, "other", "not a ppm".getBytes("UTF-8"), "fixture"))
+    val resized = MediaPipeline.resizeAll(rows.toDS().repartition(2), 4, 4,
+      SniffingTransforms()).collect().map(r => r.media_id -> r).toMap
+    // upscale 2x2 -> 4x4 doubles each pixel in both axes
+    val out = resized(1L)
+    assert(out.width == 4 && out.height == 4)
+    val feats = PpmDecoder.decode(MediaRow(1L, "image", out.payload, "fixture"))
+    assert(feats.width == 4 && feats.height == 4) // output is a VALID P6
+    val px = out.payload.drop(out.payload.length - 4 * 4 * 3)
+    // corner pixels of the scaled image are the source corners
+    assert(px.take(3).toSeq == Seq[Byte](10, 11, 12))
+    assert(px.slice((3 * 4 + 3) * 3, (3 * 4 + 3) * 3 + 3).toSeq == Seq[Byte](40, 41, 42))
+    // non-PPM rows still route to the fallback stub — mixed corpora work
+    assert(resized(2L).payload.nonEmpty)
+    // downscale back 4x4 -> 2x2 recovers the original pixels exactly
+    val back = SniffingTransforms().resize(
+      MediaRow(1L, "image", out.payload, "fixture"), 2, 2)
+    assert(back.payload.drop(back.payload.length - 12).toSeq == rgb.toSeq)
+  }
+
+  test("real WAV frame sampling: windows are blockAlign-aligned and cover the data chunk") {
+    import spark.implicits._
+    val pcm = Array.tabulate(10 * 4)(i => i.toByte) // 10 stereo 16-bit frames
+    val rows = Seq(MediaRow(3L, "audio", wavBytes(2, 8000, 16, pcm), "fixture"))
+    val frames = MediaPipeline.sampleFramesAll(rows.toDS(), 4, SniffingTransforms())
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    // every window starts at a frame boundary (offset - dataStart) % 4 == 0
+    val dataStart = 44L
+    assert(frames.forall(f => (f.offset - dataStart) % 4 == 0))
+    // windows tile the 10 frames: starts at frame 0, 2, 5, 7
+    assert(frames.map(f => (f.offset - dataStart) / 4).toSeq == Seq(0L, 2L, 5L, 7L))
+    // each window carries whole frames and the first window's bytes
+    // are the first two PCM frames verbatim
+    assert(frames.forall(_.frame_bytes.length % 4 == 0))
+    assert(frames(0).frame_bytes.toSeq == pcm.take(8).toSeq)
+    // more windows than frames: capped at one window per frame, no empties
+    val tiny = SniffingTransforms().sampleFrames(
+      MediaRow(4L, "audio", wavBytes(1, 8000, 16, Array[Byte](1, 2, 3, 4)), "fixture"), 8)
+    assert(tiny.length == 2 && tiny.forall(_.frame_bytes.nonEmpty))
+  }
+
   test("WAV decoder rejects truncated or non-PCM payloads loudly") {
     val good = wavBytes(2, 44100, 16, Array[Byte](1, 2, 3, 4))
     val truncated = MediaRow(30L, "audio", good.dropRight(2), "fixture")
