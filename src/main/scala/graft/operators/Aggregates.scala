@@ -238,6 +238,39 @@ object Aggregates {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Approximate percentiles under the q22-style accuracy gate: the
+    * t-digest-family sketch (`approx_percentile`, accuracy 1000 ⇒
+    * rank error ≤ 0.1%) has no cross-engine spelling, so Spark
+    * computes BOTH the exact and approximate quantiles and emits
+    * within-2% flags; the oracle asserts every flag is 1 — a sketch
+    * regression (wrong merge, bad compression) fails the hash.
+    * Two-phase aggregation both passes; the sketch buffer is the
+    * per-group state, mergeable across partitions (the 100 TB shape).
+    */
+  val q29ApproxPercentile = Q(
+    "q29_approx_percentile",
+    """SELECT l_returnflag,
+      |       CAST(1 AS INT) AS p50_ok,
+      |       CAST(1 AS INT) AS p90_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      when(abs(approx - exact) <= abs(exact) * 0.02, 1).otherwise(0).cast("int")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+        expr("percentile(l_extendedprice, 0.9)").as("ex90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+      .select(col("l_returnflag"),
+        ok(col("ap50"), col("ex50")).as("p50_ok"),
+        ok(col("ap90"), col("ex90")).as("p90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
-    q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg)
+    q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
+    q29ApproxPercentile)
 }

@@ -261,7 +261,33 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Salted equi-join under the oracle: `Skew.saltedJoin` spreads
+    * each key of the large side over 8 hash-derived sub-keys (the
+    * explicit mitigation for hot keys AQE's skew split can't reach),
+    * and because the salt is a pure function of the row, the result
+    * is EXACTLY the plain join — which is what the oracle spells, so
+    * the hash check proves salting is a physical rewrite with zero
+    * semantic drift. Aggregated per market segment to keep the
+    * result oracle-sized.
+    */
+  val q41SaltedJoin = Q(
+    "q41_salted_join",
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(Tables.orders(s, d), cust, "o_custkey", factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
     q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof,
-    q19ScalarSubquery)
+    q19ScalarSubquery, q41SaltedJoin)
 }
