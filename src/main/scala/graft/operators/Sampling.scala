@@ -161,6 +161,66 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** p04's documented production swap, implemented: mixture quotas
+    * filled by PER-ROW HASH THRESHOLD instead of rank-within-source —
+    * thr_s = quota_s·2¹⁶ div n_s, keep iff hash16(doc_id) < thr_s —
+    * so the fill is a broadcast-joined per-row filter with NO window
+    * shuffle at all: embarrassingly parallel at any corpus size, at
+    * the price of binomial jitter around the exact quota (reported:
+    * `n_kept` vs `quota`). Threshold compare stays in md5's own
+    * domain: fixed-width lowercase hex compares lexicographically =
+    * numerically, and the thr = 2¹⁶ edge (keep everything) is
+    * guarded explicitly because lpad would truncate '10000'.
+    */
+  val p05MixtureThreshold = Q(
+    "p05_mixture_threshold",
+    s"""WITH src AS (
+       |  SELECT source,
+       |         CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
+       |         count(*) AS n_total
+       |  FROM documents GROUP BY 1, 2
+       |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM src),
+       |cap AS (SELECT CAST(min(n_total * tw // weight) AS BIGINT) AS dfinal FROM src, tot),
+       |thr AS (
+       |  SELECT source, weight, n_total,
+       |         CAST((weight * dfinal) // tw AS BIGINT) AS quota,
+       |         CAST(((weight * dfinal) // tw) * 65536 // n_total AS BIGINT) AS thr16
+       |  FROM src, tot, cap
+       |)
+       |SELECT t.source, t.weight, t.n_total, t.quota,
+       |       lpad(lower(to_hex(least(t.thr16, 65535))), 4, '0') AS thr_hex,
+       |       count(*) FILTER (WHERE t.thr16 >= 65536
+       |         OR $HashKey < lpad(lower(to_hex(t.thr16)), 4, '0')) AS n_kept,
+       |       CAST(sum(d.n_chars) FILTER (WHERE t.thr16 >= 65536
+       |         OR $HashKey < lpad(lower(to_hex(t.thr16)), 4, '0')) AS BIGINT) AS kept_chars
+       |FROM documents d JOIN thr t ON d.source = t.source
+       |GROUP BY 1, 2, 3, 4, 5
+       |ORDER BY t.source""".stripMargin
+  ) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .withColumn("weight",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_total"))
+    val tot = src.agg(sum(col("weight")).as("tw"))
+    val cap = src.crossJoin(broadcast(tot))
+      .agg(min(expr("n_total * tw DIV weight")).as("dfinal"))
+    val thr = src.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+      .select(col("source"), col("weight"), col("n_total"),
+        expr("(weight * dfinal) DIV tw").as("quota"),
+        expr("((weight * dfinal) DIV tw) * 65536 DIV n_total").as("thr16"))
+    val hexThr = lpad(lower(expr("hex(thr16)")), 4, "0")
+    val kept = col("thr16") >= 65536 || hashKey < hexThr
+    Tables.documents(s, d).alias("d")
+      .join(broadcast(thr).alias("t"), col("d.source") === col("t.source"))
+      .groupBy(col("t.source"), col("t.weight"), col("t.n_total"), col("t.quota"),
+        lpad(lower(expr("hex(least(thr16, 65535))")), 4, "0").as("thr_hex"))
+      .agg(count(when(kept, 1)).as("n_kept"),
+        sum(when(kept, col("d.n_chars"))).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[Q] =
-    Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture)
+    Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
+      p05MixtureThreshold)
 }

@@ -221,6 +221,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"decode must not join:\n$p")
   }
 
+  test("p05: threshold mixture has NO window — broadcast thresholds + per-row filter only") {
+    val p = plan("p05_mixture_threshold")
+    assert(!p.contains("Window"), s"threshold fill must not rank:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast threshold join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q41: salted join stays an equi-join — no cartesian from the salt explode") {
+    val p = plan("q41_salted_join")
+    assert(!p.contains("CartesianProduct"), s"salting must stay keyed:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
+  test("s08: dequant search broadcasts the query side like s01") {
+    val p = plan("s08_dequant_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), s"expected broadcast query side in:\n$p")
+  }
+
   test("c05: mixture stage broadcasts quotas; pipeline keeps banded equi-joins") {
     val df = SparkEntry.queries("c05_curate_mixture")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
