@@ -29,9 +29,10 @@ object ScaleProbe {
   private val registered = Seq(
     "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
     "d07_dedup_clusters", "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
-    "s05_knn_classify", "s06_ann_multiprobe", "c01_curate",
-    "c02_curate_neardup", "c03_pack_sequences", "c04_curate_decontam",
-    "c05_curate_mixture", "p04_domain_mixture",
+    "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk",
+    "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
+    "c04_curate_decontam", "c05_curate_mixture",
+    "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination")
 
   /** Wide variants: operators with their scale knobs turned to the

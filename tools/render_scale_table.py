@@ -1,0 +1,26 @@
+#!/usr/bin/env python3
+"""Render SCALE_r03.json's two-scale results as the SCALE.md markdown
+table (dev tool, driver-side python only): keeps the published table
+mechanically in sync with the probe output.
+
+Usage: python3 tools/render_scale_table.py [SCALE_r03.json]
+"""
+import json
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALE_r03.json"
+d = json.load(open(path))
+scales = list(d["scales"].items())
+(l1, s1), (l2, s2) = scales[0], scales[1]
+print(f"| query | {l1} s | {l2} s | s ratio | {l1} rows | {l2} rows | rows ratio |")
+print("|---|---|---|---|---|---|---|")
+for k in s1:
+    a, b = s1[k], s2[k]
+    if a["sec"] <= 0 or b["sec"] <= 0:
+        print(f"| {k} | ERR | ERR | — | — | — | — |")
+        continue
+    ratio = b["sec"] / a["sec"]
+    rr = (b["rows"] / a["rows"]) if a["rows"] else float("nan")
+    rrs = "1×" if a["rows"] == b["rows"] else f"{rr:.1f}×"
+    print(f"| {k} | {a['sec']:.2f} | {b['sec']:.2f} | **{ratio:.1f}×** | "
+          f"{a['rows']:,} | {b['rows']:,} | {rrs} |")
