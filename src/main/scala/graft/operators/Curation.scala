@@ -331,11 +331,12 @@ object Curation {
     * docs only — rebalancing before dropping contaminated docs would
     * under-fill the affected sources' shares.
     */
-  val c05CurateMixture = Q(
-    "c05_curate_mixture",
-    s"""WITH $sqlNearDupKeptCtes,
-       |$sqlDecontamCleanCtes,
-       |srcd AS (
+  /** DuckDB CTEs appended after the decontam chain for the mixture
+    * stage, ending in `manifest(doc_id, lang, source, split,
+    * quality)`. c05 emits it; c06 packs its train split.
+    */
+  private def sqlMixtureManifestCtes: String =
+    s"""srcd AS (
        |  SELECT c.doc_id, c.lang, c.quality, dd.source
        |  FROM clean c JOIN documents dd ON c.doc_id = dd.doc_id
        |), src AS (
@@ -353,12 +354,83 @@ object Curation {
        |         row_number() OVER (PARTITION BY source
        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
        |  FROM srcd
-       |)
-       |SELECT r.doc_id, r.lang, r.source, ${sqlSplit("r.doc_id")} AS split, r.quality
-       |FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.quota
-       |ORDER BY r.doc_id""".stripMargin
+       |), manifest AS (
+       |  SELECT r.doc_id, r.lang, r.source, ${sqlSplit("r.doc_id")} AS split, r.quality
+       |  FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.quota
+       |)""".stripMargin
+
+  val c05CurateMixture = Q(
+    "c05_curate_mixture",
+    s"""WITH $sqlNearDupKeptCtes,
+       |$sqlDecontamCleanCtes,
+       |$sqlMixtureManifestCtes
+       |SELECT doc_id, lang, source, split, quality
+       |FROM manifest
+       |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val clean = decontamKept(s, d, "c05_curate_mixture")
+    mixedManifest(s, d, "c05_curate_mixture").orderBy(col("doc_id"))
+  }
+
+  /** The last yard of the pipeline: c05's manifest, TRAIN split only,
+    * packed into 512-token training sequences (c03's per-(lang,
+    * md5-shard) running-sum packing, applied to the curated+mixed
+    * corpus instead of the raw one) — manifest in, sequence
+    * coordinates out, which is exactly the artifact a training run
+    * consumes. Quality/dedup/decontam/mixture decide WHAT trains;
+    * this decides WHERE each surviving doc lands.
+    *
+    * Scale shape: everything c05 costs, plus one broadcast-sized
+    * join back to documents for token counts and one keyed
+    * (lang, shard) window — no global sort, parallelism = shard
+    * count, the same knob as c03.
+    */
+  val c06CuratePack = Q(
+    "c06_curate_pack",
+    s"""WITH $sqlNearDupKeptCtes,
+       |$sqlDecontamCleanCtes,
+       |$sqlMixtureManifestCtes,
+       |t AS (
+       |  SELECT m.doc_id, m.lang,
+       |         substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 1) AS shard,
+       |         len(string_split(dd.text, ' ')) AS n_tok
+       |  FROM manifest m JOIN documents dd ON m.doc_id = dd.doc_id
+       |  WHERE m.split = 'train'
+       |), cum AS (
+       |  SELECT doc_id, lang, shard, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, shard, n_tok,
+       |       (cum - n_tok) // 512 AS seq_start,
+       |       (cum - 1) // 512 AS seq_end,
+       |       (cum - n_tok) % 512 AS offset_in_seq
+       |FROM cum ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixedManifest(s, d, "c06_curate_pack")
+      .filter(col("split") === "train")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        expr("(cum - n_tok) div 512").as("seq_start"),
+        expr("(cum - 1) div 512").as("seq_end"),
+        ((col("cum") - col("n_tok")) % 512).as("offset_in_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Spark side of the full manifest — c04's decontaminated set run
+    * through the p04 mixture quotas, with split assigned:
+    * `(doc_id, lang, source, split, quality)`. Shared by c05 (emits
+    * it) and c06 (packs its train split).
+    */
+  private def mixedManifest(s: SparkSession, d: String,
+      probeName: String): DataFrame = {
+    val clean = decontamKept(s, d, probeName)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
       .cache() // feeds the per-source agg AND the ranked stream
     val src = clean
@@ -378,7 +450,6 @@ object Curation {
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("lang"), col("source"),
         sparkSplit.as("split"), col("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Sequence packing — the step between a curated corpus and a
@@ -433,5 +504,5 @@ object Curation {
   }
 
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
-    c04CurateDecontam, c05CurateMixture)
+    c04CurateDecontam, c05CurateMixture, c06CuratePack)
 }
