@@ -31,7 +31,7 @@ object ScaleProbe {
     "d07_dedup_clusters", "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
-    "c04_curate_decontam", "c05_curate_mixture",
+    "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination")
 
