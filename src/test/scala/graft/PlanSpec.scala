@@ -240,6 +240,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), s"expected broadcast query side in:\n$p")
   }
 
+  test("c06: curated packing stays windowed per (lang, shard) — no global sort, no cartesian") {
+    val df = SparkEntry.queries("c06_curate_pack")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"expected per-shard packing window in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("c05: mixture stage broadcasts quotas; pipeline keeps banded equi-joins") {
     val df = SparkEntry.queries("c05_curate_mixture")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
