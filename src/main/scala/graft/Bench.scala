@@ -45,33 +45,50 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("d")).count()
     spark.catalog.clearCache()
 
+    // SPARK_GRAFT_BENCH_ONLY=q64_json_props,d07_dedup_clusters — dev-run
+    // filter for timing a handful of queries in isolation; unset (the
+    // driver's mode) benches everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names =
       (if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
-       else SparkEntry.queries.keys.toSeq).sorted
+       else SparkEntry.queries.keys.toSeq)
+        .filter(n => only.forall(_.contains(n))).sorted
     // (name, seconds, succeeded); failures report -1s so a crashing
     // query can never masquerade as a fast one. The timed action is a
     // noop-format write, not count(): count() lets Catalyst prune every
     // unused column, so pure-projection queries would be timed with
     // their expensive expressions optimized away (r1 bench flaw).
+    //
+    // Each query is timed RunsPerQuery times and the MINIMUM reported:
+    // the round-3 driver overlapped its DuckDB oracle run with the
+    // bench and every timing inflated 2-5× (q64: 1.0 s isolated vs
+    // 17.0 s recorded) — min-of-N is the standard defense against
+    // external contention, and the JSON carries "runs"/"agg" fields so
+    // the measurement shape is explicit next to the records
+    // (BENCH_r01-r03 were single-run).
+    val RunsPerQuery = 2
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        }
+      var best = Double.MaxValue
+      var ok = true
+      var run = 0
+      while (ok && run < RunsPerQuery) {
+        run += 1
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); ok = false
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // queries may cache; don't leak across timings
-      // also drop localCheckpoint blocks (clearCache doesn't): the
-      // propagation queries leave one per round and the orphans skew
-      // later timings via memory pressure
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      (name, if (ok) elapsed else -1.0, ok)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache() // queries may cache; don't leak across timings
+        // also drop localCheckpoint blocks (clearCache doesn't): the
+        // propagation queries leave one per round and the orphans skew
+        // later timings via memory pressure
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      (name, if (ok) best else -1.0, ok)
     }
     // Cast-throughput micro-metric: the reference's only published
     // numbers are casts/sec (~500 ns/cast Lua micro-bench,
@@ -123,8 +140,13 @@ object Bench {
       val nsSingle = if (casts > 0) singleNs.toDouble / casts else -1.0
       val nsPar = if (casts > 0) parNs.toDouble / casts else -1.0
       val perSec = if (parNs > 0) casts / (parNs / 1e9) else -1.0
-      s""","cast_bench":{"casts":$casts,"wall_sec":${singleNs / 1e9},"ns_per_cast":$nsSingle,""" +
-        s""""wall_sec_parallel":${parNs / 1e9},"ns_per_cast_parallel":$nsPar,"casts_per_sec_parallel":${perSec.round}}"""
+      // keys carry the _cached suffix because the input is cached and
+      // (for the single shape) coalesced: round-2's identically-named
+      // keys timed an UNCACHED parquet scan, so the r2→r3 values were
+      // not comparable under one name (round-3 advice — the rename
+      // makes the measurement shape part of the key)
+      s""","cast_bench":{"casts":$casts,"wall_sec_single_cached":${singleNs / 1e9},"ns_per_cast_single_cached":$nsSingle,""" +
+        s""""wall_sec_parallel_cached":${parNs / 1e9},"ns_per_cast_parallel_cached":$nsPar,"casts_per_sec_parallel_cached":${perSec.round}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cast micro-bench failed: ${e.getMessage}"); ""
     }
@@ -136,7 +158,7 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$castMetric,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$RunsPerQuery,"agg":"min","queries":$qs,"errors":$errs$castMetric,"sf":"$sfDir"}"""
     // Write the JSON to a file FIRST: the driver's round-2 stdout
     // tail-capture truncated the head of the (long) JSON line and
     // lost 17 queries' timings; the file copy is the loss-proof record.

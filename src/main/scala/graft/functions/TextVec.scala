@@ -39,8 +39,11 @@ object TextVec {
   def grams8(tk: Column): Column = graft.functions.WordGrams(tk, 8)
 
   /** DuckDB spelling of [[grams8]] over a list expression `tk` —
-    * same guard, same `' '` joiner, so gram strings are byte-equal.
-    * `tk` must not reference the lambda variable name `i`.
+    * same `' '` joiner, so gram strings are byte-equal, and the same
+    * null/short-input behavior: `len(NULL) >= 8` is NULL so the CASE
+    * yields `[]`, exactly what the kernel returns for a null or
+    * shorter-than-8 token array. `tk` must not reference the lambda
+    * variable name `i`.
     */
   def sqlGrams8(tk: String): String = {
     val g8 = (0 until 8).map(j => if (j == 0) s"$tk[i]" else s"$tk[i+$j]")

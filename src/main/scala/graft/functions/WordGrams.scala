@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -11,8 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native word-n-gram shingles over an `array<string>` token column:
   * the distinct space-joined windows of `n` consecutive tokens, in
   * first-occurrence order. Fewer than `n` tokens ⇒ empty array; null
-  * array ⇒ null (UnaryExpression null-intolerance); null *elements*
-  * are skipped inside a window, matching `concat_ws`.
+  * array ⇒ empty array — the SAME result the declarative
+  * `CASE WHEN size(tk) >= 8 …` spelling and the DuckDB oracle
+  * (TextVec.sqlGrams8) produce, since `size(NULL) >= 8` is NULL and
+  * the CASE falls through to `array()` in both engines (round-3
+  * advice: the default UnaryExpression null-intolerance returned
+  * NULL here, a latent cross-engine divergence on null-text corpora);
+  * null *elements* are skipped inside a window, matching `concat_ws`.
   *
   * Semantics are IDENTICAL to the declarative spelling
   * `array_distinct(transform(sequence(1, size(tk)-n+1), i ->
@@ -33,12 +40,28 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def prettyName: String = "word_grams"
 
-  override protected def nullSafeEval(input: Any): Any =
-    WordGrams.compute(input.asInstanceOf[ArrayData], n)
+  // null input folds to the empty array (see class doc), so the
+  // output itself is never null
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordGrams.compute($c, $n);")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordGrams.empty()
+    else WordGrams.compute(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = ${c.isNull}
+          ? graft.functions.WordGrams.empty()
+          : graft.functions.WordGrams.compute(${c.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -47,6 +70,14 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
 object WordGrams {
 
   private val Space = UTF8String.fromString(" ")
+
+  private val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
+
+  /** The null-input result (a method, not a field: codegen reaches
+    * companion members through the class's static forwarders, which
+    * Scala emits for methods only).
+    */
+  def empty(): ArrayData = Empty
 
   def compute(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()

@@ -241,15 +241,22 @@ object Aggregates {
   /** Approximate percentiles under the q22-style accuracy gate: the
     * t-digest-family sketch (`approx_percentile`, accuracy 1000 ⇒
     * rank error ≤ 0.1%) has no cross-engine spelling, so Spark
-    * computes BOTH the exact and approximate quantiles and emits
-    * within-2% flags; the oracle asserts every flag is 1 — a sketch
-    * regression (wrong merge, bad compression) fails the hash.
-    * Two-phase aggregation both passes; the sketch buffer is the
-    * per-group state, mergeable across partitions (the 100 TB shape).
+    * computes BOTH the exact and approximate quantiles, EMITS the
+    * exact ones (oracle recomputes them with `quantile_cont` — the
+    * identical-interpolation pairing q27 proves bit-equal), and emits
+    * within-2% flags the oracle asserts are all 1. The exact columns
+    * being cross-engine-checked means a bug that skews exact and
+    * approx identically (wrong column, wrong filter) now fails the
+    * hash — round-3 advice; the flags still gate the sketch itself
+    * (wrong merge, bad compression). Two-phase aggregation both
+    * passes; the sketch buffer is the per-group mergeable state (the
+    * 100 TB shape).
     */
   val q29ApproxPercentile = Q(
     "q29_approx_percentile",
     """SELECT l_returnflag,
+      |       quantile_cont(l_extendedprice, 0.5) AS p50,
+      |       quantile_cont(l_extendedprice, 0.9) AS p90,
       |       CAST(1 AS INT) AS p50_ok,
       |       CAST(1 AS INT) AS p90_ok
       |FROM lineitem
@@ -265,6 +272,8 @@ object Aggregates {
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
         expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
       .select(col("l_returnflag"),
+        col("ex50").as("p50"),
+        col("ex90").as("p90"),
         ok(col("ap50"), col("ex50")).as("p50_ok"),
         ok(col("ap90"), col("ex90")).as("p90_ok"))
       .orderBy(col("l_returnflag"))

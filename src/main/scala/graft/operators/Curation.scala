@@ -341,9 +341,11 @@ object Curation {
        |  FROM clean c JOIN documents dd ON c.doc_id = dd.doc_id
        |), src AS (
        |  SELECT source,
-       |         CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
+       |         CAST(TRY_CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
        |         count(*) AS n_total
-       |  FROM srcd GROUP BY 1, 2
+       |  FROM srcd
+       |  WHERE TRY_CAST(substr(source, 4) AS INTEGER) IS NOT NULL
+       |  GROUP BY 1, 2
        |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM src),
        |cap AS (SELECT CAST(min(n_total * tw // weight) AS BIGINT) AS dfinal FROM src, tot),
        |quota AS (
@@ -435,7 +437,11 @@ object Curation {
       .cache() // feeds the per-source agg AND the ranked stream
     val src = clean
       .withColumn("weight",
-        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+        (expr("TRY_CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+      // src<N> id contract, enforced identically in both engines:
+      // non-parsing sources get NULL weight and are EXPLICITLY
+      // excluded from the mixture (see Sampling.p04 doc)
+      .filter(col("weight").isNotNull)
       .groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_total"))
     val tot = src.agg(sum(col("weight")).as("tw"))

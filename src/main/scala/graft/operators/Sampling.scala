@@ -105,6 +105,13 @@ object Sampling {
     * four mixture tiers); a production run would broadcast a real
     * weights table — the math is identical.
     *
+    * The `src<N>` id contract is enforced with `try_cast` in BOTH
+    * engines: a source whose id doesn't parse gets a NULL weight and
+    * is EXPLICITLY filtered out of the mixture (`weight IS NOT NULL`)
+    * rather than erroring in one engine (DuckDB's strict CAST) while
+    * silently dropping in the other (round-3 advice — the failure
+    * modes now agree, and the exclusion is spelled, not incidental).
+    *
     * All quota arithmetic is integer (BIGINT `div`), so both engines
     * compute bit-identical quotas: dfinal = min_s(n_s·W div w_s),
     * quota_s = w_s·dfinal div W. Shuffle shape: one tiny per-source
@@ -117,9 +124,11 @@ object Sampling {
     "p04_domain_mixture",
     s"""WITH src AS (
        |  SELECT source,
-       |         CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
+       |         CAST(TRY_CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
        |         count(*) AS n_total
-       |  FROM documents GROUP BY 1, 2
+       |  FROM documents
+       |  WHERE TRY_CAST(substr(source, 4) AS INTEGER) IS NOT NULL
+       |  GROUP BY 1, 2
        |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM src),
        |cap AS (SELECT CAST(min(n_total * tw // weight) AS BIGINT) AS dfinal FROM src, tot),
        |quota AS (
@@ -140,7 +149,8 @@ object Sampling {
     val docs = Tables.documents(s, d)
     val src = docs
       .withColumn("weight",
-        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+        (expr("TRY_CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+      .filter(col("weight").isNotNull) // src<N> contract: see p04 doc
       .groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_total"))
     val tot = src.agg(sum(col("weight")).as("tw"))
@@ -176,9 +186,11 @@ object Sampling {
     "p05_mixture_threshold",
     s"""WITH src AS (
        |  SELECT source,
-       |         CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
+       |         CAST(TRY_CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS weight,
        |         count(*) AS n_total
-       |  FROM documents GROUP BY 1, 2
+       |  FROM documents
+       |  WHERE TRY_CAST(substr(source, 4) AS INTEGER) IS NOT NULL
+       |  GROUP BY 1, 2
        |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM src),
        |cap AS (SELECT CAST(min(n_total * tw // weight) AS BIGINT) AS dfinal FROM src, tot),
        |thr AS (
@@ -199,7 +211,8 @@ object Sampling {
   ) { (s, d) =>
     val src = Tables.documents(s, d)
       .withColumn("weight",
-        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+        (expr("TRY_CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+      .filter(col("weight").isNotNull) // src<N> contract: see p04 doc
       .groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_total"))
     val tot = src.agg(sum(col("weight")).as("tw"))

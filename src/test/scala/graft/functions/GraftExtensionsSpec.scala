@@ -108,14 +108,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .union(spark.sql("SELECT array('a','b','c','d','e','f','g') AS tk"))
       .union(spark.sql("SELECT array('a','b','c','d','e','f','g','h') AS tk"))
       .union(spark.sql("SELECT array('x','x','x','x','x','x','x','x','x') AS tk"))
+      // null token array: both spellings must yield [] (round-3 advice)
+      .union(spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS tk"))
     val declarative =
       "CASE WHEN size(tk) >= 8 THEN array_distinct(transform(sequence(1, size(tk) - 7), " +
         "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1), element_at(tk, i+2), " +
         "element_at(tk, i+3), element_at(tk, i+4), element_at(tk, i+5), element_at(tk, i+6), " +
         "element_at(tk, i+7)))) ELSE array() END"
+    // null-safe comparison: `<>` is NULL when either side is NULL, so
+    // a null-input divergence would be invisible to it (round-3 advice)
     val mismatches = docs.selectExpr(
       "word_grams(tk, 8) AS kernel", s"$declarative AS declarative")
-      .filter("kernel <> declarative").count()
+      .filter("NOT (kernel <=> declarative)").count()
     assert(mismatches == 0)
   }
 
