@@ -33,27 +33,30 @@ object GraftExtensions {
       s"$name expects 2 arguments, got ${exprs.size}")
   }
 
+  /** Folds a plan-time integer constant (the kernels' window/member
+    * counts fix codegen shape, so they must be known when the
+    * expression is built). Accepts any foldable integral expression —
+    * `8`, `8L`, `4+4` — not just an IntegerType literal.
+    */
+  private def foldConstInt(name: String, k: Expression): Int = {
+    val folded =
+      if (k.foldable) k.eval() match {
+        case i: Int => Some(i)
+        case l: Long if l.isValidInt => Some(l.toInt)
+        case s: Short => Some(s.toInt)
+        case b: Byte => Some(b.toInt)
+        case _ => None
+      } else None
+    folded.getOrElse(throw new IllegalArgumentException(
+      s"$name expects an integer constant argument (e.g. 8 or 8L), got ${k.sql}"))
+  }
+
   /** (array, k) builders where k must fold to an integer constant at
-    * plan time (the kernel's member/bit count fixes codegen shape).
-    * Accepts any foldable integral expression — `8`, `8L`, `4+4` —
-    * not just an IntegerType literal, and distinguishes wrong-arity
-    * from non-constant-k in the error.
+    * plan time; distinguishes wrong-arity from non-constant-k in the
+    * error.
     */
   private def arrayWithConstInt(name: String, make: (Expression, Int) => Expression): Builder = {
-    case Seq(ts, k) =>
-      val folded =
-        if (k.foldable) k.eval() match {
-          case i: Int => Some(i)
-          case l: Long if l.isValidInt => Some(l.toInt)
-          case s: Short => Some(s.toInt)
-          case b: Byte => Some(b.toInt)
-          case _ => None
-        } else None
-      folded match {
-        case Some(i) => make(ts, i)
-        case None => throw new IllegalArgumentException(
-          s"$name expects its 2nd argument to be an integer constant (e.g. 8 or 8L), got ${k.sql}")
-      }
+    case Seq(ts, k) => make(ts, foldConstInt(name, k))
     case exprs => throw new IllegalArgumentException(
       s"$name expects 2 arguments (array<string>, int constant), got ${exprs.size}")
   }
@@ -87,7 +90,15 @@ object GraftExtensions {
       arrayWithConstInt("simhash_bits", SimHashBits(_, _))),
     ("word_grams",
       new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
-      arrayWithConstInt("word_grams", WordGrams(_, _))))
+      arrayWithConstInt("word_grams", WordGrams(_, _))),
+    ("winnow_mins",
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      {
+        case Seq(ts, n, w) =>
+          WinnowMins(ts, foldConstInt("winnow_mins", n), foldConstInt("winnow_mins", w))
+        case exprs => throw new IllegalArgumentException(
+          s"winnow_mins expects 3 arguments (array<string>, int constant n, int constant w), got ${exprs.size}")
+      }))
 
   /** Register on an existing session (e.g. one the driver built). */
   def register(spark: SparkSession): Unit =

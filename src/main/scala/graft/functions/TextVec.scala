@@ -53,6 +53,45 @@ object TextVec {
       "ELSE [] END"
   }
 
+  /** Winnowing fingerprints of a token-array column (n=16-token
+    * grams, w=8 winnow window): the distinct sliding-window minima of
+    * the md5'd gram sequence — [[graft.functions.WinnowMins]]. Any
+    * two docs sharing a verbatim run of ≥ n+w−1 = 23 tokens share a
+    * fingerprint regardless of alignment (the winnowing guarantee);
+    * expected density 2/(w+1) keeps emission ~8× below one-per-gram.
+    */
+  def winnow16(tk: Column): Column = graft.functions.WinnowMins(tk, 16, 8)
+
+  /** DuckDB spelling of [[winnow16]], in two steps so the gram-hash
+    * list is computed ONCE per row (stage the first in its own CTE
+    * column — inlining it into the winnow lambda would re-evaluate
+    * every md5 per winnow position):
+    * [[sqlGramHashes16]] = md5 of each space-joined 16-window
+    * (`[]` under 16 tokens — no gram windows, same as the kernel);
+    * [[sqlWinnowOfGs]] = the distinct minima of `gs[j : j+7]` per
+    * position (fixed-width lowercase hex ⇒ lexicographic min =
+    * numeric min, same as the kernel). With fewer than 8 grams the
+    * single clamped slice yields one whole-list minimum (DuckDB
+    * slices clamp out-of-range ends; `greatest(len-7, 1)` keeps the
+    * series non-empty — NEVER `generate_series(1, len(gs)-7)` alone,
+    * which would emit a NULL fingerprint via
+    * `list_aggregate([], 'min')` on short docs). Expressions must not
+    * reference the lambda variable names `i`/`j`.
+    */
+  def sqlGramHashes16(tk: String): String = {
+    val g16 = (0 until 16).map(j => if (j == 0) s"$tk[i]" else s"$tk[i+$j]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len($tk) >= 16 THEN " +
+      s"list_transform(generate_series(1, len($tk) - 15), i -> md5($g16)) " +
+      "ELSE [] END"
+  }
+
+  def sqlWinnowOfGs(gs: String): String =
+    s"CASE WHEN len($gs) >= 1 THEN " +
+      s"list_distinct(list_transform(generate_series(1, greatest(len($gs) - 7, 1)), " +
+      s"j -> list_aggregate($gs[j:j+7], 'min'))) " +
+      "ELSE [] END"
+
   /** Sequential-fold dot product of two float-array columns, in
     * double. Order: ((0 + x1*y1) + x2*y2) + … — matches sqlDot.
     * Backed by the codegen FloatVecDot expression (identical IEEE
@@ -113,6 +152,27 @@ object TextVec {
     s"list_transform(range(0, $dim), i -> " +
       s"CASE WHEN substr(md5('gp_${j}_' || CAST(i AS VARCHAR)), 1, 1) < '8' " +
       s"THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END)"
+
+  /** Product-quantization corner centroid `k` of a `dim`-dimensional
+    * subspace: component `i` is +1 iff bit `i` of `k` is set. With
+    * k ranging over all 2^dim corners this is the EXHAUSTIVE sign
+    * codebook (binary PQ): encoding to the nearest corner is exactly
+    * per-component sign quantization, and the corner set is the best
+    * recall any ±1 codebook can reach (random seeded subsets of the
+    * corners measured 0.10-0.16 recall@5 on the driver corpus vs 0.36
+    * for the full set). A production index trains magnitude-aware
+    * codebooks per subspace with s04's deterministic k-means — the
+    * SEARCH math (code → LUT lookup → sum) is identical either way.
+    */
+  def pqCorner(k: Int, dim: Int): Seq[Float] =
+    (0 until dim).map(i => if (((k >> i) & 1) == 1) 1.0f else -1.0f)
+
+  /** [[pqCorner]] as a constant-foldable Column. */
+  def pqCornerCol(k: Int, dim: Int): Column = typedlit(pqCorner(k, dim))
+
+  /** DuckDB spelling of the identical corner literal. */
+  def sqlPqCorner(k: Int, dim: Int): String =
+    pqCorner(k, dim).map(v => s"CAST($v AS FLOAT)").mkString("[", ", ", "]")
 
   /** Minhash i over a token-set column: min over tokens of hash-family
     * member i, where member i is hex digits [4i, 4i+4) of ONE md5(t)

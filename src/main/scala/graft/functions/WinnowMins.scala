@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprints over an `array<string>` token column — the
+  * alignment-free document-fingerprint selection of Schleimer,
+  * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting" (SIGMOD 2003; the MOSS algorithm): md5 every
+  * window of `n` consecutive tokens (space-joined, the same gram
+  * spelling as [[WordGrams]]), then slide a width-`w` window over
+  * that hash sequence and keep each window's MINIMUM hash. Returns
+  * the distinct selected hashes in first-occurrence order.
+  *
+  * The winnowing guarantee: any two documents sharing a verbatim run
+  * of at least `n + w − 1` tokens share at least one selected
+  * fingerprint, REGARDLESS of where the run starts in either document
+  * — the property stride-sampled grams lack (stride-`s` sampling only
+  * matches runs whose offsets agree mod `s`). Expected density is
+  * 2/(w+1), so `w` is the emission-rate knob a 100 TB corpus turns
+  * up: fingerprints per document shrink ~8× at w=8 versus emitting
+  * every gram, while cross-document span detection stays exact down
+  * to spans of n+w−1 tokens.
+  *
+  * Fewer than `n` tokens (no windows) or a null array ⇒ empty array,
+  * matching the declarative guard; null *elements* are skipped inside
+  * a window, matching `concat_ws`. The declarative spelling —
+  * `list_distinct(list_transform(generate_series(1, len(gs)−w+1),
+  * i -> list_aggregate(gs[i:i+w−1], 'min')))` over the md5'd gram
+  * list `gs` — is the DuckDB oracle (TextVec.sqlWinnow); fixed-width
+  * lowercase hex compares lexicographically = numerically, so "min
+  * hash" agrees across engines. The kernel computes the same thing in
+  * one pass: one md5 per window and a monotone-deque sliding minimum
+  * (O(m) total, each index pushed/popped once), instead of a lambda
+  * tree that re-slices per position.
+  */
+case class WinnowMins(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  require(n >= 2 && n <= 64, s"winnow_mins supports gram window 2..64, got $n")
+  require(w >= 1 && w <= 64, s"winnow_mins supports winnow window 1..64, got $w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "winnow_mins"
+
+  // null input folds to the empty array (class doc), same as WordGrams
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WinnowMins.empty()
+    else WinnowMins.compute(v.asInstanceOf[ArrayData], n, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = ${c.isNull}
+          ? graft.functions.WinnowMins.empty()
+          : graft.functions.WinnowMins.compute(${c.value}, $n, $w);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+
+  private val Space = UTF8String.fromString(" ")
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX = "0123456789abcdef".getBytes
+
+  private val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
+
+  /** The null-input result (method, not field: codegen reaches
+    * companion members through static forwarders — methods only).
+    */
+  def empty(): ArrayData = Empty
+
+  private def md5Hex(s: UTF8String): UTF8String = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def compute(tokens: ArrayData, n: Int, w: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    // gram hashes: md5 of each space-joined n-window (one digest per
+    // window — the window join itself is the dominant cost, same as
+    // WordGrams)
+    val nGrams = m - n + 1
+    val gs = new Array[UTF8String](nGrams)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < nGrams) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      gs(i) = md5Hex(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    // sliding minimum over w gram hashes with a monotone deque (each
+    // index enters and leaves once), distinct in first-occurrence
+    // order — identical selection to min(gs[i..i+w-1]) per position
+    val nWins = math.max(nGrams - w + 1, 1) // m >= n but < n+w-1: one short window
+    val effW = math.min(w, nGrams)
+    val seen = new java.util.LinkedHashSet[UTF8String](nWins * 2)
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // deque holds indices, front = current window min
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && gs(deque(tail - 1)).compareTo(gs(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - effW) head += 1
+      if (i >= effW - 1) seen.add(gs(deque(head)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  def apply(c: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowMins(ColumnBridge.expression(c), n, w))
+}

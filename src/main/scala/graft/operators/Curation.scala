@@ -162,6 +162,26 @@ object Curation {
          |)""".stripMargin
   }
 
+  /** Quality-scored docs (`doc_id, lang, text, content_hash,
+    * quality`), already filtered to quality ≥ 0.5 — the pipeline's
+    * first stage, shared by [[nearDupKept]] and the c07 funnel.
+    */
+  private def qualityDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("content_hash"), sparkQuality.as("quality"))
+      .filter(col("quality") >= 0.5)
+
+  /** Exact-dedup keepers (min-doc_id per content hash) over
+    * [[qualityDocs]] — the pipeline's second stage.
+    */
+  private def exactKeepers(quality: DataFrame): DataFrame = {
+    val wExact = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    quality
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") === 1)
+  }
+
   /** Spark side of [[sqlNearDupKeptCtes]]: the kept docs
     * `(doc_id, lang, quality)` after quality filter → exact-dedup
     * keeper → near-dup component keeper. `probeName` labels the
@@ -169,13 +189,7 @@ object Curation {
     */
   private def nearDupKept(s: SparkSession, d: String,
       probeName: String): DataFrame = {
-    val wExact = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    val keepers = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"),
-        md5(col("text")).as("content_hash"), sparkQuality.as("quality"))
-      .filter(col("quality") >= 0.5)
-      .withColumn("rn", row_number().over(wExact))
-      .filter(col("rn") === 1)
+    val keepers = exactKeepers(qualityDocs(s, d))
     val ksets = keepers
       .select(col("doc_id"), col("lang"), col("quality"),
         array_sort(tokenSet(col("text"))).as("ts"))
@@ -287,8 +301,15 @@ object Curation {
     * the benchmark sample and its 8-gram contamination set.
     */
   private def decontamKept(s: SparkSession, d: String,
-      probeName: String): DataFrame = {
-    val kept = nearDupKept(s, d, probeName).cache()
+      probeName: String): DataFrame =
+    decontamFrom(s, d, nearDupKept(s, d, probeName).cache())
+
+  /** Decontamination stage applied to an already-materialized kept
+    * set (callers cache `kept`; c07 reuses its frame for the funnel
+    * counts instead of rebuilding the whole near-dup chain).
+    */
+  private def decontamFrom(s: SparkSession, d: String,
+      kept: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
     val benchGrams = docs.filter(isBench)
@@ -431,10 +452,16 @@ object Curation {
     * it) and c06 (packs its train split).
     */
   private def mixedManifest(s: SparkSession, d: String,
-      probeName: String): DataFrame = {
-    val clean = decontamKept(s, d, probeName)
-      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-      .cache() // feeds the per-source agg AND the ranked stream
+      probeName: String): DataFrame =
+    manifestFrom(
+      decontamKept(s, d, probeName)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .cache()) // feeds the per-source agg AND the ranked stream
+
+  /** Mixture stage applied to an already-materialized clean set with
+    * its `source` column joined in (callers cache `clean`).
+    */
+  private def manifestFrom(clean: DataFrame): DataFrame = {
     val src = clean
       .withColumn("weight",
         (expr("TRY_CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
@@ -509,6 +536,53 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation FUNNEL report — per-stage survivor counts through
+    * the full pipeline (raw → quality → exact dedup → near-dup
+    * collapse → decontam → mixture). This is the observability
+    * artifact every production curation run ships next to its
+    * manifest: the one-glance answer to "where did my corpus go?",
+    * and the regression tripwire when a stage suddenly keeps 0 or
+    * 100% of its input. Stage keys are prefixed 1..6 so the report
+    * orders pipeline-wise with a unique sort key.
+    *
+    * Scale shape: each count is a partial-agg over a stage the
+    * pipeline already computes (the heavy frames are cached once and
+    * counted, not rebuilt); the report itself is 6 rows.
+    */
+  val c07CurationFunnel = Q(
+    "c07_curation_funnel",
+    s"""WITH $sqlNearDupKeptCtes,
+       |$sqlDecontamCleanCtes,
+       |$sqlMixtureManifestCtes
+       |SELECT stage, n_docs FROM (
+       |  SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+       |  UNION ALL SELECT '2_quality', count(*) FROM q WHERE quality >= 0.5
+       |  UNION ALL SELECT '3_exact_dedup', count(*) FROM keepers
+       |  UNION ALL SELECT '4_near_dup', count(*) FROM kept
+       |  UNION ALL SELECT '5_decontam', count(*) FROM clean
+       |  UNION ALL SELECT '6_mixture', count(*) FROM manifest
+       |)
+       |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    def stageCount(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+    val docs = Tables.documents(s, d)
+    val quality = qualityDocs(s, d).cache() // counted AND fed to keepers
+    val keepers = exactKeepers(quality).cache() // counted AND fed onward
+    val kept = nearDupKept(s, d, "c07_curation_funnel").cache()
+    val clean = decontamFrom(s, d, kept)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .cache() // counted AND fed to the mixture stage
+    val manifest = manifestFrom(clean)
+    stageCount("1_raw", docs)
+      .union(stageCount("2_quality", quality))
+      .union(stageCount("3_exact_dedup", keepers))
+      .union(stageCount("4_near_dup", kept))
+      .union(stageCount("5_decontam", clean))
+      .union(stageCount("6_mixture", manifest))
+      .orderBy(col("stage"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
-    c04CurateDecontam, c05CurateMixture, c06CuratePack)
+    c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel)
 }

@@ -561,7 +561,56 @@ object Dedup {
       .limit(20)
   }
 
+  /** Cross-document VERBATIM SPAN detection via winnowing (Schleimer
+    * et al., SIGMOD 2003 — the MOSS fingerprinter): every doc emits
+    * the sliding-window minima of its md5'd 16-token-gram sequence
+    * ([[graft.functions.WinnowMins]]), and a fingerprint appearing in
+    * ≥ 2 docs marks a shared verbatim run. This is the
+    * substring-level dedup signal document-level Jaccard (d03/d05)
+    * and containment (d08) miss: two long docs sharing one quoted
+    * paragraph look dissimilar as wholes but collide here — the
+    * "exact substring" pass of production LLM dedup (suffix-array
+    * dedup's output, approximated at 23-token span granularity
+    * without the suffix array).
+    *
+    * Scale shape: fingerprinting is a pure per-row projection
+    * (alignment-free — NO stride assumption, no self-join on
+    * positions), emission is ~2/(w+1) per token so the exploded
+    * stream is ~4× smaller than one-row-per-gram, and the collision
+    * report is ONE shuffle (groupBy fingerprint). At 100 TB, w is the
+    * knob: density falls linearly while the n+w−1 = 23-token
+    * detection guarantee degrades gracefully.
+    */
+  val d09WinnowSpans = Q(
+    "d09_winnow_spans",
+    { val gs = sqlGramHashes16("string_split(text, ' ')")
+      s"""WITH g AS (
+         |  SELECT doc_id, $gs AS gs FROM documents
+         |), f AS (
+         |  SELECT doc_id, ${sqlWinnowOfGs("gs")} AS fps FROM g
+         |), x AS (
+         |  SELECT doc_id, unnest(fps) AS fp FROM f
+         |)
+         |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM x
+         |GROUP BY fp
+         |HAVING count(*) >= 2
+         |ORDER BY n_docs DESC, fp""".stripMargin }
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(winnow16(tokens(col("text")))).as("fp"))
+      // the kernel dedups fingerprints within a doc, so (fp, doc_id)
+      // is unique and count(*) ≡ count(DISTINCT doc_id) — without the
+      // extra expand+shuffle the distinct aggregate plans
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("fp"))
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
-    d08Containment)
+    d08Containment, d09WinnowSpans)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextVec._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -463,6 +464,104 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** Product-quantization ANN with asymmetric-distance (ADC) search —
+    * the 32×-compression tier of the vector-store ladder (s07's int8
+    * is the 4× tier): the 64-dim embedding splits into 16 subspaces
+    * of 4 dims, and each subspace is quantized to one of the 16 ±1
+    * CORNER centroids ([[graft.functions.TextVec.pqCorner]] — the
+    * exhaustive sign codebook, so encoding reduces to 4 sign bits:
+    * `code_j = Σ 2^i·(x_i > 0)`, a pure bit projection with no argmin
+    * search and no ties). A vector becomes a 16×4-bit = 8-byte code.
+    * Search is classic ADC (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): each
+    * query precomputes its 16×16 lookup table of
+    * ⟨query-subvector, centroid⟩ products, and a candidate's score is
+    * the sum of 16 table lookups selected by its code — the corpus
+    * scan never touches the original floats. The corner codebook is
+    * what makes the oracle exact AND is the recall ceiling for ±1
+    * codebooks (seeded 8-of-256 and 8-of-16 corner subsets measured
+    * 0.10-0.16 recall@5 on the driver corpus; the full corner set
+    * reaches 0.36 — PqAdcSpec gates it ≥ 10× the random floor).
+    * Production swaps in magnitude-aware per-subspace codebooks
+    * trained with s04's deterministic k-means; every other line —
+    * code column, LUT, CASE-select, sum — stays the same.
+    *
+    * Scale shape: encoding is a pure per-row projection (zero
+    * shuffle) done ONCE at ingest; the search scan reads 8-byte codes
+    * instead of 256-byte embeddings (the memory-bandwidth win that
+    * makes PQ the standard billion-vector layout), broadcasts the
+    * tiny query+LUT side, and ends in the per-query top-k window.
+    */
+  val s09AnnPq = Q(
+    "s09_ann_pq",
+    { val Dim = 4; val Sub = 16; val K = 16
+      def sqlSub(tbl: String, j: Int) = s"$tbl.embedding[${j * Dim + 1}:${j * Dim + Dim}]"
+      val cbCols = (0 until K)
+        .map(k => s"${sqlPqCorner(k, Dim)} AS c_$k").mkString(",\n         ")
+      val codeCols = (0 until Sub).map { j =>
+        (0 until Dim).map(i =>
+          s"(CASE WHEN e.embedding[${j * Dim + i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString("(", " + ", s") AS code_$j")
+      }.mkString(",\n         ")
+      val lutCols = (for (j <- 0 until Sub; k <- 0 until K)
+        yield s"${sqlDot(sqlSub("e", j), s"cb.c_$k")} AS l_${j}_$k")
+        .mkString(",\n         ")
+      val adc = (0 until Sub).map { j =>
+        val whens = (0 until K - 1).map(k => s"WHEN $k THEN l.l_${j}_$k").mkString(" ")
+        s"(CASE c.code_$j $whens ELSE l.l_${j}_${K - 1} END)"
+      }.mkString(" + ")
+      s"""WITH cb AS (
+         |  SELECT $cbCols
+         |), codes AS (
+         |  SELECT e.vec_id,
+         |         $codeCols
+         |  FROM embeddings e
+         |), luts AS (
+         |  SELECT e.vec_id AS query_id,
+         |         $lutCols
+         |  FROM embeddings e, cb WHERE e.vec_id < 10
+         |), scored AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |         $adc AS adc_score
+         |  FROM luts l JOIN codes c ON c.vec_id <> l.query_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, adc_score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, adc_score, k FROM ranked
+         |WHERE k <= 5
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val Dim = 4; val Sub = 16; val K = 16
+    def sub(j: Int) = slice(col("embedding"), j * Dim + 1, Dim)
+    val e = Tables.embeddings(s, d)
+    // sign-bit code — the exhaustive-corner argmin collapses to this
+    def codeCol(j: Int): Column =
+      (0 until Dim).map { i =>
+        when(element_at(col("embedding"), j * Dim + i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val codes = e.select(
+      col("vec_id") +: (0 until Sub).map(j => codeCol(j).as(s"code_$j")): _*)
+    val luts = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id") +:
+        (for (j <- 0 until Sub; k <- 0 until K)
+          yield dot(sub(j), pqCornerCol(k, Dim)).as(s"l_${j}_$k")): _*)
+    val adc = (0 until Sub).map { j =>
+      (0 until K - 1).foldLeft(Option.empty[Column]) { (acc, k) =>
+        val sel = col(s"code_$j") === k
+        Some(acc.fold(when(sel, col(s"l_${j}_$k")))(_.when(sel, col(s"l_${j}_$k"))))
+      }.get.otherwise(col(s"l_${j}_${K - 1}"))
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 5)
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
-    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk)
+    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq)
 }

@@ -259,4 +259,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"mixture pipeline must not cartesian:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("d09: winnowing is a per-row kernel projection + ONE fingerprint shuffle") {
+    val p = plan("d09_winnow_spans")
+    assert(p.contains("winnow_mins"), s"expected the winnow kernel in:\n$p")
+    // explode → partial agg → exchange on fp → final agg → sort:
+    // two exchanges total (group shuffle + presentation sort), no join
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles in:\n$p")
+    assert(!p.contains("Join"), s"span detection needs no join:\n$p")
+  }
+
+  test("s09: PQ search broadcasts the query LUTs and scans codes once") {
+    val p = plan("s09_ann_pq")
+    // the corpus-side scan must join the tiny LUT side by broadcast
+    // (BroadcastNestedLoopJoin: the <> predicate is non-equi but the
+    // broadcast side is 10 rows — same shape s01 pins); a shuffle or
+    // cartesian of the corpus side would be the scale defect
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast LUT join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c07: funnel counts reuse cached stages — no stage recomputed per count") {
+    val df = SparkEntry.queries("c07_curation_funnel")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"funnel must count the cached stage frames, not rebuild them:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
 }

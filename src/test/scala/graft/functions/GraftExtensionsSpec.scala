@@ -123,6 +123,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("winnow_mins kernel equals the declarative winnowing spelling") {
+    GraftExtensions.register(spark)
+    // real corpus + edge cases: exactly n−1 tokens (no grams), exactly
+    // n (one gram, short-window min), n+w−2 (one short window),
+    // n+w−1 (first full window), duplicate-heavy (tied minima), null
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS tk")
+      .union(spark.sql("SELECT transform(sequence(1, 15), x -> CAST(x AS STRING)) AS tk"))
+      .union(spark.sql("SELECT transform(sequence(1, 16), x -> CAST(x AS STRING)) AS tk"))
+      .union(spark.sql("SELECT transform(sequence(1, 22), x -> CAST(x AS STRING)) AS tk"))
+      .union(spark.sql("SELECT transform(sequence(1, 23), x -> CAST(x AS STRING)) AS tk"))
+      .union(spark.sql("SELECT transform(sequence(1, 40), x -> 'x') AS tk"))
+      .union(spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS tk"))
+    val g16 = (0 until 16).map(j => if (j == 0) "element_at(tk, i)" else s"element_at(tk, i+$j)")
+      .mkString(", ")
+    val gsExpr =
+      s"CASE WHEN size(tk) >= 16 THEN transform(sequence(1, size(tk) - 15), " +
+        s"i -> md5(concat_ws(' ', $g16))) ELSE array() END"
+    // cache the gram stage: CollapseProject would otherwise inline the
+    // md5 transform into the winnow lambda and re-hash per position
+    val staged = base.selectExpr("tk", s"$gsExpr AS gs").cache()
+    val fpsExpr =
+      "CASE WHEN size(gs) >= 1 THEN array_distinct(transform(" +
+        "sequence(1, greatest(size(gs) - 7, 1)), j -> array_min(slice(gs, j, 8)))) " +
+        "ELSE array() END"
+    val mismatches = staged.selectExpr(
+      "winnow_mins(tk, 16, 8) AS kernel", s"$fpsExpr AS declarative")
+      .filter("NOT (kernel <=> declarative)").count()
+    staged.unpersist()
+    assert(mismatches == 0)
+  }
+
   test("withExtensions installs the functions at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
