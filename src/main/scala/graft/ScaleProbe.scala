@@ -28,12 +28,13 @@ object ScaleProbe {
   /** Registered headline queries (subset of SparkEntry.queries). */
   private val registered = Seq(
     "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
-    "d07_dedup_clusters", "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
-    "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk",
+    "d07_dedup_clusters", "d09_winnow_spans",
+    "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
+    "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
-    "p04_domain_mixture", "p05_mixture_threshold",
-    "t07_tfidf", "t09_pii_scrub", "t10_contamination")
+    "c07_curation_funnel", "p04_domain_mixture", "p05_mixture_threshold",
+    "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -436,7 +436,65 @@ object TextAnalysis {
     }
   }
 
+  /** Unigram-rarity scoring — the LM-free stand-in for perplexity
+    * filtering: how "surprising" is each document under the corpus's
+    * own unigram distribution? Per doc: token count, the fraction of
+    * tokens OUTSIDE the top-1000 corpus vocabulary (the OOV rate a
+    * tokenizer-budget decision needs), and an integer rarity mass
+    * Σ (N div cf) over in-vocabulary tokens (N = corpus token count,
+    * cf = the token's corpus frequency) — rare tokens contribute big
+    * summands, boilerplate contributes ~1s. A real pipeline scores
+    * with a trained LM's log-prob; the plumbing (corpus-level stats
+    * broadcast back onto a per-token stream, re-aggregated per doc)
+    * is identical, and the integer spelling keeps the oracle exact
+    * where log-prob floats would drift.
+    *
+    * Scale shape: one two-phase agg for cf (shuffle on term), a
+    * TakeOrderedAndProject for the top-1000 vocab, the vocab+total
+    * BROADCAST back onto the exploded token stream (no corpus
+    * shuffle), and one keyed re-agg per doc — the same two-shuffle
+    * budget as t07's TF-IDF at any corpus size.
+    */
+  val t11UnigramRarity = Q(
+    "t11_unigram_rarity",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), cf AS (
+      |  SELECT term, count(*) AS cf FROM tok GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf
+      |), vocab AS (
+      |  SELECT term, cf FROM cf ORDER BY cf DESC, term LIMIT 1000
+      |), j AS (
+      |  SELECT t.doc_id, t.term, v.cf FROM tok t
+      |  LEFT JOIN vocab v ON t.term = v.term
+      |)
+      |SELECT j.doc_id,
+      |       count(*) AS n_tokens,
+      |       count(*) FILTER (WHERE j.cf IS NULL) AS n_oov,
+      |       CAST(count(*) FILTER (WHERE j.cf IS NULL) AS DOUBLE) / count(*) AS oov_frac,
+      |       CAST(coalesce(sum(tot.n // j.cf), 0) AS BIGINT) AS rarity_sum
+      |FROM j, tot
+      |GROUP BY j.doc_id
+      |ORDER BY j.doc_id""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cf = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).cast("long").as("n"))
+    val vocab = cf.orderBy(col("cf").desc, col("term")).limit(1000)
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cf").isNull, 1)).as("n_oov"),
+        (count(when(col("cf").isNull, 1)).cast("double") / count(lit(1))).as("oov_frac"),
+        coalesce(sum(expr("n DIV cf")), lit(0L)).cast("long").as("rarity_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
-    t10Contamination)
+    t10Contamination, t11UnigramRarity)
 }

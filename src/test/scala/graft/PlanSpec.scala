@@ -279,6 +279,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t11: rarity scoring broadcasts vocab+total — the corpus token stream never joins by shuffle") {
+    val p = plan("t11_unigram_rarity")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the token stream must not shuffle for the join:\n$p")
+  }
+
   test("c07: funnel counts reuse cached stages — no stage recomputed per count") {
     val df = SparkEntry.queries("c07_curation_funnel")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
