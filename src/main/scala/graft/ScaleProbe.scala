@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions.col
   *
   * Usage: ScaleProbe <label=dir> [<label=dir> …]
   * Output: one JSON object printed AND written to
-  * SPARK_GRAFT_SCALE_OUT (default /root/repo/SCALE_r03.json).
+  * SPARK_GRAFT_SCALE_OUT (default /root/repo/SCALE_r04.json).
   */
 object ScaleProbe {
 
@@ -100,12 +100,20 @@ object ScaleProbe {
       (name, sec, rows)
     }
 
+    // SPARK_GRAFT_SCALE_ONLY=d03_lsh_near_dup,t11_unigram_rarity — probe
+    // a subset (e.g. the linear-path queries across a SECOND decade,
+    // where the full list would take hours); unset probes everything.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = scales.map { case (label, dir) =>
       // pay the parquet-footer + first-touch cost once per scale dir
       Tables.documents(spark, dir).limit(10).count()
       Tables.embeddings(spark, dir).limit(10).count()
-      val reg = registered.map(n => time(n, () => SparkEntry.queries(n)(spark, dir)))
-      val wide = wideVariants(spark, dir).map { case (n, b) => time(n, b) }
+      val reg = registered.filter(n => only.forall(_.contains(n)))
+        .map(n => time(n, () => SparkEntry.queries(n)(spark, dir)))
+      val wide = wideVariants(spark, dir)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (n, b) => time(n, b) }
       label -> (reg ++ wide)
     }
 
@@ -127,7 +135,7 @@ object ScaleProbe {
       } else "{}"
     val json =
       s"""{"metric":"scale_probe","scales":$scalesJson,"sec_ratio_last_over_first":$ratios}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r03.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r04.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[scale] could not write $out: ${e.getMessage}")

@@ -1,14 +1,14 @@
 #!/usr/bin/env python3
-"""Render SCALE_r03.json's two-scale results as the SCALE.md markdown
+"""Render SCALE_r04.json's two-scale results as the SCALE.md markdown
 table (dev tool, driver-side python only): keeps the published table
 mechanically in sync with the probe output.
 
-Usage: python3 tools/render_scale_table.py [SCALE_r03.json]
+Usage: python3 tools/render_scale_table.py [SCALE_r04.json]
 """
 import json
 import sys
 
-path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALE_r03.json"
+path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALE_r04.json"
 d = json.load(open(path))
 scales = list(d["scales"].items())
 (l1, s1), (l2, s2) = scales[0], scales[1]
