@@ -50,6 +50,12 @@ object Bench {
     // driver's mode) benches everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly, not silently bench nothing
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names =
       (if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
        else SparkEntry.queries.keys.toSeq)
@@ -71,16 +77,20 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var best = Double.MaxValue
-      var ok = true
+      var successes = 0
       var run = 0
-      while (ok && run < RunsPerQuery) {
+      var failed = false
+      while (!failed && run < RunsPerQuery) {
         run += 1
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); ok = false
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          successes += 1
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (run $run): ${e.getMessage}")
+          failed = true
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache() // queries may cache; don't leak across timings
         // also drop localCheckpoint blocks (clearCache doesn't): the
         // propagation queries leave one per round and the orphans skew
@@ -88,7 +98,10 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-      (name, if (ok) best else -1.0, ok)
+      // one good measurement is a real timing: a run-2 failure (e.g.
+      // intermittent memory pressure) must not relabel a working query
+      // as a crashing one — errors are only queries with ZERO successes
+      (name, if (successes > 0) best else -1.0, successes > 0)
     }
     // Cast-throughput micro-metric: the reference's only published
     // numbers are casts/sec (~500 ns/cast Lua micro-bench,

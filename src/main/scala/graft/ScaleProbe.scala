@@ -105,6 +105,13 @@ object ScaleProbe {
     // where the full list would take hours); unset probes everything.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly, not publish a table missing rows
+    only.foreach { o =>
+      val known = registered.toSet ++ wideVariants(spark, scales.head._2).map(_._1)
+      val unknown = o -- known
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = scales.map { case (label, dir) =>
       // pay the parquet-footer + first-touch cost once per scale dir
       Tables.documents(spark, dir).limit(10).count()

@@ -58,7 +58,8 @@ object TextVec {
     * the md5'd gram sequence — [[graft.functions.WinnowMins]]. Any
     * two docs sharing a verbatim run of ≥ n+w−1 = 23 tokens share a
     * fingerprint regardless of alignment (the winnowing guarantee);
-    * expected density 2/(w+1) keeps emission ~8× below one-per-gram.
+    * expected density 2/(w+1) ≈ 2/9 keeps emission ~4.5× below
+    * one-per-gram.
     */
   def winnow16(tk: Column): Column = graft.functions.WinnowMins(tk, 16, 8)
 

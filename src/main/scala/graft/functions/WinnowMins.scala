@@ -27,9 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * — the property stride-sampled grams lack (stride-`s` sampling only
   * matches runs whose offsets agree mod `s`). Expected density is
   * 2/(w+1), so `w` is the emission-rate knob a 100 TB corpus turns
-  * up: fingerprints per document shrink ~8× at w=8 versus emitting
-  * every gram, while cross-document span detection stays exact down
-  * to spans of n+w−1 tokens.
+  * up: ~4.5× fewer fingerprints per document at w=8 versus emitting
+  * every gram (2/9 of positions selected in expectation), while
+  * cross-document span detection stays exact down to spans of
+  * n+w−1 tokens.
   *
   * Fewer than `n` tokens (no windows) or a null array ⇒ empty array,
   * matching the declarative guard; null *elements* are skipped inside

@@ -576,7 +576,7 @@ object Dedup {
     * Scale shape: fingerprinting is a pure per-row projection
     * (alignment-free — NO stride assumption, no self-join on
     * positions), emission is ~2/(w+1) per token so the exploded
-    * stream is ~4× smaller than one-row-per-gram, and the collision
+    * stream is ~4.5× smaller than one-row-per-gram, and the collision
     * report is ONE shuffle (groupBy fingerprint). At 100 TB, w is the
     * knob: density falls linearly while the n+w−1 = 23-token
     * detection guarantee degrades gracefully.
