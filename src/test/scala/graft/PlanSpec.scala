@@ -279,6 +279,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("runtime bloom-filter join pruning engages on a selective fact-dim join") {
+    // The 100 TB lever Catalyst ships for free: a selective filter on
+    // the dimension side injects a bloom_filter_agg whose
+    // might_contain() prunes the FACT side before the join shuffle.
+    // The driver corpus is far below the default application-side
+    // scan threshold (10 GB — production triggers it naturally), so
+    // the test lowers the thresholds to demonstrate and pin the
+    // mechanism; conf restored after.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 500000)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter built from the dim side in:\n$p")
+      assert(p.contains("might_contain"),
+        s"expected might_contain pruning on the fact side in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("t11: rarity scoring broadcasts vocab+total — the corpus token stream never joins by shuffle") {
     val p = plan("t11_unigram_rarity")
     assert(p.contains("TakeOrderedAndProject"), s"vocab top-k must not global-sort:\n$p")
