@@ -279,6 +279,75 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("event_id"), col("hop"))
   } }
 
+  /** STREAM-STATIC join under the oracle — the one join shape q73's
+    * stream-stream replay doesn't cover, and the shape a streaming
+    * decontamination guard actually uses: documents arrive as a
+    * stream, each explodes its winnowing fingerprints map-side
+    * (d09's WinnowMins kernel — a stateless per-row projection, fine
+    * in append mode), and the stream inner-joins the STATIC
+    * benchmark-fingerprint table built in batch from the p01-style
+    * 5% sample. Emitted rows are (doc_id, fp) contamination hits for
+    * non-benchmark docs — what a live ingest pipeline would route to
+    * quarantine. Stream-static inner joins need no watermark and no
+    * state (the static side is just re-read per microbatch — Spark
+    * broadcasts it when small, exactly like the batch plan), so the
+    * append-mode replay equals the batch join row-for-row
+    * deterministically.
+    *
+    * Scale shape: the stream side never shuffles — fingerprints are
+    * a per-row kernel projection and the join side is a broadcast;
+    * state is ZERO (contrast q73's per-user join state). The static
+    * side is benchmark-sized by definition.
+    */
+  val q76StreamStaticJoin = Q(
+    "q76_stream_static_join",
+    { val gs = graft.functions.TextVec.sqlGramHashes16("string_split(text, ' ')")
+      val isBench = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'"
+      s"""WITH g AS (
+         |  SELECT doc_id, $gs AS gs FROM documents
+         |), f AS (
+         |  SELECT doc_id, ${graft.functions.TextVec.sqlWinnowOfGs("gs")} AS fps FROM g
+         |), x AS (
+         |  SELECT doc_id, unnest(fps) AS fp FROM f
+         |), bench AS (
+         |  SELECT DISTINCT fp AS bfp FROM x WHERE $isBench
+         |)
+         |SELECT x.doc_id, x.fp
+         |FROM x JOIN bench b ON x.fp = b.bfp
+         |WHERE NOT ($isBench)
+         |ORDER BY doc_id, fp""".stripMargin }
+  ) { (s, d) =>
+    import graft.functions.TextVec.{tokens, winnow16}
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
+    // static side: the benchmark sample's fingerprint set, batch-built
+    val benchFps = graft.Tables.documents(s, d)
+      .filter(isBench)
+      .select(explode(winnow16(tokens(col("text")))).as("fp"))
+      .distinct()
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val hits = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(!isBench)
+      .select(col("doc_id"), explode(winnow16(tokens(col("text")))).as("fp"))
+      .join(broadcast(benchFps), "fp")
+      .select(col("doc_id"), col("fp"))
+    val sinkName = "graft_q76_replay"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = hits.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("doc_id"), col("fp"))
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
-    q74StreamDedupReplay, q75StreamCastReplay)
+    q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin)
 }
