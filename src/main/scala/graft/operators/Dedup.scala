@@ -610,7 +610,79 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("fp"))
   }
 
+  /** Bloom-filter MEMBERSHIP pre-filter — the O(KB)-memory primitive
+    * for cross-shard exact dedup at 100 TB: before merging shard B
+    * into corpus A, broadcast A's bloom filter (built here over the
+    * benchmark sample's content hashes with Spark's own
+    * `BloomFilterAggregate`, the same machinery the optimizer injects
+    * for runtime join pruning) and test every incoming doc with
+    * `might_contain` — a pure per-row projection that prunes the
+    * expensive exact verification join to candidates only. Bloom
+    * bits aren't cross-engine-spellable, so the oracle gates it
+    * q22-style: the exact counts (corpus, shard, true members via
+    * the md5 content-hash join) are DuckDB-computed and
+    * hash-compared, while Spark asserts the two properties that make
+    * the pre-filter SOUND — zero false negatives (a missed true
+    * member would silently skip a dedup, the one unacceptable
+    * failure; guaranteed by bloom construction, so the flag pins the
+    * wiring) and a bounded false-positive rate (≤ 5% of the corpus —
+    * the wasted-verification cost knob; the filter is sized for the
+    * shard's cardinality).
+    *
+    * Scale shape: one tiny object-hash aggregate over the shard
+    * builds the filter, the corpus side is a broadcast + per-row
+    * test (zero shuffle), and only candidates reach the exact join.
+    */
+  val d10BloomMembership = Q(
+    "d10_bloom_membership",
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' AS is_bench
+      |  FROM documents
+      |), bench AS (
+      |  SELECT DISTINCT h FROM h WHERE is_bench
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE h.is_bench) AS BIGINT) AS n_bench,
+      |       CAST(count(*) FILTER (WHERE h.h IN (SELECT b.h FROM bench b)) AS BIGINT) AS n_true,
+      |       CAST(1 AS INT) AS no_false_neg,
+      |       CAST(1 AS INT) AS fp_rate_ok
+      |FROM h""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bloomAgg(c: org.apache.spark.sql.Column, items: Long) =
+      ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(c), items).toAggregateExpression())
+    def mightContain(bf: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(bf), ColumnBridge.expression(v)))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd").as("is_bench"))
+      .cache() // feeds the filter build, the member join, and the scan
+    val benchH = docs.filter(col("is_bench")).select(col("h")).distinct()
+    // might_contain requires a CONSTANT filter (or scalar subquery):
+    // collect the KB-sized bloom once — model-sized like AnnKmeans's
+    // k×dim centroids, never data-sized — and inline it, exactly the
+    // broadcast-variable shape the production pre-filter ships
+    val bfBytes = benchH.agg(bloomAgg(xxhash64(col("h")), 1000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val flagged = docs
+      .withColumn("cand", mightContain(lit(bfBytes), xxhash64(col("h"))))
+      .join(benchH.withColumn("is_member", lit(1)), Seq("h"), "left")
+    flagged.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("is_bench"), 1)).as("n_bench"),
+      count(when(col("is_member") === 1, 1)).as("n_true"),
+      when(count(when(col("is_member") === 1 && !col("cand"), 1)) === 0, 1)
+        .otherwise(0).cast("int").as("no_false_neg"),
+      when(count(when(col("cand") && col("is_member").isNull, 1))
+        <= count(lit(1)) * 5 / 100, 1).otherwise(0).cast("int").as("fp_rate_ok"))
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
-    d08Containment, d09WinnowSpans)
+    d08Containment, d09WinnowSpans, d10BloomMembership)
 }
