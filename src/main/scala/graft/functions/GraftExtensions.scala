@@ -91,6 +91,13 @@ object GraftExtensions {
     ("word_grams",
       new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
       arrayWithConstInt("word_grams", WordGrams(_, _))),
+    ("quality_score",
+      new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
+      {
+        case Seq(ts) => QualityScore(ts)
+        case exprs => throw new IllegalArgumentException(
+          s"quality_score expects 1 argument, got ${exprs.size}")
+      }),
     ("winnow_mins",
       new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
       {

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The t03 document-quality score over an `array<string>` token
+  * column, in ONE pass:
+  * `0.4·least(n/40, 1) + 0.4·(n_distinct/n) + 0.2·(n_stop/n)` with
+  * the stopword set `{the, a, of, to, and}` — numerically IDENTICAL
+  * to the declarative spelling (same IEEE operations in the same
+  * order: each term multiplied by its weight, summed left-to-right),
+  * which remains the DuckDB oracle (Curation.sqlQuality /
+  * t03QualityScore) and the documentation of the formula.
+  *
+  * Why a kernel: the curation pipeline evaluates this score for every
+  * document, and the declarative form references the `split(text)`
+  * token array from THREE lambda trees (`size`, `array_distinct`,
+  * `filter`+`isin`) — once CollapseProject inlines the alias, the
+  * split re-executes per reference and each HOF walks its own
+  * interpreted tree (the t10 gram-projection blowup, measured at
+  * 5.5 s of c02's 8 s on sf0.1). Here the array materializes once and
+  * one O(m) loop counts tokens, distinct tokens (hash set), and
+  * stopwords.
+  *
+  * Null array ⇒ null score (the declarative arithmetic is NULL on a
+  * null split, and the quality filter drops it in both engines); a
+  * null *element* counts as a token and as one distinct value —
+  * exactly `size`/`array_distinct` semantics — and is not a stopword.
+  */
+case class QualityScore(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "quality_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QualityScore.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QualityScore.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QualityScore {
+
+  private val Stops: Array[UTF8String] =
+    Array("the", "a", "of", "to", "and").map(UTF8String.fromString)
+
+  def compute(tokens: ArrayData): Double = {
+    val m = tokens.numElements()
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    var sawNull = false
+    var nStop = 0
+    var i = 0
+    while (i < m) {
+      if (tokens.isNullAt(i)) sawNull = true
+      else {
+        val t = tokens.getUTF8String(i)
+        seen.add(t)
+        var j = 0
+        while (j < Stops.length) {
+          if (Stops(j).equals(t)) { nStop += 1; j = Stops.length }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    val n = m.toDouble
+    val nDistinct = (seen.size() + (if (sawNull) 1 else 0)).toDouble
+    // identical operation order to the declarative spelling:
+    // least(n/40, 1)*0.4 + (nd/n)*0.4 + (ns/n)*0.2, summed left-assoc
+    math.min(n / 40.0, 1.0) * 0.4 + (nDistinct / n) * 0.4 + (nStop / n) * 0.2
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(QualityScore(ColumnBridge.expression(c)))
+}

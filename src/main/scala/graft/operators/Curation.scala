@@ -34,13 +34,12 @@ object Curation {
        |    + 0.4 * (CAST(len(list_distinct($sqlToks)) AS DOUBLE) / len($sqlToks))
        |    + 0.2 * (CAST($stop AS DOUBLE) / len($sqlToks))""".stripMargin
   }
-  private def sparkQuality: Column = {
-    val tk = tokens(col("text"))
-    val stop = size(filter(tk, t => t.isin(Seq("the", "a", "of", "to", "and").map(lit): _*)))
-    least(size(tk).cast("double") / 40.0, lit(1.0)) * 0.4 +
-      (size(array_distinct(tk)).cast("double") / size(tk)) * 0.4 +
-      (stop.cast("double") / size(tk)) * 0.2
-  }
+  // the one-pass QualityScore kernel: bit-identical to the lambda
+  // spelling above (which stays as the DuckDB oracle), ~4× cheaper —
+  // the lambda form re-split the text per HOF reference once
+  // CollapseProject inlined it, 5.5 s of c02's 8 s at sf0.1
+  private def sparkQuality: Column =
+    graft.functions.QualityScore(tokens(col("text")))
 
   /** p03's deterministic 90/5/5 split (md5-keyed: reproducible under
     * any partitioning, unlike rand()/TABLESAMPLE).

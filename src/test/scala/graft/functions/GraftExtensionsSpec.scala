@@ -155,6 +155,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("quality_score kernel equals the declarative lambda spelling bit-for-bit") {
+    GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS tk")
+      .union(spark.sql("SELECT array('') AS tk")) // empty-text split
+      .union(spark.sql("SELECT array('the','the','a','xx') AS tk"))
+      .union(spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS tk"))
+    val declarative =
+      "least(CAST(size(tk) AS DOUBLE) / 40.0, 1.0) * 0.4 " +
+        "+ (CAST(size(array_distinct(tk)) AS DOUBLE) / size(tk)) * 0.4 " +
+        "+ (CAST(size(filter(tk, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / size(tk)) * 0.2"
+    val mismatches = docs.selectExpr(
+      "quality_score(tk) AS kernel", s"$declarative AS declarative")
+      .filter("NOT (kernel <=> declarative)").count()
+    assert(mismatches == 0)
+  }
+
   test("withExtensions installs the functions at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
