@@ -28,9 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * stopwords.
   *
   * Null array ⇒ null score (the declarative arithmetic is NULL on a
-  * null split, and the quality filter drops it in both engines); a
-  * null *element* counts as a token and as one distinct value —
-  * exactly `size`/`array_distinct` semantics — and is not a stopword.
+  * null split, and the quality filter drops it in both engines); an
+  * EMPTY array ⇒ null score, matching the DuckDB oracle's 0/0 → NULL
+  * (Spark's ANSI-mode declarative spelling would raise
+  * DIVIDE_BY_ZERO instead — the kernel follows the oracle, and NULL
+  * is conservatively dropped by every quality filter, where a NaN
+  * would sort ABOVE every threshold); a null *element* counts as a
+  * token and as one distinct value — exactly `size`/`array_distinct`
+  * semantics — and is not a stopword. `split` never produces an
+  * empty or null array from a non-null string, so neither case is
+  * reachable from the pipeline — the contract exists for direct
+  * `quality_score(...)` SQL callers.
   */
 case class QualityScore(child: Expression) extends UnaryExpression {
 
@@ -38,12 +46,27 @@ case class QualityScore(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "quality_score"
 
+  // null for a null OR empty input array (see class doc), regardless
+  // of the child's own nullability
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     QualityScore.compute(input.asInstanceOf[ArrayData])
 
+  // custom codegen: compute() returns a BOXED Double (null on empty
+  // input), so the default nullSafeCodeGen — which assigns into the
+  // primitive slot and derives isNull from the child alone — would
+  // NPE on unboxing
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.QualityScore.compute($c);")
+      s"""
+        java.lang.Double ${ev.value}_boxed = graft.functions.QualityScore.compute($c);
+        if (${ev.value}_boxed == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ev.value}_boxed.doubleValue();
+        }
+      """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -54,8 +77,9 @@ object QualityScore {
   private val Stops: Array[UTF8String] =
     Array("the", "a", "of", "to", "and").map(UTF8String.fromString)
 
-  def compute(tokens: ArrayData): Double = {
+  def compute(tokens: ArrayData): java.lang.Double = {
     val m = tokens.numElements()
+    if (m == 0) return null // 0/0: the oracle's NULL, never NaN
     val seen = new java.util.HashSet[UTF8String](m * 2)
     var sawNull = false
     var nStop = 0

@@ -662,12 +662,18 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("h"),
         (substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd").as("is_bench"))
       .cache() // feeds the filter build, the member join, and the scan
-    val benchH = docs.filter(col("is_bench")).select(col("h")).distinct()
+    val benchH = docs.filter(col("is_bench")).select(col("h")).distinct().cache()
+    // size the filter from the SHARD'S OWN cardinality (a hardcoded
+    // capacity silently blows the FP gate as soon as the corpus
+    // outgrows the correctness tier: Spark defaults numBits to
+    // items×8, so a 25×-oversubscribed filter flags ~everything);
+    // the count is one tiny job over the already-cached hash set
+    val nBench = math.max(benchH.count(), 1L)
     // might_contain requires a CONSTANT filter (or scalar subquery):
     // collect the KB-sized bloom once — model-sized like AnnKmeans's
     // k×dim centroids, never data-sized — and inline it, exactly the
     // broadcast-variable shape the production pre-filter ships
-    val bfBytes = benchH.agg(bloomAgg(xxhash64(col("h")), 1000L).as("bf"))
+    val bfBytes = benchH.agg(bloomAgg(xxhash64(col("h")), nBench).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val flagged = docs
       .withColumn("cand", mightContain(lit(bfBytes), xxhash64(col("h"))))

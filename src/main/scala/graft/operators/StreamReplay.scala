@@ -324,12 +324,10 @@ object StreamReplay {
       .filter(isBench)
       .select(explode(winnow16(tokens(col("text")))).as("fp"))
       .distinct()
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    // reuse the batch reader's schema (documents has no exotic types,
+    // unlike eventsSchema's forced LongType ts) — an inline copy
+    // would silently read nulls if the fixture ever gained a column
+    val docsSchema = graft.Tables.documents(s, d).schema
     val hits = s.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .filter(!isBench)

@@ -170,6 +170,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "quality_score(tk) AS kernel", s"$declarative AS declarative")
       .filter("NOT (kernel <=> declarative)").count()
     assert(mismatches == 0)
+    // empty array: NULL (the oracle's 0/0), never NaN — the ANSI-mode
+    // declarative spelling raises DIVIDE_BY_ZERO here so it can't sit
+    // in the comparison above
+    assert(spark.sql("SELECT quality_score(array())").head().isNullAt(0))
   }
 
   test("withExtensions installs the functions at session build") {
