@@ -28,7 +28,7 @@ object ScaleProbe {
   /** Registered headline queries (subset of SparkEntry.queries). */
   private val registered = Seq(
     "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
-    "d07_dedup_clusters", "d09_winnow_spans",
+    "d07_dedup_clusters", "d09_winnow_spans", "d10_bloom_membership",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
