@@ -287,7 +287,54 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** BINNED range join — the production rewrite of a big-big
+    * non-equi range join (q17's range predicate joins against a tiny
+    * broadcast side; here BOTH sides are the fact table). The naive
+    * plan for "all order pairs within ε of each other" is a cartesian
+    * theta join — O(n²), the classic 100 TB killer. The rewrite is
+    * the bin-bucketing trick Databricks ships as the range-join hint
+    * and interval-join engines implement natively: bucket every row
+    * by floor(price/ε); a pair with |Δprice| < ε can differ by at
+    * most one bin, so exploding ONE side to its three candidate bins
+    * {b−1, b, b+1} and equi-joining on the bin key finds every true
+    * pair exactly once (each exploded row carries distinct bins, so
+    * no dedup step), with the exact predicate verified inline after
+    * the equi-join. The oracle spells the PLAIN range self-join —
+    * the hash match proves the rewrite has zero semantic drift, the
+    * same oracle pattern as q41's salted join.
+    *
+    * Scale shape: one keyed shuffle on the bin (3× one side's volume,
+    * constant factor), never a cartesian — pinned in PlanSpec. Dense
+    * price bins skew the join; AQE skew-join (on by default in the
+    * session builders) splits them at runtime, same as q41's
+    * discussion.
+    */
+  val q42BinnedRangeJoin = Q(
+    "q42_binned_range_join",
+    """SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+      |       abs(a.o_totalprice - b.o_totalprice) AS diff
+      |FROM orders a JOIN orders b
+      |  ON a.o_orderkey < b.o_orderkey
+      | AND b.o_totalprice > a.o_totalprice - 10.0
+      | AND b.o_totalprice < a.o_totalprice + 10.0
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    val eps = 10.0
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("p"),
+        floor(col("o_totalprice") / eps).cast("long").as("bin"))
+    val expanded = o.select(col("id").as("id_b"), col("p").as("p_b"),
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+    o.alias("a")
+      .join(expanded.alias("e"),
+        col("a.bin") === col("e.bin") && col("a.id") < col("e.id_b"))
+      .filter(col("e.p_b") > col("a.p") - eps && col("e.p_b") < col("a.p") + eps)
+      .select(col("a.id").as("id_a"), col("e.id_b").as("id_b"),
+        abs(col("a.p") - col("e.p_b")).as("diff"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
     q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof,
-    q19ScalarSubquery, q41SaltedJoin)
+    q19ScalarSubquery, q41SaltedJoin, q42BinnedRangeJoin)
 }

@@ -279,6 +279,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q42: the binned range join is a keyed equi-join — never a cartesian theta join") {
+    val p = plan("q42_binned_range_join")
+    assert(!p.contains("CartesianProduct"),
+      s"big-big range join must not plan as a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"big-big range join must not plan as a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), // tiny test corpus may broadcast
+      s"expected a hash/merge equi-join on the bin key in:\n$p")
+  }
+
   test("runtime bloom-filter join pruning engages on a selective fact-dim join") {
     // The 100 TB lever Catalyst ships for free: a selective filter on
     // the dimension side injects a bloom_filter_agg whose
