@@ -179,6 +179,62 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Multimodal QUALITY FILTERING — the modality analog of t03's text
+    * gate, and the curation stage every image/audio pipeline runs
+    * right after decode: drop media below a resolution / duration
+    * floor. Runs m04's REAL decode path (synthesized P6/RIFF payloads
+    * → SniffingDecoder byte parsers), then applies per-modality keep
+    * rules on the DECODED metadata — images need ≥ 24 pixels and 3
+    * channels, audio needs ≥ 12 kHz sample rate and ≥ 80 frames —
+    * thresholds chosen so the driver corpus genuinely mixes keeps and
+    * drops in both modalities. The oracle predicts the decoded
+    * metadata algebraically (m04's trick: a mis-parsed header changes
+    * width/height and flips keep), so the quality verdict is
+    * hash-gated end-to-end through the real byte parsers.
+    *
+    * Scale shape: decode + rule is a pure per-partition map (zero
+    * shuffle before the presentation sort) — the filter runs where
+    * the bytes are, exactly like the text quality gate.
+    */
+  val m05MediaQuality = Q(
+    "m05_media_quality",
+    """SELECT media_id, fmt, px_or_frames, keep FROM (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN (4 + doc_id % 8) * (3 + doc_id % 5)
+      |         ELSE 64 + doc_id % 64 END AS px_or_frames,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN CASE WHEN (4 + doc_id % 8) * (3 + doc_id % 5) >= 24 THEN 1 ELSE 0 END
+      |         ELSE CASE WHEN 8000 + (doc_id % 4) * 4000 >= 12000
+      |                    AND 64 + doc_id % 64 >= 80 THEN 1 ELSE 0 END
+      |    END AS keep
+      |  FROM documents
+      |)
+      |ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        if (id % 2 == 0) MediaRow(id, "ppm", ppmBytes(id), src)
+        else MediaRow(id, "wav", wavBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"), col("kind").as("fmt"),
+        when(col("kind") === "ppm", col("width").cast("long") * col("height"))
+          .otherwise(col("height").cast("long")).as("px_or_frames"),
+        when(col("kind") === "ppm",
+          when(col("width").cast("long") * col("height") >= 24
+            && col("n_channels") === 3, 1).otherwise(0))
+          .otherwise(
+            when(col("width") >= 12000 && col("height") >= 80, 1).otherwise(0))
+          .cast("int").as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
-    Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode)
+    Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
+      m05MediaQuality)
 }
