@@ -582,6 +582,59 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  /** Overlapping CHUNKING — the retrieval-ingestion primitive (c03
+    * packs for training; this chunks for RAG): every document splits
+    * into 128-token windows on a 96-token stride (32-token overlap,
+    * so a fact straddling a boundary appears whole in some chunk),
+    * emitting per chunk its coordinates and the md5 of its joined
+    * text — exactly the (id, span, content-hash) triple an embedding
+    * indexer consumes. Chunk k starts at 96k for every k with
+    * 96k < n_tokens, so short docs yield one chunk and the tail chunk
+    * simply truncates.
+    *
+    * Scale shape: a pure map-side 1→N explode (like m03's frame
+    * sampling) — zero shuffle before the presentation sort; chunk
+    * counts are per-row arithmetic in both engines, so the oracle is
+    * exact including every chunk's content hash.
+    */
+  val c08ChunkOverlap = Q(
+    "c08_chunk_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), x AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 96)) AS k
+      |  FROM t
+      |), c AS (
+      |  SELECT x.doc_id, x.k AS chunk_idx,
+      |         x.k * 96 AS tok_start,
+      |         least(x.k * 96 + 128, x.n) AS tok_end
+      |  FROM x
+      |)
+      |SELECT c.doc_id AS doc_id, c.chunk_idx, c.tok_start, c.tok_end,
+      |       c.tok_end - c.tok_start AS n_tok,
+      |       md5(array_to_string(t.tk[c.tok_start + 1 : c.tok_end], ' ')) AS chunk_md5
+      |FROM c JOIN t ON c.doc_id = t.doc_id
+      |ORDER BY c.doc_id, c.chunk_idx""".stripMargin
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), expr("(n - 1) div 96"))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        (col("k") * 96).as("tok_start"),
+        least(col("k") * 96 + 128, col("n")).as("tok_end"),
+        (least(col("k") * 96 + 128, col("n")) - col("k") * 96).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("k") * 96 + 1).cast("int"),
+            (least(col("k") * 96 + 128, col("n")) - col("k") * 96).cast("int"))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
-    c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel)
+    c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
+    c08ChunkOverlap)
 }
