@@ -29,11 +29,13 @@ object ScaleProbe {
   private val registered = Seq(
     "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
     "d07_dedup_clusters", "d09_winnow_spans", "d10_bloom_membership",
+    "d11_semantic_dedup",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
-    "c07_curation_funnel", "p04_domain_mixture", "p05_mixture_threshold",
+    "c07_curation_funnel", "c08_chunk_overlap",
+    "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity")
 
   /** Wide variants: operators with their scale knobs turned to the

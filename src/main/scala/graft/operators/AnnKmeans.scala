@@ -65,19 +65,28 @@ object AnnKmeans {
        |  GROUP BY s.cid
        |)""".stripMargin
 
+  /** DuckDB CTE chain ending in `fin(vec_id, embedding, nrm, cell)` —
+    * the trained-k-means full-corpus assignment shared by s04 (which
+    * probes it) and d11 (which dedups within its cells). MATERIALIZED
+    * because both consumers reference `fin` on two join sides.
+    */
+  private[operators] def sqlFinCtes: String = {
+    val iters = (1 to Iters).map(k => s"${sqlAssign(k)}, ${sqlUpdate(k)}").mkString(",\n")
+    s"""c0 AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM embeddings WHERE vec_id < $K
+       |),
+       |$iters,
+       |${sqlAssign(Iters + 1)},
+       |fin AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm, cell
+       |  FROM a${Iters + 1}
+       |)""".stripMargin
+  }
+
   val s04AnnIvfKmeans = Q(
     "s04_ann_ivf_kmeans",
-    { val iters = (1 to Iters).map(k => s"${sqlAssign(k)}, ${sqlUpdate(k)}").mkString(",\n")
-      s"""WITH c0 AS (
-         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-         |  FROM embeddings WHERE vec_id < $K
-         |),
-         |$iters,
-         |${sqlAssign(Iters + 1)},
-         |fin AS (
-         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm, cell
-         |  FROM a${Iters + 1}
-         |), scored AS (
+    { s"""WITH $sqlFinCtes, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
          |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
          |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
@@ -92,6 +101,31 @@ object AnnKmeans {
          |WHERE k <= 3
          |ORDER BY query_id, k""".stripMargin }
   ) { (s, d) =>
+    val fin = trainedFin(s, d)
+    val q = fin.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val scored = fin.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_cell").as("cell"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
+  /** Spark side of [[sqlFinCtes]]: trains the deterministic k-means
+    * and returns the CACHED full-corpus cell assignment
+    * `(vec_id, embedding, nrm, cell)` — cached because every consumer
+    * joins it against itself.
+    */
+  private[operators] def trainedFin(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
 
@@ -128,24 +162,9 @@ object AnnKmeans {
       }
     }
 
-    val fin = assign(centsDF(cents))
+    assign(centsDF(cents))
       .withColumn("nrm", norm(col("embedding")))
-      .cache() // final assignment feeds BOTH join sides
-    val q = fin.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
-    val scored = fin.join(broadcast(q),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("q_cell").as("cell"),
-        when(col("q_nrm") * col("nrm") === 0, 0.0)
-          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-          .as("cos_sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("k", row_number().over(w))
-      .filter(col("k") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"), col("k"))
-      .orderBy(col("query_id"), col("k"))
+      .cache() // final assignment feeds every consumer's join sides
   }
 
   def all: Seq[Q] = Seq(s04AnnIvfKmeans)

@@ -688,7 +688,63 @@ object Dedup {
         <= count(lit(1)) * 5 / 100, 1).otherwise(0).cast("int").as("fp_rate_ok"))
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with the trained k-means from s04,
+    * then compare pairs ONLY within a cluster — a doc is a semantic
+    * duplicate if some lower-id doc in its cell clears the cosine
+    * threshold, and the keeper set is exactly the docs with no such
+    * lower-id neighbor (the deterministic spelling of the paper's
+    * greedy per-cluster sweep). Emits every doc's verdict: cell,
+    * min qualifying lower neighbor (`dup_of`), its best similarity,
+    * and the keep/drop flag.
+    *
+    * Scale shape: this IS SemDeDup's computational trick — the O(n²)
+    * pair space collapses to Σ_cells O(n_c²), and k grows with the
+    * corpus (the paper runs k≈11k on 100M docs) so per-cell occupancy
+    * stays bounded; the within-cell compare is one equi-join shuffle
+    * keyed on cell, the verdict one groupBy on vec_id, and the
+    * verify dot product is the codegen FloatVecDot kernel. k=8 here
+    * is right-sized for the 500-row oracle corpus.
+    */
+  val d11SemanticDedup = Q(
+    "d11_semantic_dedup",
+    s"""WITH ${AnnKmeans.sqlFinCtes},
+       |qual AS (
+       |  SELECT hi.vec_id AS vec_id, lo.vec_id AS id_lo,
+       |         CASE WHEN hi.nrm * lo.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("hi.embedding", "lo.embedding")} / (hi.nrm * lo.nrm) END AS cos_sim
+       |  FROM fin hi JOIN fin lo
+       |    ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+       |  WHERE hi.nrm * lo.nrm > 0
+       |    AND ${sqlDot("hi.embedding", "lo.embedding")} / (hi.nrm * lo.nrm) > 0.35
+       |), dup AS (
+       |  SELECT vec_id, min(id_lo) AS dup_of, max(cos_sim) AS max_sim
+       |  FROM qual GROUP BY vec_id
+       |)
+       |SELECT f.vec_id AS vec_id, f.cell AS cell, d.dup_of AS dup_of,
+       |       d.max_sim AS max_sim, d.dup_of IS NOT NULL AS is_dup
+       |FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+  ) { (s, d) =>
+    val fin = AnnKmeans.trainedFin(s, d)
+    val qual = fin.alias("hi")
+      .join(fin.alias("lo"),
+        col("hi.cell") === col("lo.cell") && col("lo.vec_id") < col("hi.vec_id"))
+      .filter(col("hi.nrm") * col("lo.nrm") > 0)
+      .select(col("hi.vec_id").as("vec_id"), col("lo.vec_id").as("id_lo"),
+        (dot(col("hi.embedding"), col("lo.embedding"))
+          / (col("hi.nrm") * col("lo.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") > 0.35)
+    val dup = qual.groupBy(col("vec_id"))
+      .agg(min(col("id_lo")).as("dup_of"), max(col("cos_sim")).as("max_sim"))
+    fin.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("max_sim"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
-    d08Containment, d09WinnowSpans, d10BloomMembership)
+    d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup)
 }

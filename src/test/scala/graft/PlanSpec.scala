@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d11: semantic dedup compares only within a cell — equi-join, no cartesian") {
+    val p = plan("d11_semantic_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi within-cell join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"within-cell compare must not cartesian:\n$p")
+    assert(p.contains("float_vec_dot"), s"expected the codegen verify kernel in:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("d02: minhash signatures evaluate the kernel, zero exchanges") {
     val df = SparkEntry.queries("d02_minhash_signature")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
