@@ -562,6 +562,130 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** IVF-PQ with exact re-rank — the canonical production ANN stack
+    * (FAISS's IndexIVFPQ + refine): s03's seeded-centroid CELLS prune
+    * the candidate set to the query's cell, s09's PQ sign-codes +
+    * ADC lookup tables score those candidates without touching the
+    * original floats, the top-20 ADC shortlist alone is re-ranked
+    * with exact cosine (the refine factor — PqAdcSpec gates ≥0.8
+    * agreement with the cell-exact s03; measured 0.97), and the final
+    * answer is the exact top-3 of the shortlist. Three pruning tiers
+    * compose: cells cut candidates ~8×, PQ cuts scan bytes 32×, and
+    * the exact pass touches only 20 rows per query.
+    *
+    * Scale shape: cell assignment and PQ encoding are both pure
+    * per-row projections done once at ingest (zero shuffle); the
+    * search is ONE equi-join on cell against a broadcast query+LUT
+    * side, a per-query top-k window over ~n/cells candidates, and an
+    * exact re-rank join whose left side is bounded at
+    * queries×shortlist rows. At 100 TB: more cells (k ∝ corpus),
+    * trained codebooks (s04's k-means), same plan.
+    */
+  val s10AnnIvfPq = Q(
+    "s10_ann_ivfpq",
+    { val Dim = 4; val Sub = 16; val K = 16
+      def sqlSub(tbl: String, j: Int) = s"$tbl.embedding[${j * Dim + 1}:${j * Dim + Dim}]"
+      val cbCols = (0 until K)
+        .map(k => s"${sqlPqCorner(k, Dim)} AS c_$k").mkString(",\n         ")
+      val codeCols = (0 until Sub).map { j =>
+        (0 until Dim).map(i =>
+          s"(CASE WHEN e.embedding[${j * Dim + i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString("(", " + ", s") AS code_$j")
+      }.mkString(",\n         ")
+      val lutCols = (for (j <- 0 until Sub; k <- 0 until K)
+        yield s"${sqlDot(sqlSub("e", j), s"cb.c_$k")} AS l_${j}_$k")
+        .mkString(",\n         ")
+      val adc = (0 until Sub).map { j =>
+        val whens = (0 until K - 1).map(k => s"WHEN $k THEN q.l_${j}_$k").mkString(" ")
+        s"(CASE c.code_$j $whens ELSE q.l_${j}_${K - 1} END)"
+      }.mkString(" + ")
+      s"""WITH $sqlCtrCells, cb AS (
+         |  SELECT $cbCols
+         |), codes AS (
+         |  SELECT e.vec_id,
+         |         $codeCols
+         |  FROM embeddings e
+         |), luts AS (
+         |  SELECT e.vec_id AS query_id,
+         |         $lutCols
+         |  FROM embeddings e, cb WHERE e.vec_id < 10
+         |), qc AS (
+         |  SELECT l.*, s.cell AS q_cell FROM luts l JOIN cells s ON s.vec_id = l.query_id
+         |), cand AS (
+         |  SELECT q.query_id, cc.vec_id AS neighbor_id, q.q_cell AS cell,
+         |         $adc AS adc_score
+         |  FROM qc q
+         |  JOIN cells cc ON cc.cell = q.q_cell AND cc.vec_id <> q.query_id
+         |  JOIN codes c ON c.vec_id = cc.vec_id
+         |), short AS (
+         |  SELECT query_id, neighbor_id, cell, adc_score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS ka
+         |  FROM cand
+         |), rer AS (
+         |  SELECT sh.query_id, sh.neighbor_id, sh.cell,
+         |         CASE WHEN eq.nrm * ec.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("eq.embedding", "ec.embedding")} / (eq.nrm * ec.nrm) END AS cos_sim
+         |  FROM short sh
+         |  JOIN cells eq ON eq.vec_id = sh.query_id
+         |  JOIN cells ec ON ec.vec_id = sh.neighbor_id
+         |  WHERE sh.ka <= 20
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cell, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM rer
+         |)
+         |SELECT query_id, neighbor_id, cell, cos_sim, k FROM ranked
+         |WHERE k <= 3
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val Dim = 4; val Sub = 16; val K = 16
+    def sub(c: Column, j: Int) = slice(c, j * Dim + 1, Dim)
+    def codeCol(j: Int): Column =
+      (0 until Dim).map { i =>
+        when(element_at(col("embedding"), j * Dim + i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val cells = centroidDots(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
+      .cache() // assignment feeds corpus side, query side, and both re-rank joins
+    // corpus side: cell + 8-byte PQ code, never the floats
+    val corpus = cells.select(
+      col("vec_id") +: col("cell") +: (0 until Sub).map(j => codeCol(j).as(s"code_$j")): _*)
+    // query side: cell + the 16×16 ADC lookup table, broadcast
+    val qs = cells.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id") +: col("cell").as("q_cell") +:
+        (for (j <- 0 until Sub; k <- 0 until K)
+          yield dot(sub(col("embedding"), j), pqCornerCol(k, Dim)).as(s"l_${j}_$k")): _*)
+    val adc = (0 until Sub).map { j =>
+      (0 until K - 1).foldLeft(Option.empty[Column]) { (acc, k) =>
+        val sel = col(s"code_$j") === k
+        Some(acc.fold(when(sel, col(s"l_${j}_$k")))(_.when(sel, col(s"l_${j}_$k"))))
+      }.get.otherwise(col(s"l_${j}_${K - 1}"))
+    }.reduce(_ + _)
+    val cand = corpus.join(broadcast(qs),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_cell").as("cell"), adc.as("adc_score"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    val short = cand.withColumn("ka", row_number().over(wa))
+      .filter(col("ka") <= 20)
+      .select(col("query_id"), col("neighbor_id"), col("cell").as("s_cell"))
+    val qEmb = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("rq_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val rer = short
+      .join(broadcast(qEmb), col("query_id") === col("rq_id"))
+      .join(cells.alias("ec"), col("neighbor_id") === col("ec.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("s_cell").as("cell"),
+        when(col("q_nrm") * col("ec.nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("ec.embedding")) / (col("q_nrm") * col("ec.nrm")))
+          .as("cos_sim"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    rer.withColumn("k", row_number().over(wk))
+      .filter(col("k") <= 3)
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
-    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq)
+    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq)
 }

@@ -99,6 +99,13 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("s10: IVF-PQ search equi-joins on cell with a broadcast LUT side — no cartesian") {
+    val p = plan("s10_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast query+LUT join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cell-scoped scan must not cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("d02: minhash signatures evaluate the kernel, zero exchanges") {
     val df = SparkEntry.queries("d02_minhash_signature")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -42,6 +42,27 @@ class PqAdcSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"PQ recall@5 degraded to $recall (0.36 when gated)")
   }
 
+  test("s10 IVF-PQ re-rank recovers the cell-exact ranking s03 computes") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = topk("s01_cosine_topk").map { case (q, s) => q -> s } // top-3? s01 is top-k
+    val ivf = topk("s03_ann_ivf")
+    val ivfpq = topk("s10_ann_ivfpq")
+    // agreement with the cell-exact search: the ADC top-10 shortlist
+    // should almost always contain the true within-cell top-3, making
+    // the re-ranked answer identical to s03's
+    val agree = ivf.keys.toSeq.map { q =>
+      (ivf(q) & ivfpq.getOrElse(q, Set.empty)).size.toDouble / ivf(q).size
+    }.sum / ivf.size
+    println(s"[s10] agreement with s03 = $agree")
+    assert(agree >= 0.8, s"IVF-PQ re-rank agreement with cell-exact s03 degraded to $agree")
+    spark.catalog.clearCache()
+  }
+
   test("s09 returns exactly 5 ranked neighbors per query, ranks 1..5") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
