@@ -334,7 +334,65 @@ object Joins {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** INTERVAL-OVERLAP join — q42's bin trick extended from points to
+    * time INTERVALS (the shape Flink's interval join and Trino's
+    * native range join implement): every event carries the interval
+    * [ts, ts + value seconds] (duration capped at binWidth−1 µs BY
+    * CONSTRUCTION, in both spellings — the cap is the operator's
+    * contract, not an approximation, and it is what makes the
+    * rewrite exact), and the query finds every same-type pair of
+    * overlapping intervals. Because a duration never reaches the
+    * 512 s bin width, two overlapping intervals' START bins differ by
+    * at most 1 — so exploding one side to {b−1, b, b+1} and
+    * equi-joining on (event_type, bin) finds each true pair exactly
+    * once (the exploded bins are distinct), with the exact overlap
+    * predicate verified inline. The oracle spells the PLAIN interval
+    * theta self-join; the hash match proves zero semantic drift.
+    *
+    * Scale shape: one keyed shuffle on (type, bin) — 3× one side's
+    * volume, never a cartesian (pinned PlanSpec). All arithmetic is
+    * integer µs (epoch_us ≡ unix_micros; floor-before-cast keeps the
+    * double→BIGINT step engine-identical).
+    */
+  val q43IntervalJoin = Q(
+    "q43_interval_join",
+    """WITH e AS (
+      |  SELECT event_id AS id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+      |         epoch_us(CAST(ts AS TIMESTAMP))
+      |           + least(CAST(floor(value * 1000000.0) AS BIGINT), 511999999) AS e_us
+      |  FROM events
+      |)
+      |SELECT a.event_type AS event_type, a.id AS id_a, b.id AS id_b,
+      |       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+      |FROM e a JOIN e b
+      |  ON a.event_type = b.event_type AND a.id < b.id
+      | AND a.s_us < b.e_us AND b.s_us < a.e_us
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    val W = 512000000L // bin width (µs) — strictly above the capped max duration
+    val e = Tables.events(s, d).select(
+      col("event_id").as("id"), col("event_type"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts"))
+        + least(floor(col("value") * 1000000.0).cast("long"), lit(W - 1))).as("e_us"))
+      .withColumn("bin", expr(s"s_us div $W"))
+    val expanded = e.select(col("id").as("id_b"), col("event_type").as("type_b"),
+      col("s_us").as("s_b"), col("e_us").as("e_b"),
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+    e.alias("a")
+      .join(expanded.alias("x"),
+        col("a.bin") === col("x.bin") && col("a.event_type") === col("x.type_b")
+          && col("a.id") < col("x.id_b"))
+      .filter(col("a.s_us") < col("x.e_b") && col("x.s_b") < col("a.e_us"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.id").as("id_a"), col("x.id_b").as("id_b"),
+        (least(col("a.e_us"), col("x.e_b"))
+          - greatest(col("a.s_us"), col("x.s_b"))).as("overlap_us"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
     q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof,
-    q19ScalarSubquery, q41SaltedJoin, q42BinnedRangeJoin)
+    q19ScalarSubquery, q41SaltedJoin, q42BinnedRangeJoin, q43IntervalJoin)
 }

@@ -306,6 +306,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected a hash/merge equi-join on the bin key in:\n$p")
   }
 
+  test("q43: the interval-overlap join equi-joins on (type, bin) — never a cartesian") {
+    val p = plan("q43_interval_join")
+    assert(!p.contains("CartesianProduct"),
+      s"interval join must not plan as a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must not plan as a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), // tiny test corpus may broadcast
+      s"expected a hash/merge equi-join on the (type, bin) key in:\n$p")
+  }
+
   test("runtime bloom-filter join pruning engages on a selective fact-dim join") {
     // The 100 TB lever Catalyst ships for free: a selective filter on
     // the dimension side injects a bloom_filter_agg whose
