@@ -634,7 +634,84 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** INCREMENTAL ingest — the daily-shard gate a production corpus
+    * runs when new data arrives (the batch mirror of q76's streaming
+    * decontamination guard): sources src0/src1 play the incoming
+    * shard, everything else the standing corpus, and every incoming
+    * doc gets a verdict in contract precedence — quality floor first,
+    * then exact-content membership in the corpus (md5 join), then
+    * verbatim-span overlap (a d09 winnow fingerprint shared with ANY
+    * corpus doc), else accepted. Only the accepted docs would merge.
+    *
+    * Scale shape: three linear passes — the corpus hash set is one
+    * distinct projection feeding an equi-join (at 100 TB you put
+    * d10's bloom pre-filter in front of it so only candidate hashes
+    * reach the join); the fingerprint compare is a winnow-thinned
+    * equi-join (~2/(w+1) fingerprints per token, corpus side
+    * distinct); no pairwise work anywhere, and the incoming shard —
+    * the small side — is what flows through every join.
+    */
+  val c09IncrementalIngest = Q(
+    "c09_incremental_ingest",
+    { val gs = sqlGramHashes16("string_split(text, ' ')")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, $sqlQuality AS quality FROM documents
+         |), inc AS (
+         |  SELECT * FROM base WHERE source IN ('src0', 'src1')
+         |), corp AS (
+         |  SELECT * FROM base WHERE source NOT IN ('src0', 'src1')
+         |), corp_hash AS (
+         |  SELECT DISTINCT md5(text) AS h FROM corp
+         |), g_inc AS (
+         |  SELECT doc_id, $gs AS gs FROM inc WHERE quality >= 0.5
+         |), f_inc AS (
+         |  SELECT doc_id, ${sqlWinnowOfGs("gs")} AS fps FROM g_inc
+         |), x_inc AS (
+         |  SELECT doc_id, unnest(fps) AS fp FROM f_inc
+         |), g_corp AS (
+         |  SELECT doc_id, $gs AS gs FROM corp
+         |), f_corp AS (
+         |  SELECT doc_id, ${sqlWinnowOfGs("gs")} AS fps FROM g_corp
+         |), x_corp AS (
+         |  SELECT DISTINCT unnest(fps) AS fp FROM f_corp
+         |), nd AS (
+         |  SELECT DISTINCT i.doc_id FROM x_inc i JOIN x_corp c ON i.fp = c.fp
+         |)
+         |SELECT i.doc_id, i.source, i.quality,
+         |       CASE WHEN i.quality < 0.5 THEN 'rejected_quality'
+         |            WHEN ch.h IS NOT NULL THEN 'rejected_exact'
+         |            WHEN nd.doc_id IS NOT NULL THEN 'rejected_neardup'
+         |            ELSE 'accepted' END AS verdict
+         |FROM inc i
+         |LEFT JOIN corp_hash ch ON md5(i.text) = ch.h
+         |LEFT JOIN nd ON i.doc_id = nd.doc_id
+         |ORDER BY i.doc_id""".stripMargin }
+  ) { (s, d) =>
+    val shard = Seq("src0", "src1")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), sparkQuality.as("quality"))
+      .cache() // feeds the shard side and both corpus projections
+    val inc = base.filter(col("source").isin(shard: _*))
+    val corp = base.filter(!col("source").isin(shard: _*))
+    val corpHash = corp.select(md5(col("text")).as("h")).distinct()
+    val xInc = inc.filter(col("quality") >= 0.5)
+      .select(col("doc_id"), explode(winnow16(tokens(col("text")))).as("fp"))
+    val xCorp = corp.select(explode(winnow16(tokens(col("text")))).as("fp")).distinct()
+    val nd = xInc.join(xCorp, Seq("fp"))
+      .select(col("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1))
+    inc.withColumn("h_inc", md5(col("text")))
+      .join(corpHash, col("h_inc") === col("h"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("quality") < 0.5, "rejected_quality")
+          .when(col("h").isNotNull, "rejected_exact")
+          .when(col("nd_hit").isNotNull, "rejected_neardup")
+          .otherwise("accepted").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
-    c08ChunkOverlap)
+    c08ChunkOverlap, c09IncrementalIngest)
 }
