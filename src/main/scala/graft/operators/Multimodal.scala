@@ -234,7 +234,49 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** MEDIA exact dedup — d01's content-hash dedup applied to the
+    * binary modality (the pass every image/audio corpus runs before
+    * any perceptual hashing): payloads are synthesized keyed on
+    * `doc_id % 40` so the corpus contains genuine byte-identical
+    * duplicates (the keying preserves parity, so every copy of a
+    * payload also agrees on format), Spark hashes the ACTUAL bytes
+    * with md5 and keeps the min-id copy per hash group, and the
+    * oracle predicts the groups algebraically from `doc_id % 40` —
+    * a synthesis bug, an md5-input drift, or a hash collision all
+    * hash-mismatch the (keep_id, n_copies) table.
+    *
+    * Scale shape: identical to d01 — payload synthesis (at scale:
+    * the parquet binary column scan) is map-side, and the dedup is
+    * ONE shuffle on the content hash, with the payload itself never
+    * shuffled (only its 16-byte digest).
+    */
+  val m06MediaDedup = Q(
+    "m06_media_dedup",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |       min(CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END) AS fmt
+      |FROM documents
+      |GROUP BY doc_id % 40
+      |ORDER BY keep_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val key = id % 40 // duplicate payloads by construction
+        if (key % 2 == 0) MediaRow(id, "ppm", ppmBytes(key), src)
+        else MediaRow(id, "wav", wavBytes(key), src)
+      })
+    media.toDF()
+      .select(col("media_id"), col("kind"), md5(col("payload")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("kind")).as("fmt"))
+      .select(col("keep_id"), col("n_copies"), col("fmt"))
+      .orderBy(col("keep_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
-      m05MediaQuality)
+      m05MediaQuality, m06MediaDedup)
 }
