@@ -279,7 +279,42 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** UNPIVOT (melt) — q26's pivot in reverse, via Spark's native
+    * `Dataset.unpivot` operator: the four lineitem measures melt to
+    * (measure, value) rows, then aggregate per measure. The oracle
+    * spells the melt as the portable UNION ALL; sums go through the
+    * exact DECIMAL(12,2) path (order-free, engine-identical — the
+    * Exact.* contract).
+    *
+    * Scale shape: unpivot is a map-side 1→N projection (no shuffle,
+    * no generate-join); the aggregate is two-phase with 4 groups.
+    */
+  val q44Unpivot = Q(
+    "q44_unpivot",
+    """SELECT measure, count(*) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+      |)
+      |GROUP BY measure
+      |ORDER BY measure""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        ids = Array.empty[org.apache.spark.sql.Column],
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_rows"), sum2(col("value")).as("total"))
+      .orderBy(col("measure"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
-    q29ApproxPercentile)
+    q29ApproxPercentile, q44Unpivot)
 }

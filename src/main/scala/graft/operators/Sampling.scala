@@ -233,7 +233,42 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** EXACTLY-k sample — the count-exact complement to p01's
+    * rate sample: rank every row by its full content-hash key (a
+    * deterministic uniform permutation) and keep the first 50. Same
+    * reproducibility contract as p01 (any cluster layout, any
+    * partitioning, same 50 rows), but with a guaranteed cardinality —
+    * what a fixed-size eval set or human-review batch needs, where
+    * p01's binomial count won't do.
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject
+    * (pinned PlanSpec) — each partition keeps its local top-50 and
+    * only 50·partitions digest-sized rows reach the driver-side
+    * merge; never a full sort. The reservoir-sampling alternative is
+    * partitioning-dependent; this is the distributed-deterministic
+    * spelling.
+    */
+  val p06SampleExactK = Q(
+    "p06_sample_exact_k",
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, source, n_chars
+      |  FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |  LIMIT 50
+      |)
+      |SELECT doc_id, lang, source, n_chars FROM ranked
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
-      p05MixtureThreshold)
+      p05MixtureThreshold, p06SampleExactK)
 }

@@ -106,6 +106,18 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p06: the exact-k sample plans as top-k, never a full sort") {
+    val p = plan("p06_sample_exact_k")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("q44: unpivot is a map-side Expand feeding a two-phase aggregate") {
+    val p = plan("q44_unpivot")
+    assert(p.contains("Expand"), s"expected the native unpivot Expand in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partial aggregation in:\n$p")
+  }
+
   test("d02: minhash signatures evaluate the kernel, zero exchanges") {
     val df = SparkEntry.queries("d02_minhash_signature")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
