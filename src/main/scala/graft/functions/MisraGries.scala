@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra-Gries frequent-items sketch as a typed distributed
+  * [[Aggregator]] — the mergeable-summaries pattern (Agarwal,
+  * Cormode, Huang, Phillips, Wei & Yi, "Mergeable Summaries", TODS
+  * 2013): each partition folds its items into k counters, partial
+  * sketches merge associatively, and the driver receives only the
+  * k-entry model (the same driver-holds-the-model contract as
+  * AnnKmeans). The guarantee that survives any merge order: every
+  * item with true frequency > n/(k+1) is present in the final
+  * sketch, and each counter under-estimates its item's true count by
+  * at most n/(k+1).
+  *
+  * Reduce is the classic stream step (hit → increment; room → admit;
+  * full → decrement ALL by one, dropping zeros — the k+1-way
+  * cancellation). Merge sums both sketches, then restores the
+  * k-counter bound by subtracting the (k+1)-th largest count — the
+  * paper's merge, which preserves the error bound additively.
+  *
+  * The candidate SET below the guarantee line depends on merge
+  * order, so only guarantee-line membership is oracle-checkable —
+  * t12 gates exactly that (q22/d10 style).
+  */
+final class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    b.get(item) match {
+      case Some(n) => b.updated(item, n + 1)
+      case None if b.size < k => b.updated(item, 1L)
+      case None =>
+        b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val combined = b.foldLeft(a) { case (acc, (item, n)) =>
+      acc.updated(item, acc.getOrElse(item, 0L) + n)
+    }
+    if (combined.size <= k) combined
+    else {
+      // subtract the (k+1)-th largest count; ≤ k survivors remain
+      val cut = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      combined.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+    }
+  }
+
+  override def finish(reduction: Map[String, Long]): Map[String, Long] = reduction
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+}
+
+object MisraGries {
+  def apply(k: Int): MisraGries = new MisraGries(k)
+}

@@ -494,7 +494,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HEAVY HITTERS via a Misra-Gries sketch (k = 29 counters — below
+    * the 31-token vocabulary, so evictions genuinely occur on this
+    * corpus): the frequency-sketch member of the approximate-agg
+    * family (q22 HLL cardinality, q29 percentile sketch, d10 bloom
+    * membership). Tokens fold into per-partition sketches that merge
+    * associatively ([[graft.functions.MisraGries]], the mergeable-
+    * summaries construction); the driver holds only the k-entry
+    * model. The oracle gates the guarantee, q22-style: DuckDB
+    * computes the EXACT counts and the true heavy-hitter set
+    * (n·(k+1) > total — integer arithmetic, engine-identical), and
+    * Spark's `in_sketch` flag must be 1 for every one of them (the
+    * MG bound: true frequency > n/(k+1) ⟹ present under ANY merge
+    * order — sub-threshold sketch contents are order-dependent and
+    * deliberately not emitted). A broken reduce/merge fails the hash.
+    *
+    * Scale shape: one explode + one object-hash aggregate whose
+    * state is k counters per partition (KB-sized at any corpus), and
+    * a model-sized driver collect; the exact-count side is a
+    * two-phase agg over the 31-token vocabulary. At 100 TB the
+    * exact side disappears and the sketch IS the answer — here both
+    * run so the sketch can be judged against the truth.
+    */
+  val t12HeavyHitters = Q(
+    "t12_heavy_hitters",
+    """WITH x AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY tok
+      |), t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+      |)
+      |SELECT c.tok AS token, c.n, 1 AS in_sketch
+      |FROM c, t
+      |WHERE c.n * 30 > t.total
+      |ORDER BY c.n DESC, c.tok""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val K = 29
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    // k-entry model to the driver (the AnnKmeans contract) — never data
+    val sketch: Map[String, Long] =
+      toks.as[String].select(graft.functions.MisraGries(K).toColumn).head()
+    val sketchKeys = sketch.keys.toSeq.sorted
+    val counts = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total)) // 1-row broadcast, not a cartesian
+      .filter(col("n") * (K + 1) > col("total"))
+      .select(col("tok").as("token"), col("n"),
+        when(if (sketchKeys.isEmpty) lit(false) else col("tok").isin(sketchKeys: _*), 1)
+          .otherwise(0).cast("int").as("in_sketch"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
-    t10Contamination, t11UnigramRarity)
+    t10Contamination, t11UnigramRarity, t12HeavyHitters)
 }
