@@ -234,8 +234,9 @@ object Sampling {
   }
 
   /** EXACTLY-k sample — the count-exact complement to p01's
-    * rate sample: rank every row by its full content-hash key (a
-    * deterministic uniform permutation) and keep the first 50. Same
+    * rate sample: rank every row by its full doc-id hash (a
+    * deterministic uniform permutation of the ids) and keep the
+    * first 50. Same
     * reproducibility contract as p01 (any cluster layout, any
     * partitioning, same 50 rows), but with a guaranteed cardinality —
     * what a fixed-size eval set or human-review batch needs, where

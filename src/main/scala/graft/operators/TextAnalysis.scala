@@ -534,6 +534,7 @@ object TextAnalysis {
     val K = 29
     val toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
+      .cache() // feeds the sketch action AND the exact-count aggregate
     // k-entry model to the driver (the AnnKmeans contract) — never data
     val sketch: Map[String, Long] =
       toks.as[String].select(graft.functions.MisraGries(K).toColumn).head()

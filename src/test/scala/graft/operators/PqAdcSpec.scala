@@ -49,10 +49,9 @@ class PqAdcSpec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, dir).collect()
         .groupBy(_.getAs[Long]("query_id"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-    val exact = topk("s01_cosine_topk").map { case (q, s) => q -> s } // top-3? s01 is top-k
     val ivf = topk("s03_ann_ivf")
     val ivfpq = topk("s10_ann_ivfpq")
-    // agreement with the cell-exact search: the ADC top-10 shortlist
+    // agreement with the cell-exact search: the ADC top-20 shortlist
     // should almost always contain the true within-cell top-3, making
     // the re-ranked answer identical to s03's
     val agree = ivf.keys.toSeq.map { q =>
