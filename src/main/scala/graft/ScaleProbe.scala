@@ -37,7 +37,8 @@ object ScaleProbe {
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",
     "p04_domain_mixture", "p05_mixture_threshold",
-    "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity")
+    "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
+    "t12_heavy_hitters")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
