@@ -51,6 +51,8 @@ object ScaleProbe {
     "d06_wide_5bit" -> (() =>
       graft.operators.Dedup.verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 5)
         .orderBy(col("id_a"), col("id_b"))),
+    "d11_wide_k64" -> (() =>
+      graft.operators.Dedup.semanticDedupParam(s, dir, k = 64)),
     "d07_wide_5bit" -> (() => {
       val verified = graft.operators.Dedup
         .verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 5).cache()

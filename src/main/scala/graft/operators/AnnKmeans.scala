@@ -125,7 +125,17 @@ object AnnKmeans {
     * joins it against itself.
     */
   private[operators] def trainedFin(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame = trainedFinParam(s, d, K)
+
+  /** Parameterized training: `k` is THE scale knob (cells ∝ corpus
+    * keeps per-cell occupancy — and d11's Σ n_c² pair work, and the
+    * cell join's shuffle parallelism — bounded per row; SemDeDup runs
+    * k ≈ 11k on 100M docs). The oracle-registered s04/d11 pin k = 8,
+    * right-sized for the 500-row oracle corpus; ScaleProbe's
+    * d11_wide_k64 runs the production reconfiguration at sf1.
+    */
+  private[graft] def trainedFinParam(s: org.apache.spark.sql.SparkSession,
+      d: String, K: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
 

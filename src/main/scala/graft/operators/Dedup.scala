@@ -725,8 +725,17 @@ object Dedup {
        |       d.max_sim AS max_sim, d.dup_of IS NOT NULL AS is_dup
        |FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
        |ORDER BY f.vec_id""".stripMargin
-  ) { (s, d) =>
-    val fin = AnnKmeans.trainedFin(s, d)
+  ) { (s, d) => semanticDedupParam(s, d, k = 8) }
+
+  /** Parameterized SemDeDup verdict frame. `k` (trained cells) is
+    * THE scale knob — it bounds both the Σ n_c² pair work and the
+    * cell join's shuffle parallelism; the oracle-registered d11 pins
+    * k = 8 for the 500-row corpus, ScaleProbe's d11_wide_k64 runs
+    * the production width.
+    */
+  private[graft] def semanticDedupParam(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val fin = AnnKmeans.trainedFinParam(s, d, k)
     val qual = fin.alias("hi")
       .join(fin.alias("lo"),
         col("hi.cell") === col("lo.cell") && col("lo.vec_id") < col("hi.vec_id"))
