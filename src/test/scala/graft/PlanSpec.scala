@@ -118,6 +118,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial aggregation in:\n$p")
   }
 
+  test("c08: chunking is a map-side explode — no shuffle before the presentation sort") {
+    val p = plan("c08_chunk_overlap")
+    assert(p.contains("Generate"), s"expected the 1→N explode in:\n$p")
+    // the orderBy's range exchange is the ONLY exchange in the plan
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles in:\n$p")
+  }
+
+  test("c09: the ingest gate is all equi-joins — no cartesian anywhere") {
+    val p = plan("c09_incremental_ingest")
+    assert(!p.contains("CartesianProduct"), s"ingest gate must not cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("t12/m06: sketch + media dedup aggregate map-side first (two-phase)") {
+    val p1 = plan("t12_heavy_hitters")
+    assert(p1.contains("partial_count") || p1.contains("partial_sum"),
+      s"expected map-side partial aggregation in t12:\n$p1")
+    spark.catalog.clearCache()
+    val p2 = plan("m06_media_dedup")
+    assert(p2.contains("partial_min") || p2.contains("partial_count"),
+      s"expected map-side partial aggregation in m06:\n$p2")
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("d02: minhash signatures evaluate the kernel, zero exchanges") {
     val df = SparkEntry.queries("d02_minhash_signature")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
