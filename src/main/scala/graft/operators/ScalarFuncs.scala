@@ -275,6 +275,36 @@ object ScalarFuncs {
       .orderBy(col("p_partkey"))
   }
 
+  /** Spark 4 VARIANT for the open-schema props tail — q64's path
+    * extraction re-expressed through the semi-structured type the
+    * engine actually ships for this at scale (`parse_json` → binary
+    * variant, `variant_get` with a typed path): at 100 TB the
+    * variant column is what parquet shredding and the variant-aware
+    * pushdown rules operate on, where repeated `get_json_object`
+    * calls re-parse the string per path. Shaped as a decile
+    * histogram so the variant path feeds a two-phase aggregate. The
+    * oracle spells the same histogram over DuckDB's JSON extraction
+    * (`//`/`div` integer-division pair; counts cast to BIGINT).
+    */
+  val q68Variant = Q(
+    "q68_variant",
+    """WITH x AS (
+      |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+      |)
+      |SELECT k // 10 AS bucket, count(*) AS n,
+      |       min(k) AS k_min, max(k) AS k_max
+      |FROM x
+      |GROUP BY k // 10
+      |ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val k = variant_get(parse_json(col("props")), "$.k", "long")
+    Tables.events(s, d)
+      .select(k.as("k"))
+      .groupBy(expr("k div 10").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("bucket"))
+  }
+
   def all: Seq[Q] = Seq(q60String, q61Date, q62Math, q63Array, q64Json,
-    q65Conditional, q66HigherOrder, q67MapStruct, q70TimeWindow)
+    q65Conditional, q66HigherOrder, q67MapStruct, q68Variant, q70TimeWindow)
 }
