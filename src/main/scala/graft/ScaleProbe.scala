@@ -36,6 +36,7 @@ object ScaleProbe {
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",
+    "c10_chunk_dedup",
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters")

@@ -711,7 +711,71 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** CHUNK-level dedup — c08's chunks through d01's keeper rule: in
+    * a retrieval-ingestion pipeline the embedding pass is the cost
+    * center, so byte-identical chunks (boilerplate headers, shared
+    * quotes, duplicated docs chunked on aligned strides) collapse to
+    * one representative BEFORE any vector is computed. Keeper = the
+    * lexicographically first (doc_id, chunk_idx) per chunk md5;
+    * emits each distinct chunk with its multiplicity and the number
+    * of distinct docs it appears in — restricted to chunks seen ≥ 2
+    * times to keep the report about actual duplication.
+    *
+    * Scale shape: c08's map-side explode feeds ONE shuffle on the
+    * chunk hash (16-byte digests move, chunk text does not — the
+    * md5 is computed inside the explode projection), then a
+    * presentation sort.
+    */
+  val c10ChunkDedup = Q(
+    "c10_chunk_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), x AS (
+      |  SELECT doc_id, n, tk, unnest(generate_series(0, (n - 1) // 96)) AS k
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id, k AS chunk_idx,
+      |         md5(array_to_string(tk[k * 96 + 1 : least(k * 96 + 128, n)], ' ')) AS chunk_md5
+      |  FROM x
+      |), r AS (
+      |  SELECT chunk_md5, doc_id, chunk_idx,
+      |         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM c
+      |)
+      |SELECT chunk_md5, min(doc_id) AS keep_doc,
+      |       min(CASE WHEN rn = 1 THEN chunk_idx END) AS keep_idx,
+      |       count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs
+      |FROM r
+      |GROUP BY chunk_md5
+      |HAVING count(*) >= 2
+      |ORDER BY n_copies DESC, chunk_md5""".stripMargin
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), expr("(n - 1) div 96"))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("k") * 96 + 1).cast("int"),
+            (least(col("k") * 96 + 128, col("n")) - col("k") * 96).cast("int"))))
+          .as("chunk_md5"))
+    val w = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("keep_doc"),
+        min(when(col("rn") === 1, col("chunk_idx"))).as("keep_idx"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("n_copies").desc, col("chunk_md5"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
-    c08ChunkOverlap, c09IncrementalIngest)
+    c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup)
 }
