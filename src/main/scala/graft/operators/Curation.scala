@@ -717,9 +717,10 @@ object Curation {
     * quotes, duplicated docs chunked on aligned strides) collapse to
     * one representative BEFORE any vector is computed. Keeper = the
     * lexicographically first (doc_id, chunk_idx) per chunk md5;
-    * emits each distinct chunk with its multiplicity and the number
-    * of distinct docs it appears in — restricted to chunks seen ≥ 2
-    * times to keep the report about actual duplication.
+    * emits the full dedup manifest — every distinct chunk with its
+    * keeper coordinates, multiplicity, and distinct-doc count (the
+    * manifest IS the embedding work-list; n_copies > 1 rows are the
+    * compute saved).
     *
     * Scale shape: c08's map-side explode feeds ONE shuffle on the
     * chunk hash (16-byte digests move, chunk text does not — the
@@ -749,7 +750,6 @@ object Curation {
       |       count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs
       |FROM r
       |GROUP BY chunk_md5
-      |HAVING count(*) >= 2
       |ORDER BY n_copies DESC, chunk_md5""".stripMargin
   ) { (s, d) =>
     val tk = tokens(col("text"))
@@ -771,7 +771,6 @@ object Curation {
         min(when(col("rn") === 1, col("chunk_idx"))).as("keep_idx"),
         count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_copies") >= 2)
       .orderBy(col("n_copies").desc, col("chunk_md5"))
   }
 
