@@ -686,6 +686,81 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** Nearest-CLASS-MEAN classification — the centroid complement to
+    * s05's kNN (Rocchio / NCM: one prototype per label instead of a
+    * per-query neighbor scan): per-label mean embeddings are computed
+    * with the SCALED-INTEGER exact-mean spelling s04's k-means update
+    * proved engine-identical (floor(v·2²⁰) summed as BIGINT — order-
+    * free — then one double division chain), and each query picks the
+    * label whose prototype maximizes cosine (ties to the lowest
+    * label). Emits predicted vs true label with the winning cosine.
+    *
+    * Scale shape: prototypes are one explode + two-phase agg (the
+    * model is labels×dims — KB-sized at any corpus); classification
+    * is a broadcast compare of each query against the tiny prototype
+    * table — at 100 TB you classify the FULL corpus this way for the
+    * cost of one scan, which is why production label-propagation
+    * passes start with NCM before paying for kNN.
+    */
+  val s11NcmClassify = Q(
+    "s11_ncm_classify",
+    { val Scale = "1048576.0"
+      s"""WITH x AS (
+         |  SELECT label, u.i AS dim, e.embedding[u.i] AS v
+         |  FROM embeddings e, LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) u
+         |), m AS (
+         |  SELECT label, dim,
+         |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE) / $Scale AS m
+         |  FROM x GROUP BY label, dim
+         |), cm AS (
+         |  SELECT label AS cand_label, list(m ORDER BY dim) AS cent FROM m GROUP BY label
+         |), q AS (
+         |  SELECT vec_id, embedding, label AS true_label, ${sqlNorm("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, q.true_label, c.cand_label,
+         |         CASE WHEN q.nrm * sqrt(${sqlDot("c.cent", "c.cent")}) = 0 THEN 0.0
+         |              ELSE ${sqlDot("q.embedding", "c.cent")}
+         |                   / (q.nrm * sqrt(${sqlDot("c.cent", "c.cent")})) END AS cos_sim
+         |  FROM q CROSS JOIN cm c
+         |), ranked AS (
+         |  SELECT query_id, true_label, cand_label, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_label) AS r
+         |  FROM scored
+         |)
+         |SELECT query_id, true_label, cand_label AS pred_label, cos_sim AS best_cos
+         |FROM ranked WHERE r = 1
+         |ORDER BY query_id""".stripMargin }
+  ) { (s, d) =>
+    import graft.functions.{DoubleVecDot, FloatDoubleVecDot}
+    val Scale = 1048576.0
+    val emb = Tables.embeddings(s, d)
+    val means = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg((sum(floor(col("v").cast("double") * Scale).cast("long")).cast("double")
+        / count(lit(1)).cast("double") / Scale).as("m"))
+    val cm = means.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label").as("cand_label"), expr("transform(dm, x -> x.m)").as("cent"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("label").as("true_label"), norm(col("embedding")).as("nrm"))
+    val cnrm = sqrt(DoubleVecDot(col("cent"), col("cent")))
+    val scored = q.crossJoin(broadcast(cm)) // labels×dims model side — broadcast
+      .select(col("query_id"), col("true_label"), col("cand_label"),
+        when(col("nrm") * cnrm === 0, 0.0)
+          .otherwise(FloatDoubleVecDot(col("embedding"), col("cent")) / (col("nrm") * cnrm))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_label"))
+    scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("cos_sim").as("best_cos"))
+      .orderBy(col("query_id"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
-    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq)
+    s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
+    s11NcmClassify)
 }
