@@ -39,7 +39,7 @@ object ScaleProbe {
     "c10_chunk_dedup",
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
-    "t12_heavy_hitters")
+    "t12_heavy_hitters", "t13_corpus_profile")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -550,7 +550,42 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** CORPUS PROFILE — the per-language "data card" every shipped
+    * corpus carries (counts, token volume, quality-pass rate, size
+    * envelope): one two-phase aggregate over the documents table,
+    * all integer-exact fields (token counts summed as BIGINT, the
+    * quality gate counted not averaged — double sums are
+    * order-dependent, comparisons are not).
+    *
+    * Scale shape: a single map-side-partial groupBy with one tiny
+    * shuffle (5 language groups) — the cheapest query in the suite
+    * at any corpus size, which is the point: the data card is
+    * recomputed after every pipeline stage.
+    */
+  val t13CorpusProfile = Q(
+    "t13_corpus_profile",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  count(*) FILTER (n_chars >= 120) AS n_large,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        count(when(col("n_chars") >= 120, 1)).as("n_large"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
-    t10Contamination, t11UnigramRarity, t12HeavyHitters)
+    t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile)
 }
