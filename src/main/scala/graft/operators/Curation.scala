@@ -618,8 +618,17 @@ object Curation {
       |FROM c JOIN t ON c.doc_id = t.doc_id
       |ORDER BY c.doc_id, c.chunk_idx""".stripMargin
   ) { (s, d) =>
+    chunkFrame(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** c08's chunk projection as a reusable frame transform — a pure
+    * per-row 1→N explode, so it applies unchanged to a STREAMING
+    * DataFrame (q77 replays it micro-batched and hash-matches this
+    * exact batch spelling).
+    */
+  private[graft] def chunkFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tk = tokens(col("text"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n"))
       .select(col("doc_id"), col("tk"), col("n"),
         explode(sequence(lit(0L), expr("(n - 1) div 96"))).as("k"))
@@ -631,7 +640,6 @@ object Curation {
           slice(col("tk"), (col("k") * 96 + 1).cast("int"),
             (least(col("k") * 96 + 128, col("n")) - col("k") * 96).cast("int"))))
           .as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** INCREMENTAL ingest — the daily-shard gate a production corpus

@@ -346,6 +346,36 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("doc_id"), col("fp"))
   }
 
+  /** STREAMING chunking — c08's RAG-ingestion chunker run as an
+    * actual Structured Streaming job (file source → the SAME
+    * `Curation.chunkFrame` 1→N explode → append sink), hash-matched
+    * to c08's batch oracle. This is the shape a live ingestion
+    * pipeline runs: documents arrive, chunks + content hashes leave,
+    * no state, no watermark — the stateless-transform streaming tier
+    * below q71/q72's stateful aggregations. Identical results under
+    * micro-batching prove the chunk projection is truly per-row.
+    */
+  val q77StreamChunkReplay = Q(
+    "q77_stream_chunk_replay",
+    graft.operators.Curation.c08ChunkOverlap.sql.get
+  ) { (s, d) =>
+    val docsSchema = graft.Tables.documents(s, d).schema
+    val chunks = graft.operators.Curation.chunkFrame(
+      s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d))
+    val sinkName = "graft_q77_replay"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = chunks.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
-    q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin)
+    q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
+    q77StreamChunkReplay)
 }
