@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("s11: NCM classification broadcasts the prototype table — no cartesian blow-up") {
+    val p = plan("s11_ncm_classify")
+    // the 10-query × 10-prototype compare may plan as a broadcast
+    // nested loop (tiny sides) but must never shuffle-cartesian
+    assert(!p.contains("CartesianProduct"), s"prototype compare must not cartesian:\n$p")
+    assert(p.contains("Broadcast"), s"expected the prototype broadcast in:\n$p")
+  }
+
   test("d02: minhash signatures evaluate the kernel, zero exchanges") {
     val df = SparkEntry.queries("d02_minhash_signature")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
