@@ -73,36 +73,6 @@ object Bench {
     // external contention, and the JSON carries "runs"/"agg" fields so
     // the measurement shape is explicit next to the records
     // (BENCH_r01-r03 were single-run).
-    val RunsPerQuery = 2
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      var best = Double.MaxValue
-      var successes = 0
-      var run = 0
-      var failed = false
-      while (!failed && run < RunsPerQuery) {
-        run += 1
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          successes += 1
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (run $run): ${e.getMessage}")
-          failed = true
-        }
-        spark.catalog.clearCache() // queries may cache; don't leak across timings
-        // also drop localCheckpoint blocks (clearCache doesn't): the
-        // propagation queries leave one per round and the orphans skew
-        // later timings via memory pressure
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
-      // one good measurement is a real timing: a run-2 failure (e.g.
-      // intermittent memory pressure) must not relabel a working query
-      // as a crashing one — errors are only queries with ZERO successes
-      (name, if (successes > 0) best else -1.0, successes > 0)
-    }
     // Cast-throughput micro-metric: the reference's only published
     // numbers are casts/sec (~500 ns/cast Lua micro-bench,
     // README.md:60-62 → BASELINE.md). Time the engine analog —
@@ -111,6 +81,11 @@ object Bench {
     // round next to the query timings. Casts = seeds (each cast once)
     // + emitted hops (each re-cast, incl. the final drop-producing
     // invocation folded into its emit).
+    //
+    // Measured FIRST, before the query sweep: round 4 timed it at the
+    // tail of a 2×-sweep JVM and the figure inflated ~1.5× from GC
+    // debt (round-4 verdict) — the micro-bench now sees a fresh heap,
+    // with its own small untimed castAll warming the JIT path.
     val castMetric = try {
       import spark.implicits._
       import graft.engine.{DynEvent, EValue, SpellEngine}
@@ -135,19 +110,33 @@ object Bench {
       // ~500 ns/cast Lua number — the driver corpus is one parquet
       // row group, so this is also what an unrepartitioned read gets)
       // and one partition per core (the engine's actual answer).
-      val single = Tables.events(spark, sfDir)
+      // replicate the seed corpus 4×: at sf0.1 the per-core share is
+      // otherwise ~20k casts ≈ 25 ms of compute against ~300 ms of
+      // job/task overhead, i.e. the "parallel" figure was ~90%
+      // scheduler — the ns/cast both shapes report must be dominated
+      // by casting. `casts` counts the replicated stream, so the
+      // ratio stays honest.
+      val base = Tables.events(spark, sfDir)
         .select(col("event_id"), col("value"))
         .as[(java.lang.Long, java.lang.Double)]
+      val single = (1 to 4).map(_ => base).reduce(_ union _)
         .coalesce(1).cache()
       val nSeeds = single.count()
-      val t0 = System.nanoTime()
+      // full-corpus untimed pass first (JIT: the codec/engine loop
+      // needs ~10⁵ invocations before C2 fully inlines it — a fresh
+      // JVM's first pass runs partly interpreted), then min-of-2
+      // timed passes, matching the query sweep's runs/agg convention.
+      // min-of-3 (vs the sweep's 2): the parallel shape finishes in
+      // ~0.3 s wall, where per-task scheduling jitter alone moves the
+      // figure ±10% — one extra rep costs ~1 s and tames it.
       val nHops = castAll(single)
-      val singleNs = System.nanoTime() - t0
+      def minNs(f: => Unit): Long = (1 to 3).map { _ =>
+        val t = System.nanoTime(); f; System.nanoTime() - t
+      }.min
+      val singleNs = minNs(castAll(single))
       val par = single.repartition(spark.sparkContext.defaultParallelism).cache()
       par.count() // materialize the repartition outside the timing
-      val t1 = System.nanoTime()
-      castAll(par)
-      val parNs = System.nanoTime() - t1
+      val parNs = minNs(castAll(par))
       single.unpersist(); par.unpersist()
       val casts = nSeeds + nHops
       val nsSingle = if (casts > 0) singleNs.toDouble / casts else -1.0
@@ -164,6 +153,36 @@ object Bench {
       System.err.println(s"[bench] cast micro-bench failed: ${e.getMessage}"); ""
     }
     spark.catalog.clearCache()
+
+    val RunsPerQuery = 2
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      var best = Double.MaxValue
+      var successes = 0
+      var run = 0
+      while (run < RunsPerQuery) {
+        run += 1
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          successes += 1
+        } catch { case e: Throwable =>
+          // keep going: a transient run-1 failure (e.g. intermittent
+          // memory pressure) must still get its run-2 attempt — errors
+          // are only queries with ZERO successes (round-4 advice; the
+          // old loop broke on a first-run failure and never retried)
+          System.err.println(s"[bench] $name failed (run $run): ${e.getMessage}")
+        }
+        spark.catalog.clearCache() // queries may cache; don't leak across timings
+        // also drop localCheckpoint blocks (clearCache doesn't): the
+        // propagation queries leave one per round and the orphans skew
+        // later timings via memory pressure
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      (name, if (successes > 0) best else -1.0, successes > 0)
+    }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
