@@ -44,6 +44,39 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** `events` with `props` pre-parsed into a VARIANT column `propsv`,
+    * materialized once per data dir — the ingest-time shredding step a
+    * 100 TB deployment runs once, not per query. Spark 4 writes the
+    * variant column shredded (`spark.sql.variant.writeShredding` /
+    * `inferShreddingSchema`, both default-on) and
+    * `pushVariantIntoScan` turns a typed-path `variant_get` into a
+    * plain scan of the shredded subcolumn, so queries over `propsv`
+    * never re-parse the JSON string. The derived parquet lives under
+    * java.io.tmpdir keyed by the (read-only) source dir; a temp-dir +
+    * atomic-rename build means a killed half-write is never read back.
+    */
+  def eventsVariant(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, parse_json}
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-shred/$key")
+    val dest = new java.io.File(base, "events_variant.parquet")
+    if (!dest.exists()) {
+      base.mkdirs()
+      val tmp = new java.io.File(base, s".build-${java.util.UUID.randomUUID()}")
+      events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("propsv"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!tmp.renameTo(dest)) { // lost a build race; drop our copy
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val paths = Files.walk(tmp.toPath).iterator().asScala.toSeq
+        paths.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+      }
+    }
+    s.read.parquet(dest.toString)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")

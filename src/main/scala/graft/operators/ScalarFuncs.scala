@@ -277,14 +277,20 @@ object ScalarFuncs {
 
   /** Spark 4 VARIANT for the open-schema props tail — q64's path
     * extraction re-expressed through the semi-structured type the
-    * engine actually ships for this at scale (`parse_json` → binary
-    * variant, `variant_get` with a typed path): at 100 TB the
-    * variant column is what parquet shredding and the variant-aware
-    * pushdown rules operate on, where repeated `get_json_object`
-    * calls re-parse the string per path. Shaped as a decile
-    * histogram so the variant path feeds a two-phase aggregate. The
-    * oracle spells the same histogram over DuckDB's JSON extraction
-    * (`//`/`div` integer-division pair; counts cast to BIGINT).
+    * engine actually ships for this at scale: `Tables.eventsVariant`
+    * materializes `parse_json(props)` ONCE per data dir into a
+    * shredded parquet variant column (the ingest-time step), and the
+    * query's typed-path `variant_get` is pushed into the scan
+    * (`pushVariantIntoScan`) so it reads the shredded `k` subcolumn
+    * directly — no per-query JSON re-parse, where repeated
+    * `get_json_object` calls re-parse the string per path. Shaped as
+    * a decile histogram so the variant path feeds a two-phase
+    * aggregate. The oracle spells the same histogram over DuckDB's
+    * JSON extraction (`//`/`div` integer-division pair; counts cast
+    * to BIGINT). Rows whose props lack a numeric `k` are filtered in
+    * BOTH spellings: the fixture never produces one, but an
+    * unfiltered NULL bucket would sort first in Spark and last in
+    * DuckDB (round-4 advice — pin the contract, not the luck).
     */
   val q68Variant = Q(
     "q68_variant",
@@ -294,12 +300,14 @@ object ScalarFuncs {
       |SELECT k // 10 AS bucket, count(*) AS n,
       |       min(k) AS k_min, max(k) AS k_max
       |FROM x
+      |WHERE k IS NOT NULL
       |GROUP BY k // 10
       |ORDER BY bucket""".stripMargin
   ) { (s, d) =>
-    val k = variant_get(parse_json(col("props")), "$.k", "long")
-    Tables.events(s, d)
+    val k = variant_get(col("propsv"), "$.k", "long")
+    Tables.eventsVariant(s, d)
       .select(k.as("k"))
+      .filter(col("k").isNotNull)
       .groupBy(expr("k div 10").as("bucket"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy(col("bucket"))
