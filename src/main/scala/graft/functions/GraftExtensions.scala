@@ -98,6 +98,13 @@ object GraftExtensions {
         case exprs => throw new IllegalArgumentException(
           s"quality_score expects 1 argument, got ${exprs.size}")
       }),
+    ("pii_scrub",
+      new ExpressionInfo(classOf[PiiScrub].getName, "pii_scrub"),
+      {
+        case Seq(t) => PiiScrub(t)
+        case exprs => throw new IllegalArgumentException(
+          s"pii_scrub expects 1 argument, got ${exprs.size}")
+      }),
     ("winnow_mins",
       new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
       {

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The t09 PII scrub over a raw text column, in one kernel call per
+  * row: counts email / phone matches, redacts both (emails first,
+  * then phones over the email-redacted text — exactly the nested
+  * `regexp_replace` order of the declarative spelling), and re-scans
+  * the redacted output to prove zero residual matches. Returns
+  * `struct<n_emails int, n_phones int, redacted string, n_residual
+  * int>`; the declarative six-regex spelling remains the DuckDB
+  * oracle and the documentation of the semantics (t09PiiScrub).
+  *
+  * Why a kernel: the declarative form references the concatenated
+  * `raw` alias from FIVE regexp trees, and CollapseProject inlines
+  * the concat into each (the t10 trap) — so every row pays five
+  * concats plus six regex executions, each with its own
+  * UTF8String→String conversion. t09 was the single largest number
+  * in the round-4 scale record (97.2 s at sf100). Here the string
+  * materializes once and five compiled-`Pattern` passes do all the
+  * work: email count+redact over raw, phone count over raw (the
+  * spelling counts phones on RAW — an email match can legally
+  * consume phone-shaped digits into its local part, so counting on
+  * the intermediate would diverge), phone redact over the
+  * intermediate, and the two residual proof scans over the final
+  * text.
+  *
+  * Both patterns stay inside the Java-regex ∩ RE2 common subset
+  * (explicit classes, `{m,}` bounds, no lookaround) so the kernel,
+  * the declarative Spark spelling, and the DuckDB oracle agree
+  * match-for-match. Null input ⇒ null struct (the declarative
+  * spelling is NULL through and through on a null text).
+  */
+case class PiiScrub(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PiiScrub.Out
+
+  override def prettyName: String = "pii_scrub"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiScrub.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PiiScrub.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PiiScrub {
+
+  /** Fixed scrub targets — part of the t09 contract (mirrored
+    * literally in the DuckDB oracle SQL), baked in like
+    * QualityScore's stopword set.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+1-555-[0-9]{4}"
+
+  private val Email = java.util.regex.Pattern.compile(EmailPattern)
+  private val Phone = java.util.regex.Pattern.compile(PhonePattern)
+
+  val Out: StructType = StructType(Seq(
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_residual", IntegerType, nullable = false)))
+
+  def compute(raw: UTF8String): InternalRow = {
+    val s = raw.toString
+    // pass 1: email count + redact over raw
+    val m1 = Email.matcher(s)
+    val sb1 = new java.lang.StringBuilder(s.length)
+    var nEmails = 0
+    while (m1.find()) { nEmails += 1; m1.appendReplacement(sb1, "<EMAIL>") }
+    m1.appendTail(sb1)
+    // pass 2: phone count over RAW (see class doc)
+    val m2 = Phone.matcher(s)
+    var nPhones = 0
+    while (m2.find()) nPhones += 1
+    // pass 3: phone redact over the email-redacted intermediate
+    val m3 = Phone.matcher(sb1)
+    val sb2 = new java.lang.StringBuilder(sb1.length)
+    while (m3.find()) m3.appendReplacement(sb2, "<PHONE>")
+    m3.appendTail(sb2)
+    val red = sb2.toString
+    // passes 4+5: the residual proof scans
+    var nResidual = 0
+    val m4 = Email.matcher(red)
+    while (m4.find()) nResidual += 1
+    val m5 = Phone.matcher(red)
+    while (m5.find()) nResidual += 1
+    new GenericInternalRow(Array[Any](
+      nEmails, nPhones, UTF8String.fromString(red), nResidual))
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(PiiScrub(ColumnBridge.expression(c)))
+}

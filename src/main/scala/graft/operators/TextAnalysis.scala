@@ -327,11 +327,17 @@ object TextAnalysis {
     * explicit classes, `{m,}` bounds, no lookaround).
     *
     * Scale shape: pure per-row projection, fully codegen'd, zero
-    * shuffle — the same cost model as t01-t04.
+    * shuffle — the same cost model as t01-t04. The Spark side runs
+    * the `PiiScrub` kernel (one concat + five compiled-Pattern
+    * passes per row — see its Scaladoc; the declarative form paid
+    * five concats + six regex trees once CollapseProject inlined the
+    * `raw` alias); this declarative SQL remains the oracle and the
+    * semantic spec, and GraftExtensionsSpec pins kernel ≡
+    * declarative on the real corpus.
     */
   val t09PiiScrub = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+1-555-[0-9]{4}"
+    val email = graft.functions.PiiScrub.EmailPattern
+    val phone = graft.functions.PiiScrub.PhonePattern
     Q(
       "t09_pii_scrub",
       s"""WITH inj AS (
@@ -357,15 +363,14 @@ object TextAnalysis {
       val raw = concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@example.com ref +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      val redacted = regexp_replace(
-        regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>")
+      val pii = graft.functions.PiiScrub(raw)
       Tables.documents(s, d)
+        .select(col("doc_id"), pii.as("pii"))
         .select(col("doc_id"),
-          size(regexp_extract_all(raw, lit(email), lit(0))).as("n_emails"),
-          size(regexp_extract_all(raw, lit(phone), lit(0))).as("n_phones"),
-          redacted.as("redacted"),
-          (size(regexp_extract_all(redacted, lit(email), lit(0)))
-            + size(regexp_extract_all(redacted, lit(phone), lit(0)))).as("n_residual"))
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_phones").as("n_phones"),
+          col("pii.redacted").as("redacted"),
+          col("pii.n_residual").as("n_residual"))
         .orderBy(col("doc_id"))
     }
   }

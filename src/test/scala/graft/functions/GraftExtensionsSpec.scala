@@ -53,6 +53,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT max_dup_count(array())").head().getInt(0) == 0)
   }
 
+  test("pii_scrub kernel equals the declarative regexp spelling") {
+    GraftExtensions.register(spark)
+    // Spark SQL string literals eat one level of backslash
+    val email = PiiScrub.EmailPattern.replace("\\", "\\\\")
+    val phone = PiiScrub.PhonePattern.replace("\\", "\\\\")
+    // real corpus with the t09 injection, plus adversarial rows: no
+    // PII at all, several matches, a phone embedded in an email local
+    // part (the count-phones-on-raw contract), and back-to-back hits
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("text || ' contact user' || CAST(doc_id AS STRING) " +
+        "|| '@example.com ref +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') AS raw")
+      .union(spark.sql("SELECT 'no pii here at all' AS raw"))
+      .union(spark.sql("SELECT 'a@b.io c@d.org +1-555-0001 +1-555-0002' AS raw"))
+      .union(spark.sql("SELECT 'call +1-555-9999@example.com now' AS raw"))
+      .union(spark.sql("SELECT '+1-555-0042+1-555-0043' AS raw"))
+    val declarative =
+      s"""named_struct(
+         |  'n_emails', size(regexp_extract_all(raw, '$email', 0)),
+         |  'n_phones', size(regexp_extract_all(raw, '$phone', 0)),
+         |  'redacted', regexp_replace(regexp_replace(raw, '$email', '<EMAIL>'),
+         |                             '$phone', '<PHONE>'),
+         |  'n_residual', size(regexp_extract_all(
+         |      regexp_replace(regexp_replace(raw, '$email', '<EMAIL>'),
+         |                     '$phone', '<PHONE>'), '$email', 0))
+         |    + size(regexp_extract_all(
+         |      regexp_replace(regexp_replace(raw, '$email', '<EMAIL>'),
+         |                     '$phone', '<PHONE>'), '$phone', 0)))""".stripMargin
+    val mismatches = texts.selectExpr(
+      "pii_scrub(raw) AS kernel", s"$declarative AS declarative")
+      .filter("kernel <> declarative").count()
+    assert(mismatches == 0)
+  }
+
   test("roll_hash kernel equals the declarative fold spelling") {
     GraftExtensions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
