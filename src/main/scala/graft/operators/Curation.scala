@@ -38,7 +38,7 @@ object Curation {
   // spelling above (which stays as the DuckDB oracle), ~4× cheaper —
   // the lambda form re-split the text per HOF reference once
   // CollapseProject inlined it, 5.5 s of c02's 8 s at sf0.1
-  private def sparkQuality: Column =
+  private[operators] def sparkQuality: Column =
     graft.functions.QualityScore(tokens(col("text")))
 
   /** p03's deterministic 90/5/5 split (md5-keyed: reproducible under
@@ -187,8 +187,16 @@ object Curation {
     * runtime convergence probe's failure message.
     */
   private def nearDupKept(s: SparkSession, d: String,
+      probeName: String): DataFrame =
+    nearDupKeptFrom(exactKeepers(qualityDocs(s, d)), probeName)
+
+  /** Near-dup collapse applied to an already-built exact-keeper frame
+    * (round-4 advice: c07 caches quality/keepers for its funnel
+    * counts, so the collapse must accept them instead of silently
+    * rebuilding the first two stages from scratch).
+    */
+  private def nearDupKeptFrom(keepers: DataFrame,
       probeName: String): DataFrame = {
-    val keepers = exactKeepers(qualityDocs(s, d))
     val ksets = keepers
       .select(col("doc_id"), col("lang"), col("quality"),
         array_sort(tokenSet(col("text"))).as("ts"))
@@ -301,7 +309,14 @@ object Curation {
     */
   private def decontamKept(s: SparkSession, d: String,
       probeName: String): DataFrame =
-    decontamFrom(s, d, nearDupKept(s, d, probeName).cache())
+    // localCheckpoint (EAGER), not cache: the decontam/mixture stages
+    // downstream contain broadcast exchanges, and broadcast jobs run
+    // on their own threads — with a lazy cache they race the main job
+    // into rebuilding this whole chain before the cache fills (the
+    // round-4 bench showed c05 at 22.4 s vs c04's 8.8 s from exactly
+    // this). Eager materialization here makes every later branch read
+    // the checkpointed blocks.
+    decontamFrom(s, d, nearDupKept(s, d, probeName).localCheckpoint())
 
   /** Decontamination stage applied to an already-materialized kept
     * set (callers cache `kept`; c07 reuses its frame for the funnel
@@ -455,7 +470,10 @@ object Curation {
     manifestFrom(
       decontamKept(s, d, probeName)
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-        .cache()) // feeds the per-source agg AND the ranked stream
+        // eager, because the quota path broadcasts tot/cap/quota: each
+        // broadcast job would otherwise race this (lazily cached)
+        // frame and re-run the chain per broadcast (see decontamKept)
+        .localCheckpoint()) // feeds the per-source agg AND the ranked stream
 
   /** Mixture stage applied to an already-materialized clean set with
     * its `source` column joined in (callers cache `clean`).
@@ -566,12 +584,19 @@ object Curation {
     def stageCount(stage: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
     val docs = Tables.documents(s, d)
-    val quality = qualityDocs(s, d).cache() // counted AND fed to keepers
-    val keepers = exactKeepers(quality).cache() // counted AND fed onward
-    val kept = nearDupKept(s, d, "c07_curation_funnel").cache()
+    // localCheckpoint (eager) at every counted stage: the six count
+    // branches of the union are INDEPENDENT stages the scheduler runs
+    // concurrently, so lazy caches race (see decontamKept); and each
+    // stage feeds the next through nearDupKeptFrom/decontamFrom/
+    // manifestFrom, so the funnel computes its pipeline exactly once
+    // (round-4 advice: nearDupKept used to rebuild quality+keepers
+    // internally, executing stages 2-3 twice per funnel run).
+    val quality = qualityDocs(s, d).localCheckpoint()
+    val keepers = exactKeepers(quality).localCheckpoint()
+    val kept = nearDupKeptFrom(keepers, "c07_curation_funnel").localCheckpoint()
     val clean = decontamFrom(s, d, kept)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .cache() // counted AND fed to the mixture stage
+      .localCheckpoint() // counted AND fed to the mixture stage
     val manifest = manifestFrom(clean)
     stageCount("1_raw", docs)
       .union(stageCount("2_quality", quality))
@@ -630,6 +655,15 @@ object Curation {
     val tk = tokens(col("text"))
     docs
       .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n"))
+      // chunk-count contract: `(n - 1) div 96` relies on n >= 1, which
+      // `split` guarantees (a non-null string never splits to an empty
+      // array — "" yields [""], so every doc has at least one token).
+      // If a future tokenizer COULD produce n = 0, both engines would
+      // agree anyway — Spark sequence(0, (0-1) div 96 = 0) and DuckDB
+      // generate_series(0, 0) each emit k = 0, i.e. one empty chunk
+      // with chunk_md5 = md5('') — but that one-empty-chunk row is a
+      // contract decision to make THEN, not an accident to inherit:
+      // add a `size(tk) >= 1` filter in BOTH spellings if it's wrong.
       .select(col("doc_id"), col("tk"), col("n"),
         explode(sequence(lit(0L), expr("(n - 1) div 96"))).as("k"))
       .select(col("doc_id"), col("k").as("chunk_idx"),
