@@ -375,7 +375,80 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** STREAMING-STATEFUL ingest gate — c09's incremental-ingest
+    * verdict as an actual stateful streaming job: the standing
+    * corpus's content hashes load into DURABLE KEYED STATE
+    * (transformWithState + RocksDB — see IngestGateProcessor's
+    * Scaladoc for why keyed state, not a broadcast, is the 100 TB
+    * shape), the incoming shard (src0/src1) arrives as a file-source
+    * stream keyed by content hash, and every doc gets its verdict
+    * from a local state probe. Hash-matched to c09's batch oracle
+    * verbatim; StreamingSpec additionally pins stop → resume-from-
+    * checkpoint on the gate (state recovered from RocksDB, initial
+    * state NOT reapplied).
+    *
+    * The near-dup fingerprint side stays a batch-precomputed
+    * broadcast (the streaming fingerprint join is q76's replay; the
+    * capability under test HERE is the keyed exact-membership state).
+    */
+  val q78StreamIngestGate = Q(
+    "q78_stream_ingest_gate",
+    Curation.c09IncrementalIngest.sql.get
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextVec.{tokens, winnow16}
+    import graft.streaming.{CorpusHash, IngestDoc, IngestGate}
+    val shard = Seq("src0", "src1")
+    val docs = graft.Tables.documents(s, d)
+    val corp = docs.filter(!col("source").isin(shard: _*))
+    val corpusHashes = corp.select(md5(col("text")).as("h"))
+      .distinct().as[CorpusHash]
+    // batch-precomputed near-dup doc ids (c09's winnow-thinned
+    // equi-join, corpus side distinct), broadcast onto the stream
+    val corpFps = corp
+      .select(explode(winnow16(tokens(col("text")))).as("fp")).distinct()
+    val ndDocIds = docs.filter(col("source").isin(shard: _*))
+      .filter(Curation.sparkQuality >= 0.5)
+      .select(col("doc_id"), explode(winnow16(tokens(col("text")))).as("fp"))
+      .join(corpFps, Seq("fp"))
+      .select(col("doc_id")).distinct()
+      .withColumn("nd_hit_raw", lit(true))
+    val incoming = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("source").isin(shard: _*))
+      .select(col("doc_id"), col("source"),
+        Curation.sparkQuality.as("quality"), md5(col("text")).as("h"))
+      .join(broadcast(ndDocIds), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality"), col("h"),
+        coalesce(col("nd_hit_raw"), lit(false)).as("nd_hit"))
+      .as[IngestDoc]
+    val verdicts = IngestGate.gate(incoming, corpusHashes)
+    // transformWithState requires the RocksDB provider (column
+    // families); scope it to this replay like withNanosAsLong
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sinkName = "graft_q78_replay"
+      scala.util.Try(s.catalog.dropTempView(sinkName))
+      val query = verdicts.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sinkName)
+        .select(col("doc_id"), col("source"), col("quality"), col("verdict"))
+        .orderBy(col("doc_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
-    q77StreamChunkReplay)
+    q77StreamChunkReplay, q78StreamIngestGate)
 }

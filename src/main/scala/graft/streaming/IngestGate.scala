@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One incoming document at the gate: identity, its quality score,
+  * its content hash (the state key), and the batch-precomputed
+  * near-dup flag (see [[IngestGate.gate]]).
+  */
+final case class IngestDoc(
+    doc_id: Long, source: String, quality: Double, h: String, nd_hit: Boolean)
+
+/** The gate's per-document verdict — identical shape to c09's batch
+  * output, so the streaming run hash-matches the same DuckDB oracle.
+  */
+final case class IngestVerdict(
+    doc_id: Long, source: String, quality: Double, verdict: String)
+
+/** One standing-corpus membership entry (keyed by content hash). */
+final case class CorpusHash(h: String)
+
+/** The STATEFUL ingest gate — c09's incremental-ingest verdict with
+  * the standing corpus's content hashes held in DURABLE KEYED STATE
+  * (transformWithState + ValueState on the RocksDB provider: the
+  * reference roadmap's "durable keyed spell state + KV store" row,
+  * README.md:107-109) instead of re-joined per run. The corpus
+  * membership set loads once through the initial-state channel; each
+  * micro-batch of incoming docs shuffles by content hash and probes
+  * its key's state locally.
+  *
+  * Why this shape at 100 TB: the corpus hash set is corpus-sized —
+  * too big to broadcast, and re-joining the full corpus per daily
+  * shard re-reads 100 TB to gate 100 GB. Keyed state shards the hash
+  * set across executors ONCE (RocksDB keeps it on local disk, not
+  * heap) and every later shard pays only its own hash-partitioned
+  * probe. A restart recovers the set from the checkpoint, not from
+  * the corpus (StreamingSpec pins exactly that).
+  *
+  * Verdict precedence is c09's, byte-identical: quality floor, then
+  * exact membership (state probe), then near-dup fingerprint overlap,
+  * else accepted. The gate is read-only by design — the batch oracle
+  * scores every incoming doc against the standing corpus, so
+  * admitting doc A must not change doc B's verdict within the same
+  * replay; the production "accepted docs join the corpus" extension
+  * is `inCorpus.update(true)` in the accepted branch plus a
+  * corpus-merge step, and changes no plumbing.
+  */
+class IngestGateProcessor
+    extends StatefulProcessorWithInitialState[String, IngestDoc, IngestVerdict, CorpusHash] {
+
+  @transient private var inCorpus: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    inCorpus = getHandle.getValueState[Boolean](
+      "in_corpus", Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInitialState(key: String, initialState: CorpusHash,
+      timerValues: TimerValues): Unit =
+    inCorpus.update(true)
+
+  override def handleInputRows(key: String, rows: Iterator[IngestDoc],
+      timerValues: TimerValues): Iterator[IngestVerdict] = {
+    val member = Option(inCorpus.get()).contains(true)
+    rows.map { doc =>
+      val verdict =
+        if (doc.quality < 0.5) "rejected_quality"
+        else if (member) "rejected_exact"
+        else if (doc.nd_hit) "rejected_neardup"
+        else "accepted"
+      IngestVerdict(doc.doc_id, doc.source, doc.quality, verdict)
+    }
+  }
+}
+
+object IngestGate {
+
+  /** Wires the gate: incoming docs keyed by content hash, corpus
+    * membership as initial state. Requires the RocksDB state store
+    * provider (transformWithState needs column families).
+    */
+  def gate(incoming: Dataset[IngestDoc],
+      corpusHashes: Dataset[CorpusHash]): Dataset[IngestVerdict] = {
+    import incoming.sparkSession.implicits._
+    incoming
+      .groupByKey(_.h)
+      .transformWithState(
+        new IngestGateProcessor,
+        TimeMode.None(),
+        OutputMode.Append(),
+        corpusHashes.groupByKey(_.h))
+  }
+}

@@ -129,6 +129,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest gate: corpus membership in keyed state survives stop + resume") {
+    import spark.implicits._
+    // q78's stateful gate under the durability contract: the corpus
+    // hash set loads through the initial-state channel on the FIRST
+    // run, and a restarted query must recover it from the RocksDB
+    // checkpoint — the resumed query gets an EMPTY initial state, so
+    // a rejected_exact verdict after restart can only come from state
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
+      val in = MemoryStream[IngestDoc](spark)
+      val verdicts = scala.collection.concurrent.TrieMap.empty[Long, String]
+      def start(corpus: Seq[CorpusHash]) =
+        IngestGate.gate(in.toDS(), corpus.toDS())
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestVerdict], _: Long) =>
+            batch.collect().foreach(v => verdicts.put(v.doc_id, v.verdict))
+          }
+          .start()
+      val q1 = start(Seq(CorpusHash("h_corpus")))
+      try {
+        in.addData(
+          IngestDoc(1L, "src0", 0.9, "h_corpus", nd_hit = false), // exact member
+          IngestDoc(2L, "src0", 0.9, "h_new", nd_hit = false),    // fresh
+          IngestDoc(3L, "src0", 0.2, "h_corpus", nd_hit = false), // quality floor wins
+          IngestDoc(4L, "src0", 0.9, "h_nd", nd_hit = true))      // near-dup flag
+        q1.processAllAvailable()
+        assert(q1.lastProgress.json.contains("rocksdb"),
+          s"expected RocksDB state metrics in: ${q1.lastProgress.json}")
+        assert(verdicts(1L) == "rejected_exact")
+        assert(verdicts(2L) == "accepted")
+        assert(verdicts(3L) == "rejected_quality")
+        assert(verdicts(4L) == "rejected_neardup")
+      } finally q1.stop()
+      verdicts.clear()
+      // restart over the same checkpoint with NO initial corpus
+      val q2 = start(Seq.empty)
+      try {
+        in.addData(
+          IngestDoc(5L, "src1", 0.9, "h_corpus", nd_hit = false),
+          IngestDoc(6L, "src1", 0.9, "h_other", nd_hit = false))
+        q2.processAllAvailable()
+        assert(verdicts(5L) == "rejected_exact",
+          s"corpus membership lost across restart: ${verdicts.toMap}")
+        assert(verdicts(6L) == "accepted")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream join matches purchases to preceding clicks within the bound") {
     import spark.implicits._
     val clicks = MemoryStream[EventRow](spark)
