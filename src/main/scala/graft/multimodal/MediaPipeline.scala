@@ -206,6 +206,218 @@ object WavDecoder extends MediaDecoder {
   }
 }
 
+/** REAL pure-JVM PNG decoder — the first COMPRESSED format in the
+  * codec tier (PPM/WAV are raw): 8-byte signature, CRC-verified
+  * chunks, IDAT inflate via `java.util.zip.Inflater`, and full
+  * scanline-filter reconstruction (None/Sub/Up/Average/Paeth, the
+  * complete PNG filter matrix). Supports the non-palette 8-bit color
+  * types (gray / RGB / gray+alpha / RGBA); palette and 16-bit depth
+  * fail loudly rather than guess. The checksum folds over the
+  * RECONSTRUCTED raw pixels with PPM's fold, so a filter-math bug
+  * changes the checksum even when the dimensions parse fine.
+  */
+object PngDecoder extends MediaDecoder {
+
+  private val Sig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && {
+      var i = 0
+      while (i < 8 && bytes(i) == Sig(i)) i += 1
+      i == 8
+    }
+
+  private[multimodal] def channels(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // RGBA
+    case ct => throw new IllegalArgumentException(
+      s"unsupported PNG color type $ct (palette PNGs not handled)")
+  }
+
+  /** Paeth predictor (PNG spec 9.4) — shared with [[PngSynth]] so the
+    * writer's filter math can never drift from the reader's.
+    */
+  private[multimodal] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def i32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private[multimodal] final case class PngImage(
+      w: Int, h: Int, colorType: Int, pixels: Array[Byte])
+
+  private[multimodal] def decodeImage(b: Array[Byte], mediaId: Long): PngImage = {
+    require(isPng(b), s"media_id=$mediaId: not a PNG payload")
+    var i = 8
+    var w = -1; var h = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(i + 8 <= b.length, s"media_id=$mediaId: truncated PNG chunk header")
+      val len = i32be(b, i)
+      require(len >= 0 && i + 12 + len <= b.length,
+        s"media_id=$mediaId: truncated PNG chunk body")
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      require(crc.getValue == (i32be(b, i + 8 + len) & 0xffffffffL),
+        s"media_id=$mediaId: PNG chunk '$typ' CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"media_id=$mediaId: bad IHDR length $len")
+          w = i32be(b, i + 8); h = i32be(b, i + 12)
+          val depth = b(i + 16) & 0xff
+          colorType = b(i + 17) & 0xff
+          require(depth == 8,
+            s"media_id=$mediaId: only 8-bit PNG supported, depth=$depth")
+          require((b(i + 20) & 0xff) == 0,
+            s"media_id=$mediaId: interlaced PNG not supported")
+          channels(colorType) // validates the color type
+          require(w > 0 && h > 0, s"media_id=$mediaId: bad PNG dims ${w}x$h")
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    require(w > 0, s"media_id=$mediaId: PNG missing IHDR")
+    val bpp = channels(colorType)
+    val stride = bpp * w
+    val filtered = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < filtered.length && !inflater.finished()) {
+      val n = inflater.inflate(filtered, off, filtered.length - off)
+      require(n > 0 || inflater.finished() || !inflater.needsInput(),
+        s"media_id=$mediaId: truncated IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == filtered.length,
+      s"media_id=$mediaId: IDAT inflated to $off of ${filtered.length} bytes")
+    // scanline filter reconstruction over RECONSTRUCTED neighbors
+    val pix = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"media_id=$mediaId: bad PNG filter type $ft")
+      var x = 0
+      while (x < stride) {
+        val f = filtered(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) pix(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) pix((y - 1) * stride + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+        }
+        pix(y * stride + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, colorType, pix)
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val img = decodeImage(row.payload, row.media_id)
+    var checksum = 0L
+    var j = 0
+    while (j < img.pixels.length) {
+      checksum = checksum * 31 + (img.pixels(j) & 0xff); j += 1
+    }
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = row.payload.length.toLong,
+      width = img.w,
+      height = img.h,
+      n_channels = channels(img.colorType),
+      checksum = checksum)
+  }
+}
+
+/** Minimal deterministic PNG writer feeding the real decoder's
+  * synthesis/test path: 8-bit RGB, STORED (uncompressed) zlib blocks
+  * so the emitted byte length is algebraically predictable by the
+  * m04 oracle (`68 + h·(1 + 3·w)` for one block), per-row filter
+  * chosen by `filterOf` so every decoder filter branch is
+  * exercisable. Filters compute from the original pixels — identical
+  * to spec filtering, since reconstruction reproduces the original.
+  */
+object PngSynth {
+
+  def encode(w: Int, h: Int, pixels: Array[Byte],
+      filterOf: Int => Int): Array[Byte] = {
+    require(pixels.length == 3 * w * h, "pixels must be 3·w·h RGB bytes")
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val left = if (x >= 3) pixels(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) pixels((y - 1) * stride + x - 3) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - PngDecoder.paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + x) = f.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib stream: 2-byte header + ONE stored block + Adler32 (the
+    // predictable-length contract; plenty for the synthetic payloads)
+    require(raw.length <= 0xffff,
+      "stored-block synthesis supports raw scanlines < 64 KiB")
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw, 0, raw.length)
+    val zlib = java.nio.ByteBuffer.allocate(2 + 5 + raw.length + 4)
+    zlib.put(0x78.toByte).put(0x01.toByte) // deflate, 32K window, fastest
+    zlib.put(0x01.toByte) // BFINAL=1, BTYPE=00 (stored)
+    zlib.put((raw.length & 0xff).toByte).put(((raw.length >> 8) & 0xff).toByte)
+    val nlen = raw.length ^ 0xffff
+    zlib.put((nlen & 0xff).toByte).put(((nlen >> 8) & 0xff).toByte)
+    zlib.put(raw)
+    zlib.putInt(adler.getValue.toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib.array()) ++ chunk("IEND", Array.emptyByteArray)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
   * everything else to `fallback` (the stub, until more codecs land).
   */
@@ -213,6 +425,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
   override def decode(row: MediaRow): MediaFeatures =
     if (PpmDecoder.isPpm(row.payload)) PpmDecoder.decode(row)
     else if (WavDecoder.isWav(row.payload)) WavDecoder.decode(row)
+    else if (PngDecoder.isPng(row.payload)) PngDecoder.decode(row)
     else fallback.decode(row)
 }
 

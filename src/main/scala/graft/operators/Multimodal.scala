@@ -137,29 +137,50 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic PNG payload via `PngSynth` — the COMPRESSED member
+    * of the codec tier (stored-block zlib keeps the byte length
+    * algebraic: 68 + h·(1 + 3·w)). Same dims/pixel rule as
+    * [[ppmBytes]]; rows cycle through all five PNG filters
+    * (`y % 5`), so the real decoder's full None/Sub/Up/Average/Paeth
+    * reconstruction matrix runs on every driver corpus.
+    */
+  private def pngBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 8).toInt
+    val h = (3 + docId % 5).toInt
+    val px = new Array[Byte](3 * w * h)
+    var j = 0
+    while (j < px.length) { px(j) = ((docId + j) % 256).toByte; j += 1 }
+    graft.multimodal.PngSynth.encode(w, h, px, y => y % 5)
+  }
+
   /** End-to-end REAL codec round-trip: synthesize genuine P6 PPM
-    * (even ids) / RIFF-WAVE PCM (odd ids) payloads per-partition,
-    * decode them through `SniffingDecoder`'s actual byte parsers, and
-    * emit the decoded metadata. The oracle computes the same fields
-    * algebraically from doc_id — an encoder that writes a wrong chunk
-    * size or a decoder that mis-parses a header hash-mismatches. Pure
-    * 1→1 map both stages, zero shuffle; the mapPartitions batching is
-    * the shape a native codec binding drops into.
+    * (ids ≡ 0 mod 3) / RIFF-WAVE PCM (≡ 1) / PNG (≡ 2) payloads
+    * per-partition, decode them through `SniffingDecoder`'s actual
+    * byte parsers — for PNG that's CRC check → inflate → filter
+    * reconstruction — and emit the decoded metadata. The oracle
+    * computes the same fields algebraically from doc_id — an encoder
+    * that writes a wrong chunk size or a decoder that mis-parses a
+    * header hash-mismatches. Pure 1→1 map both stages, zero shuffle;
+    * the mapPartitions batching is the shape a native codec binding
+    * drops into.
     */
   val m04MediaDecode = Q(
     "m04_media_decode",
     """SELECT doc_id AS media_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
-      |  CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 8
-      |       ELSE 8000 + (doc_id % 4) * 4000 END AS width,
-      |  CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 5
-      |       ELSE 64 + doc_id % 64 END AS height,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_channels,
-      |  CASE WHEN doc_id % 2 = 0
+      |  CASE WHEN doc_id % 3 = 0 THEN 'ppm'
+      |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'png' END AS fmt,
+      |  CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 4000
+      |       ELSE 4 + doc_id % 8 END AS width,
+      |  CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 64
+      |       ELSE 3 + doc_id % 5 END AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS BIGINT) AS n_channels,
+      |  CASE WHEN doc_id % 3 = 0
       |       THEN 9 + length(CAST(4 + doc_id % 8 AS VARCHAR))
       |            + length(CAST(3 + doc_id % 5 AS VARCHAR))
       |            + 3 * (4 + doc_id % 8) * (3 + doc_id % 5)
-      |       ELSE 44 + 2 * (64 + doc_id % 64) END AS n_bytes
+      |       WHEN doc_id % 3 = 1 THEN 44 + 2 * (64 + doc_id % 64)
+      |       ELSE 68 + (3 + doc_id % 5) * (1 + 3 * (4 + doc_id % 8))
+      |  END AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -167,8 +188,9 @@ object Multimodal {
     val media = Tables.documents(s, d)
       .select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions(_.map { case (id, src) =>
-        if (id % 2 == 0) MediaRow(id, "ppm", ppmBytes(id), src)
-        else MediaRow(id, "wav", wavBytes(id), src)
+        if (id % 3 == 0) MediaRow(id, "ppm", ppmBytes(id), src)
+        else if (id % 3 == 1) MediaRow(id, "wav", wavBytes(id), src)
+        else MediaRow(id, "png", pngBytes(id), src)
       })
     MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
       .select(col("media_id"), col("kind").as("fmt"),
@@ -200,14 +222,14 @@ object Multimodal {
     "m05_media_quality",
     """SELECT media_id, fmt, px_or_frames, keep FROM (
       |  SELECT doc_id AS media_id,
-      |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
-      |    CASE WHEN doc_id % 2 = 0
-      |         THEN (4 + doc_id % 8) * (3 + doc_id % 5)
-      |         ELSE 64 + doc_id % 64 END AS px_or_frames,
-      |    CASE WHEN doc_id % 2 = 0
-      |         THEN CASE WHEN (4 + doc_id % 8) * (3 + doc_id % 5) >= 24 THEN 1 ELSE 0 END
-      |         ELSE CASE WHEN 8000 + (doc_id % 4) * 4000 >= 12000
+      |    CASE WHEN doc_id % 3 = 0 THEN 'ppm'
+      |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'png' END AS fmt,
+      |    CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 64
+      |         ELSE (4 + doc_id % 8) * (3 + doc_id % 5) END AS px_or_frames,
+      |    CASE WHEN doc_id % 3 = 1
+      |         THEN CASE WHEN 8000 + (doc_id % 4) * 4000 >= 12000
       |                    AND 64 + doc_id % 64 >= 80 THEN 1 ELSE 0 END
+      |         ELSE CASE WHEN (4 + doc_id % 8) * (3 + doc_id % 5) >= 24 THEN 1 ELSE 0 END
       |    END AS keep
       |  FROM documents
       |)
@@ -218,18 +240,19 @@ object Multimodal {
     val media = Tables.documents(s, d)
       .select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions(_.map { case (id, src) =>
-        if (id % 2 == 0) MediaRow(id, "ppm", ppmBytes(id), src)
-        else MediaRow(id, "wav", wavBytes(id), src)
+        if (id % 3 == 0) MediaRow(id, "ppm", ppmBytes(id), src)
+        else if (id % 3 == 1) MediaRow(id, "wav", wavBytes(id), src)
+        else MediaRow(id, "png", pngBytes(id), src)
       })
     MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
       .select(col("media_id"), col("kind").as("fmt"),
-        when(col("kind") === "ppm", col("width").cast("long") * col("height"))
-          .otherwise(col("height").cast("long")).as("px_or_frames"),
-        when(col("kind") === "ppm",
-          when(col("width").cast("long") * col("height") >= 24
-            && col("n_channels") === 3, 1).otherwise(0))
+        when(col("kind") === "wav", col("height").cast("long"))
+          .otherwise(col("width").cast("long") * col("height")).as("px_or_frames"),
+        when(col("kind") === "wav",
+          when(col("width") >= 12000 && col("height") >= 80, 1).otherwise(0))
           .otherwise(
-            when(col("width") >= 12000 && col("height") >= 80, 1).otherwise(0))
+            when(col("width").cast("long") * col("height") >= 24
+              && col("n_channels") === 3, 1).otherwise(0))
           .cast("int").as("keep"))
       .orderBy(col("media_id"))
   }

@@ -188,6 +188,53 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(SniffingDecoder().decode(junk).n_bytes == 8L)
   }
 
+  test("PNG: every filter type round-trips through encode → inflate → reconstruct") {
+    // 6x5 RGB, pixel byte j = j*7 mod 256 (varied enough that a wrong
+    // predictor can't accidentally reproduce the input)
+    val w = 6; val h = 5
+    val px = Array.tabulate(3 * w * h)(j => (j * 7 % 256).toByte)
+    // one image per uniform filter choice + one cycling all five
+    for (ft <- 0 to 4) {
+      val img = PngDecoder.decodeImage(PngSynth.encode(w, h, px, _ => ft), 1L)
+      assert(img.w == w && img.h == h && img.colorType == 2)
+      assert(img.pixels.sameElements(px), s"filter $ft did not round-trip")
+    }
+    val mixed = PngDecoder.decodeImage(PngSynth.encode(w, h, px, y => y % 5), 2L)
+    assert(mixed.pixels.sameElements(px))
+  }
+
+  test("PNG decoder parses real bytes end-to-end through the decode stage") {
+    val w = 4; val h = 3
+    val px = Array.tabulate(3 * w * h)(j => (j % 256).toByte)
+    val payload = PngSynth.encode(w, h, px, y => y % 5)
+    assert(PngDecoder.isPng(payload))
+    val f = SniffingDecoder().decode(MediaRow(7L, "png", payload, "src"))
+    assert(f.width == w && f.height == h && f.n_channels == 3)
+    assert(f.n_bytes == 68 + h * (1 + 3 * w)) // the stored-block length contract
+    // checksum folds over the RECONSTRUCTED pixels, not the payload
+    var expect = 0L
+    px.foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+  }
+
+  test("PNG decoder rejects corrupt payloads loudly") {
+    val px = Array.tabulate(36)(j => j.toByte)
+    val good = PngSynth.encode(4, 3, px, _ => 0)
+    // flip one IDAT byte: CRC check must catch it
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      PngDecoder.decodeImage(bad, 9L)
+    }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("truncated"))
+    // truncated payload
+    intercept[IllegalArgumentException] {
+      PngDecoder.decodeImage(good.take(good.length - 8), 10L)
+    }
+    // non-PNG
+    assert(!PngDecoder.isPng("hello".getBytes("UTF-8")))
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
