@@ -322,24 +322,31 @@ object Dedup {
     val buck = e
       .select(col("vec_id") +: col("embedding") +: col("nrm") +:
         (0 until nBands).map(b => bandBucket(b).as(s"b$b")): _*)
-      .cache() // feeds both band sides and both verify joins
-    val bands = buck.select(col("vec_id"),
+      .cache() // feeds both sides of the band join
+    // Carry (embedding, nrm) THROUGH the band join so the exact
+    // verify runs STREAMED over the join output and only surviving
+    // pairs are ever shuffled again (the round-5 scale probe caught
+    // the alternative: a pairs→distinct→re-join-embeddings-twice
+    // shape broadcast-joins fine on a small corpus, but past the
+    // broadcast threshold it shuffles the QUADRATIC candidate set
+    // with embeddings attached through two sort-merge joins — ~54 GB
+    // at 200k vectors / 8-bit buckets, a >20× wall-time cliff). Cost
+    // of this shape: the linear band rows carry 256-byte embeddings
+    // into one shuffle, and a pair colliding in k bands is verified
+    // k times (≤ nBands) before the distinct — both linear-bounded.
+    val bands = buck.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)).as(Seq("band", "bucket")))
-    val pairs = bands.alias("a")
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    pairs
-      .join(buck.alias("ea"), col("id_a") === col("ea.vec_id"))
-      .join(buck.alias("eb"), col("id_b") === col("eb.vec_id"))
-      .select(col("id_a"), col("id_b"),
-        when(col("ea.nrm") * col("eb.nrm") === 0, 0.0)
-          .otherwise(dot(col("ea.embedding"), col("eb.embedding"))
-            / (col("ea.nrm") * col("eb.nrm")))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        when(col("a.nrm") * col("b.nrm") === 0, 0.0)
+          .otherwise(dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
       .filter(col("cos_sim") > cosThreshold)
+      .distinct()
   }
 
   val d06EmbeddingNearDup = Q(

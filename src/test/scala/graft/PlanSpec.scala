@@ -402,8 +402,11 @@ class PlanSpec extends AnyFunSuite {
   test("c07: funnel counts reuse cached stages — no stage recomputed per count") {
     val df = SparkEntry.queries("c07_curation_funnel")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"),
-      s"funnel must count the cached stage frames, not rebuild them:\n$p")
+    // the stages are localCheckpointed (EAGER — a lazy cache lets the
+    // independent count branches race the materialization, round-5
+    // fix), which plans as a Scan over the checkpointed RDD
+    assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+      s"funnel must count the materialized stage frames, not rebuild them:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     spark.catalog.clearCache()
   }
