@@ -22,13 +22,26 @@ import org.apache.spark.sql.functions._
   *    product under matching rotation), while cross-replica pairs
   *    decorrelate to near-random.
   *
+  *  - events: replica k re-keys event_id by +k·N and user_id by
+  *    +k·1009 (a prime stride so per-user event counts replicate
+  *    without aliasing); ts/props repeat verbatim — the q68 variant
+  *    histogram and the windowed aggregates scale linearly by
+  *    construction. `ts` stays the RAW nanos long (read under the
+  *    legacy conf, written as BIGINT), which `Tables.events` reads
+  *    identically to the TIMESTAMP(NANOS) original.
+  *
   * Usage: ScaleGen <srcSfDir> <outDir> <factor>
+  * `SPARK_GRAFT_SCALEGEN_TABLES` (default `documents,embeddings`)
+  * picks the tables — `events` lets a probe add the events table to
+  * an existing scaled dir without regenerating the corpus.
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
+    val tables = sys.env.getOrElse("SPARK_GRAFT_SCALEGEN_TABLES",
+      "documents,embeddings").split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -39,9 +52,27 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val reps = spark.range(factor).toDF("rep")
+
+    if (tables("events")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      val nEv = ev.count()
+      ev.crossJoin(reps)
+        .select(
+          (col("event_id") + col("rep") * nEv).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * 1009L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      println(s"""{"events":${nEv * factor},"out":"$outDir"}""")
+    }
+
+    if (!tables("documents") && !tables("embeddings")) { spark.stop(); return }
+
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = docs.count()
-    val reps = spark.range(factor).toDF("rep")
     docs.crossJoin(reps)
       .select(
         (col("doc_id") + col("rep") * nDocs).as("doc_id"),

@@ -39,7 +39,8 @@ object ScaleProbe {
     "c10_chunk_dedup",
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
-    "t12_heavy_hitters", "t13_corpus_profile")
+    "t12_heavy_hitters", "t13_corpus_profile",
+    "q68_variant") // needs events.parquet in the scale dir (ScaleGen TABLES=events)
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
@@ -54,19 +55,35 @@ object ScaleProbe {
         .orderBy(col("id_a"), col("id_b"))),
     "d11_wide_k64" -> (() =>
       graft.operators.Dedup.semanticDedupParam(s, dir, k = 64)),
-    "d07_wide_5bit" -> (() => {
-      val verified = graft.operators.Dedup
-        .verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 5).cache()
-      val rounds = graft.operators.Dedup.CcRounds
-      val (g, labelsRaw) = graft.operators.Dedup.propagateLabels(verified, rounds)
-      val labels = labelsRaw.localCheckpoint()
-      graft.operators.Dedup.assertConverged(g, labels, rounds, "d07_wide_5bit")
-      val sizes = labels.groupBy(col("label"))
-        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_members"))
-      labels.alias("l").join(sizes.alias("c"), col("l.label") === col("c.label"))
-        .select(col("l.vec_id"), col("l.label").as("cluster_id"), col("c.n_members"))
-        .orderBy(col("vec_id"))
-    }))
+    "d07_wide_5bit" -> (() => wideClusters(s, dir, bitsPerBand = 5, "d07_wide_5bit")),
+    // the NEXT knob stop (sf10-appropriate): occupancy ∝ n/2^bits, so
+    // 10× the corpus wants ~3.3 more bits per band — 8 bits keeps
+    // per-bucket occupancy at the 5-bit/sf1 level (~2k vectors), and
+    // k=256 does the same for the k-means cells (SCALE.md's knob
+    // rule). These are what decade-2 probes run at sf10, paired in
+    // SCALE.md with the 5-bit/k64 sf1 numbers.
+    "d06_wide_8bit" -> (() =>
+      graft.operators.Dedup.verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+    "d07_wide_8bit" -> (() => wideClusters(s, dir, bitsPerBand = 8, "d07_wide_8bit")),
+    "d11_wide_k256" -> (() =>
+      graft.operators.Dedup.semanticDedupParam(s, dir, k = 256)))
+
+  /** d07's cluster collapse over a width-parameterized d06 edge set. */
+  private def wideClusters(s: SparkSession, dir: String,
+      bitsPerBand: Int, probeName: String): DataFrame = {
+    val verified = graft.operators.Dedup
+      .verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = bitsPerBand).cache()
+    val rounds = graft.operators.Dedup.CcRounds
+    val (g, labelsRaw) = graft.operators.Dedup.propagateLabels(verified, rounds)
+    val labels = labelsRaw.localCheckpoint()
+    graft.operators.Dedup.assertConverged(g, labels, rounds, probeName)
+    val sizes = labels.groupBy(col("label"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_members"))
+    labels.alias("l").join(sizes.alias("c"), col("l.label") === col("c.label"))
+      .select(col("l.vec_id"), col("l.label").as("cluster_id"), col("c.n_members"))
+      .orderBy(col("vec_id"))
+  }
 
   def main(args: Array[String]): Unit = {
     val scales = args.toSeq.map { a =>
@@ -110,19 +127,43 @@ object ScaleProbe {
     // SPARK_GRAFT_SCALE_ONLY=d03_lsh_near_dup,t11_unigram_rarity — probe
     // a subset (e.g. the linear-path queries across a SECOND decade,
     // where the full list would take hours); unset probes everything.
-    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Per-scale form `sf1:a,b;sf10:c,d` runs a DIFFERENT subset per
+    // label — the knob-scaled decade comparison (5-bit/k64 at sf1
+    // next to 8-bit/k256 at sf10) needs both in ONE session, because
+    // cross-session timings are not comparable (round-4 lesson), yet
+    // the small-width configs are O(n²/buckets)-infeasible at the
+    // large scale.
+    val onlyRaw = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    def onlyFor(label: String): Option[Set[String]] =
+      onlyRaw.map { spec =>
+        if (spec.contains(":")) {
+          val perLabel = spec.split(";").map(_.trim).filter(_.nonEmpty).map { part =>
+            val Array(l, qs) = part.split(":", 2)
+            l.trim -> qs.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          }.toMap
+          perLabel.getOrElse(label, Set.empty[String])
+        } else spec.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
     // a typo'd name must fail loudly, not publish a table missing rows
-    only.foreach { o =>
+    locally {
       val known = registered.toSet ++ wideVariants(spark, scales.head._2).map(_._1)
-      val unknown = o -- known
+      val named = scales.flatMap { case (l, _) => onlyFor(l).getOrElse(Set.empty) }.toSet
+      val unknown = named -- known
       require(unknown.isEmpty,
         s"SPARK_GRAFT_SCALE_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val results = scales.map { case (label, dir) =>
+      val only = onlyFor(label)
       // pay the parquet-footer + first-touch cost once per scale dir
       Tables.documents(spark, dir).limit(10).count()
       Tables.embeddings(spark, dir).limit(10).count()
+      // materialize the shredded-variant table outside the timings:
+      // it is INGEST-time work (built once per corpus, like the
+      // parquet itself) — q68's probe measures the query over
+      // shredded storage, not the one-time shred
+      if (only.forall(_.contains("q68_variant")) &&
+          new java.io.File(s"$dir/events.parquet").exists())
+        Tables.eventsVariant(spark, dir).limit(10).count()
       val reg = registered.filter(n => only.forall(_.contains(n)))
         .map(n => time(n, () => SparkEntry.queries(n)(spark, dir)))
       val wide = wideVariants(spark, dir)
