@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * — followed by the same cell-probe top-3 search as s03. Every step
   * is expressible bit-identically in both engines:
   *
-  *  - assignment: argmax-by-dot via row_number() (identical window
-  *    semantics), dot = FloatDoubleVecDot ≡ DuckDB list_reduce fold;
+  *  - assignment: argmax-by-dot — Spark scores the k inline-literal
+  *    centroids per row and takes the first array-max position (a
+  *    zero-shuffle projection; ties → lowest cid because the model
+  *    is cid-sorted), the oracle spells the same rule as
+  *    row_number() over (dot DESC, cid); dot = FloatDoubleVecDot ≡
+  *    DuckDB list_reduce fold;
   *  - update: per-dimension means via SCALED-INTEGER sums —
   *    floor(v · 2^20) as BIGINT, summed exactly (order-free), then
   *    one double division sequence. Raw double sums would depend on
@@ -24,12 +28,12 @@ import org.apache.spark.sql.functions._
   *    ROUNDS while Spark truncates — so the cast only ever sees an
   *    already-integral value).
   *
-  * Scale: per-iteration work is one broadcast crossJoin (k rows) +
-  * one window + one explode-aggregate — all shuffle-bounded by the
-  * corpus, no driver-side data; the driver holds only the k×dim
-  * model (the same contract as MLlib's KMeans). At 100 TB you train
-  * on a sample and assign the full corpus once; the assignment +
-  * probe here IS that full-corpus path.
+  * Scale: per-iteration work is one zero-shuffle assignment
+  * projection + one explode-aggregate (k×dim groups) — all
+  * shuffle-bounded by the corpus, no driver-side data; the driver
+  * holds only the k×dim model (the same contract as MLlib's KMeans).
+  * At 100 TB you train on a sample and assign the full corpus once;
+  * the assignment + probe here IS that full-corpus path.
   */
 object AnnKmeans {
 
@@ -139,17 +143,24 @@ object AnnKmeans {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
 
-    def centsDF(cs: Seq[(Long, Seq[Double])]): DataFrame =
-      cs.toDF("cid", "cent")
-
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = emb.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .withColumn("dot",
-          graft.functions.FloatDoubleVecDot(col("embedding"), col("cent")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      // score against the k×dim driver-side model as INLINE literals:
+      // assignment is a pure zero-shuffle projection. (The previous
+      // shape broadcast-crossJoined the centroid table and picked the
+      // argmax with a per-vec_id row_number window — shuffling the
+      // n×k scored rows WITH embeddings attached every Lloyd pass,
+      // ~15 GB per iteration at 200k vectors × 256 cells; the
+      // round-5 decade probe measured d11 super-linear from exactly
+      // this.) Ties keep the window's (dot DESC, cid ASC) rule:
+      // array_position finds the FIRST max, and `cs` is sorted by
+      // cid, so the first max is the lowest cid.
+      val cs = cents.sortBy(_._1)
+      val dots = array(cs.map { case (_, c) =>
+        graft.functions.FloatDoubleVecDot(col("embedding"), typedlit(c)).cast("double")
+      }: _*)
+      val cids = typedlit(cs.map(_._1))
+      emb.select(col("vec_id"), col("embedding"),
+        element_at(cids, array_position(dots, array_max(dots)).cast("int")).as("cell"))
     }
 
     // the k×dim model lives on the driver (the MLlib KMeans contract);
@@ -160,7 +171,7 @@ object AnnKmeans {
       .map { case (id, v) => (id, v.map(_.toDouble)) }
 
     for (_ <- 1 to Iters) {
-      val means = assign(centsDF(cents))
+      val means = assign(cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), (col("pos") + 1).as("dim"))
         .agg((sum(floor(col("v").cast("double") * Scale.toDouble).cast("long")).cast("double")
@@ -172,7 +183,7 @@ object AnnKmeans {
       }
     }
 
-    assign(centsDF(cents))
+    assign(cents)
       .withColumn("nrm", norm(col("embedding")))
       .cache() // final assignment feeds every consumer's join sides
   }
