@@ -144,23 +144,24 @@ object AnnKmeans {
     val emb = Tables.embeddings(s, d)
 
     def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      // score against the k×dim driver-side model as INLINE literals:
-      // assignment is a pure zero-shuffle projection. (The previous
-      // shape broadcast-crossJoined the centroid table and picked the
-      // argmax with a per-vec_id row_number window — shuffling the
-      // n×k scored rows WITH embeddings attached every Lloyd pass,
-      // ~15 GB per iteration at 200k vectors × 256 cells; the
-      // round-5 decade probe measured d11 super-linear from exactly
-      // this.) Ties keep the window's (dot DESC, cid ASC) rule:
-      // array_position finds the FIRST max, and `cs` is sorted by
-      // cid, so the first max is the lowest cid.
+      // score against the k×dim driver-side model in ONE ArgmaxDot
+      // kernel: assignment stays a pure zero-shuffle projection, and
+      // the generated code is k-INDEPENDENT. Two prior shapes both
+      // went superlinear: broadcast-crossJoin + row_number window
+      // shuffled the n×k scored rows WITH embeddings attached every
+      // Lloyd pass (~15 GB/iter at 200k × 256), and the k-inline-
+      // literal array(dot…) + array_position(array_max) emitted k
+      // unrolled dot loops whose code size grew with k (the round-5
+      // decade probe measured d11_wide_k256 at 68× for 10× data from
+      // exactly this). Ties keep the window's (dot DESC, cid ASC)
+      // rule: ArgmaxDot keeps the FIRST max, and `cs` is sorted by
+      // cid, so the first max is the lowest cid; the per-cell dot is
+      // the same left fold, so scores — and the oracle hash — are
+      // bit-identical.
       val cs = cents.sortBy(_._1)
-      val dots = array(cs.map { case (_, c) =>
-        graft.functions.FloatDoubleVecDot(col("embedding"), typedlit(c)).cast("double")
-      }: _*)
-      val cids = typedlit(cs.map(_._1))
       emb.select(col("vec_id"), col("embedding"),
-        element_at(cids, array_position(dots, array_max(dots)).cast("int")).as("cell"))
+        graft.functions.ArgmaxDot(col("embedding"),
+          typedlit(cs.map(_._2)), typedlit(cs.map(_._1))).as("cell"))
     }
 
     // the k×dim model lives on the driver (the MLlib KMeans contract);

@@ -1,0 +1,40 @@
+package graft.tmp
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch diagnostic for the d11_wide_k256 decade-probe offender —
+  * times each phase of trainedFinParam at a given k. Not registered;
+  * deleted once the offender is fixed.
+  */
+object KmProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1")
+    val k = args.lift(1).map(_.toInt).getOrElse(256)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[km] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val fin = t(s"trainedFinParam(k=$k)") {
+      val f = graft.operators.AnnKmeans.trainedFinParam(spark, dir, k)
+      f.count()
+      f
+    }
+    t("semanticDedup rest") {
+      graft.operators.Dedup.semanticDedupParam(spark, dir, k)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
