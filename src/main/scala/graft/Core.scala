@@ -31,18 +31,44 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default. Read it as raw long nanos (legacy conf) and truncate to a
-    * microsecond timestamp — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+  /** `events.ts` has shipped in two physical layouts across fixture
+    * generations — parquet TIMESTAMP(NANOS) (which Spark only reads as
+    * a raw long under the legacy conf) and plain TIMESTAMP(MICROS)
+    * without a timezone. Input formats drift; a reader that hard-codes
+    * one layout fails loudly on half the queries and silently on the
+    * rest (round 6). So: read the footer, branch on the decoded type,
+    * land both paths on the same session-UTC microsecond TIMESTAMP —
+    * which is also what DuckDB computes for either fixture (its
+    * TIMESTAMP_NS→TIMESTAMP cast truncates ns→µs; its naive TIMESTAMP
+    * matches under the pinned UTC session timezone).
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) decoded as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet-decoded type $other — " +
+            "extend Tables.normalizeTs for the new fixture layout")
+    }
   }
+
+  /** The events frame with `ts` still in its raw decoded form — the
+    * streaming replays need the undecorated footer schema for their
+    * file sources (then normalize with [[normalizeTs]], same branch).
+    */
+  private[graft] def eventsRawFrame(spark: SparkSession, dir: String): DataFrame = {
+    // harmless when ts is already micros; required to decode nanos
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(eventsRawFrame(spark, dir))
 
   /** `events` with `props` pre-parsed into a VARIANT column `propsv`,
     * materialized once per data dir — the ingest-time shredding step a

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   *    +k·1009 (a prime stride so per-user event counts replicate
   *    without aliasing); ts/props repeat verbatim — the q68 variant
   *    histogram and the windowed aggregates scale linearly by
-  *    construction. `ts` stays the RAW nanos long (read under the
-  *    legacy conf, written as BIGINT), which `Tables.events` reads
-  *    identically to the TIMESTAMP(NANOS) original.
+  *    construction. `ts` passes through in whatever raw form the
+  *    source fixture uses — legacy TIMESTAMP(NANOS) decodes to a
+  *    long under the nanosAsLong conf and is written back as BIGINT;
+  *    a TIMESTAMP(MICROS)/NTZ fixture round-trips as-is. Either
+  *    output lands on the typed branch in `Tables.normalizeTs`, so
+  *    scaled dirs stay readable across fixture generations.
   *
   * Usage: ScaleGen <srcSfDir> <outDir> <factor>
   * `SPARK_GRAFT_SCALEGEN_TABLES` (default `documents,embeddings`)
@@ -55,8 +58,10 @@ object ScaleGen {
     val reps = spark.range(factor).toDF("rep")
 
     if (tables("events")) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      // raw read on purpose (see Scaladoc): ts round-trips verbatim in
+      // either fixture layout; Tables.eventsRawFrame sets the legacy
+      // conf needed when the source is TIMESTAMP(NANOS)
+      val ev = Tables.eventsRawFrame(spark, srcDir)
       val nEv = ev.count()
       ev.crossJoin(reps)
         .select(

@@ -105,6 +105,13 @@ object GraftExtensions {
         case exprs => throw new IllegalArgumentException(
           s"pii_scrub expects 1 argument, got ${exprs.size}")
       }),
+    ("argmax_dot",
+      new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
+      {
+        case Seq(emb, cents, cids) => ArgmaxDot(emb, cents, cids)
+        case exprs => throw new IllegalArgumentException(
+          s"argmax_dot expects 3 arguments (array<float>, array<array<double>>, array<bigint>), got ${exprs.size}")
+      }),
     ("winnow_mins",
       new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
       {

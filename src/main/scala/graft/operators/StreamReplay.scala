@@ -23,35 +23,41 @@ import org.apache.spark.sql.types._
   */
 object StreamReplay {
 
-  /** events.parquet physical schema, with ts as raw nanos (the
-    * streaming reader needs an explicit schema; the nanosAsLong conf
-    * makes TIMESTAMP(NANOS) land as LongType, truncated to µs below
-    * exactly like Tables.events / DuckDB's TIMESTAMP_NS cast).
+  /** Streaming file source over the events table. The streaming
+    * reader needs an explicit schema — and round 6 proved a
+    * hand-written one is a silent-wrong-answer machine: forcing
+    * `ts: LongType` against a TIMESTAMP(MICROS) fixture handed back
+    * raw µs integers that the ns→µs truncation then compressed
+    * 1000×, folding 30 days of events into ~43 minutes with no
+    * error anywhere. So the schema comes from the batch footer (the
+    * same pattern q76/q77 use for documents) and `ts` goes through
+    * the exact typed branch `Tables.events` uses ([[graft.Tables.normalizeTs]]).
+    * [[assertEventsEra]] pins the decoded range so a future unit
+    * mix-up fails loudly instead of plausibly.
     */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Scopes the nanosAsLong reader conf to `body` (the streaming
-    * replays run eagerly inside it — AvailableNow + awaitTermination —
-    * so the source is fully read before the conf is restored).
-    * Without the restore, the setting leaked to every later query in
-    * the shared Verify/Bench session.
-    */
-  private def withNanosAsLong[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+  private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    assertEventsEra(s, d)
+    val rawSchema = graft.Tables.eventsRawFrame(s, d).schema
+    graft.Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
+
+  /** Fixture-era guard, once per data dir per JVM: decode min/max ts
+    * through the batch reader and require they land in a plausible
+    * era. A ns↔µs mix-up shifts every timestamp 1000× (to 1970, or
+    * to year ~56000) — one cheap single-column aggregate turns that
+    * whole bug class from plausible-wrong-rows into a loud failure.
+    */
+  private val eraChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertEventsEra(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    if (eraChecked.add(d)) {
+      val r = graft.Tables.events(s, d).agg(
+        year(min(col("ts"))).as("lo"), year(max(col("ts"))).as("hi")).head()
+      val (lo, hi) = (r.getInt(0), r.getInt(1))
+      require(lo >= 2000 && hi <= 2100,
+        s"events.ts decoded to years $lo..$hi — timestamp unit mix-up in the reader?")
+    }
 
   val q71StreamReplay = Q(
     "q71_stream_replay",
@@ -62,11 +68,8 @@ object StreamReplay {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
-  ) { (s, d) => withNanosAsLong(s) {
-    // the file source wants a directory; glob-filter it to the events table
-    val stream = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  ) { (s, d) => {
+    val stream = eventsStream(s, d)
     val agg = stream
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -162,11 +165,9 @@ object StreamReplay {
       | AND a.event_type = 'view' AND b.event_type = 'purchase'
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR
       |ORDER BY a.user_id, view_id, purchase_id""".stripMargin
-  ) { (s, d) => withNanosAsLong(s) {
+  ) { (s, d) => {
     def side(eventType: String, prefix: String) =
-      s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsStream(s, d)
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
@@ -201,9 +202,8 @@ object StreamReplay {
     "q74_stream_dedup_replay",
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
-  ) { (s, d) => withNanosAsLong(s) {
-    val deduped = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+  ) { (s, d) => {
+    val deduped = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val sinkName = "graft_q74_replay"
@@ -246,12 +246,11 @@ object StreamReplay {
       |SELECT event_id, hop, value FROM hops
       |WHERE hop >= 1
       |ORDER BY event_id, hop""".stripMargin
-  ) { (s, d) => withNanosAsLong(s) {
+  ) { (s, d) => {
     import s.implicits._
     import graft.engine.{DynEvent, EValue, SpellEngine}
     import EValue._
-    val stream = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = eventsStream(s, d)
     val seeds = stream.select(col("event_id"), col("value"))
       .as[(java.lang.Long, java.lang.Double)]
     val hops = SpellEngine.castAllColumnar[(java.lang.Long, java.lang.Double), (Long, Long, Double)](
@@ -324,9 +323,9 @@ object StreamReplay {
       .filter(isBench)
       .select(explode(winnow16(tokens(col("text")))).as("fp"))
       .distinct()
-    // reuse the batch reader's schema (documents has no exotic types,
-    // unlike eventsSchema's forced LongType ts) — an inline copy
-    // would silently read nulls if the fixture ever gained a column
+    // reuse the batch reader's schema — an inline copy would silently
+    // read nulls if the fixture ever gained or retyped a column
+    // (exactly how the hand-written events schema broke in round 6)
     val docsSchema = graft.Tables.documents(s, d).schema
     val hits = s.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -424,7 +423,7 @@ object StreamReplay {
       .as[IngestDoc]
     val verdicts = IngestGate.gate(incoming, corpusHashes)
     // transformWithState requires the RocksDB provider (column
-    // families); scope it to this replay like withNanosAsLong
+    // families); scope it to this replay, restoring the prior value
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,

@@ -85,8 +85,8 @@ class PlanSpec extends AnyFunSuite {
   test("s04: trained-IVF probe joins on the cell key and broadcasts the query side") {
     val p = plan("s04_ann_ivf_kmeans")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast cell-probe join in:\n$p")
-    assert(p.contains("float_double_vec_dot"),
-      s"expected the mixed-type codegen dot kernel in:\n$p")
+    assert(p.contains("argmax_dot"),
+      s"expected the k-independent argmax assignment kernel in:\n$p")
     spark.catalog.clearCache()
   }
 

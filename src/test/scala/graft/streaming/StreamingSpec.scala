@@ -277,19 +277,15 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("file source end-to-end: AvailableNow over the real events parquet") {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types._
-    // events.ts is TIMESTAMP(NANOS): stream it as long nanos (the
-    // same legacy conf Tables.events uses) and truncate to µs
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet("/root/testdata/sf0.001")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.col
+    // schema from the batch footer + the same typed ts normalization
+    // as Tables.events — fixture layouts drift (nanos-as-long vs
+    // native micros), so never hand-write this schema
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(graft.Tables.eventsRawFrame(spark, dir).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val agg = StreamOps.tumblingAgg(stream, "10 minutes", "1 hour")
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("file_stream_out")
