@@ -25,12 +25,15 @@ final case class MediaFeatures(
     n_channels: Int,
     checksum: Long)
 
-/** Decoder interface: the real implementation would wrap an image /
-  * audio library. THIS CONTAINER HAS NO MEDIA LIBS, so the shipped
-  * implementation is a clearly-marked deterministic stub — the Spark
-  * plumbing around it (schema, batching, partition distribution) is
-  * real and tested, and swapping in a real decoder touches only this
-  * trait.
+/** Decoder interface. Four formats decode FOR REAL with zero
+  * external dependencies — P6 PPM and PCM WAV (hand parsers), PNG
+  * (hand chunk/inflate/filter pipeline over `java.util.zip`), and
+  * JPEG (the JDK's bundled ImageIO codec) — routed by
+  * [[SniffingDecoder]]; formats with no JDK-reachable codec at all
+  * (MP3-class compressed audio, video containers) fall back to a
+  * clearly-marked deterministic stub. The Spark plumbing (schema,
+  * batching, partition distribution) is identical either way, and a
+  * production codec binding touches only this trait.
   */
 trait MediaDecoder extends Serializable {
   def decode(row: MediaRow): MediaFeatures
@@ -418,14 +421,77 @@ object PngSynth {
   }
 }
 
+/** REAL JPEG decoder — the DCT-compressed tier above PNG's DEFLATE.
+  * No external library: every JDK bundles a full baseline+progressive
+  * JPEG codec behind `javax.imageio.ImageIO` (the
+  * `com.sun.imageio.plugins.jpeg` plugin), so "this container has no
+  * media libs" does not apply to JPEG. Dimensions and channel count
+  * are codec-exact. The checksum folds over the DECODED RGB raster
+  * with the same 31-fold as PPM/PNG — but note the scope difference:
+  * JPEG inverse-DCT output is implementation-defined at the
+  * pixel-value level (unlike PNG's lossless inflate), so the
+  * checksum is deterministic per JVM/codec — one JDK per cluster in
+  * any real deployment, and bit-stable across runs and partitions
+  * there — not a cross-vendor contract. That is exactly the
+  * per-deployment scope a perceptual-dedup consumer (m06) needs.
+  */
+object JpegDecoder extends MediaDecoder {
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+
+  // ImageIO defaults to a DISK-backed stream cache; per-row temp
+  // files on executors would be absurd. One-time, process-wide.
+  private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    noDiskCache
+    val b = row.payload
+    require(isJpeg(b), s"media_id=${row.media_id}: not a JPEG payload")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"media_id=${row.media_id}: corrupt JPEG: ${e.getMessage}")
+      }
+    require(img != null, s"media_id=${row.media_id}: undecodable JPEG payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    var checksum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y) // sRGB-converted, alpha-stripped below
+        checksum = checksum * 31 + ((argb >> 16) & 0xff)
+        checksum = checksum * 31 + ((argb >> 8) & 0xff)
+        checksum = checksum * 31 + (argb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = w,
+      height = h,
+      n_channels = img.getColorModel.getNumComponents,
+      checksum = checksum)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
-  * everything else to `fallback` (the stub, until more codecs land).
+  * everything else to `fallback` (the stub — now only the formats
+  * with no JDK-reachable codec at all, e.g. MP3-class audio).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =
     if (PpmDecoder.isPpm(row.payload)) PpmDecoder.decode(row)
     else if (WavDecoder.isWav(row.payload)) WavDecoder.decode(row)
     else if (PngDecoder.isPng(row.payload)) PngDecoder.decode(row)
+    else if (JpegDecoder.isJpeg(row.payload)) JpegDecoder.decode(row)
     else fallback.decode(row)
 }
 

@@ -235,6 +235,43 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(!PngDecoder.isPng("hello".getBytes("UTF-8")))
   }
 
+  test("JPEG: the JDK ImageIO codec decodes real bytes, deterministically") {
+    // synthesize a real JPEG with the SAME codec family that decodes
+    // it: deterministic 16x12 RGB gradient -> ImageIO "jpg" writer
+    val w = 16; val h = 12
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 21) << 8) | ((x + y) * 7))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val payload = bos.toByteArray
+    assert(JpegDecoder.isJpeg(payload))
+    assert(!JpegDecoder.isJpeg("not a jpeg".getBytes("UTF-8")))
+
+    val f = JpegDecoder.decode(MediaRow(40L, "image", payload, "synth"))
+    assert(f.width == w && f.height == h && f.n_channels == 3)
+    assert(f.n_bytes == payload.length.toLong)
+    // decode is deterministic within this JVM (the checksum's contract)
+    val f2 = JpegDecoder.decode(MediaRow(40L, "image", payload, "synth"))
+    assert(f.checksum == f2.checksum)
+    // lossy-roundtrip sanity: decoded pixels stay near the source
+    // gradient (channel values were crafted <= 255), so the checksum
+    // can't be the payload fold the stub would produce
+    assert(f.checksum != FakeDecoder.decode(MediaRow(40L, "image", payload, "synth")).checksum)
+
+    // the sniffer routes JPEG magic to the real codec
+    val sniffed = SniffingDecoder().decode(MediaRow(41L, "image", payload, "synth"))
+    assert(sniffed.copy(media_id = 40L) == f)
+
+    // corrupt payloads fail loudly: JPEG magic with garbage body
+    val garbage = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.tabulate(64)(i => (i * 13).toByte)
+    intercept[IllegalArgumentException] {
+      JpegDecoder.decode(MediaRow(42L, "image", garbage, "synth"))
+    }
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
