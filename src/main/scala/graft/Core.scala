@@ -83,7 +83,11 @@ object Tables {
     */
   def eventsVariant(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, parse_json}
-    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    // key by dir AND a source fingerprint (size+mtime of every part):
+    // the driver regenerates /root/testdata between rounds, and a
+    // path-only key would silently serve the PREVIOUS generation's
+    // shred — the cache-flavored twin of the round-6 reader bug
+    val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-${sourceFingerprint(new java.io.File(s"$d/events.parquet"))}"
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft-shred/$key")
     val dest = new java.io.File(base, "events_variant.parquet")
@@ -101,6 +105,20 @@ object Tables {
       }
     }
     s.read.parquet(dest.toString)
+  }
+
+  /** Stable digest of a parquet file-or-directory's (name, size,
+    * mtime) triples — changes whenever the fixture is regenerated,
+    * cheap (metadata only, no data read).
+    */
+  private def sourceFingerprint(f: java.io.File): String = {
+    def leaves(x: java.io.File): Seq[java.io.File] =
+      if (x.isDirectory) x.listFiles().toSeq.sortBy(_.getName).flatMap(leaves)
+      else Seq(x)
+    val sig = leaves(f).map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
