@@ -36,6 +36,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
   }
 
+  test("events: ts-range filters push through the normalize cast to the scan") {
+    // Tables.normalizeTs wraps ts in a cast on the native-micros
+    // fixture path; Catalyst must still unwrap the comparison and
+    // push the range predicate into the parquet scan — time-range
+    // scans over events are THE hot path at 100 TB, and losing this
+    // pushdown would silently read every row group. (The legacy
+    // nanos-as-long path cannot push ts filters at all — `ts div
+    // 1000` is opaque to the scan — so the micros fixture is also
+    // the strictly better layout.)
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2025-01-01").cast("timestamp"))
+      .select(col("event_id"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      s"ts range predicate not pushed to the events scan:\n$p")
+  }
+
   test("q01: aggregation is two-phase (map-side partial before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg in:\n$p")
