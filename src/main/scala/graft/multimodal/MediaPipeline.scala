@@ -29,9 +29,10 @@ final case class MediaFeatures(
   * external dependencies — P6 PPM and PCM WAV (hand parsers), PNG
   * (hand chunk/inflate/filter pipeline over `java.util.zip`), and
   * JPEG (the JDK's bundled ImageIO codec) — routed by
-  * [[SniffingDecoder]]; formats with no JDK-reachable codec at all
-  * (MP3-class compressed audio, video containers) fall back to a
-  * clearly-marked deterministic stub. The Spark plumbing (schema,
+  * [[SniffingDecoder]], plus a real MP3 frame-structure metadata
+  * parser (PCM decode stays out of scope — no JDK codec); formats
+  * with neither a JDK codec nor a hand-parseable structure (video
+  * containers) fall back to a clearly-marked deterministic stub. The Spark plumbing (schema,
   * batching, partition distribution) is identical either way, and a
   * production codec binding touches only this trait.
   */
@@ -482,9 +483,119 @@ object JpegDecoder extends MediaDecoder {
   }
 }
 
+/** REAL MP3 METADATA parser — the compressed-audio analog of what a
+  * curation pipeline actually queries. Full PCM decode needs a codec
+  * no JDK ships (and stays out of scope — a wrong guess there would
+  * be worse than a loud stub), but the FRAME STRUCTURE is a
+  * hand-parseable spec exactly like WAV's chunk list: an optional
+  * ID3v2 tag (size-prefixed, syncsafe), then a sequence of frames
+  * whose 4-byte headers carry version/layer/bitrate/sample-rate/
+  * channel-mode and whose byte length is computable from them
+  * (`144·bitrate/rate + padding` for Layer III). This walks every
+  * frame: sample rate, channel count, and frame count (= duration ×
+  * 38.28 fps at 44.1 kHz) are codec-exact metadata, and the checksum
+  * folds over the frame bytes (the compressed stream, same fold and
+  * same scope as WAV's data chunk). MPEG-1/2/2.5 Layer III, the
+  * MP3-file case; free-format bitrate (index 0) fails loudly.
+  */
+object Mp3Decoder extends MediaDecoder {
+
+  // bitrate (kbps) tables, Layer III: MPEG-1 and MPEG-2/2.5
+  private val BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  // sample-rate (Hz) per version, indexed by the 2-bit rate field
+  private val RateV1 = Array(44100, 48000, 32000, 0)
+  private val RateV2 = Array(22050, 24000, 16000, 0)
+  private val RateV25 = Array(11025, 12000, 8000, 0)
+
+  /** Header fields of one frame, plus its total byte length. */
+  private final case class FrameHeader(
+      sampleRate: Int, channels: Int, frameLen: Int)
+
+  /** Parses the 4-byte header at `i`; None if not a valid frame. */
+  private def frameAt(b: Array[Byte], i: Int): Option[FrameHeader] = {
+    if (i + 4 > b.length) return None
+    val h0 = b(i) & 0xff; val h1 = b(i + 1) & 0xff
+    val h2 = b(i + 2) & 0xff; val h3 = b(i + 3) & 0xff
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+    val versionBits = (h1 >> 3) & 0x3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (h1 >> 1) & 0x3   // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None
+    val bitrateIdx = (h2 >> 4) & 0xf
+    val rateIdx = (h2 >> 2) & 0x3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val mpeg1 = versionBits == 3
+    val bitrate = (if (mpeg1) BitrateV1 else BitrateV2)(bitrateIdx) * 1000
+    val rate = (versionBits match {
+      case 3 => RateV1
+      case 2 => RateV2
+      case _ => RateV25
+    })(rateIdx)
+    val padding = (h2 >> 1) & 0x1
+    // samples/frame: 1152 (MPEG-1 L3) or 576 (MPEG-2/2.5 L3)
+    val frameLen = (if (mpeg1) 144 else 72) * bitrate / rate + padding
+    val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2 // 3 = mono
+    Some(FrameHeader(rate, channels, frameLen))
+  }
+
+  /** Skips a leading ID3v2 tag (10-byte header, syncsafe 28-bit size). */
+  private def afterId3(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      10 + size
+    } else 0
+
+  /** MP3 sniff: a VALID Layer-III frame header (full field
+    * validation, not just the sync bits) at offset 0 or right after
+    * an ID3v2 tag. An "ID3"-leading text payload or an arbitrary
+    * 0xFF-leading binary does NOT match — those keep falling through
+    * to the stub, exactly as before this parser existed.
+    */
+  def isMp3(bytes: Array[Byte]): Boolean = {
+    val start = afterId3(bytes)
+    frameAt(bytes, start).isDefined
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    var i = afterId3(b)
+    require(i <= b.length, s"media_id=${row.media_id}: truncated ID3v2 tag")
+    var frames = 0
+    var rate = -1
+    var channels = -1
+    var checksum = 0L
+    var done = false
+    while (!done) {
+      frameAt(b, i) match {
+        case Some(f) if i + f.frameLen <= b.length =>
+          if (rate < 0) { rate = f.sampleRate; channels = f.channels }
+          var j = i
+          val end = i + f.frameLen
+          while (j < end) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+          frames += 1
+          i = end
+        case _ => done = true
+      }
+    }
+    require(frames > 0, s"media_id=${row.media_id}: no valid MP3 frame")
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = rate,      // sample rate in Hz, same mapping as WavDecoder
+      height = frames,   // frame count (frames × 1152∕rate = duration)
+      n_channels = channels,
+      checksum = checksum)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
-  * everything else to `fallback` (the stub — now only the formats
-  * with no JDK-reachable codec at all, e.g. MP3-class audio).
+  * everything else to `fallback` (the stub — now only formats with
+  * neither a JDK codec nor a hand-parseable structure, e.g. video
+  * containers).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =
@@ -492,6 +603,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (WavDecoder.isWav(row.payload)) WavDecoder.decode(row)
     else if (PngDecoder.isPng(row.payload)) PngDecoder.decode(row)
     else if (JpegDecoder.isJpeg(row.payload)) JpegDecoder.decode(row)
+    else if (Mp3Decoder.isMp3(row.payload)) Mp3Decoder.decode(row)
     else fallback.decode(row)
 }
 

@@ -272,6 +272,43 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MP3: frame-structure metadata parses from real synthesized frames") {
+    // MPEG-1 Layer III, 44.1 kHz, 128 kbps, stereo, no padding:
+    // frameLen = 144*128000/44100 = 417 bytes (integer division)
+    def frame(channelBits: Int): Array[Byte] = {
+      val hdr = Array(0xff, 0xfb, 0x90, channelBits << 6).map(_.toByte)
+      hdr ++ Array.tabulate(417 - 4)(i => (i * 11).toByte)
+    }
+    val stereo = Array.fill(5)(frame(0)).flatten.toArray
+    assert(Mp3Decoder.isMp3(stereo))
+    val f = Mp3Decoder.decode(MediaRow(50L, "audio", stereo, "synth"))
+    assert(f.width == 44100 && f.height == 5 && f.n_channels == 2)
+    assert(f.n_bytes == 5L * 417)
+
+    // mono channel-mode bits (11) are read from the 4th header byte
+    val mono = Mp3Decoder.decode(MediaRow(51L, "audio", frame(3), "synth"))
+    assert(mono.n_channels == 1 && mono.height == 1)
+
+    // an ID3v2 tag (10-byte header, syncsafe size) is skipped
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0x20) ++ stereo
+    assert(Mp3Decoder.isMp3(id3))
+    val tagged = Mp3Decoder.decode(MediaRow(52L, "audio", id3, "synth"))
+    assert(tagged.height == 5 && tagged.width == 44100)
+    // frames (not the tag) feed the checksum: same stream, same fold
+    assert(tagged.checksum == f.checksum)
+
+    // the sniffer routes it; junk does NOT match without a valid frame
+    assert(SniffingDecoder().decode(MediaRow(53L, "audio", stereo, "synth"))
+      .copy(media_id = 50L) == f)
+    assert(!Mp3Decoder.isMp3("ID3 looks like a tag but has no frames".getBytes("US-ASCII")))
+    assert(!Mp3Decoder.isMp3(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x00))) // invalid layer
+    intercept[IllegalArgumentException] {
+      // valid first header but body truncated below frameLen
+      Mp3Decoder.decode(MediaRow(54L, "audio", frame(0).take(100), "synth"))
+    }
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
