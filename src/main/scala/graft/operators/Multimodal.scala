@@ -201,6 +201,73 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic MP3 payload: ID3v2 tag (syncsafe size =
+    * doc_id mod 17, space padding) + 3..8 Layer III frames. MPEG-1,
+    * 128 kbps, sample rate cycling 44.1/48/32 kHz (frame length 417/
+    * 384/576 bytes by the 144·bitrate/rate rule), channel mode mono
+    * for even ids. Every byte is a pure function of doc_id, so the
+    * PARSED metadata is algebraically predictable by the oracle.
+    */
+  private def mp3Bytes(docId: Long): Array[Byte] = {
+    val rateIdx = (docId % 3).toInt
+    val frameLen = Array(417, 384, 576)(rateIdx) // 144·128000/rate
+    val frames = (3 + docId % 6).toInt
+    val tagSize = (docId % 17).toInt
+    val out = java.nio.ByteBuffer.allocate(10 + tagSize + frames * frameLen)
+    out.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte).put(0.toByte)
+    out.put(((tagSize >> 21) & 0x7f).toByte).put(((tagSize >> 14) & 0x7f).toByte)
+      .put(((tagSize >> 7) & 0x7f).toByte).put((tagSize & 0x7f).toByte)
+    var t = 0
+    while (t < tagSize) { out.put(0x20.toByte); t += 1 }
+    var f = 0
+    while (f < frames) {
+      out.put(0xff.toByte).put(0xfb.toByte) // sync, MPEG-1 Layer III
+        .put((0x90 | (rateIdx << 2)).toByte) // 128 kbps, rate, no pad
+        .put((if (docId % 2 == 0) 0xc0 else 0x00).toByte) // mono / stereo
+      var j = 4
+      while (j < frameLen) { out.put(((docId + f * 13 + j) % 256).toByte); j += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** The MP3 leg of the codec tier under the oracle: synthesize
+    * genuine tagged Layer-III streams per-partition, walk them with
+    * `Mp3Decoder`'s real frame parser (via the same SniffingDecoder
+    * routing production uses), and hash-compare the PARSED sample
+    * rate / frame count / channel mode / byte length to the oracle's
+    * algebraic prediction — a mis-read syncsafe tag size or a wrong
+    * frame-length rule shifts every subsequent frame boundary and
+    * fails the hash. Same zero-shuffle per-partition shape as m04.
+    */
+  val m07Mp3Meta = Q(
+    "m07_mp3_meta",
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |       ELSE 32000 END AS BIGINT) AS sample_rate,
+      |  3 + doc_id % 6 AS n_frames,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_channels,
+      |  10 + (doc_id % 17) + (3 + doc_id % 6) *
+      |    (CAST(CASE doc_id % 3 WHEN 0 THEN 417 WHEN 1 THEN 384
+      |          ELSE 576 END AS BIGINT)) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "mp3", mp3Bytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("sample_rate"),
+        col("height").cast("long").as("n_frames"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   /** Multimodal QUALITY FILTERING — the modality analog of t03's text
     * gate, and the curation stage every image/audio pipeline runs
     * right after decode: drop media below a resolution / duration
@@ -301,5 +368,5 @@ object Multimodal {
 
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
-      m05MediaQuality, m06MediaDedup)
+      m05MediaQuality, m06MediaDedup, m07Mp3Meta)
 }
