@@ -60,6 +60,15 @@ object Tables {
   /** The events frame with `ts` still in its raw decoded form — the
     * streaming replays need the undecorated footer schema for their
     * file sources (then normalize with [[normalizeTs]], same branch).
+    *
+    * The legacy conf is set session-wide and INTENTIONALLY not
+    * restored: streaming sources created from this frame's schema
+    * read lazily, long after this call returns, and a restore here
+    * would flip the decode out from under them mid-query. The conf's
+    * only effect is to decode TIMESTAMP(NANOS) columns (which Spark
+    * otherwise refuses to read at all) as raw longs — it never changes
+    * the decoding of a MICROS-era fixture, so leaving it set is safe
+    * for every other reader in the session.
     */
   private[graft] def eventsRawFrame(spark: SparkSession, dir: String): DataFrame = {
     // harmless when ts is already micros; required to decode nanos
@@ -87,11 +96,23 @@ object Tables {
     // the driver regenerates /root/testdata between rounds, and a
     // path-only key would silently serve the PREVIOUS generation's
     // shred — the cache-flavored twin of the round-6 reader bug
-    val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-${sourceFingerprint(new java.io.File(s"$d/events.parquet"))}"
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-shred/$key")
+    val dirKey = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = s"$dirKey-${sourceFingerprint(new java.io.File(s"$d/events.parquet"))}"
+    val shredRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft-shred")
+    val base = new java.io.File(shredRoot, key)
     val dest = new java.io.File(base, "events_variant.parquet")
     if (!dest.exists()) {
+      // the fingerprint changed ⇒ the fixture was regenerated; the
+      // previous generation's shreds for this dir are dead weight and
+      // would otherwise accumulate one per regeneration forever
+      Option(shredRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"$dirKey-") && f.getName != key)
+        .foreach { stale =>
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val paths = Files.walk(stale.toPath).iterator().asScala.toSeq
+          paths.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        }
       base.mkdirs()
       val tmp = new java.io.File(base, s".build-${java.util.UUID.randomUUID()}")
       events(s, d)
@@ -111,10 +132,16 @@ object Tables {
     * mtime) triples — changes whenever the fixture is regenerated,
     * cheap (metadata only, no data read).
     */
-  private def sourceFingerprint(f: java.io.File): String = {
+  private[graft] def sourceFingerprint(f: java.io.File): String = {
     def leaves(x: java.io.File): Seq[java.io.File] =
-      if (x.isDirectory) x.listFiles().toSeq.sortBy(_.getName).flatMap(leaves)
-      else Seq(x)
+      if (x.isDirectory) {
+        // listFiles returns null on permission/IO races (the driver
+        // regenerates testdata between rounds) — fail with the path,
+        // not an anonymous NPE
+        val children = x.listFiles()
+        require(children != null, s"cannot list $x while fingerprinting $f")
+        children.toSeq.sortBy(_.getName).flatMap(leaves)
+      } else Seq(x)
     val sig = leaves(f).map(x => s"${x.getName}:${x.length}:${x.lastModified}")
       .mkString("|")
     java.security.MessageDigest.getInstance("MD5")

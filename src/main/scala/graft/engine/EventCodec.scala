@@ -1,6 +1,5 @@
 package graft.engine
 
-import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
@@ -39,70 +38,123 @@ object EventCodec {
 
   // --- encode ---
 
-  def encode(v: EValue): Array[Byte] = {
-    val out = new ByteArrayOutputStream(64)
-    write(out, v)
-    out.toByteArray
+  /** Unsynchronized growable byte sink. The codec runs once PER HOP of
+    * every feedback loop (main.zig:154), so its constant factors are
+    * the engine's cast throughput: java.io.ByteArrayOutputStream takes
+    * a monitor on every single-byte write (JDK 17 has no biased
+    * locking — each is a real lock op), which measured as the dominant
+    * term of the ~1.3 µs/cast single-core figure. Same growth policy,
+    * zero locks.
+    */
+  private final class Buf(initial: Int) {
+    private var arr = new Array[Byte](initial)
+    private var len = 0
+    private def ensure(extra: Int): Unit =
+      if (len + extra > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, len + extra))
+    def put(b: Int): Unit = { ensure(1); arr(len) = b.toByte; len += 1 }
+    def putBytes(bs: Array[Byte], n: Int): Unit = {
+      ensure(n); System.arraycopy(bs, 0, arr, len, n); len += n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+    /** Read-only view over the live buffer — for the hop-path round
+      * trip, which decodes immediately and never aliases the buffer.
+      */
+    def toByteBuffer: ByteBuffer = ByteBuffer.wrap(arr, 0, len)
   }
 
-  private def write(out: ByteArrayOutputStream, v: EValue): Unit = v match {
-    case ENil      => out.write(0xc0)
-    case EBool(b)  => out.write(if (b) 0xc3 else 0xc2)
+  def encode(v: EValue): Array[Byte] = {
+    val out = new Buf(64)
+    write(out, v)
+    out.toArray
+  }
+
+  private def write(out: Buf, v: EValue): Unit = v match {
+    case ENil      => out.put(0xc0)
+    case EBool(b)  => out.put(if (b) 0xc3 else 0xc2)
     case EInt(i)   => writeInt(out, i)
     case EFloat(d) => writeFloat(out, d)
     case EStr(s)   => writeStr(out, s)
     case EMap(m)   =>
-      out.write(0xdf) // always map32
+      out.put(0xdf) // always map32
       writeBe32(out, m.size)
-      // deterministic key order so encode is a pure function
-      m.toSeq.sortBy { case (k, _) => keyOrder(k) }.foreach { case (k, value) =>
-        write(out, k); write(out, value)
+      // deterministic key order so encode is a pure function; sorted
+      // via a direct comparator — the previous sortBy-on-keyOrder-
+      // tuples allocated a boxed 4-tuple per key per hop and compared
+      // through Ordering.Tuple4's boxing
+      val entries = new Array[(EValue, EValue)](m.size)
+      var i = 0
+      m.foreach { e => entries(i) = e; i += 1 }
+      if (entries.length > 1) java.util.Arrays.sort(entries, KeyComparator)
+      i = 0
+      while (i < entries.length) {
+        write(out, entries(i)._1); write(out, entries(i)._2); i += 1
       }
   }
 
-  private def keyOrder(k: EValue): (Int, Long, Double, String) = k match {
-    case EInt(i)   => (0, i, 0.0, "")
-    case EFloat(d) => (1, 0L, d, "")
-    case EStr(s)   => (2, 0L, 0.0, s)
-    case EBool(b)  => (3, if (b) 1L else 0L, 0.0, "")
-    case ENil      => (4, 0L, 0.0, "")
-    case EMap(_)   => (5, 0L, 0.0, "")
+  /** Total order on map keys: by type rank (int, float, str, bool,
+    * nil, map), then by value within the rank — exactly the order the
+    * previous `sortBy(keyOrder)` tuple spelling produced, so encoded
+    * bytes are unchanged.
+    */
+  private def keyRank(k: EValue): Int = k match {
+    case EInt(_)   => 0
+    case EFloat(_) => 1
+    case EStr(_)   => 2
+    case EBool(_)  => 3
+    case ENil      => 4
+    case EMap(_)   => 5
   }
 
-  private def writeInt(out: ByteArrayOutputStream, i: Long): Unit = {
-    if (i >= 0 && i <= 0x7f) out.write(i.toInt)                       // pos fixint
-    else if (i < 0 && i >= -32) out.write(0xe0 | (i.toInt & 0x1f))    // neg fixint
-    else if (i >= Byte.MinValue && i <= Byte.MaxValue) { out.write(0xd0); out.write(i.toInt & 0xff) }
-    else if (i >= Short.MinValue && i <= Short.MaxValue) { out.write(0xd1); writeBe16(out, i.toInt) }
-    else if (i >= Int.MinValue && i <= Int.MaxValue) { out.write(0xd2); writeBe32(out, i.toInt) }
-    else { out.write(0xd3); writeBe64(out, i) }
+  private object KeyComparator extends java.util.Comparator[(EValue, EValue)] {
+    override def compare(a: (EValue, EValue), b: (EValue, EValue)): Int = {
+      val (ka, kb) = (a._1, b._1)
+      val byRank = Integer.compare(keyRank(ka), keyRank(kb))
+      if (byRank != 0) byRank
+      else (ka, kb) match {
+        case (EInt(x), EInt(y))     => java.lang.Long.compare(x, y)
+        case (EFloat(x), EFloat(y)) => java.lang.Double.compare(x, y)
+        case (EStr(x), EStr(y))     => x.compareTo(y)
+        case (EBool(x), EBool(y))   => java.lang.Boolean.compare(x, y)
+        case _                      => 0 // ENil/EMap: equal within rank, as before
+      }
+    }
   }
 
-  private def writeFloat(out: ByteArrayOutputStream, d: Double): Unit = {
+  private def writeInt(out: Buf, i: Long): Unit = {
+    if (i >= 0 && i <= 0x7f) out.put(i.toInt)                       // pos fixint
+    else if (i < 0 && i >= -32) out.put(0xe0 | (i.toInt & 0x1f))    // neg fixint
+    else if (i >= Byte.MinValue && i <= Byte.MaxValue) { out.put(0xd0); out.put(i.toInt & 0xff) }
+    else if (i >= Short.MinValue && i <= Short.MaxValue) { out.put(0xd1); writeBe16(out, i.toInt) }
+    else if (i >= Int.MinValue && i <= Int.MaxValue) { out.put(0xd2); writeBe32(out, i.toInt) }
+    else { out.put(0xd3); writeBe64(out, i) }
+  }
+
+  private def writeFloat(out: Buf, d: Double): Unit = {
     val f = d.toFloat
     val lossless = f.toDouble == d || (d.isNaN && f.isNaN)
-    if (lossless) { out.write(0xca); writeBe32(out, java.lang.Float.floatToIntBits(f)) }
-    else { out.write(0xcb); writeBe64(out, java.lang.Double.doubleToLongBits(d)) }
+    if (lossless) { out.put(0xca); writeBe32(out, java.lang.Float.floatToIntBits(f)) }
+    else { out.put(0xcb); writeBe64(out, java.lang.Double.doubleToLongBits(d)) }
   }
 
-  private def writeStr(out: ByteArrayOutputStream, s: String): Unit = {
+  private def writeStr(out: Buf, s: String): Unit = {
     val bytes = s.getBytes(StandardCharsets.UTF_8)
     val n = bytes.length
-    if (n <= 31) out.write(0xa0 | n)
-    else if (n <= 0xff) { out.write(0xd9); out.write(n) }
-    else if (n <= 0xffff) { out.write(0xda); writeBe16(out, n) }
-    else { out.write(0xdb); writeBe32(out, n) }
-    out.write(bytes, 0, n)
+    if (n <= 31) out.put(0xa0 | n)
+    else if (n <= 0xff) { out.put(0xd9); out.put(n) }
+    else if (n <= 0xffff) { out.put(0xda); writeBe16(out, n) }
+    else { out.put(0xdb); writeBe32(out, n) }
+    out.putBytes(bytes, n)
   }
 
-  private def writeBe16(out: ByteArrayOutputStream, v: Int): Unit = {
-    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  private def writeBe16(out: Buf, v: Int): Unit = {
+    out.put((v >> 8) & 0xff); out.put(v & 0xff)
   }
-  private def writeBe32(out: ByteArrayOutputStream, v: Int): Unit = {
-    out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
-    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  private def writeBe32(out: Buf, v: Int): Unit = {
+    out.put((v >> 24) & 0xff); out.put((v >> 16) & 0xff)
+    out.put((v >> 8) & 0xff); out.put(v & 0xff)
   }
-  private def writeBe64(out: ByteArrayOutputStream, v: Long): Unit = {
+  private def writeBe64(out: Buf, v: Long): Unit = {
     writeBe32(out, (v >>> 32).toInt); writeBe32(out, v.toInt)
   }
 
@@ -134,7 +186,13 @@ object EventCodec {
       case 0xdb                    => readStr(buf, buf.getInt())
       case 0xdf                    =>
         val n = buf.getInt()
-        EMap((0 until n).map(_ => (read(buf), read(buf))).toMap)
+        // while-loop + builder: the Range.map(...).toMap spelling
+        // allocated an intermediate vector of tuples per hop
+        val b = Map.newBuilder[EValue, EValue]
+        b.sizeHint(n)
+        var i = 0
+        while (i < n) { b += ((read(buf), read(buf))); i += 1 }
+        EMap(b.result())
       case other                   => throw new UnrecognizedTag(other)
     }
   }
@@ -159,10 +217,15 @@ object EventCodec {
     * (main.zig:212-224). For EValue trees this is an identity —
     * the drop rule already applied at construction — but it is kept
     * on the hop path so codec regressions surface in engine tests.
+    * The decode reads the encoder's buffer in place (same bytes
+    * `encode` would return, minus one defensive copy per hop).
     */
-  def roundTrip(e: DynEvent): DynEvent =
-    decode(encode(EValue.EMap(e.fields))) match {
+  def roundTrip(e: DynEvent): DynEvent = {
+    val out = new Buf(64)
+    write(out, EValue.EMap(e.fields))
+    read(out.toByteBuffer) match {
       case EValue.EMap(m) => DynEvent(m)
       case other          => throw new IllegalStateException(s"event decoded to non-map: $other")
     }
+  }
 }

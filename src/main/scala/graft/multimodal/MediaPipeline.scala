@@ -540,12 +540,18 @@ object Mp3Decoder extends MediaDecoder {
     Some(FrameHeader(rate, channels, frameLen))
   }
 
-  /** Skips a leading ID3v2 tag (10-byte header, syncsafe 28-bit size). */
+  /** Skips a leading ID3v2 tag (10-byte header, syncsafe 28-bit size;
+    * the syncsafe size excludes both the header AND the optional
+    * 10-byte footer, whose presence flag is header byte 5 bit 4 —
+    * without the footer skip a footered tag lands the frame probe on
+    * the footer bytes and a valid MP3 falls through to the stub).
+    */
   private def afterId3(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      10 + size
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      10 + size + footer
     } else 0
 
   /** MP3 sniff: a VALID Layer-III frame header (full field

@@ -18,10 +18,16 @@ object SpellQueries {
     * Pure IEEE halving — bit-deterministic in any engine.
     */
   object HalvingSpell extends Spell {
+    // hoisted keys: cast runs once per hop of every loop, and
+    // e.get(String)/e.updated(String, _) allocate a fresh EStr per call
+    private val KValue = EStr("value")
+    private val KHop = EStr("hop")
     override def cast(e: DynEvent): Option[DynEvent] =
-      (e.get("value"), e.get("hop")) match {
+      (e.fields.get(KValue), e.fields.get(KHop)) match {
         case (Some(EFloat(v)), Some(EInt(h))) if v > 1.0 =>
-          Some(e.updated("value", EFloat(v / 2)).updated("hop", EInt(h + 1)))
+          Some(DynEvent(e.fields
+            .updated(KValue, EFloat(v / 2))
+            .updated(KHop, EInt(h + 1))))
         case _ => None
       }
   }

@@ -43,21 +43,90 @@ object StreamReplay {
         .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
-  /** Fixture-era guard, once per data dir per JVM: decode min/max ts
-    * through the batch reader and require they land in a plausible
-    * era. A ns↔µs mix-up shifts every timestamp 1000× (to 1970, or
-    * to year ~56000) — one cheap single-column aggregate turns that
-    * whole bug class from plausible-wrong-rows into a loud failure.
+  /** Fixture-era guard: require the decoded ts range to land in a
+    * plausible era. A ns↔µs mix-up shifts every timestamp 1000× (to
+    * 1970, or to year ~56000) — this turns that whole bug class from
+    * plausible-wrong-rows into a loud failure.
+    *
+    * The range comes from the parquet FOOTER column statistics (each
+    * row group's int64 min/max for `ts`), so the guard costs a
+    * metadata read, not a table scan — the previous full min/max
+    * aggregate silently taxed whichever streaming query ran first in
+    * a JVM and made per-query bench numbers order-dependent (round-7
+    * verdict). The raw stat is interpreted through the SAME branch as
+    * [[graft.Tables.normalizeTs]]: a LongType decode means the column
+    * is TIMESTAMP(NANOS) read raw (stat unit ns); a timestamp decode
+    * means MICROS (stat unit µs). Stats-free files (legal parquet)
+    * fall back to the aggregate.
+    *
+    * Memoized per (dir, source fingerprint) — a path-only key would
+    * skip re-checking a regenerated fixture (a known mid-JVM
+    * occurrence) — and only AFTER the check passes, so a transient
+    * failure is re-raised on retry instead of silently suppressed.
     */
   private val eraChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def assertEventsEra(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    if (eraChecked.add(d)) {
-      val r = graft.Tables.events(s, d).agg(
-        year(min(col("ts"))).as("lo"), year(max(col("ts"))).as("hi")).head()
-      val (lo, hi) = (r.getInt(0), r.getInt(1))
+  private def assertEventsEra(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val src = new java.io.File(s"$d/events.parquet")
+    val key = s"$d:${graft.Tables.sourceFingerprint(src)}"
+    if (!eraChecked.contains(key)) {
+      val rawIsNanos = graft.Tables.eventsRawFrame(s, d).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val (lo, hi) = footerTsRange(s, src, rawIsNanos).getOrElse {
+        val r = graft.Tables.events(s, d).agg(
+          year(min(col("ts"))).as("lo"), year(max(col("ts"))).as("hi")).head()
+        (r.getInt(0), r.getInt(1))
+      }
       require(lo >= 2000 && hi <= 2100,
         s"events.ts decoded to years $lo..$hi — timestamp unit mix-up in the reader?")
+      eraChecked.add(key)
     }
+  }
+
+  /** Min/max year of the raw int64 `ts` column across every row group
+    * of every part file, from footer statistics only. None if any
+    * file/row group lacks usable stats (caller falls back to a scan).
+    */
+  private def footerTsRange(s: org.apache.spark.sql.SparkSession,
+      src: java.io.File, rawIsNanos: Boolean): Option[(Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    val parts =
+      if (src.isFile) Seq(src)
+      else Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    if (parts.isEmpty) return None
+    val conf = s.sessionState.newHadoopConf()
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    val ok = parts.forall { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.forall { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == "ts") match {
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) false
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                lo = math.min(lo, mn); hi = math.max(hi, mx); true
+              case _ => false
+            }
+          case None => false
+        }
+      } finally reader.close()
+    }
+    if (!ok || lo > hi) None
+    else {
+      // to seconds first (year granularity): a garbage µs value ×1000
+      // would overflow a ns Long before the guard could flag it
+      val perSec = if (rawIsNanos) 1000000000L else 1000000L
+      def yearOf(raw: Long): Int = java.time.Instant
+        .ofEpochSecond(Math.floorDiv(raw, perSec))
+        .atOffset(java.time.ZoneOffset.UTC).getYear
+      Some((yearOf(lo), yearOf(hi)))
+    }
+  }
 
   val q71StreamReplay = Q(
     "q71_stream_replay",
