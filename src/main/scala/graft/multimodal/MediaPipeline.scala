@@ -25,14 +25,15 @@ final case class MediaFeatures(
     n_channels: Int,
     checksum: Long)
 
-/** Decoder interface. Four formats decode FOR REAL with zero
+/** Decoder interface. Six formats decode FOR REAL with zero
   * external dependencies — P6 PPM and PCM WAV (hand parsers), PNG
   * (hand chunk/inflate/filter pipeline over `java.util.zip`), and
-  * JPEG (the JDK's bundled ImageIO codec) — routed by
+  * JPEG/GIF/BMP (the JDK's bundled ImageIO codecs) — routed by
   * [[SniffingDecoder]], plus a real MP3 frame-structure metadata
-  * parser (PCM decode stays out of scope — no JDK codec); formats
-  * with neither a JDK codec nor a hand-parseable structure (video
-  * containers) fall back to a clearly-marked deterministic stub. The Spark plumbing (schema,
+  * parser (PCM decode stays out of scope — no JDK codec); only
+  * formats with neither a JDK codec nor a hand-parseable structure
+  * (true video containers, e.g. MP4/WebM) fall back to a
+  * clearly-marked deterministic stub. The Spark plumbing (schema,
   * batching, partition distribution) is identical either way, and a
   * production codec binding touches only this trait.
   */
@@ -422,41 +423,105 @@ object PngSynth {
   }
 }
 
-/** REAL JPEG decoder — the DCT-compressed tier above PNG's DEFLATE.
-  * No external library: every JDK bundles a full baseline+progressive
-  * JPEG codec behind `javax.imageio.ImageIO` (the
-  * `com.sun.imageio.plugins.jpeg` plugin), so "this container has no
-  * media libs" does not apply to JPEG. Dimensions and channel count
-  * are codec-exact. The checksum folds over the DECODED RGB raster
-  * with the same 31-fold as PPM/PNG — but note the scope difference:
-  * JPEG inverse-DCT output is implementation-defined at the
-  * pixel-value level (unlike PNG's lossless inflate), so the
-  * checksum is deterministic per JVM/codec — one JDK per cluster in
-  * any real deployment, and bit-stable across runs and partitions
-  * there — not a cross-vendor contract. That is exactly the
-  * per-deployment scope a perceptual-dedup consumer (m06) needs.
+/** Deterministic GIF89a synthesis with a PREDICTABLE byte length —
+  * the LZW analog of PngSynth's stored-block trick: a clear code is
+  * emitted before every literal, so the decoder's dictionary never
+  * grows past the initial 258 entries and every code stays exactly
+  * 9 bits. Codes = n clears + n literals + 1 EOI = 2n+1 for n
+  * pixels, hence the compressed stream is ceil(9·(2n+1)/8) bytes —
+  * an algebraic function of the dimensions that an oracle can
+  * predict. Grayscale 256-entry global palette (index i → RGB
+  * (i,i,i)), no GCE (so no transparency: decoders report 3
+  * channels), single image block.
   */
-object JpegDecoder extends MediaDecoder {
+object GifSynth {
 
-  def isJpeg(bytes: Array[Byte]): Boolean =
-    bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
-      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+  /** Total payload size for a w×h synthesis — the oracle's formula.
+    * 6 header + 7 LSD + 768 GCT + 10 image descriptor + 1 min-code-
+    * size + sub-blocks + 1 block terminator + 1 trailer.
+    */
+  def predictedBytes(w: Int, h: Int): Int = {
+    val n = w * h
+    val lzw = (9 * (2 * n + 1) + 7) / 8
+    val blocks = (lzw + 254) / 255
+    6 + 7 + 768 + 10 + 1 + lzw + blocks + 1 + 1
+  }
+
+  /** Encode w×h 8-bit palette indices (row-major) as a GIF89a. */
+  def encode(w: Int, h: Int, indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == w * h, s"need ${w * h} indices, got ${indices.length}")
+    val out = java.nio.ByteBuffer.allocate(predictedBytes(w, h))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: GCT present, 8-bit color res, 256 entries
+    out.putShort(w.toShort).putShort(h.toShort)
+      .put(0xf7.toByte).put(0.toByte).put(0.toByte)
+    var i = 0
+    while (i < 256) { // grayscale global color table
+      out.put(i.toByte).put(i.toByte).put(i.toByte); i += 1
+    }
+    // image descriptor at (0,0), no local table, not interlaced
+    out.put(0x2c.toByte).putShort(0).putShort(0)
+      .putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+    out.put(8.toByte) // LZW minimum code size
+    // bit-pack the code stream LSB-first (GIF's LZW bit order)
+    val n = w * h
+    val lzwLen = (9 * (2 * n + 1) + 7) / 8
+    val lzw = new Array[Byte](lzwLen)
+    var bitPos = 0
+    def putCode(c: Int): Unit = {
+      var k = 0
+      while (k < 9) {
+        if (((c >> k) & 1) != 0) lzw(bitPos >> 3) = (lzw(bitPos >> 3) | (1 << (bitPos & 7))).toByte
+        bitPos += 1; k += 1
+      }
+    }
+    val Clear = 256
+    val Eoi = 257
+    i = 0
+    while (i < n) { putCode(Clear); putCode(indices(i) & 0xff); i += 1 }
+    putCode(Eoi)
+    // sub-block packaging: ≤255-byte chunks, then a zero terminator
+    var off = 0
+    while (off < lzwLen) {
+      val len = math.min(255, lzwLen - off)
+      out.put(len.toByte).put(lzw, off, len)
+      off += len
+    }
+    out.put(0.toByte)  // block terminator
+    out.put(0x3b.toByte) // trailer
+    require(out.remaining() == 0,
+      s"GifSynth length drifted from predictedBytes for ${w}x$h")
+    out.array()
+  }
+}
+
+/** Shared ImageIO decode path for the formats whose codec every JDK
+  * bundles (`com.sun.imageio.plugins.{jpeg,gif,bmp}` + PNG, which has
+  * its own hand parser here). Dimensions and channel count are
+  * codec-exact. The checksum folds over the DECODED RGB raster with
+  * the same 31-fold as PPM/PNG — for lossy/implementation-defined
+  * decodes (JPEG inverse-DCT) it is deterministic per JVM/codec (one
+  * JDK per cluster in any real deployment), not a cross-vendor
+  * contract; for GIF/BMP the raster is lossless, so the fold is
+  * byte-exact everywhere.
+  */
+private[multimodal] object ImageIoSupport {
 
   // ImageIO defaults to a DISK-backed stream cache; per-row temp
   // files on executors would be absurd. One-time, process-wide.
   private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
-  override def decode(row: MediaRow): MediaFeatures = {
+  def decode(row: MediaRow, fmt: String): MediaFeatures = {
     noDiskCache
     val b = row.payload
-    require(isJpeg(b), s"media_id=${row.media_id}: not a JPEG payload")
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       catch {
         case e: java.io.IOException => throw new IllegalArgumentException(
-          s"media_id=${row.media_id}: corrupt JPEG: ${e.getMessage}")
+          s"media_id=${row.media_id}: corrupt $fmt: ${e.getMessage}")
       }
-    require(img != null, s"media_id=${row.media_id}: undecodable JPEG payload")
+    require(img != null, s"media_id=${row.media_id}: undecodable $fmt payload")
     val w = img.getWidth
     val h = img.getHeight
     var checksum = 0L
@@ -480,6 +545,64 @@ object JpegDecoder extends MediaDecoder {
       height = h,
       n_channels = img.getColorModel.getNumComponents,
       checksum = checksum)
+  }
+}
+
+/** REAL JPEG decoder — the DCT-compressed tier above PNG's DEFLATE.
+  * No external library: every JDK bundles a full baseline+progressive
+  * JPEG codec behind `javax.imageio.ImageIO`, so "this container has
+  * no media libs" does not apply to JPEG (see [[ImageIoSupport]] for
+  * the checksum-scope caveat on lossy decodes).
+  */
+object JpegDecoder extends MediaDecoder {
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    require(isJpeg(row.payload), s"media_id=${row.media_id}: not a JPEG payload")
+    ImageIoSupport.decode(row, "JPEG")
+  }
+}
+
+/** REAL GIF decoder via the JDK's bundled LZW codec — the
+  * palette-indexed tier of the codec matrix (PPM raw → PNG DEFLATE →
+  * JPEG DCT → GIF LZW). Width/height/palette-resolved RGB raster are
+  * codec-exact and lossless.
+  */
+object GifDecoder extends MediaDecoder {
+
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    require(isGif(row.payload), s"media_id=${row.media_id}: not a GIF payload")
+    ImageIoSupport.decode(row, "GIF")
+  }
+}
+
+/** REAL BMP decoder via the JDK's bundled codec — the uncompressed
+  * interchange tier (BI_RGB 24-bit is the overwhelmingly common
+  * case). The 2-byte "BM" magic alone is a weak sniff, so the header
+  * is also required to parse: declared file size == payload length
+  * (our synthesis and virtually every real-world writer set it) and a
+  * sane pixel-data offset.
+  */
+object BmpDecoder extends MediaDecoder {
+
+  def isBmp(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return false
+    def le32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    le32(2) == bytes.length && { val off = le32(10); off >= 54 && off < bytes.length }
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    require(isBmp(row.payload), s"media_id=${row.media_id}: not a BMP payload")
+    ImageIoSupport.decode(row, "BMP")
   }
 }
 
@@ -609,6 +732,8 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (WavDecoder.isWav(row.payload)) WavDecoder.decode(row)
     else if (PngDecoder.isPng(row.payload)) PngDecoder.decode(row)
     else if (JpegDecoder.isJpeg(row.payload)) JpegDecoder.decode(row)
+    else if (GifDecoder.isGif(row.payload)) GifDecoder.decode(row)
+    else if (BmpDecoder.isBmp(row.payload)) BmpDecoder.decode(row)
     else if (Mp3Decoder.isMp3(row.payload)) Mp3Decoder.decode(row)
     else fallback.decode(row)
 }

@@ -268,6 +268,109 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic GIF89a payload via `GifSynth` — the LZW member of
+    * the codec tier. Same dims rule as [[ppmBytes]]; palette index
+    * j = (doc_id + j) mod 256 over the grayscale global table.
+    */
+  private def gifBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 8).toInt
+    val h = (3 + docId % 5).toInt
+    val idx = new Array[Byte](w * h)
+    var j = 0
+    while (j < idx.length) { idx(j) = ((docId + j) % 256).toByte; j += 1 }
+    graft.multimodal.GifSynth.encode(w, h, idx)
+  }
+
+  /** Deterministic 24-bit BI_RGB BMP payload: 14-byte file header +
+    * 40-byte info header + bottom-up rows padded to 4 bytes, pixel
+    * byte j = (doc_id + j) mod 256 over the padded pixel array. The
+    * width rule (5 + doc_id mod 9) sweeps every row-padding residue.
+    */
+  private def bmpBytes(docId: Long): Array[Byte] = {
+    val w = (5 + docId % 9).toInt
+    val h = (2 + docId % 6).toInt
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < dataSize) { buf.put(((docId + j) % 256).toByte); j += 1 }
+    buf.array()
+  }
+
+  /** The GIF leg of the codec tier under the oracle: synthesize
+    * genuine GIF89a streams (clear-code-per-literal LZW — see
+    * `GifSynth` — so the compressed length is algebraic), decode them
+    * through the JDK's real LZW codec via the same SniffingDecoder
+    * routing production uses, and hash-compare decoded dimensions,
+    * channel count, and total byte length to the oracle's prediction.
+    * A wrong sub-block length, code width, or palette flag either
+    * fails the JDK decoder loudly or shifts n_bytes/dims and fails
+    * the hash. Same zero-shuffle per-partition shape as m04/m07.
+    */
+  val m08GifMeta = Q(
+    "m08_gif_meta",
+    """SELECT doc_id AS media_id,
+      |  4 + doc_id % 8 AS width,
+      |  3 + doc_id % 5 AS height,
+      |  CAST(3 AS BIGINT) AS n_channels,
+      |  794 + (9 * (2 * ((4 + doc_id % 8) * (3 + doc_id % 5)) + 1) + 7) // 8
+      |      + ((9 * (2 * ((4 + doc_id % 8) * (3 + doc_id % 5)) + 1) + 7) // 8 + 254) // 255
+      |    AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "gif", gifBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The BMP leg — uncompressed interchange tier through the JDK's
+    * real codec: a mis-computed row pad, bottom-up origin, or file
+    * header changes n_bytes/dims (or makes the decoder reject the
+    * stream) and fails the hash against the oracle's algebraic
+    * prediction. Width rule sweeps all four row-padding residues.
+    */
+  val m09BmpMeta = Q(
+    "m09_bmp_meta",
+    """SELECT doc_id AS media_id,
+      |  5 + doc_id % 9 AS width,
+      |  2 + doc_id % 6 AS height,
+      |  CAST(3 AS BIGINT) AS n_channels,
+      |  54 + ((3 * (5 + doc_id % 9) + 3) // 4) * 4 * (2 + doc_id % 6) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "bmp", bmpBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   /** Multimodal QUALITY FILTERING — the modality analog of t03's text
     * gate, and the curation stage every image/audio pipeline runs
     * right after decode: drop media below a resolution / duration
@@ -368,5 +471,5 @@ object Multimodal {
 
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
-      m05MediaQuality, m06MediaDedup, m07Mp3Meta)
+      m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta)
 }

@@ -309,6 +309,89 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MP3: an ID3v2 tag WITH the footer flag skips 10 extra bytes") {
+    def frame(): Array[Byte] = {
+      val hdr = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+      hdr ++ Array.tabulate(417 - 4)(i => (i * 11).toByte)
+    }
+    val stream = Array.fill(3)(frame()).flatten.toArray
+    // header byte 5 bit 4 set = footer present: tag occupies 10 + size
+    // + 10 bytes; without the fix the probe lands on the footer bytes
+    val footered = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0x20) ++ // syncsafe size 10 of tag body
+      Array.fill[Byte](10)(0x21) ++ // the 10-byte footer itself
+      stream
+    assert(Mp3Decoder.isMp3(footered))
+    val f = Mp3Decoder.decode(MediaRow(55L, "audio", footered, "synth"))
+    assert(f.height == 3 && f.width == 44100)
+  }
+
+  test("GIF: GifSynth bytes decode through the JDK LZW codec, predictably") {
+    val w = 9; val h = 4
+    val idx = Array.tabulate(w * h)(j => ((7 + j) % 256).toByte)
+    val payload = GifSynth.encode(w, h, idx)
+    assert(payload.length == GifSynth.predictedBytes(w, h))
+    assert(GifDecoder.isGif(payload))
+    assert(!GifDecoder.isGif("GIF-ish text".getBytes("US-ASCII")))
+
+    val f = GifDecoder.decode(MediaRow(60L, "image", payload, "synth"))
+    assert(f.width == w && f.height == h && f.n_channels == 3)
+    assert(f.n_bytes == payload.length.toLong)
+    // lossless: the decoded raster IS the grayscale palette values,
+    // so the RGB checksum is the exact 31-fold over (v,v,v) triples
+    var expect = 0L
+    idx.foreach { b =>
+      val v = b & 0xff
+      expect = ((expect * 31 + v) * 31 + v) * 31 + v
+    }
+    assert(f.checksum == expect)
+
+    // the sniffer routes GIF magic to the real codec
+    assert(SniffingDecoder().decode(MediaRow(61L, "image", payload, "synth"))
+      .copy(media_id = 60L) == f)
+    // corrupt body fails loudly (header magic alone isn't enough)
+    intercept[Exception] {
+      GifDecoder.decode(MediaRow(62L, "image", payload.take(40), "synth"))
+    }
+  }
+
+  test("BMP: synthesized BI_RGB bytes decode through the JDK codec, predictably") {
+    // w=6: rowSize = ((18+3)/4)*4 = 20 — padding exercised
+    val w = 6; val h = 3
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until dataSize).foreach(j => buf.put(((j * 5) % 256).toByte))
+    val payload = buf.array()
+    assert(BmpDecoder.isBmp(payload))
+    // wrong declared file size fails the sniff (weak "BM" magic alone
+    // must not capture arbitrary binary)
+    val wrongSize = payload.clone(); wrongSize(2) = (wrongSize(2) + 1).toByte
+    assert(!BmpDecoder.isBmp(wrongSize))
+
+    val f = BmpDecoder.decode(MediaRow(70L, "image", payload, "synth"))
+    assert(f.width == w && f.height == h && f.n_channels == 3)
+    assert(f.n_bytes == payload.length.toLong)
+    // lossless bottom-up BGR: fold the checksum from the raster rows
+    // top-down, reading (b,g,r) little-endian triples as (r,g,b)
+    var expect = 0L
+    for (y <- (h - 1) to 0 by -1; x <- 0 until w) {
+      val o = 54 + y * rowSize + 3 * x
+      val bVal = payload(o) & 0xff
+      val gVal = payload(o + 1) & 0xff
+      val rVal = payload(o + 2) & 0xff
+      expect = ((expect * 31 + rVal) * 31 + gVal) * 31 + bVal
+    }
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(71L, "image", payload, "synth"))
+      .copy(media_id = 70L) == f)
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
