@@ -40,7 +40,17 @@ object ScaleProbe {
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters", "t13_corpus_profile",
-    "q68_variant") // needs events.parquet in the scale dir (ScaleGen TABLES=events)
+    "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
+    // the streaming tier (round-7 verdict: the one tier with zero scale
+    // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
+    // per decade: micro-batch machinery + linear work); q72/q73/q78
+    // carry keyed state (session windows / stream-stream join buffers /
+    // RocksDB corpus hashes) whose growth the probe characterizes.
+    // q71-q75 need events.parquet, q76-q78 documents.parquet.
+    "q71_stream_replay", "q72_sessionize", "q73_stream_join_replay",
+    "q74_stream_dedup_replay", "q75_stream_cast_replay",
+    "q76_stream_static_join", "q77_stream_chunk_replay",
+    "q78_stream_ingest_gate")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -35,12 +35,30 @@ object StreamReplay {
     * [[assertEventsEra]] pins the decoded range so a future unit
     * mix-up fails loudly instead of plausibly.
     */
+  /** Streaming parquet source over `$dir/<table>.parquet`, robust to
+    * BOTH physical layouts the table ships in: the driver fixture
+    * writes a single FILE (which the file-stream source rejects as a
+    * direct path — "basePath must be a directory" — so that layout
+    * needs dir + name glob), while ScaleGen and any production writer
+    * emit a DIRECTORY of part files (which the name glob silently
+    * excluded, yielding an EMPTY stream with zero errors — caught by
+    * the round-8 streaming scale probe). Branch on what is actually
+    * on disk; a missing table fails loudly instead of streaming
+    * nothing.
+    */
+  private def tableStream(s: org.apache.spark.sql.SparkSession, d: String,
+      table: String, schema: StructType): org.apache.spark.sql.DataFrame = {
+    val path = new java.io.File(d, s"$table.parquet")
+    require(path.exists(), s"streaming source: $path does not exist")
+    if (path.isDirectory) s.readStream.schema(schema).parquet(path.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     assertEventsEra(s, d)
     val rawSchema = graft.Tables.eventsRawFrame(s, d).schema
-    graft.Tables.normalizeTs(
-      s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+    graft.Tables.normalizeTs(tableStream(s, d, "events", rawSchema))
   }
 
   /** Fixture-era guard: require the decoded ts range to land in a
@@ -396,8 +414,7 @@ object StreamReplay {
     // read nulls if the fixture ever gained or retyped a column
     // (exactly how the hand-written events schema broke in round 6)
     val docsSchema = graft.Tables.documents(s, d).schema
-    val hits = s.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val hits = tableStream(s, d, "documents", docsSchema)
       .filter(!isBench)
       .select(col("doc_id"), explode(winnow16(tokens(col("text")))).as("fp"))
       .join(broadcast(benchFps), "fp")
@@ -429,8 +446,7 @@ object StreamReplay {
   ) { (s, d) =>
     val docsSchema = graft.Tables.documents(s, d).schema
     val chunks = graft.operators.Curation.chunkFrame(
-      s.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d))
+      tableStream(s, d, "documents", docsSchema))
     val sinkName = "graft_q77_replay"
     scala.util.Try(s.catalog.dropTempView(sinkName))
     val query = chunks.writeStream
@@ -481,8 +497,7 @@ object StreamReplay {
       .join(corpFps, Seq("fp"))
       .select(col("doc_id")).distinct()
       .withColumn("nd_hit_raw", lit(true))
-    val incoming = s.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val incoming = tableStream(s, d, "documents", docs.schema)
       .filter(col("source").isin(shard: _*))
       .select(col("doc_id"), col("source"),
         Curation.sparkQuality.as("quality"), md5(col("text")).as("h"))
