@@ -46,7 +46,7 @@ object StreamReplay {
     * on disk; a missing table fails loudly instead of streaming
     * nothing.
     */
-  private def tableStream(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def tableStream(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, schema: StructType): org.apache.spark.sql.DataFrame = {
     val path = new java.io.File(d, s"$table.parquet")
     require(path.exists(), s"streaming source: $path does not exist")
