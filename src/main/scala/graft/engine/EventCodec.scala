@@ -53,6 +53,7 @@ object EventCodec {
       if (len + extra > arr.length)
         arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, len + extra))
     def put(b: Int): Unit = { ensure(1); arr(len) = b.toByte; len += 1 }
+    def reset(): Unit = len = 0
     def putBytes(bs: Array[Byte], n: Int): Unit = {
       ensure(n); System.arraycopy(bs, 0, arr, len, n); len += n
     }
@@ -79,17 +80,29 @@ object EventCodec {
       out.put(0xdf) // always map32
       writeBe32(out, m.size)
       // deterministic key order so encode is a pure function; sorted
-      // via a direct comparator — the previous sortBy-on-keyOrder-
-      // tuples allocated a boxed 4-tuple per key per hop and compared
-      // through Ordering.Tuple4's boxing
-      val entries = new Array[(EValue, EValue)](m.size)
+      // over parallel key/value arrays with a direct comparator — the
+      // previous sortBy-on-keyOrder-tuples allocated a boxed 4-tuple
+      // per key per hop and compared through Ordering.Tuple4's boxing
+      // (foreachEntry + insertion sort: zero per-entry allocations)
+      val n = m.size
+      val ks = new Array[EValue](n)
+      val vs = new Array[EValue](n)
       var i = 0
-      m.foreach { e => entries(i) = e; i += 1 }
-      if (entries.length > 1) java.util.Arrays.sort(entries, KeyComparator)
-      i = 0
-      while (i < entries.length) {
-        write(out, entries(i)._1); write(out, entries(i)._2); i += 1
+      m.foreachEntry { (k, v) => ks(i) = k; vs(i) = v; i += 1 }
+      // insertion sort: event maps are small (a handful of fields);
+      // stable, allocation-free, and exact for any n
+      i = 1
+      while (i < n) {
+        val k = ks(i); val v = vs(i)
+        var j = i - 1
+        while (j >= 0 && compareKeys(ks(j), k) > 0) {
+          ks(j + 1) = ks(j); vs(j + 1) = vs(j); j -= 1
+        }
+        ks(j + 1) = k; vs(j + 1) = v
+        i += 1
       }
+      i = 0
+      while (i < n) { write(out, ks(i)); write(out, vs(i)); i += 1 }
   }
 
   /** Total order on map keys: by type rank (int, float, str, bool,
@@ -106,18 +119,15 @@ object EventCodec {
     case EMap(_)   => 5
   }
 
-  private object KeyComparator extends java.util.Comparator[(EValue, EValue)] {
-    override def compare(a: (EValue, EValue), b: (EValue, EValue)): Int = {
-      val (ka, kb) = (a._1, b._1)
-      val byRank = Integer.compare(keyRank(ka), keyRank(kb))
-      if (byRank != 0) byRank
-      else (ka, kb) match {
-        case (EInt(x), EInt(y))     => java.lang.Long.compare(x, y)
-        case (EFloat(x), EFloat(y)) => java.lang.Double.compare(x, y)
-        case (EStr(x), EStr(y))     => x.compareTo(y)
-        case (EBool(x), EBool(y))   => java.lang.Boolean.compare(x, y)
-        case _                      => 0 // ENil/EMap: equal within rank, as before
-      }
+  private def compareKeys(ka: EValue, kb: EValue): Int = {
+    val byRank = Integer.compare(keyRank(ka), keyRank(kb))
+    if (byRank != 0) byRank
+    else (ka, kb) match {
+      case (EInt(x), EInt(y))     => java.lang.Long.compare(x, y)
+      case (EFloat(x), EFloat(y)) => java.lang.Double.compare(x, y)
+      case (EStr(x), EStr(y))     => x.compareTo(y)
+      case (EBool(x), EBool(y))   => java.lang.Boolean.compare(x, y)
+      case _                      => 0 // ENil/EMap: equal within rank, as before
     }
   }
 
@@ -137,8 +147,33 @@ object EventCodec {
     else { out.put(0xcb); writeBe64(out, java.lang.Double.doubleToLongBits(d)) }
   }
 
+  /** Per-thread encode cache, String identity → UTF-8 bytes: hop
+    * loops re-encode the SAME key String instances every hop (decode
+    * returns shared instances via the twin cache below), so the
+    * identity hit rate on the hop path is ~100% and each hit saves a
+    * getBytes allocation+copy. Bounded (512 slots), collision = plain
+    * recompute; identity keying makes a stale hit impossible.
+    */
+  private final class EncCache {
+    val keys = new Array[String](512)
+    val vals = new Array[Array[Byte]](512)
+  }
+  private val encCache = ThreadLocal.withInitial(() => new EncCache)
+
+  private def utf8(s: String): Array[Byte] = {
+    if (s.length > 32) return s.getBytes(StandardCharsets.UTF_8)
+    val c = encCache.get()
+    val slot = System.identityHashCode(s) & 511
+    if (c.keys(slot) eq s) c.vals(slot)
+    else {
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      c.keys(slot) = s; c.vals(slot) = bytes
+      bytes
+    }
+  }
+
   private def writeStr(out: Buf, s: String): Unit = {
-    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val bytes = utf8(s)
     val n = bytes.length
     if (n <= 31) out.put(0xa0 | n)
     else if (n <= 0xff) { out.put(0xd9); out.put(n) }
@@ -186,21 +221,56 @@ object EventCodec {
       case 0xdb                    => readStr(buf, buf.getInt())
       case 0xdf                    =>
         val n = buf.getInt()
-        // while-loop + builder: the Range.map(...).toMap spelling
-        // allocated an intermediate vector of tuples per hop
-        val b = Map.newBuilder[EValue, EValue]
-        b.sizeHint(n)
+        // updated-chain in a while loop: the Range.map(...).toMap
+        // spelling allocated an intermediate vector of tuples per
+        // hop, and even the builder allocates one tuple per entry
+        var m = Map.empty[EValue, EValue]
         var i = 0
-        while (i < n) { b += ((read(buf), read(buf))); i += 1 }
-        EMap(b.result())
+        while (i < n) { m = m.updated(read(buf), read(buf)); i += 1 }
+        EMap(m)
       case other                   => throw new UnrecognizedTag(other)
     }
   }
 
+  /** Per-thread decode cache, UTF-8 bytes → shared EStr: the hop
+    * loop decodes the same few map keys ("event_id", "value", …)
+    * once per hop, and each hit replaces two allocations (byte copy +
+    * String decode) with one array compare — and, because hits return
+    * the SAME EStr/String instances, it also feeds the encode side's
+    * identity cache. Bounded (512 slots); a collision just rebuilds
+    * and replaces, and the byte-compare makes a wrong hit impossible.
+    */
+  private final class DecCache {
+    val keys = new Array[Array[Byte]](512)
+    val vals = new Array[EStr](512)
+  }
+  private val decCache = ThreadLocal.withInitial(() => new DecCache)
+
   private def readStr(buf: ByteBuffer, n: Int): EStr = {
-    val bytes = new Array[Byte](n)
-    buf.get(bytes)
-    EStr(new String(bytes, StandardCharsets.UTF_8))
+    if (n <= 32 && buf.hasArray) {
+      val arr = buf.array()
+      val off = buf.arrayOffset() + buf.position()
+      var h = 1; var i = 0
+      while (i < n) { h = h * 31 + arr(off + i); i += 1 }
+      val c = decCache.get()
+      val slot = (h ^ (h >>> 16)) & 511
+      val k = c.keys(slot)
+      if (k != null && k.length == n &&
+          java.util.Arrays.equals(k, 0, n, arr, off, off + n)) {
+        buf.position(buf.position() + n)
+        c.vals(slot)
+      } else {
+        val bytes = new Array[Byte](n)
+        buf.get(bytes)
+        val v = EStr(new String(bytes, StandardCharsets.UTF_8))
+        c.keys(slot) = bytes; c.vals(slot) = v
+        v
+      }
+    } else {
+      val bytes = new Array[Byte](n)
+      buf.get(bytes)
+      EStr(new String(bytes, StandardCharsets.UTF_8))
+    }
   }
 
   /** Debug dump sink (reference K2, main.zig:218-236, `--dump-events`):
@@ -220,8 +290,15 @@ object EventCodec {
     * The decode reads the encoder's buffer in place (same bytes
     * `encode` would return, minus one defensive copy per hop).
     */
+  private val hopBuf = ThreadLocal.withInitial(() => new Buf(256))
+
   def roundTrip(e: DynEvent): DynEvent = {
-    val out = new Buf(64)
+    // per-thread reusable buffer: the hop path runs millions of times
+    // per task, decode completes before return, and nothing aliases
+    // the buffer afterwards (the decode-side string cache stores
+    // copies) — so reuse is safe and saves two allocations per hop
+    val out = hopBuf.get()
+    out.reset()
     write(out, EValue.EMap(e.fields))
     read(out.toByteBuffer) match {
       case EValue.EMap(m) => DynEvent(m)
