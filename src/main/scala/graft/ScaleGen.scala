@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    decorrelate to near-random.
   *
   *  - events: replica k re-keys event_id by +k·N and user_id by
-  *    +k·1009 (a prime stride so per-user event counts replicate
-  *    without aliasing); ts/props repeat verbatim — the q68 variant
+  *    +k·(max user_id + 1) (a data-derived stride, so replica user
+  *    populations are disjoint at any corpus size — a fixed stride
+  *    aliased once the corpus outgrew it); ts/props repeat verbatim
+  *    — the q68 variant
   *    histogram and the windowed aggregates scale linearly by
   *    construction. `ts` passes through in whatever raw form the
   *    source fixture uses — legacy TIMESTAMP(NANOS) decodes to a
@@ -63,11 +65,19 @@ object ScaleGen {
       // conf needed when the source is TIMESTAMP(NANOS)
       val ev = Tables.eventsRawFrame(spark, srcDir)
       val nEv = ev.count()
+      // stride past the ACTUAL id range: the old fixed prime (1009)
+      // aliased replicas whenever the corpus had more users than the
+      // stride, silently merging different users' event streams into
+      // one key (measured in the round-8 streaming probe: q72's sf1
+      // session count came out sub-10×). max+1 keeps every replica's
+      // user population fully disjoint at any corpus size.
+      val userStride = ev.agg(org.apache.spark.sql.functions.max(col("user_id")))
+        .head().getLong(0) + 1L
       ev.crossJoin(reps)
         .select(
           (col("event_id") + col("rep") * nEv).as("event_id"),
           col("ts"),
-          (col("user_id") + col("rep") * 1009L).as("user_id"),
+          (col("user_id") + col("rep") * userStride).as("user_id"),
           col("event_type"), col("value"), col("props"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")

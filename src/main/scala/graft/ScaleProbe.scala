@@ -41,6 +41,10 @@ object ScaleProbe {
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters", "t13_corpus_profile",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
+    // the codec tier: per-partition synth + real byte-parser decode
+    // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,
+    // expected ≈flat until the decode itself outweighs the floor
+    "m04_media_decode", "m07_mp3_meta", "m08_gif_meta", "m09_bmp_meta",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78
