@@ -45,6 +45,7 @@ object ScaleProbe {
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,
     // expected ≈flat until the decode itself outweighs the floor
     "m04_media_decode", "m07_mp3_meta", "m08_gif_meta", "m09_bmp_meta",
+    "m10_mp4_meta",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78
@@ -169,8 +170,12 @@ object ScaleProbe {
     val results = scales.map { case (label, dir) =>
       val only = onlyFor(label)
       // pay the parquet-footer + first-touch cost once per scale dir
-      Tables.documents(spark, dir).limit(10).count()
-      Tables.embeddings(spark, dir).limit(10).count()
+      // (events-only scale dirs exist for the streaming/q68 probes —
+      // ScaleGen TABLES=events — so touch only what's present)
+      if (new java.io.File(s"$dir/documents.parquet").exists())
+        Tables.documents(spark, dir).limit(10).count()
+      if (new java.io.File(s"$dir/embeddings.parquet").exists())
+        Tables.embeddings(spark, dir).limit(10).count()
       // materialize the shredded-variant table outside the timings:
       // it is INGEST-time work (built once per corpus, like the
       // parquet itself) — q68's probe measures the query over

@@ -29,11 +29,12 @@ final case class MediaFeatures(
   * external dependencies — P6 PPM and PCM WAV (hand parsers), PNG
   * (hand chunk/inflate/filter pipeline over `java.util.zip`), and
   * JPEG/GIF/BMP (the JDK's bundled ImageIO codecs) — routed by
-  * [[SniffingDecoder]], plus a real MP3 frame-structure metadata
-  * parser (PCM decode stays out of scope — no JDK codec); only
-  * formats with neither a JDK codec nor a hand-parseable structure
-  * (true video containers, e.g. MP4/WebM) fall back to a
-  * clearly-marked deterministic stub. The Spark plumbing (schema,
+  * [[SniffingDecoder]], plus real STRUCTURE parsers for the
+  * compressed-media containers — MP3 frame-sequence metadata
+  * ([[Mp3Decoder]]) and MP4/ISO-BMFF box-tree metadata
+  * ([[Mp4Decoder]]); only codec-frame decode of formats without a
+  * JDK codec (MP3 PCM synthesis, MP4/WebM coded samples) falls back
+  * to a clearly-marked deterministic stub. The Spark plumbing (schema,
   * batching, partition distribution) is identical either way, and a
   * production codec binding touches only this trait.
   */
@@ -721,10 +722,139 @@ object Mp3Decoder extends MediaDecoder {
   }
 }
 
+/** REAL MP4/ISO-BMFF CONTAINER METADATA parser — the video analog of
+  * [[Mp3Decoder]]. Codec-frame decode (H.264 etc.) needs a codec no
+  * JDK ships and stays a loud stub, but the CONTAINER is a
+  * hand-parseable spec exactly like WAV's chunk list or MP3's frame
+  * sequence: a flat tree of size-prefixed boxes (4-byte big-endian
+  * length + 4-char type), where `moov/mvhd` carries timescale +
+  * duration, each `moov/trak/tkhd` carries track id and 16.16
+  * fixed-point presentation dimensions, and `mdat` carries the coded
+  * samples. This walks the real tree — both mvhd/tkhd versions (v0
+  * 32-bit and v1 64-bit times), `size==0` ("to end of file") and a
+  * loud failure on `size==1` 64-bit largesize (payloads here are
+  * in-memory byte arrays ≪ 4 GiB, so a largesize is corruption, not
+  * scale) — and emits container-exact metadata: presentation
+  * width/height from the first video-sized tkhd, track count, and a
+  * checksum folded over the `mdat` payload bytes (the coded stream —
+  * same fold and scope as WAV's data chunk / MP3's frames). What a
+  * 100 TB curation pipeline actually filters on (duration floors,
+  * resolution gates, track sanity) is exactly this container
+  * metadata; only the per-frame pixel decode remains behind
+  * [[FakeDecoder]].
+  */
+object Mp4Decoder extends MediaDecoder {
+
+  /** MP4 sniff: the spec-mandated `ftyp` box first (its 4-byte size
+    * may vary; the type at offset 4 is the signature). `moov`-first
+    * files exist in theory, but every muxer writes `ftyp` first —
+    * anything else keeps falling through to the stub.
+    */
+  def isMp4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p'
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, "US-ASCII")
+
+  /** Resolved [start, end) of the box at `i`, handling size==0
+    * (to end of enclosing range) and rejecting size==1 largesize.
+    */
+  private def boxEnd(b: Array[Byte], i: Int, limit: Int, mediaId: Long): Int = {
+    require(i + 8 <= limit, s"media_id=$mediaId: truncated box header at $i")
+    val size = be32(b, i)
+    require(size != 1, s"media_id=$mediaId: 64-bit largesize box unsupported")
+    if (size == 0) limit
+    else {
+      require(size >= 8 && i + size <= limit,
+        s"media_id=$mediaId: bad box size $size at $i (limit $limit)")
+      i + size.toInt
+    }
+  }
+
+  /** Walks the child boxes of [start, end), invoking `f(type, boxStart,
+    * boxEnd)` per box.
+    */
+  private def walk(b: Array[Byte], start: Int, end: Int, mediaId: Long)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var i = start
+    while (i < end) {
+      val e = boxEnd(b, i, end, mediaId)
+      f(boxType(b, i), i, e)
+      i = e
+    }
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isMp4(b), s"media_id=${row.media_id}: not an ISO-BMFF payload")
+    var sawFtyp = false
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var checksum = 0L
+    walk(b, 0, b.length, row.media_id) { (t, s, e) =>
+      t match {
+        case "ftyp" => sawFtyp = true
+        case "moov" =>
+          walk(b, s + 8, e, row.media_id) { (ct, cs, ce) =>
+            ct match {
+              case "mvhd" =>
+                val v = b(cs + 8) & 0xff
+                // v0: ver/flags, ctime, mtime, timescale@+20, dur@+24 (32-bit)
+                // v1: 64-bit ctime/mtime push timescale to +28, dur@+32 (64-bit)
+                if (v == 0) { timescale = be32(b, cs + 20); duration = be32(b, cs + 24) }
+                else {
+                  timescale = be32(b, cs + 28)
+                  duration = (be32(b, cs + 32) << 32) | be32(b, cs + 36)
+                }
+              case "trak" =>
+                nTracks += 1
+                walk(b, cs + 8, ce, row.media_id) { (tt, ts, _) =>
+                  if (tt == "tkhd") {
+                    val v = b(ts + 8) & 0xff
+                    // width/height are 16.16 fixed point at the end of the
+                    // box: v0 +84/+88, v1 (64-bit times = +12) +96/+100
+                    val off = if (v == 0) 84 else 96
+                    val w = (be32(b, ts + off) >> 16).toInt
+                    val h = (be32(b, ts + off + 4) >> 16).toInt
+                    if (width == 0 && w > 0 && h > 0) { width = w; height = h }
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case "mdat" =>
+          var j = s + 8
+          while (j < e) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+        case _ => ()
+      }
+    }
+    require(sawFtyp, s"media_id=${row.media_id}: no ftyp box")
+    require(timescale > 0, s"media_id=${row.media_id}: no mvhd or zero timescale")
+    require(duration >= 0, s"media_id=${row.media_id}: negative mvhd duration")
+    require(nTracks > 0, s"media_id=${row.media_id}: moov carries no tracks")
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = width,       // presentation dims from the first video tkhd
+      height = height,
+      n_channels = nTracks, // track count, the container's "channel" axis
+      checksum = checksum)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
-  * everything else to `fallback` (the stub — now only formats with
-  * neither a JDK codec nor a hand-parseable structure, e.g. video
-  * containers).
+  * everything else to `fallback` (the stub — now only codec-frame
+  * decode of formats without a JDK codec, e.g. the coded samples
+  * inside MP4/WebM; MP4 container metadata itself parses for real).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =
@@ -735,6 +865,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (GifDecoder.isGif(row.payload)) GifDecoder.decode(row)
     else if (BmpDecoder.isBmp(row.payload)) BmpDecoder.decode(row)
     else if (Mp3Decoder.isMp3(row.payload)) Mp3Decoder.decode(row)
+    else if (Mp4Decoder.isMp4(row.payload)) Mp4Decoder.decode(row)
     else fallback.decode(row)
 }
 

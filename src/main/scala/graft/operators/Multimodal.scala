@@ -371,6 +371,98 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic MP4/ISO-BMFF payload: `ftyp` (20 B) + `moov`
+    * carrying one mvhd v0 (timescale 1000, duration 1000 + doc_id
+    * mod 5000) and 1..3 trak/tkhd boxes + `mdat` (16 + doc_id mod 97
+    * payload bytes). Only the LAST track carries the presentation
+    * dims; earlier tracks are zero-dim (the audio-track shape), so
+    * the decoder's first-video-sized-tkhd selection is exercised
+    * whenever doc_id mod 3 ≠ 0. Every byte is a pure function of
+    * doc_id, so the parsed metadata is algebraically predictable.
+    */
+  private def mp4Bytes(docId: Long): Array[Byte] = {
+    val nTracks = (1 + docId % 3).toInt
+    val w = (16 + (docId % 32) * 4).toInt
+    val h = (16 + (docId % 18) * 8).toInt
+    val duration = (1000 + docId % 5000).toInt
+    val dataLen = (16 + docId % 97).toInt
+    val moovSize = 8 + 108 + nTracks * 100
+    val buf = java.nio.ByteBuffer.allocate(20 + moovSize + 8 + dataLen) // big-endian
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    def unityMatrix(): Unit = {
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+      buf.putInt(0).putInt(0x00010000).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    buf.putInt(20); tag("ftyp"); tag("isom"); buf.putInt(0); tag("isom")
+    buf.putInt(moovSize); tag("moov")
+    buf.putInt(108); tag("mvhd")
+    buf.putInt(0)                                   // version 0 + flags
+      .putInt(0).putInt(0)                          // ctime, mtime
+      .putInt(1000).putInt(duration)                // timescale, duration
+      .putInt(0x00010000).putShort(0x0100.toShort)  // rate 1.0, volume 1.0
+      .putShort(0).putInt(0).putInt(0)              // reserved 2 + 8
+    unityMatrix()
+    var p = 0
+    while (p < 6) { buf.putInt(0); p += 1 }         // pre_defined 24 B
+    buf.putInt(nTracks + 1)                         // next_track_id
+    var t = 1
+    while (t <= nTracks) {
+      buf.putInt(100); tag("trak")
+      buf.putInt(92); tag("tkhd")
+      buf.putInt(0x000007)                          // v0, enabled|in-movie|in-preview
+        .putInt(0).putInt(0)                        // ctime, mtime
+        .putInt(t).putInt(0).putInt(duration)       // track_id, reserved, duration
+        .putLong(0L)                                // reserved 8
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, vol, reserved
+      unityMatrix()
+      val video = t == nTracks
+      buf.putInt(if (video) w << 16 else 0).putInt(if (video) h << 16 else 0)
+      t += 1
+    }
+    buf.putInt(8 + dataLen); tag("mdat")
+    var j = 0
+    while (j < dataLen) { buf.put(((docId + j) % 256).toByte); j += 1 }
+    buf.array()
+  }
+
+  /** The MP4 leg of the codec tier under the oracle: synthesize
+    * genuine ISO-BMFF box trees per-partition (ftyp/moov/mvhd/
+    * trak×N/tkhd/mdat, zero-dim audio tracks ahead of the video
+    * track), walk them with `Mp4Decoder`'s real box parser via the
+    * same SniffingDecoder routing production uses, and hash-compare
+    * the PARSED presentation dims / track count / byte length to the
+    * oracle's algebraic prediction — a mis-sized box shifts every
+    * subsequent box boundary, and a wrong tkhd field offset reads
+    * matrix bytes as dimensions; either fails the hash (or the
+    * parser's own require). Same zero-shuffle per-partition shape as
+    * m04/m07/m08/m09.
+    */
+  val m10Mp4Meta = Q(
+    "m10_mp4_meta",
+    """SELECT doc_id AS media_id,
+      |  16 + (doc_id % 32) * 4 AS width,
+      |  16 + (doc_id % 18) * 8 AS height,
+      |  1 + doc_id % 3 AS n_tracks,
+      |  160 + (1 + doc_id % 3) * 100 + doc_id % 97 AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "mp4", mp4Bytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_tracks"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   /** Multimodal QUALITY FILTERING — the modality analog of t03's text
     * gate, and the curation stage every image/audio pipeline runs
     * right after decode: drop media below a resolution / duration
@@ -471,5 +563,6 @@ object Multimodal {
 
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
-      m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta)
+      m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
+      m10Mp4Meta)
 }

@@ -392,6 +392,105 @@ class MediaPipelineSpec extends AnyFunSuite {
       .copy(media_id = 70L) == f)
   }
 
+  test("MP4: ISO-BMFF box-tree metadata parses from a real synthesized container") {
+    def tag(buf: java.nio.ByteBuffer, s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    def matrix(buf: java.nio.ByteBuffer): Unit = {
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+      buf.putInt(0).putInt(0x00010000).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    def mvhdV0(buf: java.nio.ByteBuffer, timescale: Int, dur: Int): Unit = {
+      buf.putInt(108); tag(buf, "mvhd")
+      buf.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(dur)
+        .putInt(0x00010000).putShort(0x0100.toShort)
+        .putShort(0).putInt(0).putInt(0)
+      matrix(buf)
+      (1 to 6).foreach(_ => buf.putInt(0))
+      buf.putInt(2)
+    }
+    def trakV0(buf: java.nio.ByteBuffer, id: Int, w: Int, h: Int): Unit = {
+      buf.putInt(100); tag(buf, "trak")
+      buf.putInt(92); tag(buf, "tkhd")
+      buf.putInt(7).putInt(0).putInt(0).putInt(id).putInt(0).putInt(500)
+        .putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+      matrix(buf)
+      buf.putInt(w << 16).putInt(h << 16)
+    }
+    // two tracks: a zero-dim audio track FIRST, then the video track —
+    // the decoder must skip to the first video-sized tkhd
+    val data = Array.tabulate(23)(i => (i * 7).toByte)
+    val moovSize = 8 + 108 + 2 * 100
+    val buf = java.nio.ByteBuffer.allocate(20 + moovSize + 8 + data.length) // big-endian
+    buf.putInt(20); tag(buf, "ftyp"); tag(buf, "isom"); buf.putInt(0); tag(buf, "isom")
+    buf.putInt(moovSize); tag(buf, "moov")
+    mvhdV0(buf, 1000, 4321)
+    trakV0(buf, 1, 0, 0)
+    trakV0(buf, 2, 640, 360)
+    buf.putInt(8 + data.length); tag(buf, "mdat"); buf.put(data)
+    val payload = buf.array()
+
+    assert(Mp4Decoder.isMp4(payload))
+    assert(!Mp4Decoder.isMp4("not a movie at all!!".getBytes("US-ASCII")))
+    val f = Mp4Decoder.decode(MediaRow(80L, "video", payload, "synth"))
+    assert(f.width == 640 && f.height == 360 && f.n_channels == 2)
+    assert(f.n_bytes == payload.length.toLong)
+    // the checksum folds over the mdat payload only (the coded stream)
+    var expect = 0L
+    data.foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(81L, "video", payload, "synth"))
+      .copy(media_id = 80L) == f)
+
+    // size==0 means "to end of file": an open-ended trailing mdat parses
+    val open = payload.clone()
+    val mdatOff = 20 + moovSize
+    open(mdatOff) = 0; open(mdatOff + 1) = 0; open(mdatOff + 2) = 0; open(mdatOff + 3) = 0
+    assert(Mp4Decoder.decode(MediaRow(82L, "video", open, "synth")).checksum == expect)
+
+    // size==1 (64-bit largesize) fails loudly, as does a truncated tree
+    val large = payload.clone(); large(mdatOff + 3) = 1
+    intercept[IllegalArgumentException] {
+      Mp4Decoder.decode(MediaRow(83L, "video", large, "synth"))
+    }
+    intercept[IllegalArgumentException] {
+      Mp4Decoder.decode(MediaRow(84L, "video", payload.take(40), "synth"))
+    }
+  }
+
+  test("MP4: version-1 mvhd/tkhd (64-bit times) parse at their shifted offsets") {
+    def tag(buf: java.nio.ByteBuffer, s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    def matrix(buf: java.nio.ByteBuffer): Unit = {
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+      buf.putInt(0).putInt(0x00010000).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    // v1 mvhd = 120 B (three 64-bit times), v1 tkhd = 104 B
+    val moovSize = 8 + 120 + (8 + 104)
+    val buf = java.nio.ByteBuffer.allocate(20 + moovSize)
+    buf.putInt(20); tag(buf, "ftyp"); tag(buf, "isom"); buf.putInt(0); tag(buf, "isom")
+    buf.putInt(moovSize); tag(buf, "moov")
+    buf.putInt(120); tag(buf, "mvhd")
+    buf.putInt(0x01000000)                    // version 1
+      .putLong(0L).putLong(0L)                // ctime, mtime (64-bit)
+      .putInt(90000).putLong(123456789L)      // timescale, duration (64-bit)
+      .putInt(0x00010000).putShort(0x0100.toShort)
+      .putShort(0).putInt(0).putInt(0)
+    matrix(buf)
+    (1 to 6).foreach(_ => buf.putInt(0))
+    buf.putInt(2)
+    buf.putInt(8 + 104); tag(buf, "trak")
+    buf.putInt(104); tag(buf, "tkhd")
+    buf.putInt(0x01000007)                    // version 1, enabled flags
+      .putLong(0L).putLong(0L)                // ctime, mtime (64-bit)
+      .putInt(1).putInt(0).putLong(500L)      // track_id, reserved, duration (64-bit)
+      .putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+    matrix(buf)
+    buf.putInt(1920 << 16).putInt(1080 << 16)
+    val f = Mp4Decoder.decode(MediaRow(85L, "video", buf.array(), "synth"))
+    assert(f.width == 1920 && f.height == 1080 && f.n_channels == 1)
+    assert(f.checksum == 0L) // no mdat: nothing to fold
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
