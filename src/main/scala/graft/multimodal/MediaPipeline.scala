@@ -851,10 +851,232 @@ object Mp4Decoder extends MediaDecoder {
   }
 }
 
+/** REAL FLAC STREAMINFO parser — the lossless-compressed-audio
+  * analog of [[Mp3Decoder]]. FLAC frame decode (rice-coded residual
+  * synthesis) needs a codec no JDK ships and stays a loud stub, but
+  * the container is a hand-parseable spec: a 4-byte `fLaC` magic,
+  * then size-prefixed metadata blocks (1-byte last-flag|type header +
+  * 24-bit big-endian length) of which the first is the mandatory
+  * 34-byte STREAMINFO — sample rate (20 bits), channels−1 (3 bits),
+  * bits-per-sample−1 (5 bits) and total samples (36 bits) bit-packed
+  * into one 64-bit word — and everything after the last metadata
+  * block is the coded frame stream. Exactly the fields a curation
+  * pipeline filters audio on (rate floors, channel sanity, duration
+  * = totalSamples∕rate); the checksum folds over the frame bytes,
+  * same fold and scope as WAV's data chunk / MP3's frames / MP4's
+  * mdat.
+  */
+object FlacDecoder extends MediaDecoder {
+
+  /** FLAC sniff: the `fLaC` magic AND a well-formed leading
+    * STREAMINFO block header (type 0, length 34) — a text payload
+    * that merely starts with "fLaC" keeps falling through.
+    */
+  def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C' && (b(4) & 0x7f) == 0 &&
+      ((b(5) & 0xff) << 16 | (b(6) & 0xff) << 8 | (b(7) & 0xff)) == 34
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isFlac(b), s"media_id=${row.media_id}: not a FLAC payload")
+    var i = 4
+    var last = false
+    var rate = -1
+    var channels = -1
+    var totalSamples = -1L
+    while (!last) {
+      require(i + 4 <= b.length, s"media_id=${row.media_id}: truncated block header at $i")
+      last = (b(i) & 0x80) != 0
+      val blockType = b(i) & 0x7f
+      val len = (b(i + 1) & 0xff) << 16 | (b(i + 2) & 0xff) << 8 | (b(i + 3) & 0xff)
+      require(i + 4 + len <= b.length,
+        s"media_id=${row.media_id}: metadata block overruns payload at $i")
+      if (blockType == 0) {
+        // STREAMINFO: skip min/max block size (4 B) + min/max frame
+        // size (6 B); the next 8 bytes pack rate/channels/bps/samples.
+        val p = i + 4 + 10
+        var word = 0L
+        var k = 0
+        while (k < 8) { word = (word << 8) | (b(p + k) & 0xffL); k += 1 }
+        rate = ((word >>> 44) & 0xfffff).toInt
+        channels = ((word >>> 41) & 0x7).toInt + 1
+        totalSamples = word & 0xfffffffffL
+      }
+      i += 4 + len
+    }
+    require(rate > 0, s"media_id=${row.media_id}: no STREAMINFO or zero sample rate")
+    var checksum = 0L
+    var j = i
+    while (j < b.length) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = rate,                    // sample rate, same mapping as WavDecoder
+      height = totalSamples.toInt,     // total samples (= duration · rate)
+      n_channels = channels,
+      checksum = checksum)
+  }
+}
+
+/** REAL Matroska/WebM (EBML) CONTAINER METADATA parser — the second
+  * video-container leg next to [[Mp4Decoder]]. Codec-frame decode
+  * (VP9/Opus etc.) stays a loud stub, but the container is a
+  * hand-parseable spec: a tree of EBML elements, each a
+  * variable-length ID (leading-zero-count class encoding, marker bit
+  * kept) + a variable-length size (marker bit stripped) + payload.
+  * This walks the real tree — EBML header → DocType, Segment → Info
+  * (TimestampScale, Duration), Tracks → TrackEntry (TrackType,
+  * Video→PixelWidth/PixelHeight, Audio→Channels), Cluster →
+  * SimpleBlock — and emits container-exact metadata: presentation
+  * dims from the first VIDEO track, track count, and a checksum over
+  * the SimpleBlock coded bytes (same fold and scope as MP4's mdat).
+  * Non-minimal size encodings (an 8-byte varint on Segment/Cluster,
+  * the streaming-muxer shape) parse identically to minimal ones.
+  */
+object MkvDecoder extends MediaDecoder {
+
+  /** Matroska sniff: the EBML magic 0x1A45DFA3. */
+  def isMkv(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 0x1a.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xdf.toByte && b(3) == 0xa3.toByte
+
+  /** Length in bytes of the varint starting at `i` (position of the
+    * highest set bit in the first byte).
+    */
+  private def vintLen(b: Array[Byte], i: Int, mediaId: Long): Int = {
+    val h = b(i) & 0xff
+    require(h != 0, s"media_id=$mediaId: invalid EBML varint (zero lead byte) at $i")
+    var mask = 0x80; var n = 1
+    while ((h & mask) == 0) { mask >>= 1; n += 1 }
+    n
+  }
+
+  /** EBML element ID at `i`: all bytes INCLUDING the marker bit (the
+    * spec's class-encoded form, matching the published ID tables).
+    */
+  private def readId(b: Array[Byte], i: Int, n: Int): Long = {
+    var v = 0L; var k = 0
+    while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+    v
+  }
+
+  /** EBML data size at `i`: marker bit stripped. */
+  private def readSize(b: Array[Byte], i: Int, n: Int): Long = {
+    var v = (b(i) & (0xff >>> n)).toLong
+    var k = 1
+    while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+    v
+  }
+
+  /** Unsigned big-endian integer payload. */
+  private def uint(b: Array[Byte], i: Int, len: Int): Long = {
+    var v = 0L; var k = 0
+    while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+    v
+  }
+
+  /** Walks child elements of [start, end), invoking
+    * `f(id, payloadStart, payloadEnd)` per element.
+    */
+  private def walk(b: Array[Byte], start: Int, end: Int, mediaId: Long)(
+      f: (Long, Int, Int) => Unit): Unit = {
+    var i = start
+    while (i < end) {
+      val idLen = vintLen(b, i, mediaId)
+      require(i + idLen <= end, s"media_id=$mediaId: truncated element id at $i")
+      val id = readId(b, i, idLen)
+      val szLen = vintLen(b, i + idLen, mediaId)
+      require(i + idLen + szLen <= end, s"media_id=$mediaId: truncated size at $i")
+      val size = readSize(b, i + idLen, szLen)
+      val ps = i + idLen + szLen
+      val pe = ps + size.toInt
+      require(size >= 0 && pe <= end,
+        s"media_id=$mediaId: element 0x${id.toHexString} overruns parent at $i")
+      f(id, ps, pe)
+      i = pe
+    }
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isMkv(b), s"media_id=${row.media_id}: not an EBML payload")
+    var docType = ""
+    var timescale = -1L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var checksum = 0L
+    walk(b, 0, b.length, row.media_id) { (id, s, e) =>
+      id match {
+        case 0x1a45dfa3L => // EBML header
+          walk(b, s, e, row.media_id) { (cid, cs, ce) =>
+            if (cid == 0x4282L) docType = new String(b, cs, ce - cs, "US-ASCII")
+          }
+        case 0x18538067L => // Segment
+          walk(b, s, e, row.media_id) { (cid, cs, ce) =>
+            cid match {
+              case 0x1549a966L => // Info
+                walk(b, cs, ce, row.media_id) { (iid, is, ie) =>
+                  if (iid == 0x2ad7b1L) timescale = uint(b, is, ie - is)
+                }
+              case 0x1654ae6bL => // Tracks
+                walk(b, cs, ce, row.media_id) { (tid, ts, te) =>
+                  if (tid == 0xaeL) { // TrackEntry
+                    nTracks += 1
+                    var trackType = -1L
+                    var w = 0; var h = 0
+                    walk(b, ts, te, row.media_id) { (eid, es, ee) =>
+                      eid match {
+                        case 0x83L => trackType = uint(b, es, ee - es)
+                        case 0xe0L => // Video
+                          walk(b, es, ee, row.media_id) { (vid, vs, ve) =>
+                            if (vid == 0xb0L) w = uint(b, vs, ve - vs).toInt
+                            else if (vid == 0xbaL) h = uint(b, vs, ve - vs).toInt
+                          }
+                        case _ => ()
+                      }
+                    }
+                    if (trackType == 1 && width == 0 && w > 0 && h > 0) {
+                      width = w; height = h
+                    }
+                  }
+                }
+              case 0x1f43b675L => // Cluster
+                walk(b, cs, ce, row.media_id) { (kid, ks, ke) =>
+                  if (kid == 0xa3L) { // SimpleBlock: track vint + s16 + flags
+                    val skip = vintLen(b, ks, row.media_id) + 3
+                    var j = ks + skip
+                    while (j < ke) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    require(docType == "webm" || docType == "matroska",
+      s"media_id=${row.media_id}: unexpected EBML DocType '$docType'")
+    require(timescale > 0, s"media_id=${row.media_id}: no Info or zero TimestampScale")
+    require(nTracks > 0, s"media_id=${row.media_id}: Tracks carries no entries")
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = width,        // presentation dims from the first video track
+      height = height,
+      n_channels = nTracks, // track count, same axis as Mp4Decoder
+      checksum = checksum)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
-  * everything else to `fallback` (the stub — now only codec-frame
+  * everything else to `fallback` (the stub — now only codec-FRAME
   * decode of formats without a JDK codec, e.g. the coded samples
-  * inside MP4/WebM; MP4 container metadata itself parses for real).
+  * inside MP4/WebM or FLAC's rice-coded frames; MP4, Matroska/WebM
+  * and FLAC container metadata itself parses for real).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =
@@ -866,6 +1088,8 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (BmpDecoder.isBmp(row.payload)) BmpDecoder.decode(row)
     else if (Mp3Decoder.isMp3(row.payload)) Mp3Decoder.decode(row)
     else if (Mp4Decoder.isMp4(row.payload)) Mp4Decoder.decode(row)
+    else if (FlacDecoder.isFlac(row.payload)) FlacDecoder.decode(row)
+    else if (MkvDecoder.isMkv(row.payload)) MkvDecoder.decode(row)
     else fallback.decode(row)
 }
 

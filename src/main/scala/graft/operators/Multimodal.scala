@@ -561,8 +561,183 @@ object Multimodal {
       .orderBy(col("keep_id"))
   }
 
+  /** Deterministic FLAC payload: `fLaC` magic + the mandatory 34-byte
+    * STREAMINFO (rate = 32000 + (doc_id mod 4)·8000, channels =
+    * 1 + doc_id mod 2, 16-bit, totalSamples = 256 + doc_id mod 1000,
+    * bit-packed per the spec's 20/3/5/36 layout) + a PADDING block of
+    * doc_id mod 23 bytes (exercises the block walk) + 32 + doc_id
+    * mod 101 coded frame bytes. Every byte is a pure function of
+    * doc_id, so the parsed metadata is algebraically predictable.
+    */
+  private def flacBytes(docId: Long): Array[Byte] = {
+    val rate = (32000 + (docId % 4) * 8000).toInt
+    val channels = (1 + docId % 2).toInt
+    val totalSamples = 256 + docId % 1000
+    val padLen = (docId % 23).toInt
+    val frameLen = (32 + docId % 101).toInt
+    val buf = java.nio.ByteBuffer.allocate(46 + padLen + frameLen) // big-endian
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put(0x00.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // STREAMINFO
+    buf.putShort(4096).putShort(4096)                // min/max block size
+    var k = 0
+    while (k < 6) { buf.put(0.toByte); k += 1 }      // min/max frame size unknown
+    buf.putLong((rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) | totalSamples)                    // rate|ch-1|bps-1|samples
+    var m = 0
+    while (m < 16) { buf.put(((docId + m) % 256).toByte); m += 1 } // md5
+    buf.put(0x81.toByte).put(0.toByte).put(0.toByte).put(padLen.toByte) // PADDING, last
+    var p = 0
+    while (p < padLen) { buf.put(0.toByte); p += 1 }
+    var j = 0
+    while (j < frameLen) { buf.put(((docId * 7 + j) % 256).toByte); j += 1 }
+    buf.array()
+  }
+
+  /** The FLAC leg of the codec tier under the oracle: synthesize
+    * genuine fLaC streams per-partition (bit-packed STREAMINFO +
+    * padding block + frame bytes), parse them with `FlacDecoder`'s
+    * real block walk via the same SniffingDecoder routing production
+    * uses, and hash-compare the PARSED sample rate / total samples /
+    * channel count / byte length to the oracle's algebraic
+    * prediction — a mis-packed bit field or a wrong block-length
+    * walk shifts the frame-region boundary and fails the hash (or
+    * the parser's require). Same zero-shuffle shape as m04/m07.
+    */
+  val m11FlacMeta = Q(
+    "m11_flac_meta",
+    """SELECT doc_id AS media_id,
+      |  32000 + (doc_id % 4) * 8000 AS sample_rate,
+      |  256 + doc_id % 1000 AS total_samples,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+      |  78 + (doc_id % 23) + (doc_id % 101) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "flac", flacBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("sample_rate"),
+        col("height").cast("long").as("total_samples"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Deterministic Matroska/WebM payload: a real EBML tree — 36-byte
+    * EBML header (DocType "webm"), Segment (8-byte non-minimal size
+    * varint, the streaming-muxer shape) holding Info (TimestampScale
+    * 1e6, Duration double), Tracks (an AUDIO TrackEntry ahead of the
+    * video one for odd ids — exercises the decoder's
+    * first-VIDEO-track selection), and one Cluster with a
+    * SimpleBlock carrying 16 + doc_id mod 97 coded bytes. Every
+    * element size is fixed by construction, so total byte length is
+    * algebraic: 135 + 27·(doc_id mod 2) + doc_id mod 97.
+    */
+  private def mkvBytes(docId: Long): Array[Byte] = {
+    val w = (160 + (docId % 28) * 8).toInt
+    val h = (120 + (docId % 20) * 6).toInt
+    val hasAudio = docId % 2 == 1
+    val dataLen = (16 + docId % 97).toInt
+    val tracksPayload = 22 + (if (hasAudio) 27 else 0)
+    val segPayload = 49 + tracksPayload + dataLen
+    val buf = java.nio.ByteBuffer.allocate(48 + segPayload) // big-endian
+    def id(bytes: Int*): Unit = bytes.foreach(x => buf.put(x.toByte))
+    def size1(n: Int): Unit = buf.put((0x80 | n).toByte)
+    def size8(n: Long): Unit = {
+      buf.put(0x01.toByte)
+      var s = 48
+      while (s >= 0) { buf.put(((n >> s) & 0xff).toByte); s -= 8 }
+    }
+    // EBML header
+    id(0x1a, 0x45, 0xdf, 0xa3); size1(31)
+    id(0x42, 0x86); size1(1); buf.put(1.toByte)      // EBMLVersion
+    id(0x42, 0xf7); size1(1); buf.put(1.toByte)      // EBMLReadVersion
+    id(0x42, 0xf2); size1(1); buf.put(4.toByte)      // EBMLMaxIDLength
+    id(0x42, 0xf3); size1(1); buf.put(8.toByte)      // EBMLMaxSizeLength
+    id(0x42, 0x82); size1(4); buf.put("webm".getBytes("US-ASCII")) // DocType
+    id(0x42, 0x87); size1(1); buf.put(2.toByte)      // DocTypeVersion
+    id(0x42, 0x85); size1(1); buf.put(2.toByte)      // DocTypeReadVersion
+    // Segment
+    id(0x18, 0x53, 0x80, 0x67); size8(segPayload)
+    //   Info
+    id(0x15, 0x49, 0xa9, 0x66); size1(18)
+    id(0x2a, 0xd7, 0xb1); size1(3)
+    id(0x0f, 0x42, 0x40)                             // TimestampScale 1,000,000
+    id(0x44, 0x89); size1(8)
+    buf.putDouble((1000 + docId % 5000).toDouble)    // Duration
+    //   Tracks
+    id(0x16, 0x54, 0xae, 0x6b); size1(tracksPayload)
+    var trackNo = 1
+    if (hasAudio) {
+      id(0xae); size1(25)                            // audio TrackEntry
+      id(0xd7); size1(1); buf.put(trackNo.toByte)    // TrackNumber
+      id(0x73, 0xc5); size1(1); buf.put(trackNo.toByte) // TrackUID
+      id(0x83); size1(1); buf.put(2.toByte)          // TrackType audio
+      id(0xe1); size1(13)                            // Audio
+      id(0xb5); size1(8); buf.putDouble(48000.0)     // SamplingFrequency
+      id(0x9f); size1(1); buf.put(2.toByte)          // Channels
+      trackNo += 1
+    }
+    id(0xae); size1(20)                              // video TrackEntry
+    id(0xd7); size1(1); buf.put(trackNo.toByte)
+    id(0x73, 0xc5); size1(1); buf.put(trackNo.toByte)
+    id(0x83); size1(1); buf.put(1.toByte)            // TrackType video
+    id(0xe0); size1(8)                               // Video
+    id(0xb0); size1(2); buf.putShort(w.toShort)      // PixelWidth
+    id(0xba); size1(2); buf.putShort(h.toShort)      // PixelHeight
+    //   Cluster
+    id(0x1f, 0x43, 0xb6, 0x75); size8(9L + dataLen)
+    id(0xe7); size1(1); buf.put(0.toByte)            // Timestamp
+    id(0xa3); size1(4 + dataLen)                     // SimpleBlock
+    buf.put(0x81.toByte)                             // track 1 vint
+    buf.putShort(0)                                  // rel timecode
+    buf.put(0x80.toByte)                             // keyframe flag
+    var j = 0
+    while (j < dataLen) { buf.put(((docId * 11 + j) % 256).toByte); j += 1 }
+    buf.array()
+  }
+
+  /** The Matroska/WebM leg — the second video-container class next
+    * to m10's ISO-BMFF, through `MkvDecoder`'s real EBML varint
+    * walk: a wrong varint length, a mis-stripped size marker, or a
+    * mis-sized element shifts every later element boundary and
+    * fails the hash against the algebraic prediction (or the
+    * parser's require). Odd ids put an audio track AHEAD of the
+    * video track, exercising first-VIDEO-track dim selection. Same
+    * zero-shuffle per-partition shape as m04/m07/m10.
+    */
+  val m12MkvMeta = Q(
+    "m12_mkv_meta",
+    """SELECT doc_id AS media_id,
+      |  160 + (doc_id % 28) * 8 AS width,
+      |  120 + (doc_id % 20) * 6 AS height,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+      |  135 + 27 * (doc_id % 2) + doc_id % 97 AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "mkv", mkvBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_tracks"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
-      m10Mp4Meta)
+      m10Mp4Meta, m11FlacMeta, m12MkvMeta)
 }

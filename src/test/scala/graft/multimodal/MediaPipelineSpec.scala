@@ -491,6 +491,112 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(f.checksum == 0L) // no mdat: nothing to fold
   }
 
+  test("FLAC: bit-packed STREAMINFO parses; checksum folds over the frame region only") {
+    // fLaC + STREAMINFO (44.1 kHz stereo 16-bit, 12345 samples) + an
+    // APPLICATION block (type 2, skipped) + last-flagged PADDING + frames
+    val frames = Array.tabulate(37)(i => (i * 5 + 3).toByte)
+    val appLen = 9
+    val padLen = 5
+    val buf = java.nio.ByteBuffer.allocate(42 + 4 + appLen + 4 + padLen + frames.length)
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put(0x00.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    buf.putShort(4096).putShort(4096)
+    (1 to 6).foreach(_ => buf.put(0.toByte))
+    buf.putLong((44100L << 44) | (1L << 41) | (15L << 36) | 12345L)
+    (1 to 16).foreach(i => buf.put(i.toByte))
+    buf.put(0x02.toByte).put(0.toByte).put(0.toByte).put(appLen.toByte)
+    (1 to appLen).foreach(_ => buf.put(0x41.toByte))
+    buf.put(0x81.toByte).put(0.toByte).put(0.toByte).put(padLen.toByte)
+    (1 to padLen).foreach(_ => buf.put(0.toByte))
+    buf.put(frames)
+    val payload = buf.array()
+
+    assert(FlacDecoder.isFlac(payload))
+    assert(!FlacDecoder.isFlac("fLaC is a nice word".getBytes("US-ASCII")))
+    val f = FlacDecoder.decode(MediaRow(90L, "audio", payload, "synth"))
+    assert(f.width == 44100 && f.height == 12345 && f.n_channels == 2)
+    assert(f.n_bytes == payload.length.toLong)
+    var expect = 0L
+    frames.foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(91L, "audio", payload, "synth"))
+      .copy(media_id = 90L) == f)
+
+    // a metadata block that overruns the payload fails loudly
+    intercept[IllegalArgumentException] {
+      FlacDecoder.decode(MediaRow(92L, "audio", payload.take(44), "synth"))
+    }
+  }
+
+  test("MKV: the EBML varint walk parses dims/tracks; audio-first track order is skipped") {
+    def el(buf: java.nio.ByteBuffer, idBytes: Seq[Int], payloadLen: Int): Unit = {
+      idBytes.foreach(x => buf.put(x.toByte))
+      buf.put((0x80 | payloadLen).toByte)
+    }
+    val coded = Array.tabulate(21)(i => (i * 3 + 1).toByte)
+    val tracksPayload = 22 + 27
+    val clusterPayload = 9 + coded.length
+    val segPayload = 49 + tracksPayload + coded.length
+    val buf = java.nio.ByteBuffer.allocate(48 + segPayload)
+    // EBML header with DocType webm
+    el(buf, Seq(0x1a, 0x45, 0xdf, 0xa3), 31)
+    el(buf, Seq(0x42, 0x86), 1); buf.put(1.toByte)
+    el(buf, Seq(0x42, 0xf7), 1); buf.put(1.toByte)
+    el(buf, Seq(0x42, 0xf2), 1); buf.put(4.toByte)
+    el(buf, Seq(0x42, 0xf3), 1); buf.put(8.toByte)
+    el(buf, Seq(0x42, 0x82), 4); buf.put("webm".getBytes("US-ASCII"))
+    el(buf, Seq(0x42, 0x87), 1); buf.put(2.toByte)
+    el(buf, Seq(0x42, 0x85), 1); buf.put(2.toByte)
+    // Segment with a NON-MINIMAL 8-byte size varint (streaming-muxer shape)
+    Seq(0x18, 0x53, 0x80, 0x67).foreach(x => buf.put(x.toByte))
+    buf.put(0x01.toByte)
+    (48 to 0 by -8).foreach(s => buf.put(((segPayload.toLong >> s) & 0xff).toByte))
+    el(buf, Seq(0x15, 0x49, 0xa9, 0x66), 18)
+    el(buf, Seq(0x2a, 0xd7, 0xb1), 3); Seq(0x0f, 0x42, 0x40).foreach(x => buf.put(x.toByte))
+    el(buf, Seq(0x44, 0x89), 8); buf.putDouble(2000.0)
+    el(buf, Seq(0x16, 0x54, 0xae, 0x6b), tracksPayload)
+    // audio TrackEntry FIRST — the decoder must take dims from the video one
+    el(buf, Seq(0xae), 25)
+    el(buf, Seq(0xd7), 1); buf.put(1.toByte)
+    el(buf, Seq(0x73, 0xc5), 1); buf.put(1.toByte)
+    el(buf, Seq(0x83), 1); buf.put(2.toByte)
+    el(buf, Seq(0xe1), 13)
+    el(buf, Seq(0xb5), 8); buf.putDouble(48000.0)
+    el(buf, Seq(0x9f), 1); buf.put(2.toByte)
+    el(buf, Seq(0xae), 20)
+    el(buf, Seq(0xd7), 1); buf.put(2.toByte)
+    el(buf, Seq(0x73, 0xc5), 1); buf.put(2.toByte)
+    el(buf, Seq(0x83), 1); buf.put(1.toByte)
+    el(buf, Seq(0xe0), 8)
+    el(buf, Seq(0xb0), 2); buf.putShort(1280.toShort)
+    el(buf, Seq(0xba), 2); buf.putShort(720.toShort)
+    Seq(0x1f, 0x43, 0xb6, 0x75).foreach(x => buf.put(x.toByte))
+    buf.put(0x01.toByte)
+    (48 to 0 by -8).foreach(s => buf.put(((clusterPayload.toLong >> s) & 0xff).toByte))
+    el(buf, Seq(0xe7), 1); buf.put(0.toByte)
+    el(buf, Seq(0xa3), 4 + coded.length)
+    buf.put(0x81.toByte).putShort(0).put(0x80.toByte).put(coded)
+    val payload = buf.array()
+
+    assert(MkvDecoder.isMkv(payload))
+    assert(!MkvDecoder.isMkv("definitely not ebml.".getBytes("US-ASCII")))
+    val f = MkvDecoder.decode(MediaRow(95L, "video", payload, "synth"))
+    assert(f.width == 1280 && f.height == 720 && f.n_channels == 2)
+    assert(f.n_bytes == payload.length.toLong)
+    // checksum folds over the SimpleBlock coded bytes only (skips the
+    // track vint + timecode + flags block header)
+    var expect = 0L
+    coded.foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(96L, "video", payload, "synth"))
+      .copy(media_id = 95L) == f)
+
+    // an element that overruns its parent fails loudly
+    intercept[IllegalArgumentException] {
+      MkvDecoder.decode(MediaRow(97L, "video", payload.take(60), "synth"))
+    }
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
