@@ -607,6 +607,39 @@ object BmpDecoder extends MediaDecoder {
   }
 }
 
+/** REAL TIFF decoder via the JDK's bundled codec (TIFFImageReader,
+  * standard since JDK 9) — the archival/scan tier, and the last
+  * raster format the JDK ships an ImageIO plugin for (after JPEG,
+  * PNG, GIF, BMP). The sniff accepts both byte orders of the magic
+  * (`II*\0` little-endian, `MM\0*` big-endian) plus a sane
+  * first-IFD offset. Grayscale samples pass through the JDK's
+  * gray→sRGB color management in `getRGB`, so the raster checksum
+  * is deterministic per JVM (the JPEG caveat), while dims/channels/
+  * byte length are codec-exact.
+  */
+object TiffDecoder extends MediaDecoder {
+
+  def isTiff(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 8) return false
+    val le = bytes(0) == 'I' && bytes(1) == 'I' &&
+      bytes(2) == 42 && bytes(3) == 0
+    val be = bytes(0) == 'M' && bytes(1) == 'M' &&
+      bytes(2) == 0 && bytes(3) == 42
+    if (!le && !be) return false
+    val ifd =
+      if (le) (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+        ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+      else ((bytes(4) & 0xffL) << 24) | ((bytes(5) & 0xffL) << 16) |
+        ((bytes(6) & 0xffL) << 8) | (bytes(7) & 0xffL)
+    ifd >= 8 && ifd < bytes.length
+  }
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    require(isTiff(row.payload), s"media_id=${row.media_id}: not a TIFF payload")
+    ImageIoSupport.decode(row, "TIFF")
+  }
+}
+
 /** REAL MP3 METADATA parser — the compressed-audio analog of what a
   * curation pipeline actually queries. Full PCM decode needs a codec
   * no JDK ships (and stays out of scope — a wrong guess there would
@@ -1086,6 +1119,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (JpegDecoder.isJpeg(row.payload)) JpegDecoder.decode(row)
     else if (GifDecoder.isGif(row.payload)) GifDecoder.decode(row)
     else if (BmpDecoder.isBmp(row.payload)) BmpDecoder.decode(row)
+    else if (TiffDecoder.isTiff(row.payload)) TiffDecoder.decode(row)
     else if (Mp3Decoder.isMp3(row.payload)) Mp3Decoder.decode(row)
     else if (Mp4Decoder.isMp4(row.payload)) Mp4Decoder.decode(row)
     else if (FlacDecoder.isFlac(row.payload)) FlacDecoder.decode(row)

@@ -736,8 +736,78 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic baseline TIFF payload: little-endian header, one
+    * uncompressed grayscale strip at offset 8 (sample j = (doc_id +
+    * j) mod 256), then a 9-entry IFD (width/length/bits/compression/
+    * photometric/strip offset/samples/rows-per-strip/strip bytes).
+    * Fixed layout ⇒ byte length is algebraic: 122 + w·h.
+    */
+  private def tiffBytes(docId: Long): Array[Byte] = {
+    val w = (6 + docId % 10).toInt
+    val h = (4 + docId % 7).toInt
+    val px = new Array[Byte](w * h)
+    var j = 0
+    while (j < px.length) { px(j) = ((docId + j) % 256).toByte; j += 1 }
+    val buf = java.nio.ByteBuffer.allocate(8 + px.length + 2 + 9 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def entry(tag: Int, typ: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) buf.putShort(value.toShort).putShort(0) // SHORT, padded
+      else buf.putInt(value)                                // LONG
+    }
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8 + px.length)
+    buf.put(px)
+    buf.putShort(9)
+    entry(256, 3, w)       // ImageWidth
+    entry(257, 3, h)       // ImageLength
+    entry(258, 3, 8)       // BitsPerSample
+    entry(259, 3, 1)       // Compression: none
+    entry(262, 3, 1)       // PhotometricInterpretation: BlackIsZero
+    entry(273, 4, 8)       // StripOffsets
+    entry(277, 3, 1)       // SamplesPerPixel
+    entry(278, 3, h)       // RowsPerStrip
+    entry(279, 4, w * h)   // StripByteCounts
+    buf.putInt(0)          // next IFD
+    buf.array()
+  }
+
+  /** The TIFF leg — the archival/scan tier, and the LAST raster
+    * format the JDK ships an ImageIO codec for: hand-synthesized
+    * baseline grayscale TIFFs (header + strip + 9-entry IFD) decode
+    * through `TiffDecoder` → the JDK's real TIFFImageReader, and the
+    * decoded dims / channel count / byte length hash-compare to the
+    * oracle's algebraic prediction — a mis-written IFD entry or a
+    * wrong strip offset either fails the JDK reader loudly or shifts
+    * dims/n_bytes and fails the hash. Same zero-shuffle shape as
+    * m04/m07-m12.
+    */
+  val m13TiffMeta = Q(
+    "m13_tiff_meta",
+    """SELECT doc_id AS media_id,
+      |  6 + doc_id % 10 AS width,
+      |  4 + doc_id % 7 AS height,
+      |  CAST(1 AS BIGINT) AS n_channels,
+      |  122 + (6 + doc_id % 10) * (4 + doc_id % 7) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "tiff", tiffBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
-      m10Mp4Meta, m11FlacMeta, m12MkvMeta)
+      m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta)
 }

@@ -597,6 +597,49 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF: the JDK codec decodes a hand-written baseline grayscale IFD, deterministically") {
+    val w = 9; val h = 5
+    val px = Array.tabulate(w * h)(j => ((7 + j) % 256).toByte)
+    val buf = java.nio.ByteBuffer.allocate(8 + px.length + 2 + 9 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def entry(tag: Int, typ: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) buf.putShort(value.toShort).putShort(0) else buf.putInt(value)
+    }
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8 + px.length)
+    buf.put(px)
+    buf.putShort(9)
+    entry(256, 3, w); entry(257, 3, h); entry(258, 3, 8)
+    entry(259, 3, 1); entry(262, 3, 1); entry(273, 4, 8)
+    entry(277, 3, 1); entry(278, 3, h); entry(279, 4, w * h)
+    buf.putInt(0)
+    val payload = buf.array()
+
+    assert(TiffDecoder.isTiff(payload))
+    assert(!TiffDecoder.isTiff("III like this text.".getBytes("US-ASCII")))
+    assert(!TiffDecoder.isTiff("MM *bad".getBytes("US-ASCII"))) // truncated
+    val f = TiffDecoder.decode(MediaRow(98L, "image", payload, "synth"))
+    assert(f.width == 9 && f.height == 5 && f.n_channels == 1)
+    assert(f.n_bytes == payload.length.toLong && f.n_bytes == 122L + w * h)
+    // getRGB passes gray samples through color management (the JPEG
+    // caveat: deterministic per JVM, not byte-exact) — pin determinism
+    // and verify the RAW raster samples round-trip byte-exactly
+    assert(TiffDecoder.decode(MediaRow(98L, "image", payload, "synth")) == f)
+    assert(SniffingDecoder().decode(MediaRow(99L, "image", payload, "synth"))
+      .copy(media_id = 98L) == f)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val raw = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raw.getSample(x, y, 0) == (px(y * w + x) & 0xff))
+
+    // a strip that overruns the payload fails the reader loudly
+    val bad = payload.clone()
+    bad(8 + px.length + 2 + 5 * 12 + 8) = 200.toByte // StripOffsets → past the end
+    intercept[IllegalArgumentException] {
+      TiffDecoder.decode(MediaRow(100L, "image", bad, "synth"))
+    }
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
