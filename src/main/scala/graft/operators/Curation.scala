@@ -816,7 +816,103 @@ object Curation {
       .orderBy(col("n_copies").desc, col("chunk_md5"))
   }
 
+  /** GZIP round-trip through the JDK's real Deflate codec
+    * (`java.util.zip`). */
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  /** Zstandard round-trip through zstd-jni — NOT a new dependency:
+    * the jar ships inside every Spark runtime because it backs
+    * `spark.io.compression.codec=zstd` (Spark's own shuffle/event-log
+    * compression), so any cluster that runs this library already
+    * carries it.
+    */
+  private def zstdBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val zs = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+    zs.write(raw); zs.close()
+    bos.toByteArray
+  }
+
+  /** Content-sniffing decompressor: routes on the codec's own magic
+    * bytes (gzip `1F 8B`, zstd frame `28 B5 2F FD`) exactly like the
+    * media tier's SniffingDecoder, and fails loudly on anything else
+    * — a compressed corpus with an unexpected codec must never
+    * silently pass garbage downstream.
+    */
+  private def decompress(id: Long, b: Array[Byte]): (String, Array[Byte]) = {
+    def drain(in: java.io.InputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(b.length * 3 + 32)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.toByteArray
+    }
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      ("gzip", drain(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+        (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+      ("zstd", drain(new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(b))))
+    else throw new IllegalArgumentException(
+      s"doc_id=$id: unrecognized compression magic")
+  }
+
+  /** COMPRESSED-CORPUS INGEST — the stage every real training
+    * pipeline runs FIRST: corpora arrive as gzip/zstd blobs (WET
+    * dumps, .jsonl.zst shards), and the engine must decompress
+    * per-partition, where the bytes are, before any curation logic
+    * sees text. Per-partition synth compresses each document's text
+    * through the REAL codecs (JDK Deflate for even ids, zstd-jni —
+    * Spark's own bundled compressor — for odd), then the ingest
+    * stage content-sniffs the magic bytes and decompresses; the
+    * output stats (byte length, md5, token count) are computed from
+    * the DECODED text and hash-compared to the oracle's computation
+    * over the plaintext column — any decode corruption (truncation,
+    * charset, codec mix-up) flips the md5 and fails the hash.
+    *
+    * Scale shape: both stages are pure per-partition maps — at 100 TB
+    * the compressed blobs live in parquet binary columns and the
+    * decompression runs map-side with zero shuffle, exactly this
+    * plumbing. Compressed sizes are deliberately NOT in the output:
+    * they are implementation-defined per codec version (never
+    * oracle-comparable), and nothing downstream should depend on
+    * them.
+    */
+  val c11CompressedIngest = Q(
+    "c11_compressed_ingest",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'zstd' END AS codec,
+      |  octet_length(CAST(text AS BLOB)) AS n_raw,
+      |  md5(text) AS content_hash,
+      |  len(string_split(text, ' ')) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val packed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id, if (id % 2 == 0) gzipBytes(raw) else zstdBytes(raw))
+      })
+    val decoded = packed.mapPartitions(_.map { case (id, blob) =>
+      val (codec, raw) = decompress(id, blob)
+      (id, codec, new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+    }).toDF("doc_id", "codec", "text")
+    decoded
+      .select(col("doc_id"), col("codec"),
+        octet_length(col("text").cast("binary")).as("n_raw"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        size(graft.functions.TextVec.tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
-    c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup)
+    c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest)
 }
