@@ -1,0 +1,152 @@
+package graft.functions
+
+/** REAL HTML main-text extraction — the boilerplate-removal stage
+  * every web-scale corpus runs first (CommonCrawl WET generation:
+  * HTML in, visible text out). This is a single-pass structural
+  * parser over the public HTML syntax rules, not a regex strip:
+  *
+  *  - comments (`<!-- … -->`) are skipped wholly — tags inside a
+  *    comment are neither counted nor entered;
+  *  - `script` and `style` are RAW-TEXT elements: their content is
+  *    skipped verbatim until the matching close tag, so a `<` inside
+  *    JavaScript does not open a tag (the rule real parsers
+  *    implement and naive strippers get wrong);
+  *  - `nav` subtrees are dropped from the extracted text (the
+  *    boilerplate rule; nesting-depth tracked) while tags inside
+  *    them still count toward the tag/link census;
+  *  - `title` content is captured separately from body text;
+  *  - the five predefined character entities (`&amp; &lt; &gt;
+  *    &quot; &apos;`) and decimal/hex numeric references decode in
+  *    one left-to-right pass, so pre-escaped source text
+  *    round-trips exactly (`&amp;amp;` → `&amp;`, never `&`).
+  *
+  * The extractor is a pure function String → Extracted with no
+  * allocation beyond the builders, safe to call per-row inside a
+  * partition map at any scale.
+  */
+object HtmlExtract {
+
+  /** Extraction result: visible body text (nav/script/style
+    * dropped), the title, and the tag/link census.
+    */
+  final case class Extracted(text: String, title: String, nLinks: Int, nTags: Int)
+
+  def extract(html: String): Extracted = {
+    val n = html.length
+    val body = new StringBuilder(n / 2)
+    val title = new StringBuilder(16)
+    var nLinks = 0
+    var nTags = 0
+    var navDepth = 0
+    var inTitle = false
+    var i = 0
+
+    def tagNameAt(j0: Int): (String, Int) = {
+      // j0 points past '<' (and past '/' for close tags); returns
+      // (lowercased name, index just past the closing '>')
+      var j = j0
+      val nm = new StringBuilder(8)
+      while (j < n && (html(j).isLetterOrDigit)) { nm.append(Character.toLowerCase(html(j))); j += 1 }
+      while (j < n && html(j) != '>') j += 1
+      (nm.toString, math.min(j + 1, n))
+    }
+
+    def decodeEntity(j0: Int, out: StringBuilder): Int = {
+      // j0 points at '&'; returns index past the reference, appending
+      // the decoded char (an unterminated/unknown reference passes
+      // through literally — the lenient rule browsers apply)
+      val semi = html.indexOf(';', j0 + 1)
+      if (semi < 0 || semi - j0 > 10) { out.append('&'); return j0 + 1 }
+      val ref = html.substring(j0 + 1, semi)
+      val decoded: Option[String] = ref match {
+        case "amp" => Some("&")
+        case "lt" => Some("<")
+        case "gt" => Some(">")
+        case "quot" => Some("\"")
+        case "apos" => Some("'")
+        case r if r.startsWith("#x") || r.startsWith("#X") =>
+          try Some(new String(Character.toChars(Integer.parseInt(r.drop(2), 16))))
+          catch { case _: Exception => None }
+        case r if r.startsWith("#") =>
+          try Some(new String(Character.toChars(Integer.parseInt(r.drop(1)))))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+      decoded match {
+        case Some(s) => out.append(s); semi + 1
+        case None => out.append('&'); j0 + 1
+      }
+    }
+
+    while (i < n) {
+      val c = html(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && html(i + 1) == '/') {
+          val (nm, next) = tagNameAt(i + 2)
+          if (nm == "nav" && navDepth > 0) navDepth -= 1
+          if (nm == "title") inTitle = false
+          i = next
+        } else {
+          val (nm, next) = tagNameAt(i + 1)
+          nTags += 1
+          if (nm == "a") nLinks += 1
+          if (nm == "nav") navDepth += 1
+          if (nm == "title") inTitle = true
+          i = next
+          if (nm == "script" || nm == "style") {
+            // raw-text element: content is skipped verbatim until the
+            // matching close tag — '<' inside does not open a tag
+            val close = s"</$nm"
+            var j = i
+            var end = -1
+            while (end < 0 && j + close.length <= n) {
+              if (html.regionMatches(true, j, close, 0, close.length)) end = j
+              else j += 1
+            }
+            if (end < 0) i = n
+            else {
+              val (_, next2) = tagNameAt(end + 2)
+              i = next2
+            }
+          }
+        }
+      } else {
+        val out = if (inTitle) title else body
+        if (navDepth > 0 && !inTitle) {
+          // dropped subtree: still consume entities so a stray ';'
+          // cannot desynchronize the scan, but append nothing
+          if (c == '&') i = decodeEntity(i, new StringBuilder(2)) else i += 1
+        } else if (c == '&') {
+          i = decodeEntity(i, out)
+        } else {
+          out.append(c); i += 1
+        }
+      }
+    }
+    Extracted(body.toString, title.toString, nLinks, nTags)
+  }
+
+  /** Escapes the three structurally active characters for embedding
+    * text as an HTML text node — the synth-side inverse of the
+    * extractor's entity decoding (escape → embed → extract is the
+    * identity on arbitrary strings; HtmlExtractSpec pins this as a
+    * property).
+    */
+  def escape(s: String): String = {
+    val out = new StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '&' => out.append("&amp;")
+        case '<' => out.append("&lt;")
+        case '>' => out.append("&gt;")
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+}

@@ -590,7 +590,59 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic HTML page around a document's text: head with
+    * title/style/script (script contains a literal `<` — the
+    * raw-text rule), a nav with 1 + doc_id mod 5 links (boilerplate,
+    * dropped from extraction), a comment containing a decoy tag, and
+    * the escaped document text as the single content paragraph.
+    */
+  private def htmlOf(id: Long, text: String): String = {
+    val k = (1 + id % 5).toInt
+    val links = (0 until k).map(j => s"""<a href="/u$j">L$j</a>""").mkString
+    s"""<html><head><title>Doc $id</title><style>p > a { color: #333; }</style>""" +
+      s"""<script>if (1 < 2) { var x = $id; }</script></head>""" +
+      s"""<body><nav>menu$links</nav><!--<p>decoy</p>-->""" +
+      s"""<p>${graft.functions.HtmlExtract.escape(text)}</p></body></html>"""
+  }
+
+  /** HTML MAIN-TEXT EXTRACTION — the boilerplate-removal stage every
+    * web corpus runs first (the CommonCrawl WET step): per-partition
+    * synth wraps each document's text in a genuine HTML page
+    * (escaped text node, nav boilerplate, raw-text script with a
+    * literal `<`, a comment hiding a decoy tag), and
+    * `HtmlExtract.extract`'s real single-pass structural parser
+    * recovers the visible text, the title, and the tag/link census.
+    * The extracted body md5 must equal the oracle's md5 over the
+    * ORIGINAL text — so escape→embed→extract must be the exact
+    * identity over the whole corpus (any entity mis-decode, comment
+    * or raw-text mishandling, or nav-drop error flips the hash) —
+    * and title/link/tag counts match algebraic predictions. Pure
+    * zero-shuffle per-partition map, the m04 shape applied to text.
+    */
+  val t14HtmlExtract = Q(
+    "t14_html_extract",
+    """SELECT doc_id,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  CAST(1 + doc_id % 5 AS BIGINT) AS n_links,
+      |  CAST(9 + doc_id % 5 AS BIGINT) AS n_tags,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val extracted = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val e = graft.functions.HtmlExtract.extract(htmlOf(id, text))
+        (id, e.title, e.nLinks.toLong, e.nTags.toLong, e.text)
+      }).toDF("doc_id", "title", "n_links", "n_tags", "body")
+    extracted
+      .select(col("doc_id"), col("title"), col("n_links"), col("n_tags"),
+        md5(col("body").cast("binary")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
-    t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile)
+    t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
+    t14HtmlExtract)
 }

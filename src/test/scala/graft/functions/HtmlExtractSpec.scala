@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The t14 oracle gate rides on escape→embed→extract being the exact
+  * identity over arbitrary corpus text — pinned as a ScalaCheck
+  * property over strings biased toward the structurally active
+  * characters and pre-escaped fragments.
+  */
+object HtmlExtractProps extends Properties("HtmlExtract") {
+  import HtmlExtract._
+
+  private val nasty: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf('&', '<', '>', ';', '#', '"', '\'').map(_.toString),
+    1 -> Gen.oneOf("&amp;", "&lt;", "<script>", "<!--", "-->", "&#65;", "日本語")
+  )).map(_.mkString)
+
+  property("escape → embed as a text node → extract is the identity") =
+    Prop.forAll(nasty) { s =>
+      extract(s"<html><body><p>${escape(s)}</p></body></html>").text == s
+    }
+}
+
+/** Pins the structural rules the t14 oracle gate rides on: raw-text
+  * script/style handling, comment skipping, nav boilerplate
+  * dropping, title capture, and entity decoding edge cases.
+  */
+class HtmlExtractSpec extends AnyFunSuite {
+  import HtmlExtract._
+
+  test("script and style are raw-text: a '<' inside opens no tag") {
+    val e = extract(
+      "<html><head><style>p > a { }</style>" +
+        "<script>if (1 < 2) { document.write('<p>x</p>'); }</script></head>" +
+        "<body><p>real</p></body></html>")
+    assert(e.text == "real")
+    // html, head, style, script, body, p — the <p> inside the script
+    // string literal... is raw text, so only the closing </script>
+    // terminates the element; the decoy never counts
+    assert(e.nTags == 6)
+  }
+
+  test("comments are skipped wholly, including tags inside them") {
+    val e = extract("<body><!--<a href=x>decoy</a><p>hidden</p>--><p>kept</p></body>")
+    assert(e.text == "kept")
+    assert(e.nLinks == 0)
+    assert(e.nTags == 2) // body, p
+  }
+
+  test("nav subtrees drop from text but their tags still count") {
+    val e = extract(
+      "<body><nav>menu<a href=/1>L1</a><nav>sub</nav>deep</nav><p>content</p></body>")
+    assert(e.text == "content")
+    assert(e.nLinks == 1)
+    assert(e.nTags == 5) // body, nav, a, nav, p
+  }
+
+  test("title captures separately from body text") {
+    val e = extract("<html><head><title>T here</title></head><body>B</body></html>")
+    assert(e.title == "T here" && e.text == "B")
+  }
+
+  test("entity decoding: predefined, numeric, hex, unknown, unterminated") {
+    assert(extract("<p>&amp;&lt;&gt;&quot;&apos;</p>").text == "&<>\"'")
+    assert(extract("<p>&#65;&#x42;</p>").text == "AB")
+    assert(extract("<p>&nosuch;</p>").text == "&nosuch;") // unknown passes through
+    assert(extract("<p>fish & chips</p>").text == "fish & chips") // bare ampersand
+    assert(extract("<p>&amp;amp;</p>").text == "&amp;") // no double decode
+  }
+}
