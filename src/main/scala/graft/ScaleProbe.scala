@@ -37,6 +37,10 @@ object ScaleProbe {
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",
     "c10_chunk_dedup",
+    // per-row codec/parse stages over documents: compressed-corpus
+    // ingest (gzip/zstd round-trip) and HTML main-text extraction —
+    // pure per-partition maps, expected ≈linear with the corpus
+    "c11_compressed_ingest", "t14_html_extract",
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters", "t13_corpus_profile",
