@@ -299,6 +299,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"decode must not join:\n$p")
   }
 
+  test("round-8 per-row stages (m11-m13, c11, t14) are map-side only — no shuffle except the final sort") {
+    // the container parsers, the compressed-corpus ingest, and the
+    // HTML extractor all run where the bytes are: any Exchange
+    // beyond the presentation sort (or any Join) is a regression
+    // against the 100 TB contract
+    Seq("m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta",
+        "c11_compressed_ingest", "t14_html_extract").foreach { name =>
+      val p = plan(name)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$name must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
+
   test("p05: threshold mixture has NO window — broadcast thresholds + per-row filter only") {
     val p = plan("p05_mixture_threshold")
     assert(!p.contains("Window"), s"threshold fill must not rank:\n$p")
