@@ -1,0 +1,139 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+/** REAL WARC (ISO 28500) record parsing — the container CommonCrawl
+  * actually ships: a crawl shard is a sequence of WARC records, each
+  * a `WARC/1.x` version line + case-insensitive headers + a blank
+  * line + exactly `Content-Length` PAYLOAD BYTES + `\r\n\r\n`. The
+  * parse is length-driven, never delimiter-driven: a payload may
+  * contain anything, including blank lines and other records'
+  * syntax, so skipping to the next `\r\n\r\n` (the naive rule) is
+  * wrong the moment a response body embeds one. For `response`
+  * records the payload is an HTTP/1.1 message, itself a status line
+  * + headers + a body of `Content-Length` bytes.
+  *
+  * Byte discipline matters: WARC lengths count BYTES while document
+  * text is unicode, so the parser walks `Array[Byte]`, decodes
+  * header lines as ASCII, and hands the body bytes downstream
+  * undecoded (the HTML stage decodes UTF-8). Malformed input —
+  * a bad version line, a missing Content-Length, a length past the
+  * end — fails loudly; a crawl shard with a corrupt record must
+  * never silently truncate into "fewer documents".
+  */
+object WarcIngest {
+
+  /** One parsed WARC record: lowercased header map + raw payload. */
+  final case class WarcRecord(headers: Map[String, String], payload: Array[Byte])
+
+  /** One parsed HTTP response: status code, lowercased headers, body. */
+  final case class HttpResponse(status: Int, headers: Map[String, String], body: Array[Byte])
+
+  /** Index of the first byte after the next CRLF at/after `i`, with
+    * the decoded line; fails on a record that ends mid-line.
+    */
+  private def line(b: Array[Byte], i: Int): (String, Int) = {
+    var j = i
+    while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+    require(j + 1 < b.length, s"unterminated header line at byte $i")
+    (new String(b, i, j - i, US_ASCII), j + 2)
+  }
+
+  /** Parses `Name: value` headers until the blank line; returns the
+    * lowercased-key map and the index of the first payload byte.
+    */
+  private def headerBlock(b: Array[Byte], start: Int): (Map[String, String], Int) = {
+    var i = start
+    val m = Map.newBuilder[String, String]
+    var done = false
+    while (!done) {
+      val (l, next) = line(b, i)
+      i = next
+      if (l.isEmpty) done = true
+      else {
+        val c = l.indexOf(':')
+        require(c > 0, s"malformed header line '$l'")
+        m += (l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+      }
+    }
+    (m.result(), i)
+  }
+
+  /** Parses every record in a WARC shard, strictly length-driven. */
+  def parseRecords(b: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var i = 0
+    while (i < b.length) {
+      val (version, afterVersion) = line(b, i)
+      require(version == "WARC/1.0" || version == "WARC/1.1",
+        s"bad WARC version line '$version' at byte $i")
+      val (headers, payloadStart) = headerBlock(b, afterVersion)
+      val len = headers.getOrElse("content-length",
+        throw new IllegalArgumentException(
+          s"record at byte $i has no Content-Length")).toInt
+      require(payloadStart + len <= b.length,
+        s"record at byte $i declares $len payload bytes past the end")
+      out += WarcRecord(headers,
+        java.util.Arrays.copyOfRange(b, payloadStart, payloadStart + len))
+      // the spec-mandated record terminator: two CRLFs after the payload
+      var j = payloadStart + len
+      var eaten = 0
+      while (eaten < 2 && j + 1 < b.length && b(j) == '\r' && b(j + 1) == '\n') {
+        j += 2; eaten += 1
+      }
+      require(eaten == 2 || j >= b.length,
+        s"record at byte $i is not CRLF-CRLF terminated")
+      i = j
+    }
+    out.result()
+  }
+
+  /** Parses an HTTP/1.1 response message (a `response` record's
+    * payload): status line, headers, and exactly `Content-Length`
+    * body bytes.
+    */
+  def parseHttp(b: Array[Byte]): HttpResponse = {
+    val (status, afterStatus) = line(b, 0)
+    require(status.startsWith("HTTP/1.1 ") || status.startsWith("HTTP/1.0 "),
+      s"bad HTTP status line '$status'")
+    val code = status.split(" ")(1).toInt
+    val (headers, bodyStart) = headerBlock(b, afterStatus)
+    val len = headers.get("content-length").map(_.toInt).getOrElse(b.length - bodyStart)
+    require(bodyStart + len <= b.length,
+      s"HTTP body declares $len bytes past the end")
+    HttpResponse(code, headers,
+      java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + len))
+  }
+
+  /** Synth side: wraps an HTTP payload in a full WARC response
+    * record (CRLF headers, byte-exact Content-Length, CRLF-CRLF
+    * terminator).
+    */
+  def responseRecord(targetUri: String, http: Array[Byte]): Array[Byte] = {
+    val head = (s"WARC/1.1\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      s"Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(US_ASCII)
+    head ++ http ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  /** Synth side: a `warcinfo` record (the shard preamble every real
+    * crawl file starts with — forces consumers to actually filter by
+    * WARC-Type instead of assuming record 0 is the response).
+    */
+  def warcinfoRecord(info: String): Array[Byte] = {
+    val body = info.getBytes(UTF_8)
+    (s"WARC/1.1\r\nWARC-Type: warcinfo\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(US_ASCII) ++
+      body ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  /** Synth side: an HTTP 200 response around an HTML body. */
+  def httpResponse(html: String): Array[Byte] = {
+    val body = html.getBytes(UTF_8)
+    (s"HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(US_ASCII) ++ body
+  }
+}

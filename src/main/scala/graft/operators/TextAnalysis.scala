@@ -596,7 +596,7 @@ object TextAnalysis {
     * dropped from extraction), a comment containing a decoy tag, and
     * the escaped document text as the single content paragraph.
     */
-  private def htmlOf(id: Long, text: String): String = {
+  private[operators] def htmlOf(id: Long, text: String): String = {
     val k = (1 + id % 5).toInt
     val links = (0 until k).map(j => s"""<a href="/u$j">L$j</a>""").mkString
     s"""<html><head><title>Doc $id</title><style>p > a { color: #333; }</style>""" +

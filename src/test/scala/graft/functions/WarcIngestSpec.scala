@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+/** Pins the framing rules the c12 oracle gate rides on: strictly
+  * length-driven record walk (a payload may embed CRLF-CRLF and
+  * other records' syntax), byte-not-char Content-Length over UTF-8
+  * bodies, WARC-Type filtering, and loud failures on malformed
+  * shards.
+  */
+class WarcIngestSpec extends AnyFunSuite {
+  import WarcIngest._
+
+  test("record walk is length-driven: a payload embedding CRLF-CRLF and WARC syntax parses whole") {
+    // the naive skip-to-blank-line parser would split this payload
+    val trap = "first\r\n\r\nWARC/1.1\r\nWARC-Type: fake\r\n\r\nsecond"
+    val shard = warcinfoRecord(trap) ++
+      responseRecord("https://x/1", httpResponse("<p>ok</p>"))
+    val recs = parseRecords(shard)
+    assert(recs.size == 2)
+    assert(new String(recs.head.payload, UTF_8) == trap)
+    assert(recs(1).headers("warc-type") == "response")
+  }
+
+  test("Content-Length counts BYTES: multi-byte UTF-8 bodies frame exactly") {
+    val body = "héllo 日本語  draußen" // chars ≠ bytes
+    val shard = responseRecord("https://x/2", httpResponse(s"<p>$body</p>"))
+    val http = parseHttp(parseRecords(shard).head.payload)
+    assert(http.status == 200)
+    assert(new String(http.body, UTF_8) == s"<p>$body</p>")
+    // and the record length really was the byte count
+    val declared = parseRecords(shard).head.headers("content-length").toInt
+    assert(declared == parseHttp(parseRecords(shard).head.payload).body.length +
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${s"<p>$body</p>".getBytes(UTF_8).length}\r\n\r\n").getBytes(US_ASCII).length)
+  }
+
+  test("header keys are case-insensitive (lowercased) and values trimmed") {
+    val raw = ("WARC/1.0\r\nWarc-TYPE:   metadata \r\nCONTENT-LENGTH: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes(US_ASCII)
+    val r = parseRecords(raw).head
+    assert(r.headers("warc-type") == "metadata")
+    assert(new String(r.payload, US_ASCII) == "hi")
+  }
+
+  test("malformed shards fail loudly") {
+    // bad version line
+    intercept[IllegalArgumentException] {
+      parseRecords("HARC/1.1\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(US_ASCII))
+    }
+    // missing Content-Length
+    intercept[IllegalArgumentException] {
+      parseRecords("WARC/1.1\r\nWARC-Type: response\r\n\r\n\r\n\r\n".getBytes(US_ASCII))
+    }
+    // declared length past the end
+    intercept[IllegalArgumentException] {
+      parseRecords("WARC/1.1\r\nContent-Length: 99\r\n\r\nshort".getBytes(US_ASCII))
+    }
+    // HTTP body past the end
+    intercept[IllegalArgumentException] {
+      parseHttp("HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nx".getBytes(US_ASCII))
+    }
+  }
+
+  test("the full WARC → HTTP → HTML → text composition is the identity") {
+    val nasty = "a&b <c> \r\n\r\n ü日本 &amp; end"
+    val page = s"<html><head><title>T</title></head><body><p>${HtmlExtract.escape(nasty)}</p></body></html>"
+    val shard = warcinfoRecord("software: spec\r\n") ++
+      responseRecord("https://x/9", httpResponse(page))
+    val resp = parseRecords(shard).find(_.headers("warc-type") == "response").get
+    val http = parseHttp(resp.payload)
+    val e = HtmlExtract.extract(new String(http.body, UTF_8))
+    assert(e.text == nasty && e.title == "T")
+    assert(resp.headers("warc-target-uri") == "https://x/9")
+  }
+}
