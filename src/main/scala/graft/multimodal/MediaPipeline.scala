@@ -1105,11 +1105,140 @@ object MkvDecoder extends MediaDecoder {
   }
 }
 
+/** The Ogg page CRC (RFC 3533 §6): CRC-32 with polynomial
+  * 0x04c11db7, FORWARD bit order (unreflected — NOT the zlib CRC),
+  * zero initial value, zero final xor, computed over the whole page
+  * with the 4 CRC bytes zeroed. Shared by the synth (writes it) and
+  * the parser (verifies it).
+  */
+private[graft] object OggCrc {
+  private val table: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  /** CRC over [from, until) of `b`, treating the 4 bytes starting at
+    * `zeroAt` as zero (the in-place CRC-field rule).
+    */
+  def compute(b: Array[Byte], from: Int, until: Int, zeroAt: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val v = if (i >= zeroAt && i < zeroAt + 4) 0 else b(i) & 0xff
+      crc = (crc << 8) ^ table(((crc >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    crc
+  }
+}
+
+/** REAL Ogg (RFC 3533) CONTAINER METADATA parser — the third audio
+  * container next to WAV and MP3/FLAC, and the one speech corpora
+  * actually ship (.ogg/.opus). Opus frame decode needs a codec no
+  * JDK ships and stays a loud stub, but the page layer is a
+  * hand-parseable spec: "OggS" capture pattern + version + header
+  * type (BOS/EOS flags) + 64-bit granule position + serial/sequence
+  * numbers + a REAL page CRC (forward CRC-32, verified per page —
+  * a single flipped payload bit fails the parse loudly, the
+  * integrity property a 100 TB crawl ingest actually wants) + a
+  * lacing-value segment table sizing the payload. The BOS page
+  * carries the OpusHead (RFC 7845) identification header: channel
+  * count and input sample rate; the final page's granule position is
+  * the stream's total sample count. Checksum folds over the data
+  * pages' payloads (the coded stream — same scope as MP3 frames /
+  * mdat / FLAC frames).
+  */
+object OggDecoder extends MediaDecoder {
+
+  def isOgg(b: Array[Byte]): Boolean =
+    b.length >= 27 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S' && b(4) == 0
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isOgg(b), s"media_id=${row.media_id}: not an Ogg payload")
+    var i = 0
+    var rate = -1
+    var channels = -1
+    var granule = -1L
+    var sawBos = false
+    var sawEos = false
+    var checksum = 0L
+    while (i < b.length) {
+      require(i + 27 <= b.length, s"media_id=${row.media_id}: truncated page header at $i")
+      require(b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S' &&
+        b(i + 4) == 0, s"media_id=${row.media_id}: bad page capture pattern at $i")
+      val headerType = b(i + 5) & 0xff
+      val pageGranule = le64(b, i + 6)
+      val declaredCrc = le32(b, i + 22)
+      val nSegs = b(i + 26) & 0xff
+      require(i + 27 + nSegs <= b.length,
+        s"media_id=${row.media_id}: truncated segment table at $i")
+      var payloadLen = 0
+      var s = 0
+      while (s < nSegs) { payloadLen += b(i + 27 + s) & 0xff; s += 1 }
+      val payloadStart = i + 27 + nSegs
+      val pageEnd = payloadStart + payloadLen
+      require(pageEnd <= b.length,
+        s"media_id=${row.media_id}: page payload overruns buffer at $i")
+      val actualCrc = OggCrc.compute(b, i, pageEnd, i + 22)
+      require(actualCrc == declaredCrc,
+        s"media_id=${row.media_id}: page CRC mismatch at $i " +
+          f"(declared 0x$declaredCrc%08x, computed 0x$actualCrc%08x)")
+      if ((headerType & 0x02) != 0) {
+        // BOS: identification header — OpusHead (RFC 7845)
+        sawBos = true
+        require(payloadLen >= 19 &&
+          new String(b, payloadStart, 8, "US-ASCII") == "OpusHead",
+          s"media_id=${row.media_id}: BOS page carries no OpusHead")
+        channels = b(payloadStart + 9) & 0xff
+        rate = le32(b, payloadStart + 12)
+      } else {
+        var j = payloadStart
+        while (j < pageEnd) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+      }
+      if ((headerType & 0x04) != 0) sawEos = true
+      if (pageGranule >= 0) granule = pageGranule
+      i = pageEnd
+    }
+    require(sawBos, s"media_id=${row.media_id}: no BOS page")
+    require(sawEos, s"media_id=${row.media_id}: no EOS page")
+    require(rate > 0 && channels > 0, s"media_id=${row.media_id}: bad OpusHead")
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = rate,                // OpusHead input sample rate
+      height = granule.toInt,      // final granule = total samples
+      n_channels = channels,
+      checksum = checksum)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
   * everything else to `fallback` (the stub — now only codec-FRAME
   * decode of formats without a JDK codec, e.g. the coded samples
-  * inside MP4/WebM or FLAC's rice-coded frames; MP4, Matroska/WebM
-  * and FLAC container metadata itself parses for real).
+  * inside MP4/WebM/Ogg or FLAC's rice-coded frames; MP4,
+  * Matroska/WebM, Ogg and FLAC container metadata itself parses for
+  * real).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =
@@ -1124,6 +1253,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (Mp4Decoder.isMp4(row.payload)) Mp4Decoder.decode(row)
     else if (FlacDecoder.isFlac(row.payload)) FlacDecoder.decode(row)
     else if (MkvDecoder.isMkv(row.payload)) MkvDecoder.decode(row)
+    else if (OggDecoder.isOgg(row.payload)) OggDecoder.decode(row)
     else fallback.decode(row)
 }
 

@@ -806,8 +806,87 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic Ogg/Opus payload: a BOS page carrying a genuine
+    * OpusHead (channels = 1 + doc_id mod 2, input rate = 8000 +
+    * (doc_id mod 5)·8000), then 1 + doc_id mod 4 single-segment data
+    * pages of 20 + doc_id mod 50 coded bytes each (granule stepping
+    * 960/page, the 20 ms Opus frame at 48 kHz; last page flagged
+    * EOS) — every page carrying its REAL forward-CRC32 (RFC 3533),
+    * which the decoder re-verifies. Byte length is algebraic:
+    * 47 + (1 + doc_id mod 4)·(48 + doc_id mod 50).
+    */
+  private def oggBytes(docId: Long): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val rate = (8000 + (docId % 5) * 8000).toInt
+    val nData = (1 + docId % 4).toInt
+    val dataLen = (20 + docId % 50).toInt
+    val serial = (docId % 100000).toInt
+    val total = 47 + nData * (28 + dataLen)
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def page(headerType: Int, granule: Long, seq: Int, payload: Array[Byte]): Unit = {
+      val start = buf.position()
+      buf.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(headerType.toByte)
+        .putLong(granule).putInt(serial).putInt(seq)
+        .putInt(0) // CRC placeholder
+        .put(1.toByte) // one segment
+        .put(payload.length.toByte) // its lacing value (< 255)
+        .put(payload)
+      val crc = graft.multimodal.OggCrc
+        .compute(buf.array(), start, buf.position(), start + 22)
+      buf.putInt(start + 22, crc)
+    }
+    val head = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.put("OpusHead".getBytes("US-ASCII")).put(1.toByte)
+      .put(channels.toByte).putShort(312.toShort).putInt(rate)
+      .putShort(0.toShort).put(0.toByte)
+    page(0x02, 0L, 0, head.array())
+    var k = 1
+    while (k <= nData) {
+      val payload = Array.tabulate(dataLen)(j => ((docId * 13 + k * 7 + j) % 256).toByte)
+      page(if (k == nData) 0x04 else 0x00, 960L * k, k, payload)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** The Ogg leg — the container speech corpora actually ship
+    * (.ogg/.opus), through `OggDecoder`'s real page walk WITH
+    * per-page forward-CRC32 verification (a single flipped coded
+    * bit fails the parse loudly — the integrity property a crawl
+    * ingest wants, and MediaPipelineSpec pins it). OpusHead
+    * channels/rate, final-granule sample count, and byte length
+    * hash-compare to the algebraic prediction. Same zero-shuffle
+    * per-partition shape as the rest of the codec tier.
+    */
+  val m14OggMeta = Q(
+    "m14_ogg_meta",
+    """SELECT doc_id AS media_id,
+      |  8000 + (doc_id % 5) * 8000 AS sample_rate,
+      |  960 * (1 + doc_id % 4) AS total_samples,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+      |  47 + (1 + doc_id % 4) * (48 + doc_id % 50) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "ogg", oggBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("sample_rate"),
+        col("height").cast("long").as("total_samples"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
-      m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta)
+      m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta)
 }

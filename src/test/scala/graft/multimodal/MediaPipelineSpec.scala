@@ -640,6 +640,58 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Ogg: page walk verifies the real forward-CRC32; a flipped coded bit fails loudly") {
+    def page(headerType: Int, granule: Long, serial: Int, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(headerType.toByte)
+        .putLong(granule).putInt(serial).putInt(seq).putInt(0)
+        .put(1.toByte).put(payload.length.toByte).put(payload)
+      val arr = buf.array()
+      val crc = OggCrc.compute(arr, 0, arr.length, 22)
+      java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(22, crc)
+      arr
+    }
+    val head = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.put("OpusHead".getBytes("US-ASCII")).put(1.toByte)
+      .put(2.toByte).putShort(312.toShort).putInt(48000)
+      .putShort(0.toShort).put(0.toByte)
+    val coded1 = Array.tabulate(30)(j => (j * 11 + 3).toByte)
+    val coded2 = Array.tabulate(25)(j => (j * 7 + 1).toByte)
+    val payload = page(0x02, 0L, 7, 0, head.array()) ++
+      page(0x00, 960L, 7, 1, coded1) ++
+      page(0x04, 1920L, 7, 2, coded2)
+
+    assert(OggDecoder.isOgg(payload))
+    assert(!OggDecoder.isOgg("OggSomething else!!".getBytes("US-ASCII"))) // version != 0
+    val f = OggDecoder.decode(MediaRow(110L, "audio", payload, "synth"))
+    assert(f.width == 48000 && f.height == 1920 && f.n_channels == 2)
+    assert(f.n_bytes == payload.length.toLong)
+    // checksum folds over the DATA pages' payloads only (not OpusHead)
+    var expect = 0L
+    (coded1 ++ coded2).foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(111L, "audio", payload, "synth"))
+      .copy(media_id = 110L) == f)
+
+    // a single flipped bit in a coded payload fails the page CRC loudly
+    val bad = payload.clone()
+    bad(payload.length - 3) = (bad(payload.length - 3) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException] {
+      OggDecoder.decode(MediaRow(112L, "audio", bad, "synth"))
+    }
+    assert(e.getMessage.contains("CRC mismatch"))
+
+    // a stream whose last page lacks the EOS flag fails loudly
+    val noEos = page(0x02, 0L, 7, 0, head.array()) ++ page(0x00, 960L, 7, 1, coded1)
+    intercept[IllegalArgumentException] {
+      OggDecoder.decode(MediaRow(113L, "audio", noEos, "synth"))
+    }
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
