@@ -44,6 +44,9 @@ object ScaleProbe {
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters", "t13_corpus_profile",
+    // CCNet-style LM scoring: explode + two model equi-joins + doc
+    // agg — expected ≈linear (model bounded by the reference slice)
+    "t15_ngram_perplexity",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,

@@ -91,6 +91,9 @@ object GraftExtensions {
     ("word_grams",
       new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
       arrayWithConstInt("word_grams", WordGrams(_, _))),
+    ("word_grams_multi",
+      new ExpressionInfo(classOf[WordGramsMulti].getName, "word_grams_multi"),
+      arrayWithConstInt("word_grams_multi", WordGramsMulti(_, _))),
     ("quality_score",
       new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
       {

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[WordGrams]] WITHOUT the distinct: every space-joined window of
+  * `n` consecutive tokens, in position order, WITH multiplicity —
+  * the spelling language-model counting needs (t15 scores each
+  * bigram OCCURRENCE; deduping would collapse `the the the` to one
+  * observation and silently under-count exactly the repetitive docs
+  * a perplexity filter exists to catch). Same null/short-input
+  * algebra as WordGrams: fewer than `n` tokens ⇒ empty array, null
+  * array ⇒ empty array, null elements skipped inside a window
+  * (concat_ws semantics) — matching the DuckDB oracle spelling
+  * `list_transform(generate_series(1, len(tk)-n+1), i -> tk[i] ||
+  * ' ' || …)` with the list staged in its own CTE column. Same
+  * CollapseProject rationale as WordGrams: the token array is
+  * materialized ONCE and windowed in a tight codegen loop instead of
+  * re-evaluating `split(text)` per element access.
+  */
+case class WordGramsMulti(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2 && n <= 64, s"word_grams_multi supports window 2..64, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_grams_multi"
+
+  // null input folds to the empty array (class doc), same as WordGrams
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordGrams.empty()
+    else WordGramsMulti.compute(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = ${c.isNull}
+          ? graft.functions.WordGrams.empty()
+          : graft.functions.WordGramsMulti.compute(${c.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramsMulti {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return WordGrams.empty()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGramsMulti(ColumnBridge.expression(c), n))
+}

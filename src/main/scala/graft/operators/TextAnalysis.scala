@@ -641,8 +641,117 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style language-model quality filtering (Wenzek et al.,
+    * LREC'20): train a bigram LM on a reference slice of the corpus
+    * (docs with even doc_id — the stand-in for "Wikipedia" in the
+    * CCNet recipe), score EVERY document's cross-entropy under it,
+    * and keep the low-perplexity tail. The perplexity surrogate is
+    * integer-exact by construction — the house rule for oracle
+    * parity (t07's rationale: `ln` is a libm call whose low bits
+    * differ between the JVM and DuckDB): each bigram occurrence
+    * costs `flog2(cu(w1) + V) − flog2(cb(w1,w2) + 1)` whole bits,
+    * where `flog2(n) = length(bin(n)) − 1` is the integer floor-log2
+    * both engines compute exactly, `cb`/`cu` are the reference
+    * bigram/context occurrence counts (add-one smoothing; an unseen
+    * bigram under a seen context costs the full `flog2(cu + V)`, an
+    * unseen context costs `flog2(V)` — the uniform-over-vocab
+    * fallback), and V is the reference vocabulary size. `total_bits
+    * / n_bigrams` is then bits-per-token — floor-log2-quantized
+    * cross-entropy, within 1 bit/token of the real thing and
+    * monotone in the same model evidence; the keep threshold
+    * (4.5 bits/token, ~the corpus median under this model) is compared in integer cross-multiplied form.
+    *
+    * Scale shape (the CCNet deployment shape): the model is two
+    * count tables bounded by the REFERENCE corpus (Wikipedia-sized,
+    * not crawl-sized) — here they flow through shuffled equi-joins
+    * keyed on the gram/context string, the shape that holds even if
+    * the model outgrows broadcast; a production run would prune and
+    * broadcast them. Bigram occurrences come from the
+    * [[graft.functions.WordGramsMulti]] codegen kernel (multiset —
+    * deduping would under-count exactly the repetitive docs a
+    * perplexity filter exists to catch), so the token array
+    * materializes once per row. One explode, two equi-joins, one
+    * doc-keyed aggregate, no global state: linear in corpus size.
+    */
+  val t15NgramPerplexity = Q(
+    "t15_ngram_perplexity",
+    """WITH tokd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(tk) - 1),
+      |                          i -> tk[i] || ' ' || tk[i+1])) AS g
+      |  FROM tokd
+      |), refbg AS (
+      |  SELECT g FROM bg WHERE doc_id % 2 = 0
+      |), cbt AS (
+      |  SELECT g, count(*) AS cb FROM refbg GROUP BY g
+      |), cut AS (
+      |  SELECT split_part(g, ' ', 1) AS w1, count(*) AS cu
+      |  FROM refbg GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT tok) AS vocab
+      |  FROM (SELECT unnest(tk) AS tok FROM tokd WHERE doc_id % 2 = 0)
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    (length(bin(COALESCE(cut.cu, 0) + v.vocab)) - 1)
+      |      - (length(bin(COALESCE(cbt.cb, 0) + 1)) - 1) AS bits
+      |  FROM bg
+      |  LEFT JOIN cbt ON bg.g = cbt.g
+      |  LEFT JOIN cut ON split_part(bg.g, ' ', 1) = cut.w1
+      |  CROSS JOIN v
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(bits) AS BIGINT) AS total_bits
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(a.total_bits, 0) AS total_bits,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(a.total_bits AS DOUBLE) / a.n_bigrams END AS bits_per_token,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |            AND a.total_bits * 10 <= a.n_bigrams * 45
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bgAll = docs.select(col("doc_id"),
+      explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
+    val refbg = bgAll.filter(col("doc_id") % 2 === 0)
+    val cbt = refbg.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val cut = refbg.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val vocab = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab"))
+    def flog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+    val scored = bgAll
+      .join(cbt, Seq("g"), "left")
+      .withColumn("w1k", substring_index(col("g"), " ", 1))
+      .join(cut, col("w1k") === col("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (flog2(coalesce(col("cu"), lit(0L)) + col("vocab")) -
+          flog2(coalesce(col("cb"), lit(0L)) + lit(1))).as("bits"))
+    val agg0 = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).cast("long").as("total_bits"))
+    docs.select(col("doc_id")).join(agg0, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("total_bits").cast("double") / col("n_bigrams"))
+          .as("bits_per_token"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+          col("total_bits") * 10 <= col("n_bigrams") * 45, lit(1))
+          .otherwise(lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
-    t14HtmlExtract)
+    t14HtmlExtract, t15NgramPerplexity)
 }

@@ -285,6 +285,20 @@ class PlanSpec extends AnyFunSuite {
       s"corpus gram stream must not shuffle for the join:\n$p")
   }
 
+  test("t15: LM scoring joins stay equi-keyed; only the 1-row vocab scalar nest-loops") {
+    val p = plan("t15_ngram_perplexity")
+    // the model joins (bigram counts, context counts) must be
+    // equi-joins on the gram/context key — the shape that holds when
+    // the model outgrows broadcast at 100 TB
+    assert(!p.contains("CartesianProduct"), s"LM scoring must not cartesian:\n$p")
+    // the single-row vocab scalar rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast vocab scalar in:\n$p")
+    // doc-level aggregate is two-phase (map-side partial before shuffle)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial agg in:\n$p")
+  }
+
   test("p04: mixture quota table is broadcast onto the ranked stream, no cartesian") {
     val p = plan("p04_domain_mixture")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast quota join in:\n$p")

@@ -156,6 +156,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("word_grams_multi kernel keeps multiplicity and equals the non-distinct spelling") {
+    GraftExtensions.register(spark)
+    // real corpus + edge cases: exactly n−1 (empty), exactly n (one
+    // gram), repeated tokens (the case distinct would collapse), null
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS tk")
+      .union(spark.sql("SELECT array('a') AS tk"))
+      .union(spark.sql("SELECT array('a','b') AS tk"))
+      .union(spark.sql("SELECT array('x','x','x','x') AS tk"))
+      .union(spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS tk"))
+    val declarative =
+      "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1))) ELSE array() END"
+    val mismatches = docs.selectExpr(
+      "word_grams_multi(tk, 2) AS kernel", s"$declarative AS declarative")
+      .filter("NOT (kernel <=> declarative)").count()
+    assert(mismatches == 0)
+    // multiplicity is the point: 'x x x x' has THREE 'x x' grams
+    assert(spark.sql("SELECT size(word_grams_multi(array('x','x','x','x'), 2))")
+      .head().getInt(0) == 3)
+  }
+
   test("winnow_mins kernel equals the declarative winnowing spelling") {
     GraftExtensions.register(spark)
     // real corpus + edge cases: exactly n−1 tokens (no grams), exactly
