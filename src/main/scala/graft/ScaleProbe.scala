@@ -41,6 +41,9 @@ object ScaleProbe {
     // ingest (gzip/zstd round-trip) and HTML main-text extraction —
     // pure per-partition maps, expected ≈linear with the corpus
     "c11_compressed_ingest", "t14_html_extract", "c12_warc_ingest",
+    // PageRank: corpus-linear edge derivation + 6 fixed iterations
+    // over the domain-sized graph — expected ≈flat + the scan term
+    "c13_domain_rank",
     "p04_domain_mixture", "p05_mixture_threshold",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters", "t13_corpus_profile",

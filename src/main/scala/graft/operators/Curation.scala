@@ -968,8 +968,137 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** DOMAIN RANKING over the corpus link graph — the web-curation
+    * stage CommonCrawl-scale pipelines run to weight sources
+    * (harmonic centrality in CC's own ranking; PageRank here): a
+    * damped fixed-iteration PageRank over the domain graph derived
+    * from the documents table (each doc links its source domain to
+    * up to three deterministic targets with a stride keyed to the
+    * domain class, so out-degrees vary; one domain class emits no
+    * links at all — a genuine dangling node, so the dangling-mass
+    * redistribution path is exercised, not just present). Everything is FIXED-POINT INTEGER arithmetic — ranks in
+    * micro-units, contributions `r div outdeg`, damping
+    * `(85 · mass) div 100`, dangling mass `dang div n` — so both
+    * engines compute bit-identical BIGINTs with zero float-sum order
+    * dependence (the q04 recursive-loop discipline applied to an
+    * iterative GRAPH aggregate; mass leaks to floor rounding are
+    * deterministic and identical in both).
+    *
+    * Scale shape: the real web graph is ~10⁷ registrable domains —
+    * the edge list is built once (one DISTINCT shuffle) and reused
+    * across iterations via eager localCheckpoint (the d07 fixpoint
+    * discipline: lineage cut per hop, no exponential replan); each
+    * of the 6 iterations is one ranks⋈edges equi-join plus one
+    * dst-keyed partial agg — ranks is domain-sized (broadcastable in
+    * production; spelled as an equi-join here so the shape holds for
+    * a host-level graph too), and the dangling/node-count scalars
+    * ride 1-row broadcasts. Driver never sees a row.
+    */
+  val c13DomainRank = Q(
+    "c13_domain_rank",
+    {
+      val base =
+        """WITH links AS (
+          |  SELECT DISTINCT source AS src,
+          |    'src' || CAST((doc_id + j * (1 + (doc_id % 20) % 4)) % 20 AS VARCHAR) AS dst
+          |  FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
+          |  WHERE (doc_id % 20) <> 19 AND ((doc_id % 20) + j) % 4 <> 0
+          |), edges AS (
+          |  SELECT src, dst FROM links WHERE src <> dst
+          |), nodes AS (
+          |  SELECT DISTINCT v FROM (
+          |    SELECT src AS v FROM edges UNION SELECT dst FROM edges
+          |    UNION SELECT source FROM documents)
+          |), od AS (
+          |  SELECT n.v, COALESCE(o.c, 0) AS outdeg FROM nodes n
+          |  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o
+          |    ON n.v = o.src
+          |), idt AS (
+          |  SELECT n.v, COALESCE(i.c, 0) AS indeg FROM nodes n
+          |  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i
+          |    ON n.v = i.dst
+          |), nn AS (SELECT count(*) AS n FROM nodes
+          |), it0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+      val iters = (1 to 6).map { k =>
+        s""", c$k AS (
+           |  SELECT e.dst AS v, SUM(p.r // od.outdeg) AS s
+           |  FROM edges e JOIN it${k - 1} p ON e.src = p.v
+           |  JOIN od ON od.v = e.src
+           |  GROUP BY e.dst
+           |), d$k AS (
+           |  SELECT COALESCE(SUM(p.r), 0) AS dang FROM it${k - 1} p
+           |  JOIN od ON od.v = p.v WHERE od.outdeg = 0
+           |), it$k AS (
+           |  SELECT nd.v, CAST(150000 +
+           |    (85 * (COALESCE(c$k.s, 0) + d$k.dang // nn.n)) // 100 AS BIGINT) AS r
+           |  FROM nodes nd LEFT JOIN c$k ON nd.v = c$k.v
+           |  CROSS JOIN d$k CROSS JOIN nn
+           |)""".stripMargin
+      }.mkString("\n")
+      base + "\n" + iters +
+        """
+          |SELECT it6.v AS domain, it6.r AS rank_scaled,
+          |  od.outdeg AS out_deg, idt.indeg AS in_deg
+          |FROM it6 JOIN od ON od.v = it6.v JOIN idt ON idt.v = it6.v
+          |ORDER BY rank_scaled DESC, domain""".stripMargin
+    }
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = docs
+      .select(col("source").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"), col("doc_id"))
+      .filter(col("doc_id") % 20 =!= 19 && (col("doc_id") % 20 + col("j")) % 4 =!= 0)
+      .select(col("src"),
+        concat(lit("src"),
+          ((col("doc_id") + col("j") * (lit(1) + (col("doc_id") % 20) % 4)) % 20)
+            .cast("string")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst")))
+      .union(docs.select(col("source")))
+      .distinct().localCheckpoint()
+    val od = nodes
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("c")),
+        nodes("v") === col("src"), "left")
+      .select(col("v"), coalesce(col("c"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    val idt = nodes
+      .join(edges.groupBy(col("dst")).agg(count(lit(1)).as("c")),
+        nodes("v") === col("dst"), "left")
+      .select(col("v"), coalesce(col("c"), lit(0L)).as("indeg"))
+    // edge list pre-joined with its out-degree once — static across
+    // all iterations
+    val ewd = edges
+      .join(od.withColumnRenamed("v", "ov"), col("src") === col("ov"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.select(col("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to 6) {
+      val contrib = ewd.join(ranks, ewd("src") === ranks("v"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div outdeg")).as("s_contrib"))
+      val dang = ranks
+        .join(od.filter(col("outdeg") === 0), Seq("v"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = nodes
+        .join(contrib, nodes("v") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(nn))
+        .select(col("v"),
+          expr("CAST(150000 + (85 * (COALESCE(s_contrib, CAST(0 AS BIGINT))" +
+            " + dang div n)) div 100 AS BIGINT)").as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(od, Seq("v")).join(idt, Seq("v"))
+      .select(col("v").as("domain"), col("r").as("rank_scaled"),
+        col("outdeg").as("out_deg"), col("indeg").as("in_deg"))
+      .orderBy(col("rank_scaled").desc, col("domain"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
-    c12WarcIngest)
+    c12WarcIngest, c13DomainRank)
 }

@@ -299,6 +299,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial agg in:\n$p")
   }
 
+  test("c13: PageRank iterations stay equi-keyed over checkpointed edges") {
+    // building the DataFrame runs the 6 iterations (eager
+    // localCheckpoint per hop — the d07 lineage discipline); the
+    // final plan must join ranks/degrees on the domain key with no
+    // cartesian anywhere
+    val p = plan("c13_domain_rank")
+    assert(!p.contains("CartesianProduct"), s"domain rank must not cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected checkpointed iteration inputs in:\n$p")
+  }
+
   test("p04: mixture quota table is broadcast onto the ranked stream, no cartesian") {
     val p = plan("p04_domain_mixture")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast quota join in:\n$p")
