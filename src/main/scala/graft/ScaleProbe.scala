@@ -33,6 +33,9 @@ object ScaleProbe {
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "s10_ann_ivfpq", "s11_ncm_classify",
+    // BM25: broadcast query probe over the term-partitioned index —
+    // expected ≈linear in the index (candidate set bounded by hits)
+    "s12_bm25_retrieval",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",

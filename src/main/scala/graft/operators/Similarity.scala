@@ -760,7 +760,108 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** BM25 ranked retrieval over the corpus inverted index — the
+    * LEXICAL member of the search tier next to the embedding ANN
+    * family, and the retrieval-based decontamination primitive
+    * (rank corpus docs against a benchmark query; high-scoring hits
+    * are contamination candidates — the retrieval flavor of t10's
+    * verbatim-gram check). Query docs are doc_id < 5; their DISTINCT
+    * tokens probe the (doc, term, tf) index; each matched term
+    * contributes `idf_bits · tfnorm` where
+    *  - `idf_bits = flog2(2N−2df+1) − flog2(2df+1)` is the t15
+    *    integer floor-log2 surrogate of the Robertson-Spärck-Jones
+    *    idf `ln((N−df+0.5)/(df+0.5))` (negative for df > N/2, like
+    *    the real thing — no libm, bit-exact both engines), and
+    *  - `tfnorm = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    *    k1=1.2, b=0.75 is the standard BM25 saturation written as
+    *    PLAIN double arithmetic (multiply/divide only — IEEE
+    *    correctly-rounded identically in both engines; `avgdl`
+    *    enters as the exact integer ratio `(dl·N)/S`).
+    * The per-(query, doc) score sums addends in an ORDERED fold —
+    * Spark `aggregate(sort_array(collect_list(struct(term, addend))))`
+    * vs DuckDB `list_reduce(list(addend ORDER BY term))`, the
+    * FloatVecDot discipline applied to an aggregation — so the
+    * double sum is bit-identical, then a per-query top-5 window.
+    *
+    * Scale shape: the tf/df/dl index is term-partitioned (the
+    * inverted index a 100 TB corpus shards by term); the query-term
+    * table is tiny and broadcast onto it, so the index never
+    * re-shuffles for the probe; per-(qid,doc) agg is two-phase; the
+    * top-k is a per-query window over the candidate set only.
+    */
+  val s12Bm25Retrieval = Q(
+    "s12_bm25_retrieval",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), tfc AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM tok) GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT term, count(*) AS df FROM tfc GROUP BY 1
+      |), dl AS (
+      |  SELECT doc_id, len(tk) AS dl FROM tok
+      |), nn AS (
+      |  SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS s FROM tok
+      |), qt AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(tk)) AS term
+      |  FROM tok WHERE doc_id < 5
+      |), cand AS (
+      |  SELECT qt.qid, tfc.doc_id, tfc.term,
+      |    ((length(bin(2 * nn.n - 2 * dfc.df + 1)) - 1)
+      |      - (length(bin(2 * dfc.df + 1)) - 1))
+      |    * ((tfc.tf * 2.2) / (tfc.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * nn.n) / nn.s))))
+      |      AS addend
+      |  FROM qt JOIN tfc ON qt.term = tfc.term
+      |  JOIN dfc ON tfc.term = dfc.term
+      |  JOIN dl ON dl.doc_id = tfc.doc_id
+      |  CROSS JOIN nn
+      |  WHERE tfc.doc_id <> qt.qid
+      |), scored AS (
+      |  SELECT qid, doc_id, count(*) AS n_terms,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(addend ORDER BY term)), (acc, x) -> acc + x) AS score
+      |  FROM cand GROUP BY qid, doc_id
+      |), ranked AS (
+      |  SELECT qid, doc_id, n_terms, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS k
+      |  FROM scored
+      |)
+      |SELECT qid, doc_id, n_terms, score, k FROM ranked
+      |WHERE k <= 5 ORDER BY qid, k""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tfc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val nn = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens(col("text")))).cast("long").as("s"))
+    val qt = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val cand = broadcast(qt).join(tfc, Seq("term"))
+      .join(dfc, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nn))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"), col("term"),
+        (((length(bin(lit(2) * col("n") - lit(2) * col("df") + 1)) - 1)
+          - (length(bin(lit(2) * col("df") + 1)) - 1))
+          * expr("(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((dl * n) / s)))"))
+          .as("addend"))
+    val scored = cand.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("addend")))),
+          lit(0.0), (acc, x) => acc + x.getField("addend")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 5)
+      .orderBy(col("qid"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
-    s11NcmClassify)
+    s11NcmClassify, s12Bm25Retrieval)
 }

@@ -299,6 +299,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial agg in:\n$p")
   }
 
+  test("s12: BM25 probe broadcasts the query terms onto the term-partitioned index") {
+    val p = plan("s12_bm25_retrieval")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term probe must broadcast, not re-shuffle the index:\n$p")
+    assert(!p.contains("CartesianProduct"), s"BM25 must not cartesian:\n$p")
+    // per-(qid,doc) agg is two-phase
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial agg in:\n$p")
+  }
+
   test("c13: PageRank iterations stay equi-keyed over checkpointed edges") {
     // building the DataFrame runs the 6 iterations (eager
     // localCheckpoint per hop — the d07 lineage discipline); the
