@@ -53,6 +53,10 @@ object ScaleProbe {
     // CCNet-style LM scoring: explode + two model equi-joins + doc
     // agg — expected ≈linear (model bounded by the reference slice)
     "t15_ngram_perplexity",
+    // BPE training: one corpus-linear groupBy builds the word-type
+    // table; 10 rounds iterate the vocab-sized table — expected
+    // ≈flat + the scan term
+    "t16_bpe_merges",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,

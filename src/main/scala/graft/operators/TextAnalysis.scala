@@ -750,8 +750,102 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL BPE tokenizer TRAINING (Sennrich et al., ACL'16 — the
+    * algorithm behind GPT/Llama vocabularies), completing the story
+    * t05 stubs with a regex: learn the first 10 merges from the
+    * corpus word-type table. Each round counts adjacent symbol
+    * pairs WEIGHTED by word frequency (the WordGramsMulti multiset
+    * kernel over the space-joined symbol string), picks the argmax
+    * pair under the deterministic (count DESC, pair ASC) tie-break,
+    * and applies the merge as a delimiter-guarded string replace —
+    * `replace(' '||sym||' ', ' a b ' → ' ab ')` IS canonical BPE
+    * merge application: both engines' replace scans left-to-right
+    * without rescanning its own output, which is exactly BPE's
+    * leftmost-first non-overlapping rule (verified: 'a a a' under
+    * merge 'a a' → 'aa a' in both). A round with no remaining pairs
+    * emits no merge and later rounds no-op (LEFT JOIN ON TRUE, not
+    * a CROSS JOIN that would annihilate the word table). Empty-string
+    * word types (consecutive-space artifacts) are excluded up front —
+    * the one input where the engines' char-split disagrees ([''] vs
+    * []) and a symbol-less word is meaningless to BPE anyway.
+    *
+    * Scale shape: the corpus-linear part is ONE groupBy building the
+    * word-type table (vocab-sized — millions of types at 100 TB, not
+    * corpus-sized); all 10 training rounds iterate over that bounded
+    * table with eager localCheckpoint per round (the c13/d07
+    * discipline), each round one pair count + a 1-row argmax
+    * broadcast back onto the types. Output is the learned merge
+    * table — the artifact a tokenizer ships.
+    */
+  val t16BpeMerges = Q(
+    "t16_bpe_merges",
+    {
+      val base =
+        """WITH w0 AS (
+          |  SELECT term AS word, count(*) AS freq,
+          |         array_to_string(string_split(term, ''), ' ') AS sym
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |  WHERE term <> ''
+          |  GROUP BY term
+          |)""".stripMargin
+      val iters = (1 to 10).map { k =>
+        s""", p$k AS (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT freq,
+           |      unnest(list_transform(generate_series(1, len(tk) - 1),
+           |                            i -> tk[i] || ' ' || tk[i+1])) AS pair
+           |    FROM (SELECT freq, string_split(sym, ' ') AS tk FROM w${k - 1})
+           |  ) GROUP BY pair
+           |), b$k AS (
+           |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1
+           |), w$k AS (
+           |  SELECT word, freq,
+           |    CASE WHEN b$k.pair IS NULL THEN sym
+           |         ELSE trim(replace(' ' || sym || ' ', ' ' || b$k.pair || ' ',
+           |                           ' ' || replace(b$k.pair, ' ', '') || ' ')) END AS sym
+           |  FROM w${k - 1} LEFT JOIN b$k ON TRUE
+           |)""".stripMargin
+      }.mkString("\n")
+      val unions = (1 to 10).map { k =>
+        if (k == 1)
+          s"SELECT 1 AS k, pair, replace(pair, ' ', '') AS merged, cnt FROM b1"
+        else
+          s"UNION ALL SELECT $k, pair, replace(pair, ' ', ''), cnt FROM b$k"
+      }.mkString("\n")
+      base + "\n" + iters + "\nSELECT * FROM (\n" + unions + "\n) ORDER BY k"
+    }
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    var words = docs.select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(col("term").as("word"), col("freq"),
+        concat_ws(" ", split(col("term"), "")).as("sym"))
+      .localCheckpoint()
+    var merges = Vector.empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to 10) {
+      val pairs = words.select(col("freq"),
+          explode(graft.functions.WordGramsMulti(split(col("sym"), " "), 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).cast("long").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).localCheckpoint()
+      merges = merges :+ best.select(lit(k).as("k"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+      words = words
+        .join(broadcast(best.select(col("pair").as("bpair"))), lit(true), "left")
+        .select(col("word"), col("freq"),
+          when(col("bpair").isNull, col("sym"))
+            .otherwise(expr(
+              "trim(replace(' ' || sym || ' ', ' ' || bpair || ' ', " +
+                "' ' || replace(bpair, ' ', '') || ' '))"))
+            .as("sym"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ union _).orderBy(col("k"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
-    t14HtmlExtract, t15NgramPerplexity)
+    t14HtmlExtract, t15NgramPerplexity, t16BpeMerges)
 }
