@@ -56,7 +56,7 @@ object ScaleProbe {
     // BPE training: one corpus-linear groupBy builds the word-type
     // table; 10 rounds iterate the vocab-sized table — expected
     // ≈flat + the scan term
-    "t16_bpe_merges",
+    "t16_bpe_merges", "t17_bpe_encode",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,

@@ -777,45 +777,61 @@ object TextAnalysis {
     * broadcast back onto the types. Output is the learned merge
     * table — the artifact a tokenizer ships.
     */
+  /** The w0..w10/b1..b10 CTE chain of the BPE trainer — shared by
+    * the t16 (merge table) and t17 (encoder) oracles.
+    */
+  private val bpeSqlCtes: String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT term AS word, count(*) AS freq,
+        |         array_to_string(string_split(term, ''), ' ') AS sym
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY term
+        |)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s""", p$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(generate_series(1, len(tk) - 1),
+         |                            i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |    FROM (SELECT freq, string_split(sym, ' ') AS tk FROM w${k - 1})
+         |  ) GROUP BY pair
+         |), b$k AS (
+         |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1
+         |), w$k AS (
+         |  SELECT word, freq,
+         |    CASE WHEN b$k.pair IS NULL THEN sym
+         |         ELSE trim(replace(' ' || sym || ' ', ' ' || b$k.pair || ' ',
+         |                           ' ' || replace(b$k.pair, ' ', '') || ' ')) END AS sym
+         |  FROM w${k - 1} LEFT JOIN b$k ON TRUE
+         |)""".stripMargin
+    }.mkString("\n")
+    base + "\n" + iters
+  }
+
   val t16BpeMerges = Q(
     "t16_bpe_merges",
     {
-      val base =
-        """WITH w0 AS (
-          |  SELECT term AS word, count(*) AS freq,
-          |         array_to_string(string_split(term, ''), ' ') AS sym
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-          |  WHERE term <> ''
-          |  GROUP BY term
-          |)""".stripMargin
-      val iters = (1 to 10).map { k =>
-        s""", p$k AS (
-           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (
-           |    SELECT freq,
-           |      unnest(list_transform(generate_series(1, len(tk) - 1),
-           |                            i -> tk[i] || ' ' || tk[i+1])) AS pair
-           |    FROM (SELECT freq, string_split(sym, ' ') AS tk FROM w${k - 1})
-           |  ) GROUP BY pair
-           |), b$k AS (
-           |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1
-           |), w$k AS (
-           |  SELECT word, freq,
-           |    CASE WHEN b$k.pair IS NULL THEN sym
-           |         ELSE trim(replace(' ' || sym || ' ', ' ' || b$k.pair || ' ',
-           |                           ' ' || replace(b$k.pair, ' ', '') || ' ')) END AS sym
-           |  FROM w${k - 1} LEFT JOIN b$k ON TRUE
-           |)""".stripMargin
-      }.mkString("\n")
       val unions = (1 to 10).map { k =>
         if (k == 1)
           s"SELECT 1 AS k, pair, replace(pair, ' ', '') AS merged, cnt FROM b1"
         else
           s"UNION ALL SELECT $k, pair, replace(pair, ' ', ''), cnt FROM b$k"
       }.mkString("\n")
-      base + "\n" + iters + "\nSELECT * FROM (\n" + unions + "\n) ORDER BY k"
+      bpeSqlCtes + "\nSELECT * FROM (\n" + unions + "\n) ORDER BY k"
     }
   ) { (s, d) =>
+    bpeTrain(s, d)._2.orderBy(col("k"))
+  }
+
+  /** The t16 training loop, shared with the t17 encoder: returns
+    * (trained word table `word, freq, sym` after 10 merges, learned
+    * merge table `k, pair, merged, cnt`).
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, d)
     var words = docs.select(explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -841,11 +857,67 @@ object TextAnalysis {
             .as("sym"))
         .localCheckpoint()
     }
-    merges.reduce(_ union _).orderBy(col("k"))
+    (words, merges.reduce(_ union _))
+  }
+
+  /** BPE ENCODING with the t16-trained merges — the inference side
+    * of tokenizer training, and the operation a pipeline runs over
+    * the WHOLE corpus once the vocab is learned (token-count
+    * budgeting, sequence packing, cost estimation all consume these
+    * counts). The trained word→sym table IS the tokenizer model:
+    * vocab-sized, joined onto the corpus token stream (broadcast in
+    * production — the model is small; spelled as an equi-join so the
+    * shape survives a giant vocab), then one per-doc two-phase agg:
+    * words, subwords, chars, and chars-per-subword (integer-valued
+    * double division — exact) — the compression ratio the 10 merges
+    * bought. Docs with no nonempty tokens keep a row via the final
+    * left join.
+    */
+  val t17BpeEncode = Q(
+    "t17_bpe_encode",
+    bpeSqlCtes +
+      """, tok2 AS (
+        |  SELECT doc_id, term
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''
+        |), enc AS (
+        |  SELECT t.doc_id, count(*) AS n_words,
+        |    CAST(sum(len(string_split(w.sym, ' '))) AS BIGINT) AS n_subwords,
+        |    CAST(sum(length(w.word)) AS BIGINT) AS n_chars
+        |  FROM tok2 t JOIN w10 w ON t.term = w.word
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(e.n_words, 0) AS n_words,
+        |  COALESCE(e.n_subwords, 0) AS n_subwords,
+        |  COALESCE(e.n_chars, 0) AS n_chars,
+        |  CASE WHEN COALESCE(e.n_subwords, 0) = 0 THEN 0.0
+        |       ELSE CAST(e.n_chars AS DOUBLE) / e.n_subwords END AS chars_per_subword
+        |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val trained = bpeTrain(s, d)._1
+    val tok2 = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val enc = tok2.join(trained, tok2("term") === trained("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), " "))).cast("long").as("n_subwords"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+    docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        when(coalesce(col("n_subwords"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_chars").cast("double") / col("n_subwords"))
+          .as("chars_per_subword"))
+      .orderBy(col("doc_id"))
   }
 
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
-    t14HtmlExtract, t15NgramPerplexity, t16BpeMerges)
+    t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode)
 }
