@@ -1233,6 +1233,100 @@ object OggDecoder extends MediaDecoder {
   }
 }
 
+/** REAL PDF (ISO 32000) CONTAINER METADATA parser — the DOCUMENT
+  * format class next to the raster/audio/video tiers, and the one
+  * book/paper corpora actually arrive in. The whole file is walked
+  * through its REAL cross-reference machinery, not scanned for
+  * keywords: locate `startxref` + `%%EOF` at the tail, follow the
+  * startxref offset and REQUIRE the xref table actually lives there,
+  * parse the fixed 20-byte xref entries, and for EVERY in-use entry
+  * REQUIRE that `<id> 0 obj` really starts at the declared byte
+  * offset — the offset-integrity check a malformed or truncated PDF
+  * fails loudly (the xref analog of Ogg's per-page CRC). The page
+  * tree's /Count gives n_pages, the first /Type /Page's /MediaBox
+  * gives the presentation dims, and the checksum folds over the
+  * content-STREAM payload bytes in object order (the coded stream —
+  * same scope as mdat / MP3 frames / FLAC frames). Bytes are viewed
+  * through ISO-8859-1 (1 byte = 1 char, lossless) so offsets are
+  * byte-exact.
+  */
+object PdfDecoder extends MediaDecoder {
+
+  def isPdf(b: Array[Byte]): Boolean =
+    b.length >= 9 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-'
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isPdf(b), s"media_id=${row.media_id}: not a PDF payload")
+    val s = new String(b, "ISO-8859-1")
+    require(s.endsWith("%%EOF\n"),
+      s"media_id=${row.media_id}: missing %%EOF marker")
+    val sxAt = s.lastIndexOf("startxref\n")
+    require(sxAt >= 0, s"media_id=${row.media_id}: no startxref")
+    val offEnd = s.indexOf('\n', sxAt + 10)
+    val xrefOff = s.substring(sxAt + 10, offEnd).trim.toInt
+    // integrity check #1: the xref table must actually live at the
+    // declared offset
+    require(s.startsWith("xref\n", xrefOff),
+      s"media_id=${row.media_id}: startxref $xrefOff does not point at the xref table")
+    val subHdrEnd = s.indexOf('\n', xrefOff + 5)
+    val subHdr = s.substring(xrefOff + 5, subHdrEnd).split(' ')
+    require(subHdr.length == 2 && subHdr(0) == "0",
+      s"media_id=${row.media_id}: unsupported xref subsection ${subHdr.mkString(" ")}")
+    val nEntries = subHdr(1).toInt
+    var checksum = 0L
+    var nPages = -1
+    var width = -1
+    var height = -1
+    var e = 1 // entry 0 is the free-list head
+    while (e < nEntries) {
+      val at = subHdrEnd + 1 + e * 20
+      val entry = s.substring(at, at + 20)
+      require(entry.charAt(17) == 'n',
+        s"media_id=${row.media_id}: xref entry $e is not in-use")
+      val objOff = entry.substring(0, 10).toInt
+      // integrity check #2: EVERY in-use entry must point at its
+      // object header
+      require(s.startsWith(s"$e 0 obj\n", objOff),
+        s"media_id=${row.media_id}: xref entry $e declares offset $objOff " +
+          "but no matching object header lives there")
+      val bodyAt = objOff + s"$e 0 obj\n".length
+      if (s.startsWith("<< /Type /Pages ", bodyAt)) {
+        val cAt = s.indexOf("/Count ", bodyAt) + 7
+        nPages = s.substring(cAt, s.indexOf(' ', cAt)).toInt
+      } else if (s.startsWith("<< /Type /Page ", bodyAt)) {
+        if (width < 0) {
+          val mAt = s.indexOf("/MediaBox [0 0 ", bodyAt) + 15
+          val mEnd = s.indexOf(']', mAt)
+          val dims = s.substring(mAt, mEnd).split(' ')
+          width = dims(0).toInt
+          height = dims(1).toInt
+        }
+      } else if (s.startsWith("<< /Length ", bodyAt)) {
+        val len = s.substring(bodyAt + 11, s.indexOf(' ', bodyAt + 11)).toInt
+        val streamAt = s.indexOf("stream\n", bodyAt) + 7
+        var j = streamAt
+        val end = streamAt + len
+        while (j < end) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+        require(s.startsWith("\nendstream", end),
+          s"media_id=${row.media_id}: /Length $len does not reach endstream")
+      }
+      e += 1
+    }
+    require(nPages > 0, s"media_id=${row.media_id}: no /Type /Pages /Count")
+    require(width > 0 && height > 0, s"media_id=${row.media_id}: no /MediaBox")
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      n_bytes = b.length.toLong,
+      width = width,
+      height = height,
+      n_channels = nPages,
+      checksum = checksum)
+  }
+}
+
 /** Content-sniffing decoder: real formats go to their real parser,
   * everything else to `fallback` (the stub — now only codec-FRAME
   * decode of formats without a JDK codec, e.g. the coded samples
@@ -1254,6 +1348,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (FlacDecoder.isFlac(row.payload)) FlacDecoder.decode(row)
     else if (MkvDecoder.isMkv(row.payload)) MkvDecoder.decode(row)
     else if (OggDecoder.isOgg(row.payload)) OggDecoder.decode(row)
+    else if (PdfDecoder.isPdf(row.payload)) PdfDecoder.decode(row)
     else fallback.decode(row)
 }
 

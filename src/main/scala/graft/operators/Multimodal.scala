@@ -885,8 +885,100 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic minimal-but-REAL PDF: catalog → page tree
+    * (/Count = 1 + doc_id mod 3) → per-page /MediaBox
+    * (width 200 + (doc_id mod 5)·100, height 200 + (doc_id mod 7)·50,
+    * both always 3 digits so lengths stay algebraic) → one content
+    * stream per page (/Length 20 + doc_id mod 50, always 2 digits) —
+    * with a REAL xref table whose 20-byte entries carry the ACTUAL
+    * byte offset of every object (tracked during synthesis, 10-digit
+    * padded), a /Size trailer, and a 10-digit-padded startxref. The
+    * fixed digit widths make the byte length exactly
+    * `239 + n_pages·(203 + doc_id mod 50)`, which the synth
+    * re-asserts on every payload.
+    */
+  private def pdfBytes(docId: Long): Array[Byte] = {
+    val n = (1 + docId % 3).toInt
+    val l = (20 + docId % 50).toInt
+    val w = (200 + (docId % 5) * 100).toInt
+    val h = (200 + (docId % 7) * 50).toInt
+    val sb = new StringBuilder
+    val offsets = new Array[Int](3 + 2 * n)
+    sb.append("%PDF-1.4\n")
+    def obj(id: Int)(body: String): Unit = {
+      offsets(id) = sb.length
+      sb.append(s"$id 0 obj\n").append(body).append("endobj\n")
+    }
+    obj(1)("<< /Type /Catalog /Pages 2 0 R >>\n")
+    val kids = (3 to 2 + n).map(i => s"$i 0 R").mkString(" ")
+    obj(2)(s"<< /Type /Pages /Kids [$kids] /Count $n >>\n")
+    var i = 1
+    while (i <= n) {
+      obj(2 + i)(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $w $h]" +
+        s" /Contents ${2 + n + i} 0 R >>\n")
+      i += 1
+    }
+    i = 1
+    while (i <= n) {
+      val q = 2 + n + i
+      val payload = new StringBuilder
+      var j = 0
+      while (j < l) { payload.append(((docId * 17 + q * 5 + j) % 256).toChar); j += 1 }
+      obj(q)(s"<< /Length $l >>\nstream\n$payload\nendstream\n")
+      i += 1
+    }
+    val xrefOff = sb.length
+    sb.append("xref\n").append(s"0 ${3 + 2 * n}\n")
+    sb.append("0000000000 65535 f\r\n")
+    var id = 1
+    while (id <= 2 + 2 * n) { sb.append(f"${offsets(id)}%010d 00000 n\r\n"); id += 1 }
+    sb.append("trailer\n").append(s"<< /Size ${3 + 2 * n} /Root 1 0 R >>\n")
+    sb.append("startxref\n").append(f"$xrefOff%010d\n").append("%%EOF\n")
+    val out = sb.toString.getBytes("ISO-8859-1")
+    require(out.length == 239 + n * (203 + (docId % 50).toInt),
+      s"pdf synth drifted from its byte-length contract for doc $docId: ${out.length}")
+    out
+  }
+
+  /** The DOCUMENT-format leg — the container book/paper corpora
+    * arrive in: synthesized genuine PDFs through `PdfDecoder`'s real
+    * cross-reference walk, which REQUIRES the xref table at the
+    * declared startxref offset and `<id> 0 obj` at EVERY in-use
+    * entry's declared byte offset (a truncated or corrupted PDF
+    * fails loudly — the xref analog of m14's page CRC, and
+    * MediaPipelineSpec pins the failure mode). Page count from the
+    * page tree's /Count, dims from /MediaBox, byte length algebraic
+    * from the fixed-digit-width synthesis. Same zero-shuffle
+    * per-partition shape as the rest of the codec tier.
+    */
+  val m15PdfMeta = Q(
+    "m15_pdf_meta",
+    """SELECT doc_id AS media_id,
+      |  200 + (doc_id % 5) * 100 AS width,
+      |  200 + (doc_id % 7) * 50 AS height,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+      |  239 + (1 + doc_id % 3) * (203 + doc_id % 50) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "pdf", pdfBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_pages"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
-      m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta)
+      m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
+      m15PdfMeta)
 }

@@ -692,6 +692,53 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF: xref walk verifies every declared object offset; corruption fails loudly") {
+    // a hand-built 1-page PDF in the same shape the m15 synth emits
+    val sb = new StringBuilder
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    sb.append("%PDF-1.4\n")
+    def obj(id: Int)(body: String): Unit = {
+      offs += sb.length
+      sb.append(s"$id 0 obj\n").append(body).append("endobj\n")
+    }
+    obj(1)("<< /Type /Catalog /Pages 2 0 R >>\n")
+    obj(2)("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    obj(3)("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 320 240] /Contents 4 0 R >>\n")
+    val payload = Array.tabulate(25)(j => ((j * 13 + 5) % 256).toByte)
+    val payloadStr = new String(payload.map(b => (b & 0xff).toChar))
+    obj(4)(s"<< /Length 25 >>\nstream\n$payloadStr\nendstream\n")
+    val xrefOff = sb.length
+    sb.append("xref\n0 5\n0000000000 65535 f\r\n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n\r\n"))
+    sb.append("trailer\n<< /Size 5 /Root 1 0 R >>\n")
+    sb.append("startxref\n").append(f"$xrefOff%010d\n").append("%%EOF\n")
+    val bytes = sb.toString.getBytes("ISO-8859-1")
+
+    assert(PdfDecoder.isPdf(bytes))
+    val f = PdfDecoder.decode(MediaRow(120L, "pdf", bytes, "synth"))
+    assert(f.width == 320 && f.height == 240 && f.n_channels == 1)
+    assert(f.n_bytes == bytes.length.toLong)
+    var expect = 0L
+    payload.foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(121L, "pdf", bytes, "synth"))
+      .copy(media_id = 120L) == f)
+
+    // corrupting one xref entry's declared offset fails the
+    // object-header integrity check
+    val bad = sb.toString.replaceFirst("0000000009", "0000000011")
+      .getBytes("ISO-8859-1")
+    val e1 = intercept[IllegalArgumentException] {
+      PdfDecoder.decode(MediaRow(122L, "pdf", bad, "synth"))
+    }
+    assert(e1.getMessage.contains("no matching object header"))
+
+    // a truncated file (lost trailer) fails the %%EOF check
+    intercept[IllegalArgumentException] {
+      PdfDecoder.decode(MediaRow(123L, "pdf", bytes.dropRight(10), "synth"))
+    }
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
