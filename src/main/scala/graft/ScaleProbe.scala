@@ -73,7 +73,10 @@ object ScaleProbe {
     "q71_stream_replay", "q72_sessionize", "q73_stream_join_replay",
     "q74_stream_dedup_replay", "q75_stream_cast_replay",
     "q76_stream_static_join", "q77_stream_chunk_replay",
-    "q78_stream_ingest_gate")
+    "q78_stream_ingest_gate",
+    // q79: stateless broadcast-model scoring — expected ≲3×/decade
+    // like the other stateless replays
+    "q79_stream_lm_gate")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -531,7 +531,95 @@ object StreamReplay {
     }
   }
 
+  /** STREAMING LM-QUALITY GATE — t15's CCNet-style perplexity filter
+    * run the way CCNet actually deploys it: the bigram model is
+    * trained OFFLINE in batch from the reference slice, shipped to
+    * every executor as a broadcast (the model is reference-corpus-
+    * sized — Wikipedia-scale, compact by construction; the
+    * model-sized driver collect here is the same category as
+    * AnnKmeans' centroid collect), and every ARRIVING document is
+    * scored locally in a stateless narrow mapPartitions — zero
+    * shuffle, zero streaming state, append mode (q75's legality
+    * argument: per-doc scoring is row-independent). The Scala scorer
+    * reproduces t15's integer bits EXACTLY (floor-log2 via
+    * numberOfLeadingZeros == length(bin(n))−1; split(" ", -1)
+    * matches both engines' trailing-empty-keeping split), so the
+    * streaming run hash-matches t15's batch DuckDB oracle verbatim —
+    * streaming execution, batch execution, and the independent
+    * relational spelling all agree on every doc's bit cost.
+    */
+  /** q79's per-doc scorer — t15's integer-bit recurrence in plain
+    * Scala: `split(" ", -1)` is both engines' trailing-empty-keeping
+    * tokenization, `63 − numberOfLeadingZeros` is
+    * `length(bin(n)) − 1`, and the bits/threshold algebra mirrors
+    * t15 term for term (StreamingSpec pins the edge cases; the
+    * corpus-wide equality is pinned by q79 hash-matching t15's
+    * DuckDB oracle).
+    */
+  private[graft] def scoreLm(
+      cb: scala.collection.Map[String, Long],
+      cu: scala.collection.Map[String, Long],
+      v: Long, id: Long, text: String): (Long, Long, Long, Double, Int) = {
+    def flog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val tk = if (text == null) Array.empty[String] else text.split(" ", -1)
+    var total = 0L
+    var n = 0L
+    var i = 0
+    while (i < tk.length - 1) {
+      val w1 = tk(i)
+      val g = w1 + " " + tk(i + 1)
+      total += flog2(cu.getOrElse(w1, 0L) + v) - flog2(cb.getOrElse(g, 0L) + 1L)
+      n += 1
+      i += 1
+    }
+    val bpt = if (n == 0) 0.0 else total.toDouble / n
+    val keep = if (n > 0 && total * 10 <= n * 45) 1 else 0
+    (id, n, total, bpt, keep)
+  }
+
+  val q79StreamLmGate = Q(
+    "q79_stream_lm_gate",
+    graft.operators.TextAnalysis.t15NgramPerplexity.sql.get
+  ) { (s, d) => {
+    import s.implicits._
+    import graft.functions.TextVec.tokens
+    val docs = graft.Tables.documents(s, d)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val vocabV = ref.select(explode(tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+    val cbRows = ref
+      .select(explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .collect() // model-sized: bounded by the reference slice's bigram vocab
+    val cbM = new scala.collection.mutable.HashMap[String, Long]()
+    val cuM = new scala.collection.mutable.HashMap[String, Long]()
+    cbRows.foreach { r =>
+      val g = r.getString(0); val c = r.getLong(1)
+      cbM.update(g, c)
+      val w1 = g.substring(0, g.indexOf(' '))
+      cuM.update(w1, cuM.getOrElse(w1, 0L) + c)
+    }
+    val bc = s.sparkContext.broadcast((cbM, cuM, vocabV))
+    val docsSchema = docs.schema
+    val scored = tableStream(s, d, "documents", docsSchema)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val (cb, cu, v) = bc.value
+        it.map { case (id, text) => scoreLm(cb, cu, v, id, text) }
+      }.toDF("doc_id", "n_bigrams", "total_bits", "bits_per_token", "keep")
+    val sinkName = "graft_q79_lm_gate"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = scored.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("doc_id"))
+  } }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
-    q77StreamChunkReplay, q78StreamIngestGate)
+    q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate)
 }

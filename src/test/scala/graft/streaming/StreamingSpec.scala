@@ -399,6 +399,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q79's LM scorer reproduces t15's integer-bit algebra on the edge cases") {
+    import graft.operators.StreamReplay.scoreLm
+    // model: cb("a b") = 3, so cu("a") = 3; vocab 4
+    val cb = Map("a b" -> 3L)
+    val cu = Map("a" -> 3L)
+    // seen bigram: bits = flog2(3+4) − flog2(3+1) = 2 − 2 = 0
+    assert(scoreLm(cb, cu, 4L, 1L, "a b") == ((1L, 1L, 0L, 0.0, 1)))
+    // unseen bigram under a seen context: flog2(7) − flog2(1) = 2
+    assert(scoreLm(cb, cu, 4L, 2L, "a z") == ((2L, 1L, 2L, 2.0, 1)))
+    // unseen context: flog2(0+4) − flog2(0+1) = 2
+    assert(scoreLm(cb, cu, 4L, 3L, "q z") == ((3L, 1L, 2L, 2.0, 1)))
+    // above the 4.5 bits/token threshold: vocab big enough to cost 6 bits
+    val (_, n, tot, bpt, keep) = scoreLm(Map.empty, Map.empty, 64L, 4L, "q z")
+    assert(n == 1 && tot == 6 && bpt == 6.0 && keep == 0)
+    // no bigrams (single/empty/null text): zero row, keep 0
+    assert(scoreLm(cb, cu, 4L, 5L, "solo") == ((5L, 0L, 0L, 0.0, 0)))
+    assert(scoreLm(cb, cu, 4L, 6L, null) == ((6L, 0L, 0L, 0.0, 0)))
+    // trailing space ⇒ trailing empty token participates, as in both
+    // engines' split: "a " has bigram ("a", "")
+    assert(scoreLm(cb, cu, 4L, 7L, "a ")._2 == 1L)
+  }
+
   test("streaming cast pipeline is batch-boundary independent (q75's engine path)") {
     import spark.implicits._
     import graft.engine.{DynEvent, EValue, SpellEngine}
