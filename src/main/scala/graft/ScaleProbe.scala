@@ -36,6 +36,8 @@ object ScaleProbe {
     // BM25: broadcast query probe over the term-partitioned index —
     // expected ≈linear in the index (candidate set bounded by hits)
     "s12_bm25_retrieval",
+    // JL projection: pure per-row constant-folded dots — expected ≈flat
+    "s13_random_projection",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",

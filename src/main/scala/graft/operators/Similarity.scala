@@ -861,7 +861,57 @@ object Similarity {
       .orderBy(col("qid"), col("k"))
   }
 
+  /** Johnson-Lindenstrauss RANDOM-PROJECTION dimensionality
+    * reduction (Achlioptas JCSS'03 ±1 projections) — the embedding
+    * TRANSFORM stage a 100 TB pipeline runs before ANN indexing:
+    * 64-dim float vectors project to 16 dims through 16 seeded ±1
+    * planes (the same md5-coin construction the LSH tier uses,
+    * seed-disjoint at j=100..115), inlined as constant-folded array
+    * literals so the whole operator is a pure per-row projection —
+    * zero joins, zero shuffle beyond the presentation sort. Each
+    * output coordinate is a FloatVecDot sequential fold (bit-exact
+    * both engines), and `norm_ratio = ‖reduced‖ / (4·‖x‖)` reports
+    * the JL norm preservation per row (E‖reduced‖² = 16‖x‖² for ±1
+    * planes, so the ratio concentrates near 1 — sqrt is
+    * IEEE-correctly-rounded, not libm, so even the ratio
+    * hash-matches; a zero input vector is guarded to 0.0 rather
+    * than relying on Inf/NaN renderings agreeing).
+    */
+  val s13RandomProjection = Q(
+    "s13_random_projection",
+    {
+      val planes = (0 until 16).map(j => s"${sqlSeededPlane(100 + j)} AS p$j")
+        .mkString(",\n      |    ")
+      val dots = (0 until 16).map(j => sqlDot("embedding", s"p$j"))
+        .mkString(",\n      |    ")
+      s"""WITH pl AS (
+      |  SELECT $planes
+      |), red AS (
+      |  SELECT vec_id,
+      |    [$dots] AS reduced,
+      |    ${sqlNorm("embedding")} AS n64
+      |  FROM embeddings CROSS JOIN pl
+      |)
+      |SELECT vec_id, reduced,
+      |  CASE WHEN n64 = 0 THEN 0.0
+      |       ELSE sqrt(${sqlDot("reduced", "reduced")}) / (4.0 * n64) END AS norm_ratio
+      |FROM red ORDER BY vec_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val reduced = array((0 until 16).map(j =>
+      dot(col("embedding"), seededPlaneCol(100 + j))): _*)
+    val n64 = norm(col("embedding"))
+    emb.select(col("vec_id"), reduced.as("reduced"), n64.as("n64"))
+      .select(col("vec_id"), col("reduced"),
+        when(col("n64") === 0, lit(0.0))
+          .otherwise(sqrt(graft.functions.DoubleVecDot(col("reduced"), col("reduced")))
+            / (lit(4.0) * col("n64")))
+          .as("norm_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
-    s11NcmClassify, s12Bm25Retrieval)
+    s11NcmClassify, s12Bm25Retrieval, s13RandomProjection)
 }
