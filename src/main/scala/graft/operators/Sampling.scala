@@ -269,7 +269,44 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** WEIGHTED exact-k sampling — the integer-exact analog of
+    * Efraimidis-Spirakis priority sampling under the house md5-only
+    * rule: each doc draws the deterministic 48-bit uniform
+    * `u = int(md5(doc_id)[0:12 hex])` and gets priority
+    * `u div weight` (weight = n_chars, so longer docs sample
+    * proportionally more often — the mixture-by-bytes weighting a
+    * token-budgeted pipeline wants); the k lowest priorities win.
+    * ES uses `u^(1/w)` keys, which needs libm `pow`; integer floor
+    * division preserves the weighted-preference order exactly and
+    * both engines compute it bit-identically (Spark
+    * `conv(hex,16,10)` ↔ DuckDB `CAST('0x…')`, both unsigned
+    * 48-bit — fits a BIGINT with headroom). Plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge — no
+    * global sort), p06's scale shape.
+    */
+  val p07WeightedSample = Q(
+    "p07_weighted_sample",
+    """WITH pri AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |      // greatest(n_chars, 1) AS priority
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT * FROM pri ORDER BY priority, doc_id LIMIT 20
+      |)
+      |SELECT doc_id, lang, source, n_chars, priority FROM ranked
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)" +
+          " div greatest(n_chars, CAST(1 AS BIGINT))").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(20)
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
-      p05MixtureThreshold, p06SampleExactK)
+      p05MixtureThreshold, p06SampleExactK, p07WeightedSample)
 }

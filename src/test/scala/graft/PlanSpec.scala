@@ -129,6 +129,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
 
+  test("p07: the weighted sample plans as top-k, never a full sort") {
+    val p = plan("p07_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
   test("q44: unpivot is a map-side Expand feeding a two-phase aggregate") {
     val p = plan("q44_unpivot")
     assert(p.contains("Expand"), s"expected the native unpivot Expand in:\n$p")
