@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL ZIP (APPNOTE.TXT / PKZIP) archive walk — the ARCHIVE layer
+  * of corpus ingest, one level above c11's per-blob gzip/zstd:
+  * corpora (Gutenberg dumps, dataset releases) arrive as .zip files
+  * of many members. `parse` follows the format's actual machinery,
+  * not a signature scan: the fixed 22-byte End-Of-Central-Directory
+  * record at the tail gives the central directory's offset/size/
+  * entry count (all three REQUIRED to be mutually consistent with
+  * the payload length); each central entry's declared local-header
+  * offset is REQUIRED to hold a matching local header with the SAME
+  * member name; and every member's stored bytes are verified against
+  * the entry's declared CRC-32 (`java.util.zip.CRC32` — the real
+  * polynomial, so a single flipped payload bit fails the parse
+  * loudly, the m14/m15 integrity discipline). Members use method 0
+  * (stored) so byte lengths stay algebraic for the oracle; member
+  * payloads are reassembled in central-directory order as BYTES
+  * first and decoded once — so synthesis may split a UTF-8 text at
+  * ANY byte boundary, including mid-sequence.
+  *
+  * `build` writes the same structure with REAL tracked offsets and
+  * real CRCs; ZipIngestSpec round-trips them and pins the corruption
+  * failure modes.
+  */
+object ZipIngest {
+
+  final case class ZipArchive(nMembers: Int, body: Array[Byte])
+
+  /** A stored-method ZIP of `members` (name → bytes), real offsets
+    * and CRCs.
+    */
+  def build(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val locals = new java.io.ByteArrayOutputStream()
+    val central = new java.io.ByteArrayOutputStream()
+    var offset = 0
+    members.foreach { case (name, data) =>
+      val nameB = name.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val c = crc.getValue.toInt
+      val lh = ByteBuffer.allocate(30 + nameB.length).order(ByteOrder.LITTLE_ENDIAN)
+      lh.putInt(0x04034b50).putShort(20).putShort(0).putShort(0)
+        .putShort(0).putShort(0x21)
+        .putInt(c).putInt(data.length).putInt(data.length)
+        .putShort(nameB.length.toShort).putShort(0).put(nameB)
+      locals.write(lh.array())
+      locals.write(data)
+      val ce = ByteBuffer.allocate(46 + nameB.length).order(ByteOrder.LITTLE_ENDIAN)
+      ce.putInt(0x02014b50).putShort(20).putShort(20).putShort(0).putShort(0)
+        .putShort(0).putShort(0x21)
+        .putInt(c).putInt(data.length).putInt(data.length)
+        .putShort(nameB.length.toShort).putShort(0).putShort(0)
+        .putShort(0).putShort(0).putInt(0)
+        .putInt(offset).put(nameB)
+      central.write(ce.array())
+      offset += 30 + nameB.length + data.length
+    }
+    val cd = central.toByteArray
+    val eocd = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    eocd.putInt(0x06054b50).putShort(0).putShort(0)
+      .putShort(members.size.toShort).putShort(members.size.toShort)
+      .putInt(cd.length).putInt(offset).putShort(0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(locals.toByteArray)
+    out.write(cd)
+    out.write(eocd.array())
+    out.toByteArray
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Walk the archive; returns member count + the reassembled member
+    * bytes in central-directory order. Fails loudly on any
+    * structural or CRC inconsistency.
+    */
+  def parse(b: Array[Byte]): ZipArchive = {
+    require(b.length >= 22, s"zip: ${b.length} bytes is shorter than an EOCD record")
+    val eocdAt = b.length - 22
+    require(le32(b, eocdAt) == 0x06054b50,
+      "zip: no end-of-central-directory record at the tail (comment or truncation)")
+    val nEntries = le16(b, eocdAt + 10)
+    val cdSize = le32(b, eocdAt + 12)
+    val cdOff = le32(b, eocdAt + 16)
+    require(cdOff + cdSize == eocdAt,
+      s"zip: EOCD declares central directory [$cdOff, +$cdSize) but EOCD sits at $eocdAt")
+    val body = new java.io.ByteArrayOutputStream()
+    var at = cdOff
+    var e = 0
+    while (e < nEntries) {
+      require(at + 46 <= eocdAt, s"zip: central entry $e overruns the directory")
+      require(le32(b, at) == 0x02014b50, s"zip: bad central-entry signature at $at")
+      require(le16(b, at + 10) == 0, s"zip: member $e is not stored (method 0)")
+      val crcDecl = le32(b, at + 16)
+      val compSize = le32(b, at + 20)
+      val uncompSize = le32(b, at + 24)
+      require(compSize == uncompSize,
+        s"zip: stored member $e declares comp $compSize != uncomp $uncompSize")
+      val nameLen = le16(b, at + 28)
+      val lhOff = le32(b, at + 42)
+      val name = new String(b, at + 46, nameLen, "US-ASCII")
+      // integrity: the declared offset must hold a local header for
+      // the SAME member
+      require(lhOff + 30 + nameLen <= cdOff && le32(b, lhOff) == 0x04034b50,
+        s"zip: entry '$name' declares offset $lhOff but no local header lives there")
+      require(new String(b, lhOff + 30, nameLen, "US-ASCII") == name,
+        s"zip: entry '$name' offset $lhOff holds a different member's header")
+      val dataAt = lhOff + 30 + nameLen
+      require(dataAt + compSize <= cdOff, s"zip: member '$name' data overruns")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, dataAt, compSize)
+      require(crc.getValue.toInt == crcDecl,
+        f"zip: member '$name' CRC mismatch (declared 0x$crcDecl%08x, " +
+          f"computed 0x${crc.getValue.toInt}%08x)")
+      body.write(b, dataAt, compSize)
+      at += 46 + nameLen
+      e += 1
+    }
+    require(at == eocdAt, s"zip: central directory size mismatch ($at != $eocdAt)")
+    ZipArchive(nEntries, body.toByteArray)
+  }
+}

@@ -968,6 +968,54 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** ZIP-ARCHIVE corpus ingest — the ARCHIVE layer above c11's
+    * per-blob compression: corpora (Gutenberg dumps, dataset
+    * releases) ship as .zip files of many members. Per-partition
+    * synth packs each doc's UTF-8 bytes into a genuine stored-method
+    * ZIP of 1 + doc_id mod 3 members (split at arbitrary byte
+    * boundaries — the parser reassembles BYTES before decoding, so
+    * even a mid-UTF-8-sequence split round-trips), with a real
+    * central directory, real tracked local-header offsets, and a
+    * REAL per-member CRC-32; `functions/ZipIngest.parse` re-walks
+    * the EOCD → central directory → declared offsets → CRC chain
+    * and fails loudly on any inconsistency (ZipIngestSpec pins the
+    * corruption modes). The oracle predicts member count, the
+    * algebraic byte length `octet_length(text) + 88·members + 22`
+    * (stored members, 6-char names), and md5 of the reassembled
+    * text — so pack → archive-walk → verify → unpack is the exact
+    * identity over the whole corpus. Zero-shuffle per-partition map.
+    */
+  val c14ZipIngest = Q(
+    "c14_zip_ingest",
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_members,
+      |  octet_length(CAST(text AS BLOB)) + (1 + doc_id % 3) * 88 + 22 AS n_bytes,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.ZipIngest
+    val unpacked = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val k = (1 + id % 3).toInt
+        val members = (0 until k).map { i =>
+          val from = (bytes.length.toLong * i / k).toInt
+          val until = (bytes.length.toLong * (i + 1) / k).toInt
+          (s"m$i.txt", java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+        val archive = ZipIngest.build(members)
+        val parsed = ZipIngest.parse(archive)
+        (id, parsed.nMembers.toLong, archive.length.toLong,
+          new String(parsed.body, java.nio.charset.StandardCharsets.UTF_8))
+      }).toDF("doc_id", "n_members", "n_bytes", "body")
+    unpacked
+      .select(col("doc_id"), col("n_members"), col("n_bytes"),
+        md5(col("body").cast("binary")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DOMAIN RANKING over the corpus link graph — the web-curation
     * stage CommonCrawl-scale pipelines run to weight sources
     * (harmonic centrality in CC's own ranking; PageRank here): a
@@ -1100,5 +1148,5 @@ object Curation {
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
-    c12WarcIngest, c13DomainRank)
+    c12WarcIngest, c13DomainRank, c14ZipIngest)
 }

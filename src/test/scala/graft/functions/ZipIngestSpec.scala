@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZipIngestSpec extends AnyFunSuite {
+
+  private def sample(): Array[Byte] = ZipIngest.build(Seq(
+    "a.txt" -> "hello ".getBytes("UTF-8"),
+    "b.txt" -> "zip ".getBytes("UTF-8"),
+    "c.txt" -> "world".getBytes("UTF-8")))
+
+  test("round-trip: members reassemble in central-directory order") {
+    val z = ZipIngest.parse(sample())
+    assert(z.nMembers == 3)
+    assert(new String(z.body, "UTF-8") == "hello zip world")
+  }
+
+  test("a mid-UTF-8-sequence byte split still round-trips (bytes before decode)") {
+    val text = "héllo wörld"
+    val bytes = text.getBytes("UTF-8")
+    // split INSIDE the 2-byte é sequence
+    val members = Seq(
+      "m0.txt" -> java.util.Arrays.copyOfRange(bytes, 0, 2),
+      "m1.txt" -> java.util.Arrays.copyOfRange(bytes, 2, bytes.length))
+    val z = ZipIngest.parse(ZipIngest.build(members))
+    assert(new String(z.body, "UTF-8") == text)
+  }
+
+  test("byte-length contract: stored members cost 88 bytes each plus the 22-byte EOCD") {
+    // 6-char names, as the c14 synth uses
+    val data = "0123456789".getBytes("UTF-8")
+    val archive = ZipIngest.build(Seq("m0.txt" -> data, "m1.txt" -> data))
+    assert(archive.length == 2 * 88 + 2 * data.length + 22)
+  }
+
+  test("a single flipped payload bit fails the member CRC loudly") {
+    val bad = sample()
+    // flip a bit inside the first member's stored data (after its
+    // 30+5-byte local header)
+    bad(36) = (bad(36) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](ZipIngest.parse(bad))
+    assert(e.getMessage.contains("CRC mismatch"))
+  }
+
+  test("a corrupted central-directory offset fails the local-header check") {
+    val good = sample()
+    // first central entry's local-header offset field (entry at
+    // cdOff, offset field at +42) — point it at member b's header
+    val eocdAt = good.length - 22
+    val cdOff = (good(eocdAt + 16) & 0xff) | ((good(eocdAt + 17) & 0xff) << 8) |
+      ((good(eocdAt + 18) & 0xff) << 16) | ((good(eocdAt + 19) & 0xff) << 24)
+    val bad = good.clone()
+    val bOffset = 30 + 5 + 6 // a.txt's local header + name + data
+    bad(cdOff + 42) = bOffset.toByte
+    bad(cdOff + 43) = 0; bad(cdOff + 44) = 0; bad(cdOff + 45) = 0
+    val e = intercept[IllegalArgumentException](ZipIngest.parse(bad))
+    assert(e.getMessage.contains("different member") ||
+      e.getMessage.contains("no local header"))
+  }
+
+  test("truncation loses the EOCD and fails loudly") {
+    intercept[IllegalArgumentException](ZipIngest.parse(sample().dropRight(5)))
+    intercept[IllegalArgumentException](ZipIngest.parse(Array[Byte](1, 2, 3)))
+  }
+
+  test("the JDK's own ZipInputStream accepts the synthesized archive") {
+    // cross-validation against an independent real implementation
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(sample()))
+    val names = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toList
+    assert(names == List("a.txt", "b.txt", "c.txt"))
+  }
+}
