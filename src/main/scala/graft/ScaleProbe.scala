@@ -30,6 +30,9 @@ object ScaleProbe {
     "d03_lsh_near_dup", "d04_simhash_near_dup", "d06_embedding_near_dup",
     "d07_dedup_clusters", "d09_winnow_spans", "d10_bloom_membership",
     "d11_semantic_dedup",
+    // weighted simhash: one token-keyed df join + per-doc vote agg —
+    // expected ≈linear
+    "d12_weighted_simhash",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "s10_ann_ivfpq", "s11_ncm_classify",

@@ -760,7 +760,111 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** WEIGHTED SimHash near-dup — Charikar's actual construction
+    * (STOC'02 §5 weights the feature votes; production dedup weights
+    * by idf so boilerplate tokens stop dominating the signature,
+    * which is exactly why d04's unweighted variant over-merges
+    * template-heavy docs). Each distinct token votes ±w on each of
+    * 16 bits (sign = the d04 hex-digit coin), with the INTEGER idf
+    * weight `w = length(bin(greatest(N div df, 1)))` — floor-log2
+    * bits of inverse document frequency, the t15 no-libm rule — so
+    * the per-bit vote sums are exact integers in both engines. The
+    * df table joins on the token key (broadcast in production — df
+    * of the vocabulary is model-sized; spelled as an equi-join so
+    * the shape survives a giant vocab); md5(t) is computed ONCE per
+    * (doc, token) BEFORE that join, so the 16 per-bit substrings
+    * read a materialized column instead of re-hashing
+    * (CollapseProject cannot cross the join boundary). Candidate
+    * pairs then run d04's Manku chunk join — 4 chunks of 4 bits,
+    * Hamming ≤ 2 under the pigeonhole guarantee — never a cartesian.
+    */
+  val d12WeightedSimhash = Q(
+    "d12_weighted_simhash",
+    {
+      val bitSum = (1 to 16).map { j =>
+        s"(CASE WHEN sum(CASE WHEN substr(h, $j, 1) >= '8' THEN w ELSE -w END) > 0 " +
+          s"THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", " + ", ")")
+      val bands = (0 until 4).map(i =>
+        s"SELECT rep_id, simhash, $i AS chunk_idx, (simhash >> ${4 * i}) & 15 AS chunk FROM groups")
+        .mkString("\n  UNION ALL ")
+      s"""WITH n AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents
+         |), dft AS (
+         |  SELECT t, count(*) AS df FROM tok GROUP BY t
+         |), v AS (
+         |  SELECT tok.doc_id, md5(tok.t) AS h,
+         |    CAST(length(bin(greatest(n.n_docs // dft.df, 1))) AS BIGINT) AS w
+         |  FROM tok JOIN dft ON tok.t = dft.t CROSS JOIN n
+         |), sh AS (
+         |  SELECT doc_id, $bitSum AS simhash FROM v GROUP BY doc_id
+         |), groups AS (
+         |  SELECT simhash, min(doc_id) AS rep_id, count(*) AS n_docs
+         |  FROM sh GROUP BY simhash
+         |), chunks AS (
+         |  $bands
+         |), pairs AS (
+         |  SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.rep_id < b.rep_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |)
+         |SELECT p.id_a, p.id_b, ga.n_docs AS n_docs_a, gb.n_docs AS n_docs_b, p.hamming
+         |FROM pairs p
+         |JOIN groups ga ON p.id_a = ga.rep_id
+         |JOIN groups gb ON p.id_b = gb.rep_id
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nD = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("t"))
+    val dft = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // md5 BEFORE the df join: the join boundary materializes it, so
+    // the 16 per-bit substrings below never re-hash
+    val v = tok.select(col("doc_id"), col("t"), md5(col("t")).as("h"))
+      .join(dft, "t")
+      .crossJoin(broadcast(nD))
+      .select(col("doc_id"), col("h"),
+        length(bin(greatest(expr("n_docs div df"), lit(1)))).cast("long").as("w"))
+    val bitSums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", col("w")).otherwise(-col("w")))
+        .as(s"v$j"))
+    val sh = v.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (1 to 16).map(j =>
+          when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val groups = sh.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      .cache()
+    val chunks = groups.select(col("rep_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), 4 * i).bitwiseAND(15L)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val pairs = chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk")
+          && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+    pairs
+      .join(groups.alias("ga"), col("id_a") === col("ga.rep_id"))
+      .join(groups.alias("gb"), col("id_b") === col("gb.rep_id"))
+      .select(col("id_a"), col("id_b"),
+        col("ga.n_docs").as("n_docs_a"), col("gb.n_docs").as("n_docs_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
-    d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup)
+    d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup,
+    d12WeightedSimhash)
 }

@@ -85,6 +85,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"LSH must not cartesian-join:\n$p")
   }
 
+  test("d12: weighted simhash chunk join stays equi-keyed, md5 staged pre-join") {
+    val p = plan("d12_weighted_simhash")
+    assert(!p.contains("CartesianProduct"), s"chunk join must not cartesian:\n$p")
+    // the df join is the only place the token stream shuffles before
+    // the per-doc vote aggregate; per-bit substrings must read the
+    // join output, not re-derive md5 per bit (16 md5 calls per row
+    // would show as md5(t#...) appearing in a post-join projection)
+    assert(p.contains("partial_sum"), s"expected two-phase vote sums in:\n$p")
+  }
+
   test("q18: as-of join is window-based — no pairwise join explosion") {
     val p = plan("q18_join_asof")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
