@@ -69,7 +69,7 @@ object ScaleProbe {
     // expected ≈flat until the decode itself outweighs the floor
     "m04_media_decode", "m07_mp3_meta", "m08_gif_meta", "m09_bmp_meta",
     "m10_mp4_meta", "m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta",
-    "m14_ogg_meta", "m15_pdf_meta",
+    "m14_ogg_meta", "m15_pdf_meta", "m16_webp_meta",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78

@@ -1233,6 +1233,71 @@ object OggDecoder extends MediaDecoder {
   }
 }
 
+/** REAL WebP (RIFF container + VP8L header) METADATA parser — the
+  * image format modern web crawls actually contain (no JDK ImageIO
+  * codec exists for it, so this is a hand walk like MP4/MKV/Ogg):
+  * the 12-byte RIFF preamble (whose declared size is REQUIRED to
+  * equal the payload length — truncation fails loudly), the WEBP
+  * form tag, then the chunk walk to a VP8L (lossless) bitstream
+  * chunk, whose 0x2f signature byte precedes a 32-bit word packing
+  * width−1 (14 bits), height−1 (14 bits), an alpha flag, and a
+  * version REQUIRED to be 0. Dims/channels come from that real
+  * bit-unpack; the entropy-coded stream itself is codec-frame decode
+  * (stubbed by policy, like MP4/WebM samples); checksum folds over
+  * the compressed stream bytes. Even-byte chunk padding is honored
+  * in the walk.
+  */
+object WebpDecoder extends MediaDecoder {
+
+  def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  override def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    require(isWebp(b), s"media_id=${row.media_id}: not a RIFF/WEBP payload")
+    require(le32(b, 4) == b.length - 8,
+      s"media_id=${row.media_id}: RIFF declares ${le32(b, 4)} bytes, " +
+        s"payload carries ${b.length - 8}")
+    var i = 12
+    while (i + 8 <= b.length) {
+      val tag = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      require(i + 8 + size <= b.length,
+        s"media_id=${row.media_id}: chunk '$tag' overruns the payload")
+      if (tag == "VP8L") {
+        require(size >= 5 && (b(i + 8) & 0xff) == 0x2f,
+          s"media_id=${row.media_id}: VP8L chunk lacks the 0x2f signature")
+        val bits = le32(b, i + 9)
+        val w = (bits & 0x3fff) + 1
+        val h = ((bits >> 14) & 0x3fff) + 1
+        val alpha = (bits >> 28) & 1
+        require(((bits >> 29) & 0x7) == 0,
+          s"media_id=${row.media_id}: VP8L version must be 0")
+        var checksum = 0L
+        var j = i + 13
+        val end = i + 8 + size
+        while (j < end) { checksum = checksum * 31 + (b(j) & 0xff); j += 1 }
+        return MediaFeatures(
+          media_id = row.media_id,
+          kind = row.kind,
+          n_bytes = b.length.toLong,
+          width = w,
+          height = h,
+          n_channels = 3 + alpha,
+          checksum = checksum)
+      }
+      i += 8 + size + (size & 1) // chunks pad to even
+    }
+    throw new IllegalArgumentException(
+      s"media_id=${row.media_id}: no VP8L chunk in the WebP container")
+  }
+}
+
 /** REAL PDF (ISO 32000) CONTAINER METADATA parser — the DOCUMENT
   * format class next to the raster/audio/video tiers, and the one
   * book/paper corpora actually arrive in. The whole file is walked
@@ -1349,6 +1414,7 @@ final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends M
     else if (MkvDecoder.isMkv(row.payload)) MkvDecoder.decode(row)
     else if (OggDecoder.isOgg(row.payload)) OggDecoder.decode(row)
     else if (PdfDecoder.isPdf(row.payload)) PdfDecoder.decode(row)
+    else if (WebpDecoder.isWebp(row.payload)) WebpDecoder.decode(row)
     else fallback.decode(row)
 }
 

@@ -976,9 +976,74 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic WebP/VP8L payload: RIFF preamble with the REAL
+    * declared size, WEBP form tag, one VP8L chunk — 0x2f signature,
+    * the genuine 14+14+1+3-bit dims/alpha/version word (width
+    * 16 + (id mod 9)·16, height 16 + (id mod 7)·16, alpha = id mod
+    * 2), then 20 + id mod 50 deterministic compressed-stream bytes,
+    * even-padded per RIFF. Byte length is algebraic:
+    * 25 + (id mod 50) + pad with pad = (1 + id mod 50) mod 2, plus
+    * the 20-byte RIFF+chunk overhead.
+    */
+  private def webpBytes(docId: Long): Array[Byte] = {
+    val w = (16 + (docId % 9) * 16).toInt
+    val h = (16 + (docId % 7) * 16).toInt
+    val alpha = (docId % 2).toInt
+    val l = (20 + docId % 50).toInt
+    val chunkSize = 5 + l
+    val pad = chunkSize % 2
+    val total = 12 + 8 + chunkSize + pad
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WEBP".getBytes("US-ASCII"))
+    buf.put("VP8L".getBytes("US-ASCII")).putInt(chunkSize)
+    buf.put(0x2f.toByte)
+    buf.putInt((w - 1) | ((h - 1) << 14) | (alpha << 28))
+    var j = 0
+    while (j < l) { buf.put(((docId * 29 + j * 3) % 256).toByte); j += 1 }
+    if (pad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  /** The MODERN-CRAWL image leg — WebP, the format web corpora
+    * actually contain and the one raster format with NO JDK codec
+    * (so the container/dims layer parses for real, like MP4/MKV/Ogg,
+    * while the entropy stream stays codec-frame policy-stub):
+    * `WebpDecoder` verifies the RIFF declared size against the
+    * payload, walks chunks with even-padding, requires the VP8L
+    * signature and version bits, and bit-unpacks the real
+    * 14-bit dims + alpha word. Dims / channels / byte length
+    * hash-compare to the algebraic prediction.
+    */
+  val m16WebpMeta = Q(
+    "m16_webp_meta",
+    """SELECT doc_id AS media_id,
+      |  16 + (doc_id % 9) * 16 AS width,
+      |  16 + (doc_id % 7) * 16 AS height,
+      |  CAST(3 + doc_id % 2 AS BIGINT) AS n_channels,
+      |  45 + (doc_id % 50) + (1 + doc_id % 50) % 2 AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRow(id, "webp", webpBytes(id), src)
+      })
+    MediaPipeline.decodeAll(media, SniffingDecoder()).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
-      m15PdfMeta)
+      m15PdfMeta, m16WebpMeta)
 }

@@ -739,6 +739,49 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("WebP: RIFF size check, padded chunk walk, and the VP8L dims bit-unpack") {
+    def webp(w: Int, h: Int, alpha: Int, stream: Array[Byte],
+        leadingChunk: Boolean = false): Array[Byte] = {
+      val lead = if (leadingChunk) 8 + 3 + 1 else 0 // odd-sized chunk + pad
+      val chunkSize = 5 + stream.length
+      val pad = chunkSize % 2
+      val buf = java.nio.ByteBuffer.allocate(12 + lead + 8 + chunkSize + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(buf.capacity - 8)
+        .put("WEBP".getBytes("US-ASCII"))
+      if (leadingChunk) { // an odd-sized unknown chunk the walk must pad past
+        buf.put("XMP ".getBytes("US-ASCII")).putInt(3)
+          .put(Array[Byte](1, 2, 3)).put(0.toByte)
+      }
+      buf.put("VP8L".getBytes("US-ASCII")).putInt(chunkSize).put(0x2f.toByte)
+      buf.putInt((w - 1) | ((h - 1) << 14) | (alpha << 28))
+      buf.put(stream)
+      if (pad == 1) buf.put(0.toByte)
+      buf.array()
+    }
+    val stream = Array.tabulate(21)(j => (j * 5 + 2).toByte)
+    val bytes = webp(320, 208, 1, stream, leadingChunk = true)
+    assert(WebpDecoder.isWebp(bytes))
+    val f = WebpDecoder.decode(MediaRow(130L, "webp", bytes, "synth"))
+    assert(f.width == 320 && f.height == 208 && f.n_channels == 4)
+    assert(f.n_bytes == bytes.length.toLong)
+    var expect = 0L
+    stream.foreach(b => expect = expect * 31 + (b & 0xff))
+    assert(f.checksum == expect)
+    assert(SniffingDecoder().decode(MediaRow(131L, "webp", bytes, "synth"))
+      .copy(media_id = 130L) == f)
+    // max 14-bit dims round-trip
+    val big = WebpDecoder.decode(MediaRow(132L, "webp",
+      webp(16384, 16384, 0, Array[Byte](9)), "synth"))
+    assert(big.width == 16384 && big.height == 16384 && big.n_channels == 3)
+    // a truncated payload contradicts the RIFF declared size
+    intercept[IllegalArgumentException] {
+      WebpDecoder.decode(MediaRow(133L, "webp", bytes.dropRight(4), "synth"))
+    }
+    // WAV still routes to the WAV parser, not here (both are RIFF)
+    assert(!WebpDecoder.isWebp("RIFF1234WAVEfmt ".getBytes("US-ASCII")))
+  }
+
   test("decoding distributes: partition count is preserved, no driver collect") {
     val media = MediaPipeline.fromDocuments(spark, "/root/testdata/sf0.001").repartition(7)
     val decoded = MediaPipeline.decodeAll(media, FakeDecoder)
