@@ -63,6 +63,9 @@ object ScaleProbe {
     // table; 10 rounds iterate the vocab-sized table — expected
     // ≈flat + the scan term
     "t16_bpe_merges", "t17_bpe_encode",
+    // Markov generation: model build is the corpus term; decoding
+    // touches only the frontier — expected ≈flat + the scan term
+    "t18_markov_generate",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,

@@ -916,8 +916,97 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** SYNTHETIC DATA GENERATION from the corpus bigram model — the
+    * emerging pipeline stage next to filtering/dedup (distill a
+    * model of the corpus, emit synthetic continuations): greedy
+    * argmax decoding of a Markov chain. The TRANSITION table is the
+    * model — for every context token, the most frequent successor
+    * with a deterministic (count DESC, successor ASC) tie-break,
+    * built from the t15/t16 multiset bigram machinery as one
+    * grouped count + one per-context rank window. The 10 most
+    * frequent corpus tokens seed 15-step greedy chains; a context
+    * with no successor ends its chain early (inner join, no
+    * padding). The DuckDB oracle runs the SAME generation as a
+    * recursive CTE over the same transition table — the q04
+    * loop-vs-CTE discipline applied to text generation; everything
+    * is integer counts and string argmax, so both engines agree
+    * exactly.
+    *
+    * Scale shape: the model build is the corpus-linear part (one
+    * bigram count + a per-context window, both keyed on the context
+    * token); generation itself touches only the frontier — at
+    * production scale, millions of seeds decode in parallel against
+    * the broadcast transition table, 15 model-sized hash probes per
+    * seed.
+    */
+  val t18MarkovGenerate = Q(
+    "t18_markov_generate",
+    """WITH RECURSIVE tokd AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |           i -> {'w1': tk[i], 'w2': tk[i+1]})) AS p
+      |  FROM tokd
+      |), tc AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c FROM bg GROUP BY 1, 2
+      |), trans AS (
+      |  SELECT w1, w2 FROM (
+      |    SELECT w1, w2,
+      |      row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS r
+      |    FROM tc) WHERE r = 1
+      |), freq AS (
+      |  SELECT t, count(*) AS f
+      |  FROM (SELECT unnest(tk) AS t FROM tokd) GROUP BY t
+      |), seeds AS (
+      |  SELECT t AS seed,
+      |    CAST(row_number() OVER (ORDER BY f DESC, t) AS BIGINT) AS seed_rank
+      |  FROM freq ORDER BY f DESC, t LIMIT 10
+      |), chain AS (
+      |  SELECT seed_rank, seed, 0 AS step, seed AS token FROM seeds
+      |  UNION ALL
+      |  SELECT c.seed_rank, c.seed, c.step + 1, t.w2
+      |  FROM chain c JOIN trans t ON c.token = t.w1
+      |  WHERE c.step < 15
+      |)
+      |SELECT seed_rank, seed, step, token FROM chain
+      |ORDER BY seed_rank, step""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bg = docs.select(
+      explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val tc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))
+    val trans = tc.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).select(col("w1"), col("w2"))
+      .localCheckpoint()
+    val freq = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val seeds = freq.orderBy(col("f").desc, col("t")).limit(10)
+      .select(col("t").as("seed"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("t"))).cast("long").as("seed_rank"))
+    var frontier = seeds
+      .select(col("seed_rank"), col("seed"), lit(0).as("step"),
+        col("seed").as("token"))
+      .localCheckpoint()
+    var chain = frontier
+    for (_ <- 1 to 15) {
+      frontier = frontier
+        .join(trans, frontier("token") === trans("w1"))
+        .select(col("seed_rank"), col("seed"),
+          (col("step") + 1).as("step"), col("w2").as("token"))
+        .localCheckpoint()
+      chain = chain.union(frontier)
+    }
+    chain.orderBy(col("seed_rank"), col("step"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
-    t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode)
+    t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
+    t18MarkovGenerate)
 }
