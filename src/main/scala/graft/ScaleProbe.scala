@@ -41,6 +41,9 @@ object ScaleProbe {
     "s12_bm25_retrieval",
     // JL projection: pure per-row constant-folded dots — expected ≈flat
     "s13_random_projection",
+    // perceptron: 5 rounds of one two-phase aggregate each — expected
+    // ≈linear in the feature scan
+    "s14_perceptron_train",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",

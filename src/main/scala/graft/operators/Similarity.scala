@@ -911,7 +911,114 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Distributed QUALITY-CLASSIFIER TRAINING — the fastText-style
+    * linear-filter stage real pipelines train (CCNet/FineWeb score
+    * docs with a learned linear model, not only hand rules), as a
+    * BATCH PERCEPTRON over integer lexical features: x = (1,
+    * n_tokens, n_distinct, stopword-count, n_chars div 16), label
+    * y = ±1 from an integer quality rule (type-token ratio ≥ 0.6 and
+    * ≥ 20 tokens — the t03 family spelled in cross-multiplied
+    * integers), and five synchronous rounds of
+    * `w ← w + Σ_misclassified y·x`. EVERYTHING is 64-bit integer
+    * arithmetic — margins, gradients, weights — so the training
+    * trajectory is bit-identical in both engines (gradient descent
+    * on a smooth loss would need libm exp; the perceptron update is
+    * the classical integer-exact trainer). Output: the weight vector
+    * and misclassification count after every round — the training
+    * curve as a 5-row table.
+    *
+    * Scale shape: each round is ONE two-phase aggregate over the
+    * feature table (map-side partial gradient sums) with the 1-row
+    * weight vector broadcast onto it — the classic data-parallel
+    * synchronous-SGD shape; features are computed once and
+    * checkpointed; rounds iterate driver-side like c13/t16.
+    */
+  val s14PerceptronTrain = Q(
+    "s14_perceptron_train",
+    {
+      val base =
+        """WITH f AS (
+          |  SELECT
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+          |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS x3,
+          |    CAST(length(text) // 16 AS BIGINT) AS x4,
+          |    CAST(CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+          |                   >= len(string_split(text, ' ')) * 6
+          |               AND len(string_split(text, ' ')) >= 20
+          |          THEN 1 ELSE -1 END AS BIGINT) AS y
+          |  FROM documents
+          |), w0 AS (
+          |  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+          |         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+          |         CAST(0 AS BIGINT) AS w4
+          |)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s""", m$k AS (
+           |  SELECT f.*,
+           |    (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) * f.y AS m
+           |  FROM f CROSS JOIN w${k - 1} w
+           |), g$k AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS nmis,
+           |    CAST(COALESCE(sum(y), 0) AS BIGINT) AS g0,
+           |    CAST(COALESCE(sum(y * x1), 0) AS BIGINT) AS g1,
+           |    CAST(COALESCE(sum(y * x2), 0) AS BIGINT) AS g2,
+           |    CAST(COALESCE(sum(y * x3), 0) AS BIGINT) AS g3,
+           |    CAST(COALESCE(sum(y * x4), 0) AS BIGINT) AS g4
+           |  FROM m$k WHERE m <= 0
+           |), w$k AS (
+           |  SELECT w.w0 + g.g0 AS w0, w.w1 + g.g1 AS w1, w.w2 + g.g2 AS w2,
+           |         w.w3 + g.g3 AS w3, w.w4 + g.g4 AS w4, g.nmis AS nmis
+           |  FROM w${k - 1} w CROSS JOIN g$k g
+           |)""".stripMargin
+      }.mkString("\n")
+      val unions = (1 to 5).map { k =>
+        (if (k == 1) s"SELECT 1 AS round, w0, w1, w2, w3, w4, nmis FROM w1"
+         else s"UNION ALL SELECT $k, w0, w1, w2, w3, w4, nmis FROM w$k")
+      }.mkString("\n")
+      base + "\n" + iters + "\nSELECT * FROM (\n" + unions + "\n) ORDER BY round"
+    }
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    val stopwords = Seq("the", "a", "of", "to", "and")
+    val f = Tables.documents(s, d).select(
+      size(tk).cast("long").as("x1"),
+      size(array_distinct(tk)).cast("long").as("x2"),
+      size(filter(tk, t => t.isin(stopwords.map(x => lit(x)): _*))).cast("long").as("x3"),
+      expr("CAST(length(text) div 16 AS BIGINT)").as("x4"),
+      when(size(array_distinct(tk)) * 10 >= size(tk) * 6 && size(tk) >= 20, 1L)
+        .otherwise(-1L).as("y"))
+      .localCheckpoint()
+    var w = f.sparkSession.range(1).select(
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
+      lit(0L).as("w3"), lit(0L).as("w4"))
+    var rounds = Vector.empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to 5) {
+      val g = f.crossJoin(broadcast(w))
+        .withColumn("m",
+          (col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            + col("w3") * col("x3") + col("w4") * col("x4")) * col("y"))
+        .filter(col("m") <= 0)
+        .agg(count(lit(1)).cast("long").as("nmis"),
+          coalesce(sum(col("y")), lit(0L)).cast("long").as("g0"),
+          coalesce(sum(col("y") * col("x1")), lit(0L)).cast("long").as("g1"),
+          coalesce(sum(col("y") * col("x2")), lit(0L)).cast("long").as("g2"),
+          coalesce(sum(col("y") * col("x3")), lit(0L)).cast("long").as("g3"),
+          coalesce(sum(col("y") * col("x4")), lit(0L)).cast("long").as("g4"))
+      w = w.crossJoin(broadcast(g))
+        .select((col("w0") + col("g0")).as("w0"), (col("w1") + col("g1")).as("w1"),
+          (col("w2") + col("g2")).as("w2"), (col("w3") + col("g3")).as("w3"),
+          (col("w4") + col("g4")).as("w4"), col("nmis"))
+        .localCheckpoint()
+      rounds = rounds :+ w.select(lit(k).as("round"), col("w0"), col("w1"),
+        col("w2"), col("w3"), col("w4"), col("nmis"))
+      w = w.drop("nmis")
+    }
+    rounds.reduce(_ union _).orderBy(col("round"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
-    s11NcmClassify, s12Bm25Retrieval, s13RandomProjection)
+    s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain)
 }

@@ -324,6 +324,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial agg in:\n$p")
   }
 
+  test("s14: each training round is one two-phase aggregate over broadcast weights") {
+    val p = plan("s14_perceptron_train")
+    assert(!p.contains("CartesianProduct"),
+      s"weights must ride a broadcast, not a cartesian:\n$p")
+  }
+
   test("c13: PageRank iterations stay equi-keyed over checkpointed edges") {
     // building the DataFrame runs the 6 iterations (eager
     // localCheckpoint per hop — the d07 lineage discipline); the
