@@ -52,7 +52,7 @@ object ScaleProbe {
     // ingest (gzip/zstd round-trip) and HTML main-text extraction —
     // pure per-partition maps, expected ≈linear with the corpus
     "c11_compressed_ingest", "t14_html_extract", "c12_warc_ingest",
-    "c14_zip_ingest",
+    "c14_zip_ingest", "c15_tar_ingest",
     // PageRank: corpus-linear edge derivation + 6 fixed iterations
     // over the domain-sized graph — expected ≈flat + the scan term
     "c13_domain_rank",

@@ -1016,6 +1016,60 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** WEBDATASET-SHARD INGEST — TAR is the de-facto container for
+    * multimodal LLM training shards (WebDataset: member families
+    * `<id>.txt` / `<id>.json` / `<id>.jpg` in one tarball), and this
+    * is that pipeline stage: per-partition synth packs each doc as a
+    * genuine two-member ustar archive (`<id>.txt` = the UTF-8 text,
+    * `<id>.json` = its metadata record), `functions/TarIngest.parse`
+    * re-walks the 512-byte block structure verifying the REAL header
+    * checksum on every member (unsigned byte sum with the checksum
+    * field as spaces — a flipped header byte fails loudly) and the
+    * two-zero-block terminator, and the metadata member round-trips
+    * through Spark's own JSON path (`get_json_object`). The oracle
+    * predicts member count, the algebraic 512-padded byte length
+    * (building the SAME json string to measure, so no digit
+    * counting), md5 of the text member, and the json-extracted
+    * doc_id — pack → walk → verify → extract is the exact identity.
+    * Zero-shuffle per-partition map.
+    */
+  val c15TarIngest = Q(
+    "c15_tar_ingest",
+    """SELECT doc_id,
+      |  CAST(2 AS BIGINT) AS n_members,
+      |  2048 + 512 * ((octet_length(CAST(text AS BLOB)) + 511) // 512)
+      |    + 512 * ((octet_length(CAST(
+      |        '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang
+      |          || '","source":"' || source || '"}' AS BLOB)) + 511) // 512)
+      |    AS n_bytes,
+      |  md5(text) AS content_hash,
+      |  doc_id AS meta_doc_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TarIngest
+    val unpacked = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, text, lang, source) =>
+        val json = s"""{"doc_id":$id,"lang":"$lang","source":"$source"}"""
+        val shard = TarIngest.build(Seq(
+          s"$id.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"$id.json" -> json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val members = TarIngest.parse(shard)
+        require(members.length == 2 && members.head.name == s"$id.txt",
+          s"doc_id=$id: unexpected member layout")
+        (id, members.length.toLong, shard.length.toLong,
+          new String(members.head.data, java.nio.charset.StandardCharsets.UTF_8),
+          new String(members(1).data, java.nio.charset.StandardCharsets.UTF_8))
+      }).toDF("doc_id", "n_members", "n_bytes", "body", "meta")
+    unpacked
+      .select(col("doc_id"), col("n_members"), col("n_bytes"),
+        md5(col("body").cast("binary")).as("content_hash"),
+        get_json_object(col("meta"), "$.doc_id").cast("long").as("meta_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DOMAIN RANKING over the corpus link graph — the web-curation
     * stage CommonCrawl-scale pipelines run to weight sources
     * (harmonic centrality in CC's own ranking; PageRank here): a
@@ -1148,5 +1202,5 @@ object Curation {
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
-    c12WarcIngest, c13DomainRank, c14ZipIngest)
+    c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest)
 }

@@ -363,7 +363,7 @@ class PlanSpec extends AnyFunSuite {
     Seq("m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta", "m14_ogg_meta", "m15_pdf_meta", "m16_webp_meta",
         "s13_random_projection",
         "c11_compressed_ingest", "t14_html_extract", "c12_warc_ingest",
-        "c14_zip_ingest").foreach { name =>
+        "c14_zip_ingest", "c15_tar_ingest").foreach { name =>
       val p = plan(name)
       assert("Exchange".r.findAllIn(p).size <= 1, s"$name must not shuffle:\n$p")
       assert(!p.contains("Join"), s"$name must not join:\n$p")

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TarIngestSpec extends AnyFunSuite {
+
+  private def sample(): Array[Byte] = TarIngest.build(Seq(
+    "1.txt" -> "hello tar".getBytes("UTF-8"),
+    "1.json" -> """{"doc_id":1}""".getBytes("UTF-8")))
+
+  test("round-trip: members come back in order with exact bytes") {
+    val ms = TarIngest.parse(sample())
+    assert(ms.map(_.name) == Seq("1.txt", "1.json"))
+    assert(new String(ms.head.data, "UTF-8") == "hello tar")
+    assert(new String(ms(1).data, "UTF-8") == """{"doc_id":1}""")
+  }
+
+  test("block math: 512-byte header + padded data per member + 1024 terminator") {
+    val data = new Array[Byte](513) // pads to 1024
+    val t = TarIngest.build(Seq("a.bin" -> data))
+    assert(t.length == 512 + 1024 + 1024)
+    // an exactly-512-byte member pads to itself
+    val t2 = TarIngest.build(Seq("b.bin" -> new Array[Byte](512)))
+    assert(t2.length == 512 + 512 + 1024)
+    assert(TarIngest.parse(t2).head.data.length == 512)
+  }
+
+  test("a flipped header byte fails the real ustar checksum loudly") {
+    val bad = sample()
+    bad(1) = 'X'.toByte // corrupt the first member's name field
+    val e = intercept[IllegalArgumentException](TarIngest.parse(bad))
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
+  test("a missing terminator or truncated data fails loudly") {
+    val full = sample()
+    intercept[IllegalArgumentException](TarIngest.parse(full.dropRight(1024)))
+    intercept[IllegalArgumentException](TarIngest.parse(full.take(600)))
+  }
+
+  test("the system tar accepts the synthesized shard (cross-validation)") {
+    val exe = Seq("/usr/bin/tar", "/bin/tar").find(p => new java.io.File(p).canExecute)
+    assume(exe.isDefined, "no system tar available")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar").toFile
+    val f = new java.io.File(dir, "s.tar")
+    java.nio.file.Files.write(f.toPath, sample())
+    val proc = new ProcessBuilder(exe.get, "-tf", f.getAbsolutePath)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+    assert(proc.waitFor() == 0, s"tar -tf failed:\n$out")
+    assert(out.linesIterator.toSeq == Seq("1.txt", "1.json"), out)
+  }
+}
