@@ -1018,7 +1018,73 @@ object Similarity {
     rounds.reduce(_ union _).orderBy(col("round"))
   }
 
+  /** Maximum-inner-product search (MIPS) via the norm-augmentation
+    * reduction (Bachrach et al., RecSys'14; Neyshabur & Srebro,
+    * ICML'15): append `sqrt(M² − ‖c‖²)` to every corpus vector
+    * (M = max corpus norm) and `0` to every query. All augmented
+    * corpus vectors then share norm M — the corpus sits on a sphere —
+    * so dot-product, cosine and L2 orderings coincide and ANY of the
+    * s02-s10 cosine/L2 ANN indexes can serve inner-product retrieval
+    * (the retrieval mode recommendation/reranking pipelines need,
+    * where vectors are deliberately NOT normalized).
+    *
+    * The oracle verifies the reduction's core identity rather than
+    * re-deriving the transform: `⟨[q,0],[c,s]⟩ = ⟨q,c⟩` holds
+    * BIT-EXACTLY in IEEE arithmetic (the appended pair contributes
+    * `0.0·s = +0.0`, and `acc + 0.0` preserves `acc` under
+    * round-to-nearest since the in-order fold seeded at +0.0 never
+    * produces −0.0), so the genuinely-augmented Spark scoring must
+    * hash-match DuckDB's plain brute-force inner product.
+    *
+    * Scale shape: M² is one scalar max-aggregate (map-side combine,
+    * 8 bytes to the driver); queries are broadcast; the corpus pass
+    * is a single scan with per-row augmentation — no shuffle until
+    * the per-query top-k window, whose input is |q|·n score rows,
+    * same as s01. At 100 TB the augmentation is a per-row kernel
+    * fused into the scan, and the sphere property means the
+    * bucketed/coarse-quantized indexes (s02/s03/s09) take over the
+    * candidate-pruning role unchanged.
+    */
+  val s15MipsTopk = Q(
+    "s15_mips_topk",
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${sqlDot("q.embedding", "c.embedding")} AS ip
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, ip,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS k
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, ip, k FROM ranked
+       |WHERE k <= 4
+       |ORDER BY query_id, k""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val m2Row = e.agg(max(dot(col("embedding"), col("embedding")))).first()
+    val m2 = if (m2Row.isNullAt(0)) 0.0 else m2Row.getDouble(0)
+    // sqrt argument is ≥ 0 by construction (m2 is the max of the SAME
+    // deterministic kernel over the same rows); greatest() guards the
+    // exact-max row against any future kernel change, not fp noise.
+    val corpus = e.select(col("vec_id"),
+      concat(col("embedding"), array(
+        sqrt(greatest(lit(m2) - dot(col("embedding"), col("embedding")), lit(0.0)))
+          .cast("float"))).as("aug"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        concat(col("embedding"), array(lit(0.0f))).as("q_aug"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("q_aug"), col("aug")).as("ip"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 4)
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
-    s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain)
+    s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
+    s15MipsTopk)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{SparkEntry, Tables}
+import graft.functions.TextVec.dot
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the s15 MIPS norm-augmentation reduction. The
+  * DuckDB oracle already pins the bit-exact `⟨[q,0],[c,s]⟩ = ⟨q,c⟩`
+  * identity; this spec pins the OTHER half of the reduction — that
+  * the augmented corpus genuinely lands on a sphere of radius M (the
+  * property that lets any cosine/L2 ANN index serve inner-product
+  * queries) — which the oracle cannot see because fp sqrt/re-square
+  * noise makes the radius only approximately reproducible.
+  */
+class MipsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("augmented corpus vectors all share norm M to float precision") {
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.embeddings(spark, dir).select(col("embedding"))
+    val m2 = e.agg(max(dot(col("embedding"), col("embedding")))).first().getDouble(0)
+    val aug = e.select(
+      concat(col("embedding"), array(
+        sqrt(greatest(lit(m2) - dot(col("embedding"), col("embedding")), lit(0.0)))
+          .cast("float"))).as("aug"))
+      .select(sqrt(dot(col("aug"), col("aug"))).as("augNorm"))
+    val m = math.sqrt(m2)
+    val worst = aug.agg(max(abs(col("augNorm") - lit(m)))).first().getDouble(0)
+    // the appended component is rounded to float, so the radius is
+    // exact to float (not double) precision: |Δ| ≤ ~M·2^-24 ≈ 1e-6·M
+    assert(worst <= 1e-5 * m,
+      s"sphere property violated: max |‖aug‖ − M| = $worst, M = $m")
+  }
+
+  test("s15 ranking equals brute-force raw inner-product ranking") {
+    spark.sparkContext.setLogLevel("WARN")
+    val viaAug = SparkEntry.queries("s15_mips_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("k").toLong) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val raw = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dot(col("q_emb"), col("embedding")).as("ip"))
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .flatMap { case (qid, rs) =>
+        rs.toSeq.sortBy(r => (-r.getAs[Double]("ip"), r.getAs[Long]("vec_id")))
+          .take(4).zipWithIndex
+          .map { case (r, i) => (qid, (i + 1).toLong) -> r.getAs[Long]("vec_id") }
+      }
+    assert(viaAug == raw, "augmented-space top-4 differs from raw-MIPS top-4")
+  }
+}
