@@ -44,6 +44,10 @@ object ScaleProbe {
     // perceptron: 5 rounds of one two-phase aggregate each — expected
     // ≈linear in the feature scan
     "s14_perceptron_train",
+    // s15: brute-force scoring over the norm-augmented corpus — the
+    // corpus-linear term is the single scan; the top-k window input
+    // grows with |q|·n, the s01 shape
+    "s15_mips_topk",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",
