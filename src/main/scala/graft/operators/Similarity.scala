@@ -870,9 +870,13 @@ object Similarity {
     * literals so the whole operator is a pure per-row projection —
     * zero joins, zero shuffle beyond the presentation sort. Each
     * output coordinate is a FloatVecDot sequential fold (bit-exact
-    * both engines), and `norm_ratio = ‖reduced‖ / (4·‖x‖)` reports
-    * the JL norm preservation per row (E‖reduced‖² = 16‖x‖² for ±1
-    * planes, so the ratio concentrates near 1 — sqrt is
+    * both engines), emitted as 16 SCALAR columns r0..r15 (not an
+    * array — the driver comparator can't sort raw array columns, so
+    * scalarizing is what makes every coordinate verifiable), and
+    * `norm_ratio = ‖reduced‖ / (4·‖x‖)` reports the JL norm
+    * preservation per row (E‖reduced‖² = 16‖x‖² for ±1 planes, so
+    * the ratio concentrates near 1 — the sum-of-squares is the same
+    * left-to-right `+` chain in both spellings and sqrt is
     * IEEE-correctly-rounded, not libm, so even the ratio
     * hash-matches; a zero input vector is guarded to 0.0 rather
     * than relying on Inf/NaN renderings agreeing).
@@ -882,32 +886,34 @@ object Similarity {
     {
       val planes = (0 until 16).map(j => s"${sqlSeededPlane(100 + j)} AS p$j")
         .mkString(",\n      |    ")
-      val dots = (0 until 16).map(j => sqlDot("embedding", s"p$j"))
+      val dots = (0 until 16).map(j => s"${sqlDot("embedding", s"p$j")} AS r$j")
         .mkString(",\n      |    ")
+      val rCols = (0 until 16).map(j => s"r$j").mkString(", ")
+      val sumSq = (0 until 16).map(j => s"r$j * r$j").mkString(" + ")
       s"""WITH pl AS (
       |  SELECT $planes
       |), red AS (
       |  SELECT vec_id,
-      |    [$dots] AS reduced,
+      |    $dots,
       |    ${sqlNorm("embedding")} AS n64
       |  FROM embeddings CROSS JOIN pl
       |)
-      |SELECT vec_id, reduced,
+      |SELECT vec_id, $rCols,
       |  CASE WHEN n64 = 0 THEN 0.0
-      |       ELSE sqrt(${sqlDot("reduced", "reduced")}) / (4.0 * n64) END AS norm_ratio
+      |       ELSE sqrt($sumSq) / (4.0 * n64) END AS norm_ratio
       |FROM red ORDER BY vec_id""".stripMargin
     }
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val reduced = array((0 until 16).map(j =>
-      dot(col("embedding"), seededPlaneCol(100 + j))): _*)
+    val dots = (0 until 16).map(j =>
+      dot(col("embedding"), seededPlaneCol(100 + j)).as(s"r$j"))
     val n64 = norm(col("embedding"))
-    emb.select(col("vec_id"), reduced.as("reduced"), n64.as("n64"))
-      .select(col("vec_id"), col("reduced"),
+    val red = emb.select(col("vec_id") +: dots :+ n64.as("n64"): _*)
+    val sumSq = (0 until 16).map(j => col(s"r$j") * col(s"r$j")).reduce(_ + _)
+    red.select(col("vec_id") +: (0 until 16).map(j => col(s"r$j")) :+
         when(col("n64") === 0, lit(0.0))
-          .otherwise(sqrt(graft.functions.DoubleVecDot(col("reduced"), col("reduced")))
-            / (lit(4.0) * col("n64")))
-          .as("norm_ratio"))
+          .otherwise(sqrt(sumSq) / (lit(4.0) * col("n64")))
+          .as("norm_ratio"): _*)
       .orderBy(col("vec_id"))
   }
 
@@ -1023,10 +1029,16 @@ object Similarity {
     * ICML'15): append `sqrt(M² − ‖c‖²)` to every corpus vector
     * (M = max corpus norm) and `0` to every query. All augmented
     * corpus vectors then share norm M — the corpus sits on a sphere —
-    * so dot-product, cosine and L2 orderings coincide and ANY of the
-    * s02-s10 cosine/L2 ANN indexes can serve inner-product retrieval
-    * (the retrieval mode recommendation/reranking pipelines need,
-    * where vectors are deliberately NOT normalized).
+    * so dot-product, cosine and L2 orderings coincide and any of the
+    * s02-s10 cosine/L2 ANN index FAMILIES can serve inner-product
+    * retrieval (the retrieval mode recommendation/reranking pipelines
+    * need, where vectors are deliberately NOT normalized). Caveat:
+    * those indexes as BUILT here are EmbDim=64 artifacts — seeded
+    * planes, IVF centroids, s09's 16×4 PQ subspace split — and the
+    * dot kernels fold over the shorter operand, so a 65-dim augmented
+    * corpus needs the planes/centroids/codebooks rebuilt at dim 65
+    * (65 also doesn't split into 16 even PQ subspaces; regroup or pad
+    * to 80) before they prune augmented candidates correctly.
     *
     * The oracle verifies the reduction's core identity rather than
     * re-deriving the transform: `⟨[q,0],[c,s]⟩ = ⟨q,c⟩` holds
