@@ -80,6 +80,9 @@ object ScaleProbe {
     "m04_media_decode", "m07_mp3_meta", "m08_gif_meta", "m09_bmp_meta",
     "m10_mp4_meta", "m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta",
     "m14_ogg_meta", "m15_pdf_meta", "m16_webp_meta",
+    // m17: real rice/fixed-predictor FRAME decode — per-row codec
+    // work like the rest of the m tier, expected ≈flat + decode term
+    "m17_flac_pcm",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78

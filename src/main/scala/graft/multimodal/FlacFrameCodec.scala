@@ -1,0 +1,268 @@
+package graft.multimodal
+
+/** REAL FLAC frame codec — the rice-coded-residual tier the round-8
+  * verdict named as the most tractable codec-frame decode (FLAC is
+  * lossless and fully deterministic, so decoded PCM is an exact
+  * cross-engine oracle target, unlike lossy audio). Implements the
+  * public FLAC format spec (RFC 9639 / xiph.org format.html) for the
+  * subset a mono 16-bit fixed-blocksize stream uses:
+  *
+  *  - frame header: 14-bit sync 0x3FFE, blocking-strategy bit,
+  *    4-bit block-size code (0b0110 = 8-bit blocksize−1 at header
+  *    end), 4-bit sample-rate code (0b0000 = from STREAMINFO),
+  *    4-bit channel assignment, 3-bit sample-size code, UTF-8-coded
+  *    frame number, then CRC-8 (poly 0x07) over the header bytes;
+  *  - SUBFRAME_FIXED of order 0..4: order warm-up samples at full
+  *    bit depth, then a rice-coded residual partition (coding method
+  *    0b00 = 4-bit rice parameters, partition order 0);
+  *  - rice coding: zigzag-fold the signed residual (n≥0 → 2n,
+  *    n<0 → −2n−1), quotient in unary (q zero bits then a one),
+  *    remainder in `param` low bits;
+  *  - fixed predictors 0..4 (the binomial-coefficient family:
+  *    pred₄ = 4s₋₁ − 6s₋₂ + 4s₋₃ − s₋₄ etc.);
+  *  - frame footer: zero-bit padding to a byte boundary, then
+  *    CRC-16 (poly 0x8005, init 0) over the whole frame.
+  *
+  * The decoder VERIFIES both CRCs (a single flipped coded bit fails
+  * loudly — the integrity property every other container parser here
+  * pins) and reconstructs the exact PCM; FlacFrameSpec pins encode→
+  * decode round-trip over all five predictor orders, CRC-flip
+  * failures, and the zigzag edge cases.
+  */
+object FlacFrameCodec {
+
+  /** MSB-first bit writer over a growable byte buffer. */
+  final class BitWriter {
+    private var buf = new Array[Byte](64)
+    private var bytePos = 0
+    private var bitPos = 0 // bits already used in buf(bytePos), 0..7
+
+    private def ensure(): Unit =
+      if (bytePos >= buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+
+    def writeBit(b: Int): Unit = {
+      ensure()
+      if ((b & 1) != 0) buf(bytePos) = (buf(bytePos) | (0x80 >>> bitPos)).toByte
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+    }
+
+    /** Writes the low `n` bits of `v`, MSB first (n ≤ 32). */
+    def writeBits(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { writeBit(((v >>> k) & 1L).toInt); k -= 1 }
+    }
+
+    /** Unary per the FLAC spec: q zero bits terminated by a one. */
+    def writeUnary(q: Int): Unit = {
+      var k = 0
+      while (k < q) { writeBit(0); k += 1 }
+      writeBit(1)
+    }
+
+    def alignToByte(): Unit = while (bitPos != 0) writeBit(0)
+
+    def toBytes: Array[Byte] = {
+      require(bitPos == 0, "unaligned bit writer")
+      java.util.Arrays.copyOf(buf, bytePos)
+    }
+
+    /** Byte-aligned snapshot of what's written so far (for computing
+      * the header CRC-8 mid-stream, before the frame body follows).
+      */
+    def snapshot: Array[Byte] = toBytes
+  }
+
+  /** MSB-first bit reader; fails loudly past the end. */
+  final class BitReader(b: Array[Byte], startByte: Int) {
+    private var bytePos = startByte
+    private var bitPos = 0
+
+    def readBit(): Int = {
+      require(bytePos < b.length, s"bit read past end of ${b.length}-byte payload")
+      val bit = (b(bytePos) >>> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      bit
+    }
+
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v = (v << 1) | readBit(); k += 1 }
+      v
+    }
+
+    /** Signed two's-complement read of an n-bit field. */
+    def readSignedBits(n: Int): Int = {
+      val raw = readBits(n)
+      if ((raw & (1L << (n - 1))) != 0) (raw - (1L << n)).toInt else raw.toInt
+    }
+
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+
+    def alignToByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+
+    def bytePosition: Int = { require(bitPos == 0, "unaligned"); bytePos }
+  }
+
+  /** CRC-8, polynomial 0x07, init 0 — the FLAC frame-header CRC. */
+  def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the FLAC whole-frame CRC. */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** The five fixed predictors (binomial coefficients of (1−z)ᵏ). */
+  private def predict(order: Int, s: Array[Int], i: Int): Int = order match {
+    case 0 => 0
+    case 1 => s(i - 1)
+    case 2 => 2 * s(i - 1) - s(i - 2)
+    case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+    case 4 => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+    case _ => throw new IllegalArgumentException(s"fixed predictor order $order")
+  }
+
+  private def zigzag(n: Int): Int = if (n >= 0) 2 * n else -2 * n - 1
+  private def unzigzag(z: Int): Int = if ((z & 1) == 0) z / 2 else -(z + 1) / 2
+
+  /** Encodes one mono 16-bit FIXED-subframe frame (frame number 0,
+    * fixed-blocksize strategy, 8-bit blocksize−1 in the header,
+    * sample rate from STREAMINFO). blockSize ≤ 256; every |residual|
+    * must rice-fit, which the caller guarantees by choosing `riceParam`
+    * for its sample generator's residual bound.
+    */
+  def encodeFrame(samples: Array[Int], order: Int, riceParam: Int): Array[Byte] = {
+    val n = samples.length
+    require(n >= order + 1 && n <= 256, s"blockSize $n out of range")
+    require(riceParam >= 0 && riceParam <= 14, s"rice param $riceParam") // 15 = escape, unused
+    samples.foreach(s => require(s >= -32768 && s <= 32767, s"sample $s not 16-bit"))
+
+    val w = new BitWriter
+    // header (byte-aligned by construction)
+    w.writeBits(0x3ffe, 14) // sync
+    w.writeBit(0)           // reserved
+    w.writeBit(0)           // blocking strategy: fixed
+    w.writeBits(0x6, 4)     // block size: 8-bit blocksize-1 follows header
+    w.writeBits(0x0, 4)     // sample rate: from STREAMINFO
+    w.writeBits(0x0, 4)     // channel assignment: mono
+    w.writeBits(0x4, 3)     // sample size: 16 bits
+    w.writeBit(0)           // reserved
+    w.writeBits(0x00, 8)    // frame number 0 (UTF-8 single byte)
+    w.writeBits(n - 1, 8)   // 8-bit blocksize-1
+    val headerSoFar = w.snapshot // 6 bytes: 4 fixed + frame number + blocksize-1
+    w.writeBits(crc8(headerSoFar, 0, headerSoFar.length), 8)
+
+    // subframe: FIXED order
+    w.writeBit(0)                     // padding
+    w.writeBits(0x08 | order, 6)      // subframe type
+    w.writeBit(0)                     // no wasted bits
+    var i = 0
+    while (i < order) { w.writeBits(samples(i) & 0xffff, 16); i += 1 } // warm-up
+    w.writeBits(0x0, 2)               // residual method: 4-bit rice
+    w.writeBits(0x0, 4)               // partition order 0
+    w.writeBits(riceParam, 4)
+    while (i < n) {
+      val z = zigzag(samples(i) - predict(order, samples, i))
+      w.writeUnary(z >>> riceParam)
+      if (riceParam > 0) w.writeBits(z & ((1 << riceParam) - 1), riceParam)
+      i += 1
+    }
+    w.alignToByte()
+    val body = w.toBytes
+    val out = java.util.Arrays.copyOf(body, body.length + 2)
+    val c16 = crc16(body, 0, body.length)
+    out(body.length) = (c16 >>> 8).toByte
+    out(body.length + 1) = c16.toByte
+    out
+  }
+
+  /** Decodes one frame written by [[encodeFrame]]'s subset of the
+    * spec (mono, 16-bit, FIXED subframe, partition order 0), starting
+    * at `off`. Verifies the header CRC-8 and the frame CRC-16 —
+    * corruption fails loudly, never returns wrong samples. Returns
+    * the exact PCM.
+    */
+  def decodeFrame(b: Array[Byte], off: Int): Array[Int] = {
+    val r = new BitReader(b, off)
+    require(r.readBits(14) == 0x3ffe, "bad frame sync")
+    require(r.readBit() == 0, "reserved bit set")
+    r.readBit() // blocking strategy (either is legal; frame number 0 reads the same)
+    val bsCode = r.readBits(4).toInt
+    require(bsCode == 0x6, s"unsupported block-size code $bsCode (encoder emits 0x6)")
+    val srCode = r.readBits(4).toInt
+    require(srCode == 0x0, s"unsupported sample-rate code $srCode (STREAMINFO-coded only)")
+    val chan = r.readBits(4).toInt
+    require(chan == 0x0, s"unsupported channel assignment $chan (mono only)")
+    val ssCode = r.readBits(3).toInt
+    require(ssCode == 0x4, s"unsupported sample-size code $ssCode (16-bit only)")
+    require(r.readBit() == 0, "reserved bit set")
+    val frameNo = r.readBits(8).toInt
+    require(frameNo < 0x80, s"multi-byte UTF-8 frame number $frameNo unsupported")
+    val n = r.readBits(8).toInt + 1
+    val declaredCrc8 = r.readBits(8).toInt
+    // header bytes: sync..reserved = 4 bytes, frame number 1, blocksize-1 1 = 6
+    val actualCrc8 = crc8(b, off, off + 6)
+    require(declaredCrc8 == actualCrc8,
+      s"frame header CRC-8 mismatch: declared $declaredCrc8, computed $actualCrc8")
+
+    require(r.readBit() == 0, "subframe padding bit set")
+    val sfType = r.readBits(6).toInt
+    require((sfType & 0x38) == 0x08, s"unsupported subframe type $sfType (FIXED only)")
+    val order = sfType & 0x07
+    require(order <= 4, s"fixed order $order out of range")
+    require(r.readBit() == 0, "wasted-bits flag unsupported")
+    val s = new Array[Int](n)
+    var i = 0
+    while (i < order) { s(i) = r.readSignedBits(16); i += 1 }
+    require(r.readBits(2) == 0x0, "non-rice residual method")
+    require(r.readBits(4) == 0x0, "nonzero partition order unsupported")
+    val param = r.readBits(4).toInt
+    require(param <= 14, "rice escape code unsupported")
+    while (i < n) {
+      val q = r.readUnary()
+      val rem = if (param > 0) r.readBits(param).toInt else 0
+      s(i) = predict(order, s, i) + unzigzag((q << param) | rem)
+      require(s(i) >= -32768 && s(i) <= 32767, s"decoded sample ${s(i)} overflows 16 bits")
+      i += 1
+    }
+    r.alignToByte()
+    val end = r.bytePosition
+    require(end + 2 <= b.length, "frame truncated before CRC-16")
+    val declared16 = ((b(end) & 0xff) << 8) | (b(end + 1) & 0xff)
+    val actual16 = crc16(b, off, end)
+    require(declared16 == actual16,
+      s"frame CRC-16 mismatch: declared $declared16, computed $actual16")
+    s
+  }
+}

@@ -885,9 +885,10 @@ object Mp4Decoder extends MediaDecoder {
 }
 
 /** REAL FLAC STREAMINFO parser — the lossless-compressed-audio
-  * analog of [[Mp3Decoder]]. FLAC frame decode (rice-coded residual
-  * synthesis) needs a codec no JDK ships and stays a loud stub, but
-  * the container is a hand-parseable spec: a 4-byte `fLaC` magic,
+  * analog of [[Mp3Decoder]]. Rice-coded FIXED-subframe FRAME decode
+  * is real too since round 9 ([[FlacFrameCodec]], exercised by m17
+  * which hash-gates the decoded PCM); this decoder is the metadata
+  * tier (m11), and the container is a hand-parseable spec: a 4-byte `fLaC` magic,
   * then size-prefixed metadata blocks (1-byte last-flag|type header +
   * 24-bit big-endian length) of which the first is the mandatory
   * 34-byte STREAMINFO — sample rate (20 bits), channels−1 (3 bits),
@@ -1395,9 +1396,11 @@ object PdfDecoder extends MediaDecoder {
 /** Content-sniffing decoder: real formats go to their real parser,
   * everything else to `fallback` (the stub — now only codec-FRAME
   * decode of formats without a JDK codec, e.g. the coded samples
-  * inside MP4/WebM/Ogg or FLAC's rice-coded frames; MP4,
-  * Matroska/WebM, Ogg and FLAC container metadata itself parses for
-  * real).
+  * inside MP4/WebM/Ogg or MP3's PCM synthesis; MP4, Matroska/WebM,
+  * Ogg and FLAC container metadata itself parses for real, and FLAC
+  * rice-coded FIXED-subframe frames decode to exact PCM via
+  * [[FlacFrameCodec]] — the m17 path — leaving only genuinely-lossy
+  * codec tiers stubbed).
   */
 final case class SniffingDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
   override def decode(row: MediaRow): MediaFeatures =

@@ -1041,9 +1041,127 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Per-order rice parameters for [[flacPcmBytes]]'s generator:
+    * samples are 512 + (id mod 256) + 3i + noise with noise ∈ [−4,4],
+    * so the order-k fixed-predictor residual is the k-th difference —
+    * bounded by Σ|binomial|·4 (+ the trend for k ≤ 1) — and each
+    * parameter keeps the unary quotient ≤ 1 bit.
+    */
+  private val flacRiceParams = Array(11, 4, 5, 6, 7)
+
+  /** Deterministic FLAC stream with a REAL coded frame: `fLaC` magic
+    * + STREAMINFO (last-flag set; rate/channels/bps/totalSamples
+    * bit-packed, all functions of doc_id) + one genuine FIXED-
+    * predictor frame (order = doc_id mod 5 — all five predictors
+    * exercised corpus-wide — rice-coded residuals, real CRC-8 and
+    * CRC-16) encoding n = 64 + (doc_id mod 3)·32 samples of
+    * `512 + (doc_id mod 256) + 3i + ((doc_id·7 + i·13) mod 9) − 4`.
+    */
+  private[operators] def flacPcmBytes(docId: Long): Array[Byte] = {
+    import graft.multimodal.FlacFrameCodec
+    val rate = (32000 + (docId % 4) * 8000).toInt
+    val n = (64 + (docId % 3) * 32).toInt
+    val samples = Array.tabulate(n)(i =>
+      (512 + (docId % 256) + 3L * i + (docId * 7 + i * 13) % 9 - 4).toInt)
+    val order = (docId % 5).toInt
+    val frame = FlacFrameCodec.encodeFrame(samples, order, flacRiceParams(order))
+    val buf = java.nio.ByteBuffer.allocate(42 + frame.length) // big-endian
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // STREAMINFO, last
+    buf.putShort(n.toShort).putShort(n.toShort)      // min/max block size
+    var k = 0
+    while (k < 6) { buf.put(0.toByte); k += 1 }      // min/max frame size unknown
+    buf.putLong((rate.toLong << 44) | (0L << 41) | (15L << 36) | n.toLong)
+    while (k < 22) { buf.put(0.toByte); k += 1 }     // 16 md5 bytes (unset)
+    buf.put(frame)
+    buf.array()
+  }
+
+  /** Walks the metadata blocks of a fLaC stream (the same size-
+    * prefixed structure FlacDecoder parses) and returns (sample rate,
+    * STREAMINFO total samples, first frame offset).
+    */
+  private def flacStreamInfo(b: Array[Byte]): (Int, Long, Int) = {
+    require(b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C',
+      "not a fLaC stream")
+    var i = 4
+    var last = false
+    var rate = -1
+    var total = -1L
+    while (!last) {
+      require(i + 4 <= b.length, s"truncated metadata block header at $i")
+      last = (b(i) & 0x80) != 0
+      val blockType = b(i) & 0x7f
+      val len = (b(i + 1) & 0xff) << 16 | (b(i + 2) & 0xff) << 8 | (b(i + 3) & 0xff)
+      require(i + 4 + len <= b.length, s"metadata block overruns payload at $i")
+      if (blockType == 0) {
+        val p = i + 4 + 10
+        var word = 0L
+        var k = 0
+        while (k < 8) { word = (word << 8) | (b(p + k) & 0xffL); k += 1 }
+        rate = ((word >>> 44) & 0xfffff).toInt
+        total = word & 0xfffffffffL
+      }
+      i += 4 + len
+    }
+    require(rate > 0, "no STREAMINFO")
+    (rate, total, i)
+  }
+
+  /** FLAC CODED-FRAME DECODE under the oracle — the first codec-FRAME
+    * tier (every other m-query stops at container/metadata): the
+    * synthesized streams carry genuine rice-coded FIXED-predictor
+    * frames (all five predictor orders across the corpus, real CRC-8
+    * + CRC-16, verified on decode), `FlacFrameCodec.decodeFrame`
+    * reconstructs the exact PCM, and the oracle predicts the DECODED
+    * SAMPLES themselves — md5 over the comma-joined sample values
+    * plus their exact sum — from the generator's closed form. Any
+    * bit-packing, rice, zigzag, predictor, or CRC bug changes the
+    * reconstruction and fails the hash. Lossless decode is what makes
+    * this cross-engine-verifiable where lossy codecs can't be. The
+    * decoder also cross-checks STREAMINFO's total-samples against the
+    * frame's actual sample count (container metadata must agree with
+    * the coded stream). Zero-shuffle per-partition synth+decode, the
+    * m04 shape.
+    */
+  val m17FlacPcm = Q(
+    "m17_flac_pcm",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    64 + (doc_id % 3) * 32 AS n,
+      |    list_transform(range(0, 64 + (doc_id % 3) * 32),
+      |      i -> 512 + (doc_id % 256) + 3 * i + (doc_id * 7 + i * 13) % 9 - 4) AS pcm
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  32000 + (doc_id % 4) * 8000 AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(pcm) AS BIGINT) AS pcm_sum,
+      |  md5(array_to_string(pcm, ',')) AS pcm_md5
+      |FROM s ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.FlacFrameCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = flacPcmBytes(id)
+        val (rate, totalSamples, frameOff) = flacStreamInfo(payload)
+        val pcm = FlacFrameCodec.decodeFrame(payload, frameOff)
+        require(totalSamples == pcm.length,
+          s"media_id=$id: STREAMINFO claims $totalSamples samples, frame decodes ${pcm.length}")
+        (id, rate.toLong, pcm.length.toLong,
+          pcm.foldLeft(0L)(_ + _), pcm.mkString(","))
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "pcm_sum", "pcm_csv")
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("pcm_sum"), md5(col("pcm_csv")).as("pcm_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
-      m15PdfMeta, m16WebpMeta)
+      m15PdfMeta, m16WebpMeta, m17FlacPcm)
 }
