@@ -1,0 +1,140 @@
+package graft.functions
+
+/** REAL URL canonicalizer — the normalization every crawl pipeline
+  * runs before URL-level dedup and frontier scheduling (RFC 3986 §6
+  * syntax-based normalization plus the one policy step — stable
+  * query-parameter sort — that search/crawl dedup conventionally
+  * adds; CommonCrawl, Heritrix and friends all ship a variant):
+  *
+  *  1. scheme and host lowercase (§6.2.2.1);
+  *  2. default port stripped (http:80 / https:443, §6.2.3);
+  *  3. path dot-segments resolved with the §5.2.4
+  *     `remove_dot_segments` algorithm (the real loop, not a regex);
+  *  4. fragment dropped (never sent to the server);
+  *  5. query parameters stably sorted by key (duplicate keys keep
+  *     their relative order);
+  *  6. empty path on an authority URL becomes "/" (§6.2.3).
+  *
+  * Percent-decoding of unreserved characters (§6.2.2.2) is
+  * deliberately NOT applied: it changes bytes, and a canonicalizer
+  * used for dedup keys must never map two URLs together unless the
+  * spec guarantees equivalence for every server — the conservative
+  * subset above is the universally-safe one.
+  *
+  * Plain JVM object (zero Spark deps) so per-partition ingest stages
+  * call it directly — the same deployment shape as the media codecs.
+  */
+object UrlCanon {
+
+  private val DefaultPorts = Map("http" -> 80, "https" -> 443)
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, verbatim loop. */
+  private[functions] def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        trimLastSegment(out)
+      } else if (in == "/..") {
+        in = "/"
+        trimLastSegment(out)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (incl. a leading "/") to the output
+        val start = if (in.startsWith("/")) 1 else 0
+        val slash = in.indexOf('/', start)
+        val cut = if (slash < 0) in.length else slash
+        out.append(in.substring(0, cut))
+        in = in.substring(cut)
+      }
+    }
+    out.toString
+  }
+
+  private def trimLastSegment(out: StringBuilder): Unit = {
+    val i = out.lastIndexOf("/")
+    out.setLength(if (i < 0) 0 else i)
+  }
+
+  /** Canonical form of an absolute http(s)-style URL. Malformed
+    * input (no "://", empty host) fails loudly — a crawl frontier
+    * must reject garbage, not normalize it into a plausible key.
+    */
+  def canonicalize(url: String): String = {
+    val sep = url.indexOf("://")
+    require(sep > 0, s"not an absolute URL: $url")
+    val scheme = url.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = url.substring(sep + 3)
+    // authority ends at the first of '/', '?', '#'
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+      case -1 => rest.length
+      case i  => i
+    }
+    val authority = rest.substring(0, authEnd)
+    require(authority.nonEmpty, s"empty host in: $url")
+    val afterAuth = rest.substring(authEnd)
+    // fragment dropped first so '?'/'/' inside it can't confuse parsing
+    val hashIdx = afterAuth.indexOf('#')
+    val noFrag = if (hashIdx < 0) afterAuth else afterAuth.substring(0, hashIdx)
+    val qIdx = noFrag.indexOf('?')
+    val (rawPath, rawQuery) =
+      if (qIdx < 0) (noFrag, "") else (noFrag.substring(0, qIdx), noFrag.substring(qIdx + 1))
+
+    val (hostPart, portPart) = authority.lastIndexOf(':') match {
+      case i if i >= 0 && authority.substring(i + 1).forall(_.isDigit)
+        && authority.substring(i + 1).nonEmpty =>
+        (authority.substring(0, i), Some(authority.substring(i + 1).toInt))
+      case _ => (authority, None)
+    }
+    val host = hostPart.toLowerCase(java.util.Locale.ROOT)
+    require(host.nonEmpty, s"empty host in: $url")
+    val port = portPart match {
+      case Some(p) if DefaultPorts.get(scheme).contains(p) => "" // default: strip
+      case Some(p) => s":$p"
+      case None => ""
+    }
+    val path = removeDotSegments(rawPath) match {
+      case "" => "/" // authority URLs never have an empty canonical path
+      case p  => p
+    }
+    val query =
+      if (rawQuery.isEmpty) ""
+      else "?" + rawQuery.split("&", -1).toSeq
+        .sortBy(p => p.takeWhile(_ != '='))(Ordering.String) // stable: dup keys keep order
+        .mkString("&")
+    s"$scheme://$host$port$path$query"
+  }
+
+  /** Host of a canonical (or raw) URL, lowercased, port stripped. */
+  def hostOf(url: String): String = {
+    val sep = url.indexOf("://")
+    require(sep > 0, s"not an absolute URL: $url")
+    val rest = url.substring(sep + 3)
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+      case -1 => rest.length
+      case i  => i
+    }
+    val authority = rest.substring(0, authEnd)
+    val host = authority.lastIndexOf(':') match {
+      case i if i >= 0 && authority.substring(i + 1).forall(_.isDigit)
+        && authority.substring(i + 1).nonEmpty => authority.substring(0, i)
+      case _ => authority
+    }
+    host.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Registered domain as the last two dot-labels ("www.site3.com" →
+    * "site3.com"). A production deployment swaps in the Public
+    * Suffix List here (co.uk and friends); the two-label rule is the
+    * PSL-free approximation and is labeled as such.
+    */
+  def registeredDomain(host: String): String = {
+    val labels = host.split('.')
+    if (labels.length <= 2) host else labels.takeRight(2).mkString(".")
+  }
+}

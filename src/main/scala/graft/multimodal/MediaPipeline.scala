@@ -157,14 +157,19 @@ object WavDecoder extends MediaDecoder {
     * Shared by decode and the real frame-sampling transform.
     */
   private[multimodal] final case class WavChunks(
-      channels: Int, sampleRate: Long, blockAlign: Int,
+      audioFormat: Int, channels: Int, sampleRate: Long, blockAlign: Int,
       dataStart: Int, dataSize: Int) {
     def frames: Long = dataSize.toLong / blockAlign
   }
 
+  /** WAVE_FORMAT tags this parser understands: 1 = integer PCM,
+    * 7 = G.711 µ-law (8-bit companded telephony audio — the
+    * [[G711Codec]] tier). Anything else fails loudly.
+    */
   private[multimodal] def parseChunks(b: Array[Byte], mediaId: Long): WavChunks = {
     require(isWav(b), s"media_id=$mediaId: not a RIFF/WAVE payload")
     var i = 12
+    var audioFormat = -1
     var channels = -1; var sampleRate = -1L; var blockAlign = -1
     var dataStart = -1; var dataSize = -1
     while (i + 8 <= b.length && (dataStart < 0 || channels < 0)) {
@@ -175,9 +180,9 @@ object WavDecoder extends MediaDecoder {
         s"media_id=$mediaId: truncated WAV chunk '$id'")
       if (id == "fmt ") {
         require(size >= 16, s"media_id=$mediaId: short fmt chunk")
-        val audioFormat = u16(b, body)
-        require(audioFormat == 1,
-          s"media_id=$mediaId: only PCM WAV supported, got format $audioFormat")
+        audioFormat = u16(b, body)
+        require(audioFormat == 1 || audioFormat == 7,
+          s"media_id=$mediaId: only PCM/µ-law WAV supported, got format $audioFormat")
         channels = u16(b, body + 2)
         sampleRate = u32(b, body + 4)
         blockAlign = u16(b, body + 12)
@@ -191,7 +196,7 @@ object WavDecoder extends MediaDecoder {
       i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     require(dataStart >= 0, s"media_id=$mediaId: no data chunk")
-    WavChunks(channels, sampleRate, blockAlign, dataStart, dataSize)
+    WavChunks(audioFormat, channels, sampleRate, blockAlign, dataStart, dataSize)
   }
 
   override def decode(row: MediaRow): MediaFeatures = {
@@ -209,6 +214,48 @@ object WavDecoder extends MediaDecoder {
       height = c.frames.toInt, // frames (samples per channel)
       n_channels = c.channels,
       checksum = checksum) // over the data chunk only, same fold as PPM
+  }
+}
+
+/** REAL G.711 µ-law expander (ITU-T G.711 / the CCITT reference
+  * `ulaw2linear`): the telephony/speech-corpus codec — 8-bit
+  * companded bytes expand to 14-bit-range linear PCM through pure
+  * integer arithmetic (complement, 3-bit segment exponent, 4-bit
+  * mantissa, bias 0x84), making it the SECOND codec-frame tier next
+  * to [[FlacFrameCodec]] that decodes losslessly-deterministic
+  * samples both engines can agree on bit-for-bit — µ-law is lossy
+  * w.r.t. the original 16-bit audio, but the DECODE map
+  * byte → sample is an exact function, which is all cross-engine
+  * verification needs.
+  */
+object G711Codec {
+
+  /** One µ-law byte → linear PCM sample (−32124 .. +32124). */
+  def ulawToLinear(uByte: Int): Int = {
+    val c = (~uByte) & 0xff
+    val exp = (c >> 4) & 0x07 // segment
+    val mant = c & 0x0f
+    val t = ((mant << 3) + 0x84) << exp
+    if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Decode a format-7 (µ-law) RIFF/WAVE payload to PCM samples.
+    * Mono only (the G.711 deployment shape); the data chunk carries
+    * one byte per sample.
+    */
+  def decodeUlawWav(b: Array[Byte], mediaId: Long): (Long, Array[Int]) = {
+    val c = WavDecoder.parseChunks(b, mediaId)
+    require(c.audioFormat == 7,
+      s"media_id=$mediaId: expected µ-law (format 7), got ${c.audioFormat}")
+    require(c.channels == 1, s"media_id=$mediaId: µ-law decode is mono-only")
+    require(c.blockAlign == 1,
+      s"media_id=$mediaId: µ-law blockAlign must be 1, got ${c.blockAlign}")
+    val out = new Array[Int](c.dataSize)
+    var i = 0
+    while (i < c.dataSize) {
+      out(i) = ulawToLinear(b(c.dataStart + i) & 0xff); i += 1
+    }
+    (c.sampleRate, out)
   }
 }
 

@@ -1199,8 +1199,72 @@ object Curation {
       .orderBy(col("rank_scaled").desc, col("domain"))
   }
 
+  /** URL canonicalization + URL-level dedup (the crawl-frontier
+    * stage BEFORE any content stage runs — CommonCrawl-scale
+    * pipelines dedup by canonical URL first because it needs no
+    * content fetch at all): per-partition synth derives each doc's
+    * messy-but-equivalent raw URL (scheme case cycling HTTP/http/Http,
+    * upper-cased host, an explicit default :80 port on one residue
+    * class, `/a/./b<k>/../c/` dot-segments, unsorted query params, a
+    * fragment) and [[graft.functions.UrlCanon]] normalizes it with
+    * the REAL RFC 3986 machinery — §5.2.4 remove_dot_segments as the
+    * verbatim loop, §6.2.2.1 case normalization, §6.2.3 default-port
+    * strip, stable query-param sort, fragment drop. Canonical URLs
+    * then collapse d01-style (min-doc_id keeper + multiplicity per
+    * URL) — the synth's residue classes (host mod 10, port mod 3,
+    * page mod 50, param mod 5, lcm 150) guarantee genuine
+    * multi-copy groups at every sf. The DuckDB oracle predicts the
+    * CANONICAL string algebraically from the same residues, so any
+    * wrong normalization step (a kept fragment, an unsorted param,
+    * an unresolved `..`) changes the key and fails the hash.
+    *
+    * Scale shape: canonicalization is a pure per-partition map
+    * (zero shuffle); the collapse is ONE digest-keyed groupBy — the
+    * d01 cost model at URL granularity.
+    */
+  val c16UrlCanonical = Q(
+    "c16_url_canonical",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'http://www.site' || (doc_id % 10) || '.com' ||
+      |    CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |    '/a/c/page' || (doc_id % 50) || '.HTML?a=' || (doc_id % 5) || '&z=1'
+      |      AS canon_url,
+      |    'www.site' || (doc_id % 10) || '.com' AS host,
+      |    'site' || (doc_id % 10) || '.com' AS domain
+      |  FROM documents
+      |)
+      |SELECT canon_url, any_value(host) AS host, any_value(domain) AS domain,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM u GROUP BY canon_url
+      |ORDER BY keep_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.UrlCanon
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val scheme = (id % 3) match {
+          case 0 => "HTTP"; case 1 => "http"; case _ => "Http"
+        }
+        val port = (id % 3) match {
+          case 0 => ":80"; case 1 => ":8080"; case _ => ""
+        }
+        val raw = s"$scheme://WWW.Site${id % 10}.COM$port" +
+          s"/a/./b${id % 5}/../c/page${id % 50}.HTML?z=1&a=${id % 5}#sec$id"
+        val canon = UrlCanon.canonicalize(raw)
+        val host = UrlCanon.hostOf(canon)
+        (id, canon, host, UrlCanon.registeredDomain(host))
+      })
+      .toDF("doc_id", "canon_url", "host", "domain")
+      .groupBy(col("canon_url"))
+      .agg(first(col("host")).as("host"), first(col("domain")).as("domain"),
+        min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
-    c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest)
+    c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical)
 }

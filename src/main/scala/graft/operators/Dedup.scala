@@ -863,8 +863,89 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Edit-distance (fuzzy) near-duplicates — the character-level
+    * dedup relation the token-set tiers can't see (d03/d04 treat a
+    * doc as a token SET, so a pair differing by one re-ordered
+    * sentence looks identical to them, while a pair differing by a
+    * typo'd word looks the same as one differing by a replaced word;
+    * Levenshtein distinguishes both). The production shape is the
+    * standard two-stage fuzzy-dedup pipeline: CHEAP candidate
+    * generation (d03's banded MinHash equi-join — one keyed shuffle,
+    * never a cartesian, bits-per-band growing with log n exactly as
+    * SCALE.md's knob rule prescribes) followed by the EXPENSIVE
+    * O(|a|·|b|) Levenshtein verification on candidates only, guarded
+    * by an integer length prefilter (|len_a − len_b| is a lower
+    * bound on edit distance, so pairs it rejects never pay the DP).
+    * The accept rule is relative — lev·20 ≤ len_a + len_b, i.e.
+    * distance ≤ 10% of the mean length — cross-multiplied in
+    * integers so both engines compare exactly. Byte-identical texts
+    * collapse to one representative first (d01's keeper rule), which
+    * keeps output linear in true near-dup structure.
+    *
+    * Both engines run the textbook unit-cost Levenshtein DP
+    * (Wagner–Fischer 1974), so `lev` is integer-exact and every
+    * accepted pair hash-matches bit-for-bit.
+    */
+  val d13EditDistance = Q(
+    "d13_edit_distance",
+    { val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+      val bands = (0 until 2).map(i =>
+        s"SELECT rep_id, n_docs, t, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH groups AS (
+         |  SELECT min(doc_id) AS rep_id, count(*) AS n_docs, any_value(text) AS t
+         |  FROM documents GROUP BY md5(text)
+         |), toks AS (
+         |  SELECT rep_id, n_docs, t, list_distinct(string_split(t, ' ')) AS ts FROM groups
+         |), sig AS (
+         |  SELECT rep_id, n_docs, t, $mhs FROM toks
+         |), bands AS (
+         |  $bands
+         |)
+         |SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+         |       a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+         |       levenshtein(a.t, b.t) AS lev,
+         |       length(a.t) AS len_a, length(b.t) AS len_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
+         |WHERE abs(length(a.t) - length(b.t)) * 20 <= length(a.t) + length(b.t)
+         |  AND levenshtein(a.t, b.t) * 20 <= length(a.t) + length(b.t)
+         |ORDER BY id_a, id_b""".stripMargin }
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // d01's exact-dup collapse: texts in a group are byte-identical,
+    // so first() is deterministic-valued
+    val groups = docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"),
+        first(col("text")).as("t"))
+    val sigs8 = graft.functions.MinHashSigs(tokenSet(col("t")), 8)
+    val sig = groups.select(
+      col("rep_id") +: col("n_docs") +: col("t") +:
+        (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
+      .cache() // reused by both band-join sides — compute the kernel once
+    val bandArr = array((0 until 2).map(i =>
+      md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+    val bands = sig.select(col("rep_id"), col("n_docs"), col("t"),
+      posexplode(bandArr).as(Seq("band", "h")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h")
+          && col("a.rep_id") < col("b.rep_id"))
+      // length gap lower-bounds the edit distance: reject before the DP
+      .filter(abs(length(col("a.t")) - length(col("b.t"))) * 20
+        <= length(col("a.t")) + length(col("b.t")))
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        col("a.n_docs").as("n_docs_a"), col("b.n_docs").as("n_docs_b"),
+        levenshtein(col("a.t"), col("b.t")).cast("long").as("lev"),
+        length(col("a.t")).cast("long").as("len_a"),
+        length(col("b.t")).cast("long").as("len_b"))
+      .filter(col("lev") * 20 <= col("len_a") + col("len_b"))
+      .distinct() // a pair can match in both bands
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
     d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup,
-    d12WeightedSimhash)
+    d12WeightedSimhash, d13EditDistance)
 }

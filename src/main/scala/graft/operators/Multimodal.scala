@@ -1159,9 +1159,86 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic G.711 µ-law RIFF/WAVE payload: format tag 7, mono,
+    * 8 kHz (the G.711 native rate), a `fact` chunk carrying the
+    * sample count (the WAV spec requires one for non-PCM formats —
+    * and it makes the chunk walk skip a non-fmt/non-data chunk for
+    * real), n = 64 + doc_id mod 64 samples, byte i =
+    * (doc_id·31 + i·7) mod 256.
+    */
+  private def ulawWavBytes(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 64).toInt
+    val buf = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 8 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 12 + 8 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7).putShort(1) // µ-law, mono
+      .putInt(8000).putInt(8000) // byteRate = rate · blockAlign(=1)
+      .putShort(1).putShort(8) // blockAlign, bits
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { buf.put(((docId * 31 + i * 7) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** G.711 µ-law CODED-SAMPLE DECODE under the oracle — the second
+    * codec-frame tier next to m17's FLAC (reference: no media
+    * surface; this is the ⟨ns⟩ training-data-pipeline layer): the
+    * synth writes genuine format-7 WAVs ([[ulawWavBytes]] — real fmt
+    * / fact / data chunk structure) and [[graft.multimodal.G711Codec]]
+    * expands every companded byte through the ITU-T G.711 integer
+    * map (complement → 3-bit segment, 4-bit mantissa, bias 0x84).
+    * Because that map is pure integer arithmetic, the DuckDB oracle
+    * computes the SAME expansion in SQL over the generator's closed
+    * form — so unlike m17 (where the oracle predicts via the
+    * generator), here the oracle independently re-implements the
+    * actual decode formula, and a single wrong shift/bias/sign in
+    * the Scala codec mismatches the hash. Zero-shuffle per-partition
+    * synth+decode, the m-tier shape.
+    */
+  val m18UlawPcm = Q(
+    "m18_ulaw_pcm",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64 + doc_id % 64),
+      |      i -> 255 - ((doc_id * 31 + i * 7) % 256)) AS c
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |    list_transform(c, x ->
+      |      CASE WHEN x >= 128
+      |           THEN 132 - (((x % 16) * 8 + 132) * (1 << ((x // 16) % 8)))
+      |           ELSE (((x % 16) * 8 + 132) * (1 << ((x // 16) % 8))) - 132
+      |      END) AS pcm
+      |  FROM s
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(len(pcm) AS BIGINT) AS n_samples,
+      |  CAST(list_sum(pcm) AS BIGINT) AS pcm_sum,
+      |  md5(array_to_string(pcm, ',')) AS pcm_md5
+      |FROM p ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.G711Codec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, pcm) = G711Codec.decodeUlawWav(ulawWavBytes(id), id)
+        (id, rate, pcm.length.toLong,
+          pcm.foldLeft(0L)(_ + _), pcm.mkString(","))
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "pcm_sum", "pcm_csv")
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("pcm_sum"), md5(col("pcm_csv")).as("pcm_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
-      m15PdfMeta, m16WebpMeta, m17FlacPcm)
+      m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm)
 }

@@ -1095,8 +1095,83 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** MaxSim late-interaction retrieval (Khattab & Zaharia, SIGIR'20 —
+    * the ColBERT scoring rule): documents are MULTI-VECTOR (one
+    * embedding per token), and relevance is
+    * `S(q,d) = Σ_{i∈q} max_{j∈d} ⟨q_i, d_j⟩` — each query token
+    * finds its best-matching document token, then the per-token
+    * maxima sum. This is the retrieval mode between the single-vector
+    * tier (s01-s11: one dot per pair) and full cross-attention; it
+    * catches partial/term-level matches a pooled vector averages
+    * away. Here consecutive runs of 8 corpus vectors form each
+    * multi-vector doc (`vec_id div 8`), the first two docs are the
+    * queries, and candidates score brute-force (the s01 exactness
+    * baseline; production prunes candidates per query TOKEN with any
+    * of s02-s10, then MaxSim-scores the shortlist).
+    *
+    * Exactness: each token-token dot is the ordered FloatVecDot fold
+    * (bit-identical both engines), `max` over doubles is exact and
+    * order-independent, and the per-query-token maxima sum in
+    * q_tok-sorted order — Spark `aggregate(sort_array(collect_list))`
+    * ≡ DuckDB `list_reduce(list(... ORDER BY q_tok))`, s12's
+    * aggregation discipline — so every score hash-matches.
+    *
+    * Scale shape: queries are tiny and broadcast; the corpus-linear
+    * term is ONE scan computing |q| dots per corpus vector map-side;
+    * the two-phase max/sum aggregates shuffle only (q_tok × doc)
+    * keys. No corpus-side self-join anywhere.
+    */
+  val s16MaxsimTopk = Q(
+    "s16_maxsim_topk",
+    s"""WITH t AS (
+       |  SELECT vec_id // 8 AS mdoc, vec_id % 8 AS tok, embedding FROM embeddings
+       |), q AS (
+       |  SELECT mdoc AS q_mdoc, tok AS q_tok, embedding AS q_emb FROM t WHERE mdoc < 2
+       |), dots AS (
+       |  SELECT q.q_mdoc, q.q_tok, t.mdoc AS cand_id,
+       |         ${sqlDot("q.q_emb", "t.embedding")} AS dp
+       |  FROM q JOIN t ON t.mdoc <> q.q_mdoc
+       |), mx AS (
+       |  SELECT q_mdoc, q_tok, cand_id, max(dp) AS maxdot
+       |  FROM dots GROUP BY q_mdoc, q_tok, cand_id
+       |), scored AS (
+       |  SELECT q_mdoc AS query_id, cand_id, count(*) AS n_qtok,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(maxdot ORDER BY q_tok)), (acc, x) -> acc + x) AS score
+       |  FROM mx GROUP BY q_mdoc, cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, n_qtok, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS k
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, n_qtok, score, k FROM ranked
+       |WHERE k <= 5 ORDER BY query_id, k""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.embeddings(s, d)
+      .select(expr("vec_id div 8").as("mdoc"), expr("vec_id % 8").as("tok"),
+        col("embedding"))
+    val q = t.filter(col("mdoc") < 2)
+      .select(col("mdoc").as("q_mdoc"), col("tok").as("q_tok"),
+        col("embedding").as("q_emb"))
+    val dots = t.join(broadcast(q), col("mdoc") =!= col("q_mdoc"))
+      .select(col("q_mdoc"), col("q_tok"), col("mdoc").as("cand_id"),
+        dot(col("q_emb"), col("embedding")).as("dp"))
+    val mx = dots.groupBy(col("q_mdoc"), col("q_tok"), col("cand_id"))
+      .agg(max(col("dp")).as("maxdot"))
+    val scored = mx.groupBy(col("q_mdoc").as("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("n_qtok"),
+        aggregate(
+          sort_array(collect_list(struct(col("q_tok"), col("maxdot")))),
+          lit(0.0), (acc, x) => acc + x.getField("maxdot")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 5)
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
-    s15MipsTopk)
+    s15MipsTopk, s16MaxsimTopk)
 }

@@ -83,7 +83,7 @@ object StreamReplay {
     * failure is re-raised on retry instead of silently suppressed.
     */
   private val eraChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def assertEventsEra(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+  private[graft] def assertEventsEra(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val src = new java.io.File(s"$d/events.parquet")
     val key = s"$d:${graft.Tables.sourceFingerprint(src)}"
     if (!eraChecked.contains(key)) {

@@ -361,7 +361,7 @@ class PlanSpec extends AnyFunSuite {
     // beyond the presentation sort (or any Join) is a regression
     // against the 100 TB contract
     Seq("m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta", "m14_ogg_meta", "m15_pdf_meta", "m16_webp_meta",
-        "m17_flac_pcm",
+        "m17_flac_pcm", "m18_ulaw_pcm",
         "s13_random_projection",
         "c11_compressed_ingest", "t14_html_extract", "c12_warc_ingest",
         "c14_zip_ingest", "c15_tar_ingest").foreach { name =>
@@ -369,6 +369,25 @@ class PlanSpec extends AnyFunSuite {
       assert("Exchange".r.findAllIn(p).size <= 1, s"$name must not shuffle:\n$p")
       assert(!p.contains("Join"), s"$name must not join:\n$p")
     }
+  }
+
+  test("d13: fuzzy-dedup candidates come from the banded equi-join — never a cartesian") {
+    val p = plan("d13_edit_distance")
+    assert(!p.contains("CartesianProduct"), s"fuzzy dedup must not cartesian:\n$p")
+    // the Levenshtein DP runs post-join on candidates only; the
+    // length prefilter must sit in the join, not after a cross
+    assert(p.contains("levenshtein"), s"expected the levenshtein verify in:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("s16: MaxSim broadcasts the query tokens and aggregates two-phase") {
+    val p = plan("s16_maxsim_topk")
+    assert(p.contains("float_vec_dot"), s"expected the dot kernel in:\n$p")
+    assert(p.contains("Broadcast"), s"query side must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus×query scoring must broadcast, not shuffle-cartesian:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-token maxima must aggregate map-side first:\n$p")
   }
 
   test("p05: threshold mixture has NO window — broadcast thresholds + per-row filter only") {

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[UrlCanon]] against RFC 3986: the §5.2.4 remove_dot_segments
+  * worked examples, §6.2 case/port normalization, fragment drop,
+  * stable query sort, and the loud-failure contract on garbage.
+  */
+class UrlCanonSpec extends AnyFunSuite {
+
+  test("remove_dot_segments matches the RFC 3986 §5.2.4 examples") {
+    assert(UrlCanon.removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(UrlCanon.removeDotSegments("mid/content=5/../6") == "mid/6")
+    // and the §5.2.4 loop edge cases
+    assert(UrlCanon.removeDotSegments("/./") == "/")
+    assert(UrlCanon.removeDotSegments("/.") == "/")
+    assert(UrlCanon.removeDotSegments("/../") == "/")
+    assert(UrlCanon.removeDotSegments("/..") == "/")
+    assert(UrlCanon.removeDotSegments("..") == "")
+    assert(UrlCanon.removeDotSegments(".") == "")
+    assert(UrlCanon.removeDotSegments("/a/../../b") == "/b") // can't climb past root
+  }
+
+  test("scheme and host lowercase; default ports strip; explicit ports keep") {
+    assert(UrlCanon.canonicalize("HTTP://WWW.EXAMPLE.COM:80/Path")
+      == "http://www.example.com/Path") // path case preserved (§6.2.2.1 scope)
+    assert(UrlCanon.canonicalize("https://Example.com:443/")
+      == "https://example.com/")
+    assert(UrlCanon.canonicalize("http://example.com:8080/x")
+      == "http://example.com:8080/x")
+    // 443 is NOT http's default port
+    assert(UrlCanon.canonicalize("http://example.com:443/x")
+      == "http://example.com:443/x")
+  }
+
+  test("fragment drops, empty path becomes /, query params sort stably") {
+    assert(UrlCanon.canonicalize("http://a.com#frag") == "http://a.com/")
+    assert(UrlCanon.canonicalize("http://a.com/p?z=1&a=2#s")
+      == "http://a.com/p?a=2&z=1")
+    // duplicate keys keep their relative order (stable sort)
+    assert(UrlCanon.canonicalize("http://a.com/p?b=2&a=1&b=1")
+      == "http://a.com/p?a=1&b=2&b=1")
+    // a '?' inside the fragment must not resurrect a query
+    assert(UrlCanon.canonicalize("http://a.com/p#f?x=1") == "http://a.com/p")
+  }
+
+  test("dot segments resolve inside a full URL") {
+    assert(UrlCanon.canonicalize("http://a.com/a/./b/../c/page.HTML?z=1&a=3#x")
+      == "http://a.com/a/c/page.HTML?a=3&z=1")
+  }
+
+  test("host helpers: port-stripped lowercase host, two-label registered domain") {
+    assert(UrlCanon.hostOf("http://WWW.Site3.COM:8080/x") == "www.site3.com")
+    assert(UrlCanon.registeredDomain("www.site3.com") == "site3.com")
+    assert(UrlCanon.registeredDomain("site3.com") == "site3.com")
+    assert(UrlCanon.registeredDomain("a.b.c.example.org") == "example.org")
+  }
+
+  test("garbage fails loudly instead of minting a plausible dedup key") {
+    intercept[IllegalArgumentException](UrlCanon.canonicalize("not-a-url"))
+    intercept[IllegalArgumentException](UrlCanon.canonicalize("http://"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the G.711 µ-law expander against the published algorithm
+  * (ITU-T G.711; the CCITT reference `ulaw2linear`): endpoint
+  * values, the ±0 pair, strict monotonicity across each sign's code
+  * range, and the WAV-level decode contract (format/channel/align
+  * gates fail loudly).
+  */
+class G711Spec extends AnyFunSuite {
+
+  test("endpoint and zero codes decode to the published values") {
+    // 0x00 = maximum negative, 0x80 = maximum positive (±32124 —
+    // the G.711 clip level), 0x7F/0xFF = the ±0 pair
+    assert(G711Codec.ulawToLinear(0x00) == -32124)
+    assert(G711Codec.ulawToLinear(0x80) == 32124)
+    assert(G711Codec.ulawToLinear(0x7f) == 0)
+    assert(G711Codec.ulawToLinear(0xff) == 0)
+  }
+
+  test("decode is strictly monotone within each sign's code range") {
+    // negatives: 0x00..0x7F rises from -32124 to 0
+    (0x00 until 0x7f).foreach { u =>
+      assert(G711Codec.ulawToLinear(u) < G711Codec.ulawToLinear(u + 1),
+        s"not increasing at code 0x${u.toHexString}")
+    }
+    // positives: 0x80..0xFF falls from +32124 to 0
+    (0x80 until 0xff).foreach { u =>
+      assert(G711Codec.ulawToLinear(u) > G711Codec.ulawToLinear(u + 1),
+        s"not decreasing at code 0x${u.toHexString}")
+    }
+  }
+
+  test("segment step doubles per exponent (the companding law)") {
+    // within one segment, adjacent mantissa codes differ by 8 << exp
+    (0 until 8).foreach { exp =>
+      val u0 = (~((exp << 4) | 0)) & 0xff // sign 0, mantissa 0
+      val u1 = (~((exp << 4) | 1)) & 0xff // sign 0, mantissa 1
+      val step = G711Codec.ulawToLinear(u1) - G711Codec.ulawToLinear(u0)
+      assert(step == (8 << exp), s"segment $exp step $step != ${8 << exp}")
+    }
+  }
+
+  private def ulawWav(format: Int, channels: Int, blockAlign: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(12 + 24 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(format.toShort).putShort(channels.toShort)
+      .putInt(8000).putInt(8000)
+      .putShort(blockAlign.toShort).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length)
+    buf.put(data)
+    buf.array()
+  }
+
+  test("decodeUlawWav expands every data byte; sample rate from fmt") {
+    val codes = Array[Byte](0x00, 0x7f.toByte, 0x80.toByte, 0xff.toByte, 0x42)
+    val (rate, pcm) = G711Codec.decodeUlawWav(ulawWav(7, 1, 1, codes), 1L)
+    assert(rate == 8000L)
+    assert(pcm.toSeq == codes.map(b => G711Codec.ulawToLinear(b & 0xff)).toSeq)
+  }
+
+  test("non-µ-law and malformed µ-law WAVs fail loudly") {
+    val codes = Array[Byte](1, 2, 3)
+    // PCM format routes away from the µ-law decoder
+    val e1 = intercept[IllegalArgumentException] {
+      G711Codec.decodeUlawWav(ulawWav(1, 1, 1, codes), 2L)
+    }
+    assert(e1.getMessage.contains("format 7"))
+    // stereo µ-law: out of this decoder's deployment shape
+    intercept[IllegalArgumentException] {
+      G711Codec.decodeUlawWav(ulawWav(7, 2, 2, codes), 3L)
+    }
+    // unknown format tag fails in the chunk parser itself
+    intercept[IllegalArgumentException] {
+      G711Codec.decodeUlawWav(ulawWav(3, 1, 1, codes), 4L)
+    }
+  }
+}
