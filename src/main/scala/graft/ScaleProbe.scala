@@ -33,6 +33,10 @@ object ScaleProbe {
     // weighted simhash: one token-keyed df join + per-doc vote agg —
     // expected ≈linear
     "d12_weighted_simhash",
+    // fuzzy dedup: d03's banded candidates + per-candidate Levenshtein
+    // DP — expected to track d03's curve (the DP is per-candidate,
+    // candidates ∝ true near-dup structure)
+    "d13_edit_distance",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "s10_ann_ivfpq", "s11_ncm_classify",
@@ -48,6 +52,12 @@ object ScaleProbe {
     // corpus-linear term is the single scan; the top-k window input
     // grows with |q|·n, the s01 shape
     "s15_mips_topk",
+    // MaxSim: |q|·n dots in one corpus scan + two keyed aggregates —
+    // expected ≈linear (the s01/s15 brute-force curve)
+    "s16_maxsim_topk",
+    // binary quantization: 8-byte code scan + 32-per-query exact
+    // re-rank — expected ≈linear with a small constant (the s09 curve)
+    "s17_binary_quantize",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",
@@ -60,7 +70,16 @@ object ScaleProbe {
     // PageRank: corpus-linear edge derivation + 6 fixed iterations
     // over the domain-sized graph — expected ≈flat + the scan term
     "c13_domain_rank",
+    // URL canonicalization: per-row map + ONE url-keyed groupBy —
+    // expected ≈linear
+    "c16_url_canonical",
+    // robots filter: per-row canonicalize + broadcast rule join + a
+    // per-URL window over ≤4 matched rules — expected ≈linear
+    "c17_robots_filter",
     "p04_domain_mixture", "p05_mixture_threshold",
+    // temperature mixture: one stats agg + broadcast quota + rank
+    // window — the p04 curve
+    "p08_temperature_mixture",
     "t07_tfidf", "t09_pii_scrub", "t10_contamination", "t11_unigram_rarity",
     "t12_heavy_hitters", "t13_corpus_profile",
     // CCNet-style LM scoring: explode + two model equi-joins + doc
@@ -73,6 +92,9 @@ object ScaleProbe {
     // Markov generation: model build is the corpus term; decoding
     // touches only the frontier — expected ≈flat + the scan term
     "t18_markov_generate",
+    // Kneser-Ney: ONE type-table groupBy is the corpus term; the
+    // context/continuation aggregates run over the bounded type table
+    "t19_kneser_ney",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,
@@ -83,6 +105,9 @@ object ScaleProbe {
     // m17: real rice/fixed-predictor FRAME decode — per-row codec
     // work like the rest of the m tier, expected ≈flat + decode term
     "m17_flac_pcm",
+    // m18/m19: G.711 µ-law/A-law expansion — per-row integer codecs,
+    // ≈flat
+    "m18_ulaw_pcm", "m19_alaw_pcm",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78
@@ -95,7 +120,10 @@ object ScaleProbe {
     "q78_stream_ingest_gate",
     // q79: stateless broadcast-model scoring — expected ≲3×/decade
     // like the other stateless replays
-    "q79_stream_lm_gate")
+    "q79_stream_lm_gate",
+    // q80: stateless canonicalize + keyed seen-set state (the q78
+    // shape at URL granularity) — output bounded by distinct URLs
+    "q80_stream_url_gate")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

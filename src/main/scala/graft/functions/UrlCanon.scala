@@ -137,4 +137,21 @@ object UrlCanon {
     val labels = host.split('.')
     if (labels.length <= 2) host else labels.takeRight(2).mkString(".")
   }
+
+  /** Path component of an absolute URL (query and fragment dropped,
+    * no dot-segment resolution — canonicalize first). Empty path on
+    * an authority URL reads as "/".
+    */
+  def pathOf(url: String): String = {
+    val sep = url.indexOf("://")
+    require(sep > 0, s"not an absolute URL: $url")
+    val rest = url.substring(sep + 3)
+    val pathStart = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (pathStart < 0 || rest.charAt(pathStart) != '/') "/"
+    else {
+      val tail = rest.substring(pathStart)
+      val end = tail.indexWhere(c => c == '?' || c == '#')
+      if (end < 0) tail else tail.substring(0, end)
+    }
+  }
 }

@@ -163,8 +163,8 @@ object WavDecoder extends MediaDecoder {
   }
 
   /** WAVE_FORMAT tags this parser understands: 1 = integer PCM,
-    * 7 = G.711 µ-law (8-bit companded telephony audio — the
-    * [[G711Codec]] tier). Anything else fails loudly.
+    * 6 = G.711 A-law, 7 = G.711 µ-law (8-bit companded telephony
+    * audio — the [[G711Codec]] tier). Anything else fails loudly.
     */
   private[multimodal] def parseChunks(b: Array[Byte], mediaId: Long): WavChunks = {
     require(isWav(b), s"media_id=$mediaId: not a RIFF/WAVE payload")
@@ -181,8 +181,8 @@ object WavDecoder extends MediaDecoder {
       if (id == "fmt ") {
         require(size >= 16, s"media_id=$mediaId: short fmt chunk")
         audioFormat = u16(b, body)
-        require(audioFormat == 1 || audioFormat == 7,
-          s"media_id=$mediaId: only PCM/µ-law WAV supported, got format $audioFormat")
+        require(audioFormat == 1 || audioFormat == 6 || audioFormat == 7,
+          s"media_id=$mediaId: only PCM/A-law/µ-law WAV supported, got format $audioFormat")
         channels = u16(b, body + 2)
         sampleRate = u32(b, body + 4)
         blockAlign = u16(b, body + 12)
@@ -239,23 +239,53 @@ object G711Codec {
     if ((c & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
-  /** Decode a format-7 (µ-law) RIFF/WAVE payload to PCM samples.
-    * Mono only (the G.711 deployment shape); the data chunk carries
-    * one byte per sample.
+  /** One A-law byte → linear PCM sample (±8 .. ±32256). Same source
+    * (the CCITT reference `alaw2linear`): XOR 0x55 bit inversion,
+    * then segment 0 is linear-with-offset-8, segment 1 adds the
+    * 0x108 step base, higher segments shift it — and the SIGN
+    * convention is the opposite of µ-law's (bit set = positive).
+    */
+  def alawToLinear(aByte: Int): Int = {
+    val a = (aByte ^ 0x55) & 0xff
+    val mant = a & 0x0f
+    val seg = (a >> 4) & 0x07
+    val t = seg match {
+      case 0 => (mant << 4) + 8
+      case 1 => (mant << 4) + 0x108
+      case _ => ((mant << 4) + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Decode a format-7 (µ-law) or format-6 (A-law) RIFF/WAVE payload
+    * to PCM samples. Mono only (the G.711 deployment shape); the
+    * data chunk carries one byte per sample.
+    */
+  def decodeG711Wav(b: Array[Byte], mediaId: Long): (Long, Array[Int]) = {
+    val c = WavDecoder.parseChunks(b, mediaId)
+    require(c.audioFormat == 6 || c.audioFormat == 7,
+      s"media_id=$mediaId: expected G.711 (format 6/7), got ${c.audioFormat}")
+    require(c.channels == 1, s"media_id=$mediaId: G.711 decode is mono-only")
+    require(c.blockAlign == 1,
+      s"media_id=$mediaId: G.711 blockAlign must be 1, got ${c.blockAlign}")
+    val expand: Int => Int =
+      if (c.audioFormat == 7) ulawToLinear else alawToLinear
+    val out = new Array[Int](c.dataSize)
+    var i = 0
+    while (i < c.dataSize) {
+      out(i) = expand(b(c.dataStart + i) & 0xff); i += 1
+    }
+    (c.sampleRate, out)
+  }
+
+  /** µ-law-only entry point (kept for the format-gate contract: a
+    * caller expecting µ-law must not silently accept A-law).
     */
   def decodeUlawWav(b: Array[Byte], mediaId: Long): (Long, Array[Int]) = {
     val c = WavDecoder.parseChunks(b, mediaId)
     require(c.audioFormat == 7,
       s"media_id=$mediaId: expected µ-law (format 7), got ${c.audioFormat}")
-    require(c.channels == 1, s"media_id=$mediaId: µ-law decode is mono-only")
-    require(c.blockAlign == 1,
-      s"media_id=$mediaId: µ-law blockAlign must be 1, got ${c.blockAlign}")
-    val out = new Array[Int](c.dataSize)
-    var i = 0
-    while (i < c.dataSize) {
-      out(i) = ulawToLinear(b(c.dataStart + i) & 0xff); i += 1
-    }
-    (c.sampleRate, out)
+    decodeG711Wav(b, mediaId)
   }
 }
 

@@ -1263,8 +1263,105 @@ object Curation {
       .orderBy(col("keep_id"))
   }
 
+  /** Robots-rule URL filtering with the REAL RFC 9309 precedence —
+    * the crawl-side companion to c16's canonicalization (a frontier
+    * canonicalizes, then consults the host's robots rules before
+    * fetching): per-host allow/disallow PATH-PREFIX rules, and for
+    * each URL the MOST SPECIFIC (longest) matching rule wins, with
+    * ALLOW winning exact length ties (§2.2.2 of the RFC — both
+    * clauses implemented, not just "first match"); a URL matching no
+    * rule is allowed by default. The synthesized rule tables exercise
+    * all three clauses for real: hosts ≡0 (mod 3) carry only an
+    * irrelevant rule (default-allow path), other hosts layer
+    * `/a/` (deny) < `/a/c/` (flips per host) < `/a/c/page1` (flips
+    * back, and matches page1/page10..page19 — genuine PREFIX
+    * semantics, not whole segments), and hosts ≡2 (mod 3) add a
+    * duplicate-length `/a/c/` allow so the tie-break genuinely fires.
+    *
+    * Scale shape: the rule table is robots-sized and broadcast; the
+    * match is an equi-join on host with the prefix test as an inline
+    * predicate (never a cartesian); precedence is one per-URL window
+    * over the handful of matched rules.
+    */
+  val c17RobotsFilter = Q(
+    "c17_robots_filter",
+    """WITH hosts AS (
+      |  SELECT unnest(range(10)) AS k
+      |), rules AS (
+      |  SELECT 'www.site' || k || '.com' AS host, '/x/' AS prefix,
+      |         0 AS allow, 0 AS rule_id FROM hosts WHERE k % 3 = 0
+      |  UNION ALL SELECT 'www.site' || k || '.com', '/a/', 0, 0
+      |    FROM hosts WHERE k % 3 <> 0
+      |  UNION ALL SELECT 'www.site' || k || '.com', '/a/c/', CAST(k % 2 AS INTEGER), 1
+      |    FROM hosts WHERE k % 3 <> 0
+      |  UNION ALL SELECT 'www.site' || k || '.com', '/a/c/page1', CAST(1 - k % 2 AS INTEGER), 2
+      |    FROM hosts WHERE k % 3 <> 0
+      |  UNION ALL SELECT 'www.site' || k || '.com', '/a/c/', 1, 3
+      |    FROM hosts WHERE k % 3 = 2
+      |), urls AS (
+      |  SELECT doc_id,
+      |         'www.site' || (doc_id % 10) || '.com' AS host,
+      |         '/a/c/page' || (doc_id % 50) || '.HTML' AS path
+      |  FROM documents
+      |), matched AS (
+      |  SELECT u.doc_id, u.host, u.path, r.prefix, r.allow,
+      |         row_number() OVER (PARTITION BY u.doc_id
+      |           ORDER BY length(r.prefix) DESC, r.allow DESC, r.rule_id) AS rk
+      |  FROM urls u LEFT JOIN rules r
+      |    ON u.host = r.host AND substr(u.path, 1, length(r.prefix)) = r.prefix
+      |)
+      |SELECT doc_id, host, path,
+      |       COALESCE(prefix, '') AS matched_prefix,
+      |       CAST(COALESCE(allow, 1) AS INTEGER) AS allowed
+      |FROM matched WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.UrlCanon
+    val rules = (0 until 10).flatMap { k =>
+      val host = s"www.site$k.com"
+      if (k % 3 == 0) Seq((host, "/x/", 0, 0))
+      else {
+        val base = Seq((host, "/a/", 0, 0), (host, "/a/c/", k % 2, 1),
+          (host, "/a/c/page1", 1 - k % 2, 2))
+        if (k % 3 == 2) base :+ ((host, "/a/c/", 1, 3)) else base
+      }
+    }.toDF("r_host", "prefix", "allow", "rule_id")
+    // the real frontier order: canonicalize (c16's stage), then match
+    // host+path against the broadcast rule table
+    val urls = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val scheme = (id % 3) match {
+          case 0 => "HTTP"; case 1 => "http"; case _ => "Http"
+        }
+        val port = (id % 3) match {
+          case 0 => ":80"; case 1 => ":8080"; case _ => ""
+        }
+        val raw = s"$scheme://WWW.Site${id % 10}.COM$port" +
+          s"/a/./b${id % 5}/../c/page${id % 50}.HTML?z=1&a=${id % 5}#sec$id"
+        val canon = UrlCanon.canonicalize(raw)
+        (id, UrlCanon.hostOf(canon), UrlCanon.pathOf(canon))
+      })
+      .toDF("doc_id", "host", "path")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(length(col("prefix")).desc, col("allow").desc, col("rule_id"))
+    urls
+      .join(broadcast(rules),
+        col("host") === col("r_host")
+          && expr("substr(path, 1, length(prefix)) = prefix"),
+        "left")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("prefix"), lit("")).as("matched_prefix"),
+        coalesce(col("allow"), lit(1)).cast("int").as("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
-    c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical)
+    c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
+    c17RobotsFilter)
 }

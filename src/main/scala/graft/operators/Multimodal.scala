@@ -1236,9 +1236,84 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic G.711 A-law RIFF/WAVE payload: format tag 6, the
+    * m18 structure (fmt/fact/data), byte i = (doc_id·37 + i·11) mod
+    * 256 — a different closed form than µ-law's so the two queries
+    * can't accidentally share decoded values.
+    */
+  private def alawWavBytes(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 64).toInt
+    val buf = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 8 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 12 + 8 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(6).putShort(1) // A-law, mono
+      .putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { buf.put(((docId * 37 + i * 11) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** G.711 A-law CODED-SAMPLE DECODE under the oracle — m18's sibling
+    * for the OTHER G.711 companding law (A-law is the E1/European
+    * telephony deployment; µ-law the T1/North-American): same
+    * format-sniffed WAV walk, but the expansion differs in every
+    * detail that matters — XOR 0x55 bit inversion instead of full
+    * complement, a LINEAR first segment (step 16 from magnitude 8)
+    * where µ-law is exponential from the start, step base 0x108 from
+    * segment 1, and the OPPOSITE sign convention (bit set =
+    * positive). The DuckDB oracle re-implements that expansion
+    * independently in SQL, so mixing up any of those details (or
+    * decoding A-law bytes through the µ-law map) fails the hash.
+    * G711Spec pins the ±8/±32256 endpoints, per-sign monotonicity
+    * and the segment step law for A-law as well.
+    */
+  val m19AlawPcm = Q(
+    "m19_alaw_pcm",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64 + doc_id % 64),
+      |      i -> xor((doc_id * 37 + i * 11) % 256, 85)) AS a
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |    list_transform(a, x ->
+      |      (CASE WHEN x >= 128 THEN 1 ELSE -1 END) *
+      |      (CASE WHEN (x // 16) % 8 = 0 THEN (x % 16) * 16 + 8
+      |            WHEN (x // 16) % 8 = 1 THEN (x % 16) * 16 + 264
+      |            ELSE ((x % 16) * 16 + 264) * (1 << ((x // 16) % 8 - 1))
+      |       END)) AS pcm
+      |  FROM s
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(len(pcm) AS BIGINT) AS n_samples,
+      |  CAST(list_sum(pcm) AS BIGINT) AS pcm_sum,
+      |  md5(array_to_string(pcm, ',')) AS pcm_md5
+      |FROM p ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.G711Codec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, pcm) = G711Codec.decodeG711Wav(alawWavBytes(id), id)
+        (id, rate, pcm.length.toLong,
+          pcm.foldLeft(0L)(_ + _), pcm.mkString(","))
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "pcm_sum", "pcm_csv")
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("pcm_sum"), md5(col("pcm_csv")).as("pcm_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
-      m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm)
+      m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm)
 }

@@ -306,7 +306,90 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual/multi-
+    * domain re-balancing rule of XLM — Conneau & Lample NeurIPS'19 —
+    * and the massively-multilingual NMT / mT5 lineage): sample
+    * domain s with probability ∝ n_s^α, 0 < α < 1, so head domains
+    * are down-weighted and tail domains up-weighted RELATIVE TO
+    * their natural frequency, without ever inverting the order.
+    * Unlike p04 (externally-assigned weights), the weights here come
+    * from the corpus statistics themselves — the self-tuning flavor
+    * production mixtures actually use.
+    *
+    * α = 1/2 — the sqrt-temperature point — is implemented
+    * INTEGER-EXACTLY: w_s = isqrt(n_s) via float sqrt corrected by
+    * ±1 against the integer squares (exact for any n_s < 2^52, in
+    * both engines, independent of fp rounding), then p04's
+    * integer-quota machinery — dfinal = min_s(n_s·Σw div w_s) makes
+    * the most-oversubscribed domain bind, quota_s = w_s·dfinal div
+    * Σw — and the deterministic hash-order rank fill. Every output
+    * cell is a BIGINT; both engines agree bit-for-bit.
+    *
+    * Scale shape: corpus stats are one partial agg; the quota table
+    * is domain-sized and broadcast; the fill is one rank window per
+    * domain (p05 documents the windowless per-row-threshold swap).
+    */
+  val p08TemperatureMixture = Q(
+    "p08_temperature_mixture",
+    s"""WITH src AS (
+       |  SELECT source, count(*) AS n_total FROM documents GROUP BY 1
+       |), sq AS (
+       |  SELECT source, n_total,
+       |         CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS s0
+       |  FROM src
+       |), wts AS (
+       |  SELECT source, n_total,
+       |         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n_total THEN 1 ELSE 0 END)
+       |            - (CASE WHEN s0 * s0 > n_total THEN 1 ELSE 0 END) AS w
+       |  FROM sq
+       |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+       |cap AS (SELECT CAST(min(n_total * tw // w) AS BIGINT) AS dfinal FROM wts, tot),
+       |quota AS (
+       |  SELECT source, w, n_total,
+       |         CAST((w * dfinal) // tw AS BIGINT) AS quota
+       |  FROM wts, tot, cap
+       |), ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY $HashKey, doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT q.source, q.w, q.n_total, q.quota, count(*) AS n_kept,
+       |       CAST(sum(r.n_chars) AS BIGINT) AS kept_chars, min(r.doc_id) AS first_doc
+       |FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.quota
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY q.source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val src = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    // exact integer sqrt: float sqrt, then correct ±1 against the
+    // integer squares (both engines land on the same BIGINT)
+    val wts = src
+      .withColumn("s0", floor(sqrt(col("n_total").cast("double"))).cast("long"))
+      .withColumn("w",
+        col("s0")
+          + when((col("s0") + 1) * (col("s0") + 1) <= col("n_total"), 1L).otherwise(0L)
+          - when(col("s0") * col("s0") > col("n_total"), 1L).otherwise(0L))
+      .select(col("source"), col("n_total"), col("w"))
+    val tot = wts.agg(sum(col("w")).cast("long").as("tw"))
+    val cap = wts.crossJoin(broadcast(tot))
+      .agg(min(expr("n_total * tw DIV w")).as("dfinal"))
+    val quota = wts.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+      .select(col("source"), col("w"), col("n_total"),
+        expr("(w * dfinal) DIV tw").as("quota"))
+    val win = Window.partitionBy(col("source")).orderBy(hashKey, col("doc_id"))
+    val ranked = docs.withColumn("rk", row_number().over(win))
+    ranked.alias("r")
+      .join(broadcast(quota).alias("q"),
+        col("r.source") === col("q.source") && col("r.rk") <= col("q.quota"))
+      .groupBy(col("q.source"), col("q.w"), col("q.n_total"), col("q.quota"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("r.n_chars")).as("kept_chars"),
+        min(col("r.doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
-      p05MixtureThreshold, p06SampleExactK, p07WeightedSample)
+      p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
+      p08TemperatureMixture)
 }

@@ -1170,8 +1170,97 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** Binary (1-bit) quantization with Hamming shortlist + exact
+    * re-rank — the third and smallest rung of the quantization
+    * ladder (s07/s08 int8 = 4×, s09/s10 PQ = 32×, this = 256×: one
+    * SIGN BIT per dimension, 64 dims = one BIGINT per vector), the
+    * tier modern vector stores ship as "binary quantization": scan
+    * cost is one `popcount(xor)` per candidate — the cheapest
+    * distance computable — and recall is bought back by re-ranking a
+    * Hamming-top-32 shortlist with exact cosine (s10's refine
+    * pattern). Sign-of-component is the 1-bit case of s07's absmax
+    * rule; for sign codes, Hamming distance is exactly the s02 LSH
+    * disagreement count at 64 planes = identity planes.
+    *
+    * Exactness: the code is an integer bit-fold (OR of distinct
+    * powers — order-independent) split into two 32-bit halves so no
+    * engine ever shifts into a BIGINT's sign bit (DuckDB raises on
+    * `1 << 63`); Hamming is the sum of the two `bit_count(xor)`
+    * halves, and the re-rank cosine is the ordered FloatVecDot
+    * fold — every column hash-matches.
+    *
+    * Scale shape: queries broadcast; the corpus-linear term scans
+    * 8-byte codes (not 256-byte floats); only the 32-per-query
+    * shortlist touches full vectors. Window top-k per query, no
+    * corpus self-join.
+    */
+  val s17BinaryQuantize = Q(
+    "s17_binary_quantize",
+    { def code(off: Int) = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(0, 32), i -> CASE WHEN embedding[i + ${off + 1}] > 0 " +
+        "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a | b)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm,
+         |         ${code(0)} AS code_lo, ${code(32)} AS code_hi
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |         code_lo AS q_lo, code_hi AS q_hi
+         |  FROM e WHERE vec_id < 8
+         |), ham AS (
+         |  SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(bit_count(xor(q.q_lo, c.code_lo))
+         |            + bit_count(xor(q.q_hi, c.code_hi)) AS BIGINT) AS hamming,
+         |         q.q_emb, q.q_nrm, c.embedding AS c_emb, c.nrm AS c_nrm,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY bit_count(xor(q.q_lo, c.code_lo))
+         |                  + bit_count(xor(q.q_hi, c.code_hi)), c.vec_id) AS hk
+         |  FROM q JOIN e c ON c.vec_id <> q.q_id
+         |), rr AS (
+         |  SELECT query_id, neighbor_id, hamming,
+         |         CASE WHEN q_nrm * c_nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("q_emb", "c_emb")} / (q_nrm * c_nrm) END AS cos_sim
+         |  FROM ham WHERE hk <= 32
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, hamming, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM rr
+         |)
+         |SELECT query_id, neighbor_id, hamming, cos_sim, k FROM ranked
+         |WHERE k <= 5 ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    def codeExpr(off: Int) = expr(s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+      s"acc | CASE WHEN element_at(embedding, i + ${off + 1}) > 0 " +
+      "THEN shiftleft(1L, i) ELSE 0L END)")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        codeExpr(0).as("code_lo"), codeExpr(32).as("code_hi"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val ham = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("code_lo")))
+          + bit_count(col("q_hi").bitwiseXOR(col("code_hi")))).cast("long").as("hamming"),
+        col("q_emb"), col("q_nrm"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val hw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val rr = ham.withColumn("hk", row_number().over(hw))
+      .filter(col("hk") <= 32)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        when(col("q_nrm") * col("c_nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("cos_sim"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    rr.withColumn("k", row_number().over(kw))
+      .filter(col("k") <= 5)
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
-    s15MipsTopk, s16MaxsimTopk)
+    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize)
 }

@@ -619,7 +619,72 @@ object StreamReplay {
     s.table(sinkName).orderBy(col("doc_id"))
   } }
 
+  /** STREAMING URL-frontier gate — c16's canonicalize-then-dedup as
+    * a live crawl frontier: documents arrive as a file-source
+    * stream, each derives its (messy) raw URL and canonicalizes
+    * per-partition with the REAL RFC 3986 machinery
+    * ([[graft.functions.UrlCanon]] — stateless, zero shuffle, the
+    * q79 deployment shape), then `dropDuplicates` on the canonical
+    * URL holds the SEEN set in keyed state — the frontier's "have I
+    * scheduled this URL" table, sharded by URL key across executors
+    * exactly like q78's corpus hashes (too big to broadcast at crawl
+    * scale). Output is the DISTINCT canonical URL set with its
+    * host/domain — a SET, so micro-batch arrival order cannot leak
+    * into the result (the q74 discipline: the emitted row is fully
+    * determined by its key), and the DuckDB oracle predicts it
+    * algebraically from c16's residue classes. No watermark: a
+    * frontier's seen-set is permanent state by design (production
+    * ages it by checkpoint compaction, not event time).
+    */
+  val q80StreamUrlGate = Q(
+    "q80_stream_url_gate",
+    """WITH u AS (
+      |  SELECT DISTINCT
+      |    'http://www.site' || (doc_id % 10) || '.com' ||
+      |    CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |    '/a/c/page' || (doc_id % 50) || '.HTML?a=' || (doc_id % 5) || '&z=1'
+      |      AS canon_url,
+      |    'www.site' || (doc_id % 10) || '.com' AS host,
+      |    'site' || (doc_id % 10) || '.com' AS domain
+      |  FROM documents
+      |)
+      |SELECT canon_url, host, domain FROM u
+      |ORDER BY canon_url""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.UrlCanon
+    val docsSchema = graft.Tables.documents(s, d).schema
+    val frontier = tableStream(s, d, "documents", docsSchema)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val scheme = (id % 3) match {
+          case 0 => "HTTP"; case 1 => "http"; case _ => "Http"
+        }
+        val port = (id % 3) match {
+          case 0 => ":80"; case 1 => ":8080"; case _ => ""
+        }
+        val raw = s"$scheme://WWW.Site${id % 10}.COM$port" +
+          s"/a/./b${id % 5}/../c/page${id % 50}.HTML?z=1&a=${id % 5}#sec$id"
+        val canon = UrlCanon.canonicalize(raw)
+        val host = UrlCanon.hostOf(canon)
+        (canon, host, UrlCanon.registeredDomain(host))
+      })
+      .toDF("canon_url", "host", "domain")
+      .dropDuplicates("canon_url")
+    val sinkName = "graft_q80_url_gate"
+    scala.util.Try(s.catalog.dropTempView(sinkName))
+    val query = frontier.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName).orderBy(col("canon_url"))
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
-    q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate)
+    q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
+    q80StreamUrlGate)
 }

@@ -1004,9 +1004,93 @@ object TextAnalysis {
     chain.orderBy(col("seed_rank"), col("step"))
   }
 
+  /** Interpolated Kneser-Ney bigram smoothing (Kneser & Ney ICASSP'95;
+    * the interpolated form of Chen & Goodman CSL'99 — THE standard
+    * n-gram LM estimator, the one KenLM ships and CCNet-style filters
+    * train): t15's add-one surrogate scores with raw counts; KN
+    * instead discounts every observed bigram by d and backs off to
+    * the CONTINUATION unigram (how many distinct contexts a word
+    * follows — "Francisco" is frequent but only ever follows "San",
+    * so its continuation probability is tiny; a raw-frequency backoff
+    * gets exactly this wrong):
+    *
+    *   P(w|v) = max(c(vw)−d, 0)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/N11
+    *
+    * With d = 3/4 every quantity is rational: over the common
+    * denominator 4·c(v·)·N11 the numerator is
+    * (4·c(vw)−3)·N11 + 3·N1+(v·)·N1+(·w) — pure BIGINT arithmetic,
+    * bit-identical in both engines (the t15/c13 no-libm discipline
+    * applied to the classic smoothing estimator). `p_kn` is the one
+    * double division at the end (both operands < 2^53, IEEE-exact).
+    * Output: the 25 most frequent bigrams with their full KN
+    * decomposition (counts, continuation stats, exact fraction,
+    * probability).
+    *
+    * Scale shape: bigram extraction is the per-row WordGramsMulti
+    * kernel (multiplicity-preserving, the t15 rule); ONE type-table
+    * groupBy is the corpus-linear term; the context/continuation
+    * tables derive from the (bounded, vocab²-sized) type table; N11
+    * is a 1-row broadcast; top-25 is TakeOrderedAndProject.
+    */
+  val t19KneserNey = Q(
+    "t19_kneser_ney",
+    """WITH tokd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |                               i -> tk[i] || ' ' || tk[i+1])) AS g
+      |  FROM tokd
+      |), cvw AS (
+      |  SELECT g, count(*) AS c_vw FROM bg GROUP BY g
+      |), ctx AS (
+      |  SELECT split_part(g, ' ', 1) AS v,
+      |         CAST(sum(c_vw) AS BIGINT) AS c_v, count(*) AS n1_fwd
+      |  FROM cvw GROUP BY 1
+      |), cont AS (
+      |  SELECT split_part(g, ' ', 2) AS w, count(*) AS n1_rev
+      |  FROM cvw GROUP BY 1
+      |), n AS (SELECT count(*) AS n11 FROM cvw)
+      |SELECT split_part(g, ' ', 1) AS v, split_part(g, ' ', 2) AS w,
+      |       c_vw, ctx.c_v, ctx.n1_fwd, cont.n1_rev,
+      |       (4 * c_vw - 3) * n.n11 + 3 * ctx.n1_fwd * cont.n1_rev AS kn_num,
+      |       4 * ctx.c_v * n.n11 AS kn_den,
+      |       CAST((4 * c_vw - 3) * n.n11 + 3 * ctx.n1_fwd * cont.n1_rev AS DOUBLE)
+      |         / (4 * ctx.c_v * n.n11) AS p_kn
+      |FROM cvw
+      |JOIN ctx ON split_part(g, ' ', 1) = ctx.v
+      |JOIN cont ON split_part(g, ' ', 2) = cont.w
+      |CROSS JOIN n
+      |ORDER BY c_vw DESC, v, w
+      |LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bg = docs.select(
+      explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
+    val cvw = bg.groupBy(col("g")).agg(count(lit(1)).as("c_vw"))
+      .select(substring_index(col("g"), " ", 1).as("v"),
+        substring_index(col("g"), " ", -1).as("w"), col("c_vw"))
+      .cache() // the type table feeds three derived aggregates + the join
+    val ctx = cvw.groupBy(col("v"))
+      .agg(sum(col("c_vw")).cast("long").as("c_v"), count(lit(1)).as("n1_fwd"))
+    val cont = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1_rev"))
+    val n11 = cvw.agg(count(lit(1)).as("n11"))
+    cvw
+      .join(ctx, Seq("v"))
+      .join(cont, Seq("w"))
+      .crossJoin(broadcast(n11))
+      .select(col("v"), col("w"), col("c_vw"), col("c_v"),
+        col("n1_fwd"), col("n1_rev"),
+        ((lit(4) * col("c_vw") - 3) * col("n11")
+          + lit(3) * col("n1_fwd") * col("n1_rev")).as("kn_num"),
+        (lit(4) * col("c_v") * col("n11")).as("kn_den"))
+      .withColumn("p_kn", col("kn_num").cast("double") / col("kn_den"))
+      .orderBy(col("c_vw").desc, col("v"), col("w"))
+      .limit(25)
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
-    t18MarkovGenerate)
+    t18MarkovGenerate, t19KneserNey)
 }

@@ -361,7 +361,7 @@ class PlanSpec extends AnyFunSuite {
     // beyond the presentation sort (or any Join) is a regression
     // against the 100 TB contract
     Seq("m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta", "m14_ogg_meta", "m15_pdf_meta", "m16_webp_meta",
-        "m17_flac_pcm", "m18_ulaw_pcm",
+        "m17_flac_pcm", "m18_ulaw_pcm", "m19_alaw_pcm",
         "s13_random_projection",
         "c11_compressed_ingest", "t14_html_extract", "c12_warc_ingest",
         "c14_zip_ingest", "c15_tar_ingest").foreach { name =>
@@ -388,6 +388,33 @@ class PlanSpec extends AnyFunSuite {
       s"corpus×query scoring must broadcast, not shuffle-cartesian:\n$p")
     assert(p.contains("partial_max"),
       s"per-token maxima must aggregate map-side first:\n$p")
+  }
+
+  test("s17: binary-quantized search broadcasts queries; re-rank runs the dot kernel") {
+    val p = plan("s17_binary_quantize")
+    assert(p.contains("Broadcast"), s"query side must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"code scan must not cartesian:\n$p")
+    assert(p.contains("float_vec_dot"), s"expected the exact re-rank kernel in:\n$p")
+  }
+
+  test("p08: temperature mixture broadcasts the quota table, no cartesian blow-up") {
+    val p = plan("p08_temperature_mixture")
+    assert(!p.contains("CartesianProduct"), s"quota join must not cartesian:\n$p")
+    assert(p.contains("Broadcast"), s"expected the broadcast quota table in:\n$p")
+  }
+
+  test("t19: Kneser-Ney tops out as TakeOrderedAndProject over the type table") {
+    val p = plan("t19_kneser_ney")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row N11 scalar may nest-loop:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("c17: robots matching equi-joins on host with broadcast rules") {
+    val p = plan("c17_robots_filter")
+    assert(p.contains("Broadcast"), s"rule table must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rule match must not cartesian:\n$p")
   }
 
   test("p05: threshold mixture has NO window — broadcast thresholds + per-row filter only") {

@@ -64,6 +64,48 @@ class G711Spec extends AnyFunSuite {
     assert(pcm.toSeq == codes.map(b => G711Codec.ulawToLinear(b & 0xff)).toSeq)
   }
 
+  test("A-law endpoints and sign convention (opposite of µ-law's)") {
+    // coded byte = a ^ 0x55; a=0xFF is max positive, a=0x00 max... no:
+    // a-law has no ±0 — min magnitude is ±8 (a=0x80 → +8, a=0x00 → −8)
+    assert(G711Codec.alawToLinear(0xff ^ 0x55) == 32256)
+    assert(G711Codec.alawToLinear(0x7f ^ 0x55) == -32256)
+    assert(G711Codec.alawToLinear(0x80 ^ 0x55) == 8)
+    assert(G711Codec.alawToLinear(0x00 ^ 0x55) == -8)
+  }
+
+  test("A-law decode is strictly monotone in the inverted code within each sign") {
+    def dec(a: Int) = G711Codec.alawToLinear(a ^ 0x55)
+    (0x80 until 0xff).foreach { a =>
+      assert(dec(a) < dec(a + 1), s"positives not increasing at a=0x${a.toHexString}")
+    }
+    (0x00 until 0x7f).foreach { a =>
+      assert(dec(a) > dec(a + 1), s"negatives not decreasing at a=0x${a.toHexString}")
+    }
+  }
+
+  test("A-law segment law: linear step 16 in segment 0, doubling from segment 1") {
+    def mag(seg: Int, mant: Int) = G711Codec.alawToLinear(((0x80 | (seg << 4) | mant) ^ 0x55))
+    // segment 0 is LINEAR (step 16) — the detail µ-law doesn't have
+    (0 until 15).foreach { m => assert(mag(0, m + 1) - mag(0, m) == 16) }
+    (1 until 8).foreach { seg =>
+      val step = mag(seg, 1) - mag(seg, 0)
+      assert(step == (16 << (seg - 1)), s"segment $seg step $step != ${16 << (seg - 1)}")
+    }
+  }
+
+  test("decodeG711Wav routes on the format tag; µ-law entry point rejects A-law") {
+    val codes = Array[Byte](0x11, 0x22, 0x33)
+    val (_, viaAlaw) = G711Codec.decodeG711Wav(ulawWav(6, 1, 1, codes), 10L)
+    assert(viaAlaw.toSeq == codes.map(b => G711Codec.alawToLinear(b & 0xff)).toSeq)
+    val (_, viaUlaw) = G711Codec.decodeG711Wav(ulawWav(7, 1, 1, codes), 11L)
+    assert(viaUlaw.toSeq == codes.map(b => G711Codec.ulawToLinear(b & 0xff)).toSeq)
+    assert(viaAlaw.toSeq != viaUlaw.toSeq) // the two laws genuinely differ
+    val e = intercept[IllegalArgumentException] {
+      G711Codec.decodeUlawWav(ulawWav(6, 1, 1, codes), 12L)
+    }
+    assert(e.getMessage.contains("format 7"))
+  }
+
   test("non-µ-law and malformed µ-law WAVs fail loudly") {
     val codes = Array[Byte](1, 2, 3)
     // PCM format routes away from the µ-law decoder
