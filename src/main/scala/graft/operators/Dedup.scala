@@ -882,6 +882,20 @@ object Dedup {
     * collapse to one representative first (d01's keeper rule), which
     * keeps output linear in true near-dup structure.
     *
+    * The banding signature is ORDER-SENSITIVE — MinHash over 3-word
+    * SHINGLES (WordGrams), not over the token set. This is the one
+    * place the d03 recipe must change for edit distance: a token-SET
+    * signature hashes every permutation of the same bag of words to
+    * the same buckets, so word-order-scrambled docs (edit-FAR, but
+    * set-identical) all become candidates and each pays the DP —
+    * measured as a candidate explosion at sf1 in the round-9 scale
+    * probe before this was switched (the probe caught ~20 cores
+    * pinned in `UTF8String.levenshteinDistance`). Shingles preserve
+    * local order, which is exactly the structure edit distance
+    * scores. Docs shorter than 3 tokens fall back to their token
+    * array (identically in both spellings) so the adversarial
+    * empty/short fixtures keep a defined signature.
+    *
     * Both engines run the textbook unit-cost Levenshtein DP
     * (Wagner–Fischer 1974), so `lev` is integer-exact and every
     * accepted pair hash-matches bit-for-bit.
@@ -896,9 +910,16 @@ object Dedup {
          |  SELECT min(doc_id) AS rep_id, count(*) AS n_docs, any_value(text) AS t
          |  FROM documents GROUP BY md5(text)
          |), toks AS (
-         |  SELECT rep_id, n_docs, t, list_distinct(string_split(t, ' ')) AS ts FROM groups
+         |  SELECT rep_id, n_docs, t, string_split(t, ' ') AS tk FROM groups
+         |), shingled AS (
+         |  SELECT rep_id, n_docs, t,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_transform(generate_series(1, len(tk) - 2),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |              ELSE tk END AS ts
+         |  FROM toks
          |), sig AS (
-         |  SELECT rep_id, n_docs, t, $mhs FROM toks
+         |  SELECT rep_id, n_docs, t, $mhs FROM shingled
          |), bands AS (
          |  $bands
          |)
@@ -917,7 +938,9 @@ object Dedup {
     val groups = docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"),
         first(col("text")).as("t"))
-    val sigs8 = graft.functions.MinHashSigs(tokenSet(col("t")), 8)
+    val tk = split(col("t"), " ")
+    val shingles = when(size(tk) >= 3, graft.functions.WordGrams(tk, 3)).otherwise(tk)
+    val sigs8 = graft.functions.MinHashSigs(shingles, 8)
     val sig = groups.select(
       col("rep_id") +: col("n_docs") +: col("t") +:
         (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)

@@ -123,5 +123,58 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
-  def all: Seq[Q] = Seq(q01PricingSummary, q02FilterProject, q03TopicFilter)
+  /** Z-ORDER data layout (Morton curve — the multi-dimensional
+    * clustering Delta's OPTIMIZE ZORDER BY and Iceberg's sort orders
+    * ship; Morton 1966): interleaving the bits of two key columns
+    * produces a 1-D sort key whose RANGES stay tight in BOTH
+    * dimensions, so min/max zone maps prune scans on either
+    * predicate — the single most important LAYOUT decision for a
+    * 100 TB table queried on more than one column (a plain sort
+    * tightens one dimension and leaves the other spanning the whole
+    * domain). The query computes the interleave (32 exact bit terms
+    * — the same spelling generated for both engines), buckets rows
+    * by the z-prefix (the file/row-group analog), and emits each
+    * bucket's per-dimension min/max — the zone-map contents a
+    * pruning scan would consult; tight ranges in BOTH columns ARE
+    * the measurable z-order property, and every cell is a BIGINT.
+    *
+    * Scale shape: the z-key is a pure per-row projection (zero
+    * shuffle); bucket stats are one two-phase aggregate. Production
+    * follows with repartitionByRange(z) + write — the layout step
+    * itself; the observable here is the zone-map quality that step
+    * buys.
+    */
+  val q45ZorderLayout = Q(
+    "q45_zorder_layout",
+    { val terms = (0 until 16).flatMap { i =>
+        Seq(s"((x >> $i) & 1) * ${1L << (2 * i)}",
+          s"((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y FROM lineitem
+         |), z AS (
+         |  SELECT x, y, CAST($terms AS BIGINT) AS zkey FROM base
+         |)
+         |SELECT zkey // 1048576 AS z_bucket, count(*) AS n,
+         |       min(x) AS o_min, max(x) AS o_max,
+         |       min(y) AS p_min, max(y) AS p_max
+         |FROM z GROUP BY 1
+         |ORDER BY z_bucket""".stripMargin }
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 65536).as("x"), (col("l_partkey") % 65536).as("y"))
+    val zkey = (0 until 16).flatMap { i =>
+      Seq(shiftright(col("x"), i).bitwiseAND(1) * lit(1L << (2 * i)),
+        shiftright(col("y"), i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    li.select(col("x"), col("y"), zkey.cast("long").as("zkey"))
+      .groupBy(expr("zkey div 1048576").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("o_min"), max(col("x")).as("o_max"),
+        min(col("y")).as("p_min"), max(col("y")).as("p_max"))
+      .orderBy(col("z_bucket"))
+  }
+
+  def all: Seq[Q] = Seq(q01PricingSummary, q02FilterProject, q03TopicFilter,
+    q45ZorderLayout)
 }

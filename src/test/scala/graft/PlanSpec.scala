@@ -411,6 +411,15 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q45: the z-key is a pure projection — one two-phase aggregate, no joins") {
+    val p = plan("q45_zorder_layout")
+    assert(!p.contains("Join"), s"z-order layout must not join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"bucket zone-map stats must aggregate map-side first:\n$p")
+    // bucket agg + presentation sort are the only exchanges
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles in:\n$p")
+  }
+
   test("c17: robots matching equi-joins on host with broadcast rules") {
     val p = plan("c17_robots_filter")
     assert(p.contains("Broadcast"), s"rule table must broadcast in:\n$p")
