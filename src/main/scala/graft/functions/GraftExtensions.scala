@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeFilter)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPruning)
   }
 }
 

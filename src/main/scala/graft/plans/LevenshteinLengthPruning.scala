@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Catalyst optimizer rule: a threshold on Levenshtein distance
+  * implies a length-difference bound — unit-cost edit distance is at
+  * least ||a| − |b|| (every length change costs one edit), so
+  * `levenshtein(a, b) ≤ k ⟹ abs(length(a) − length(b)) ≤ k`. The
+  * inferred predicate is two integer lengths and a compare; the
+  * original is an O(|a|·|b|) dynamic program — on fuzzy-dedup
+  * verification this prunes candidate pairs BEFORE the DP runs,
+  * generalizing d13's hand-written prefilter to every query that
+  * writes a Levenshtein threshold (the same move
+  * [[InferJaccardSizeFilter]] makes for Jaccard thresholds).
+  *
+  * Only the plain two-argument form is rewritten: Spark's
+  * three-argument `levenshtein(a, b, threshold)` returns −1 above the
+  * threshold, so a user predicate over it has different algebra and
+  * is left alone. Null semantics are preserved — if either side is
+  * null, both the original and the inferred predicate evaluate to
+  * null, and a conjunction of nulls filters exactly like the
+  * original did.
+  *
+  * Inferred predicates never change results (they are implied);
+  * idempotent via a semantic-equality check against existing
+  * conjuncts. Register with `GraftExtensions` (session build) or
+  * `spark.experimental.extraOptimizations` (live session).
+  */
+object LevenshteinLengthPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      augment(cond).map(c => Filter(c, child)).getOrElse(f)
+    // the threshold routinely sits in the join condition of a
+    // candidate-verification join — cover that shape too
+    case j @ Join(_, _, _, Some(cond), _) =>
+      augment(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
+  }
+
+  private def augment(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val inferred = conjuncts.flatMap {
+      case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
+        Seq(lengthBound(a, b, k, strict = false))
+      case LessThan(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
+        Seq(lengthBound(a, b, k, strict = true))
+      case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
+        Seq(lengthBound(a, b, k, strict = false))
+      case GreaterThan(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
+        Seq(lengthBound(a, b, k, strict = true))
+      case _ => Nil
+    }.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+    if (inferred.isEmpty) None else Some((inferred :+ cond).reduce(And))
+  }
+
+  /** abs(length(a) − length(b)) ≤ k (or < k for strict thresholds). */
+  private def lengthBound(a: Expression, b: Expression, k: Expression,
+      strict: Boolean): Expression = {
+    val gap = Abs(Subtract(Length(a), Length(b)))
+    if (strict) LessThan(gap, k) else LessThanOrEqual(gap, k)
+  }
+}

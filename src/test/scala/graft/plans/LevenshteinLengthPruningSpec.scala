@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LevenshteinLengthPruningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("rule infers a length-gap bound next to a levenshtein threshold") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ LevenshteinLengthPruning
+    try {
+      // parquet-backed (a LocalRelation would constant-fold away)
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pairs = docs.alias("a").join(docs.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(levenshtein(col("a.text"), col("b.text")) <= 4)
+      val optimized = pairs.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("abs(") && optimized.contains("length("),
+        s"no inferred length-gap predicate in:\n$optimized")
+      val n = pairs.count()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == LevenshteinLengthPruning)
+      val nPlain = docs.alias("a").join(docs.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(levenshtein(col("a.text"), col("b.text")) <= 4)
+        .count()
+      assert(n == nPlain, s"rule changed results: $n vs $nPlain")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == LevenshteinLengthPruning)
+    }
+  }
+
+  test("strict and reversed spellings are covered; null rows filter identically") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("ab", "abcdefgh"), (null, "x"))
+      .toDF("a", "b")
+    val analyzed = df.filter(expr("levenshtein(a, b) < 3"))
+      .queryExecution.analyzed
+    val rewritten = LevenshteinLengthPruning(analyzed)
+    assert(rewritten.toString.contains("abs("), s"strict form not rewritten:\n$rewritten")
+    val analyzedRev = df.filter(expr("3 >= levenshtein(a, b)"))
+      .queryExecution.analyzed
+    assert(LevenshteinLengthPruning(analyzedRev).toString.contains("abs("),
+      "reversed form not rewritten")
+    // evaluated equivalence on a frame with a null side
+    val withRule = {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinLengthPruning
+      try df.filter(expr("levenshtein(a, b) <= 2")).collect().toSeq
+      finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == LevenshteinLengthPruning)
+    }
+    val plain = df.filter(expr("levenshtein(a, b) <= 2")).collect().toSeq
+    assert(withRule == plain)
+  }
+
+  test("rule is idempotent and leaves the bounded (3-arg) form alone") {
+    import spark.implicits._
+    val df = Seq(("abc", "abd")).toDF("a", "b")
+    val analyzed = df.filter(expr("levenshtein(a, b) <= 1")).queryExecution.analyzed
+    val once = LevenshteinLengthPruning(analyzed)
+    assert(LevenshteinLengthPruning(once) == once)
+    // the 3-arg form returns -1 above the threshold — different
+    // algebra, must not be rewritten
+    val bounded = df.filter(expr("levenshtein(a, b, 5) <= 1")).queryExecution.analyzed
+    assert(LevenshteinLengthPruning(bounded) == bounded)
+  }
+}
