@@ -106,8 +106,10 @@ object ScaleProbe {
     // work like the rest of the m tier, expected ≈flat + decode term
     "m17_flac_pcm",
     // m18/m19: G.711 µ-law/A-law expansion — per-row integer codecs,
-    // ≈flat
-    "m18_ulaw_pcm", "m19_alaw_pcm",
+    // ≈flat; m20: the IMA ADPCM state machine, same per-row shape
+    "m18_ulaw_pcm", "m19_alaw_pcm", "m20_adpcm_pcm",
+    // m21: JPEG/APP1/TIFF-IFD walk — per-row parse, ≈flat
+    "m21_exif_meta",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78

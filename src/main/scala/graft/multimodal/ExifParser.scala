@@ -1,0 +1,116 @@
+package graft.multimodal
+
+/** REAL EXIF metadata parser (JEITA CP-3451 / TIFF 6.0 IFD
+  * structure): the per-image metadata layer crawls actually filter
+  * on — orientation (rotate-before-training), capture timestamp
+  * (temporal dedup/splits), camera make. EXIF rides in a JPEG APP1
+  * segment as a self-contained TIFF stream: a 2-byte byte-order mark
+  * (`II` little-endian / `MM` big-endian — BOTH orders are live in
+  * the wild and BOTH are parsed here, unlike the m13 raster path
+  * which delegates endianness to the JDK), magic 42, IFD0 offset,
+  * then 12-byte IFD entries (tag, type, count, inline-value-or-
+  * offset). Values wider than 4 bytes (ASCII strings, RATIONALs)
+  * live at their declared offset — verified in-bounds, the PDF-xref
+  * discipline.
+  */
+object ExifParser {
+
+  final case class Exif(
+      byteOrderLE: Boolean,
+      orientation: Int, // tag 0x0112 SHORT (default 1 if absent)
+      dateTime: String, // tag 0x0132 ASCII "YYYY:MM:DD HH:MM:SS" ("" if absent)
+      make: String, // tag 0x010F ASCII ("" if absent)
+      nEntries: Int)
+
+  /** Parses the TIFF-structured EXIF payload that follows the
+    * `Exif\0\0` identifier of a JPEG APP1 segment (pass the stream
+    * STARTING at the byte-order mark).
+    */
+  def parseTiffExif(b: Array[Byte], mediaId: Long): Exif = {
+    require(b.length >= 8, s"media_id=$mediaId: EXIF TIFF header truncated")
+    val le = (b(0), b(1)) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException(
+        s"media_id=$mediaId: bad EXIF byte-order mark")
+    }
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    require(u16(2) == 42, s"media_id=$mediaId: bad TIFF magic ${u16(2)}")
+    val ifd0 = u32(4).toInt
+    require(ifd0 >= 8 && ifd0 + 2 <= b.length,
+      s"media_id=$mediaId: IFD0 offset $ifd0 out of bounds")
+    val n = u16(ifd0)
+    require(ifd0 + 2 + 12 * n + 4 <= b.length,
+      s"media_id=$mediaId: IFD0 ($n entries) runs past the payload")
+    var orientation = 1
+    var dateTime = ""
+    var make = ""
+    var prevTag = -1
+    var e = 0
+    while (e < n) {
+      val off = ifd0 + 2 + 12 * e
+      val tag = u16(off)
+      // TIFF 6.0 mandates ascending tag order — a real reader relies
+      // on it for binary search; enforce it so a shuffled IFD fails
+      require(tag > prevTag, s"media_id=$mediaId: IFD tags out of order at $tag")
+      prevTag = tag
+      val typ = u16(off + 2)
+      val count = u32(off + 4).toInt
+      def asciiValue: String = {
+        require(typ == 2, s"media_id=$mediaId: tag $tag expected ASCII, got type $typ")
+        val start = if (count <= 4) off + 8 else u32(off + 8).toInt
+        require(start >= 0 && start + count <= b.length,
+          s"media_id=$mediaId: tag $tag value offset out of bounds")
+        // count includes the NUL terminator
+        new String(b, start, math.max(0, count - 1), "US-ASCII")
+      }
+      tag match {
+        case 0x0112 =>
+          require(typ == 3, s"media_id=$mediaId: orientation must be SHORT")
+          orientation = u16(off + 8)
+          require(orientation >= 1 && orientation <= 8,
+            s"media_id=$mediaId: orientation $orientation out of range")
+        case 0x0132 => dateTime = asciiValue
+        case 0x010f => make = asciiValue
+        case _ => // unknown tags are legal; values unread
+      }
+      e += 1
+    }
+    Exif(le, orientation, dateTime, make, n)
+  }
+
+  /** Extracts and parses the EXIF payload from a JPEG: SOI, then
+    * segment walk to APP1 with the `Exif\0\0` identifier. Strictly
+    * length-driven (the WARC rule — a comment segment may contain
+    * anything, including fake markers).
+    */
+  def fromJpeg(b: Array[Byte], mediaId: Long): Exif = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      s"media_id=$mediaId: not a JPEG (no SOI)")
+    var i = 2
+    while (i + 4 <= b.length) {
+      require((b(i) & 0xff) == 0xff, s"media_id=$mediaId: bad JPEG marker at $i")
+      val marker = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      require(len >= 2 && i + 2 + len <= b.length,
+        s"media_id=$mediaId: JPEG segment overruns payload")
+      if (marker == 0xe1 && len >= 8 &&
+          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+          b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+        val tiff = java.util.Arrays.copyOfRange(b, i + 10, i + 2 + len)
+        return parseTiffExif(tiff, mediaId)
+      }
+      i += 2 + len
+      if (marker == 0xda) // start of scan: entropy data follows, no more segments
+        throw new IllegalArgumentException(s"media_id=$mediaId: no EXIF APP1 before SOS")
+    }
+    throw new IllegalArgumentException(s"media_id=$mediaId: no EXIF APP1 segment")
+  }
+}

@@ -164,7 +164,8 @@ object WavDecoder extends MediaDecoder {
 
   /** WAVE_FORMAT tags this parser understands: 1 = integer PCM,
     * 6 = G.711 A-law, 7 = G.711 µ-law (8-bit companded telephony
-    * audio — the [[G711Codec]] tier). Anything else fails loudly.
+    * audio — the [[G711Codec]] tier), 0x11 = IMA ADPCM (the
+    * [[AdpcmCodec]] tier). Anything else fails loudly.
     */
   private[multimodal] def parseChunks(b: Array[Byte], mediaId: Long): WavChunks = {
     require(isWav(b), s"media_id=$mediaId: not a RIFF/WAVE payload")
@@ -181,8 +182,9 @@ object WavDecoder extends MediaDecoder {
       if (id == "fmt ") {
         require(size >= 16, s"media_id=$mediaId: short fmt chunk")
         audioFormat = u16(b, body)
-        require(audioFormat == 1 || audioFormat == 6 || audioFormat == 7,
-          s"media_id=$mediaId: only PCM/A-law/µ-law WAV supported, got format $audioFormat")
+        require(audioFormat == 1 || audioFormat == 6 || audioFormat == 7
+            || audioFormat == 0x11,
+          s"media_id=$mediaId: only PCM/A-law/µ-law/IMA-ADPCM WAV supported, got format $audioFormat")
         channels = u16(b, body + 2)
         sampleRate = u32(b, body + 4)
         blockAlign = u16(b, body + 12)

@@ -1311,9 +1311,198 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic IMA ADPCM (WAVE format 0x11) mono single-block
+    * payload: 20-byte fmt (cbSize=2 carrying samplesPerBlock, the
+    * real ADPCM-in-WAV shape), fact chunk, then the block — 4-byte
+    * header (int16 LE predictor, uint8 step index, reserved 0) and
+    * packed nibbles LOW nibble first. pred0 = (doc_id·17) mod 1024 −
+    * 512, index0 = doc_id mod 16, nibble k = (doc_id·7 + k·3) mod 16,
+    * nibble count = 64 + 2·(doc_id mod 32) — explicitly EVEN, so
+    * every byte packs two nibbles with none dangling.
+    */
+  private def imaAdpcmWavBytes(docId: Long): Array[Byte] = {
+    val nNib = (64 + 2 * (docId % 32)).toInt
+    val nBytes = nNib / 2
+    val dataSize = 4 + nBytes
+    val buf = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1) // IMA ADPCM, mono
+      .putInt(8000).putInt(4055) // byteRate (nominal)
+      .putShort(dataSize.toShort).putShort(4) // blockAlign, bits/sample
+      .putShort(2).putShort((nNib + 1).toShort) // cbSize, samplesPerBlock
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nNib + 1)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.putShort(((docId * 17) % 1024 - 512).toShort)
+    buf.put((docId % 16).toByte).put(0.toByte)
+    var i = 0
+    while (i < nBytes) {
+      val lo = ((docId * 7 + (2 * i) * 3) % 16).toInt
+      val hi = ((docId * 7 + (2 * i + 1) * 3) % 16).toInt
+      buf.put((lo | (hi << 4)).toByte); i += 1
+    }
+    buf.array()
+  }
+
+  /** IMA ADPCM CODED-SAMPLE DECODE under the oracle — the first
+    * SEQUENTIAL codec in the m tier (G.711 expands each byte
+    * independently; FLAC-fixed predicts from a fixed-order window;
+    * here sample k depends on the ENTIRE nibble history through the
+    * predictor/step-index state machine). The synth writes genuine
+    * format-0x11 WAVs ([[imaAdpcmWavBytes]]) and
+    * [[graft.multimodal.AdpcmCodec]] replays the IMA state machine
+    * (89-entry step table, shift-and-add diff, ±32768 clamp, index
+    * walk clamped to [0,88]); the DuckDB oracle replays the SAME
+    * machine as a RECURSIVE CTE over (doc, step) — the q04
+    * loop-vs-CTE discipline applied to a codec state trajectory. A
+    * single wrong table entry, clamp bound, or shift truncation
+    * diverges the trajectory from that point on and fails the hash.
+    */
+  val m20AdpcmPcm = Q(
+    "m20_adpcm_pcm",
+    { val steps = graft.multimodal.AdpcmCodec.StepTable.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE params AS (
+         |  SELECT doc_id, 64 + 2 * (doc_id % 32) AS n,
+         |         CAST((doc_id * 17) % 1024 - 512 AS BIGINT) AS p0,
+         |         CAST(doc_id % 16 AS BIGINT) AS i0
+         |  FROM documents
+         |), steps(doc_id, k, pred, idx) AS (
+         |  SELECT doc_id, 0, p0, i0 FROM params
+         |  UNION ALL
+         |  SELECT d.doc_id, d.k1,
+         |         greatest(-32768, least(32767,
+         |           d.pred + CASE WHEN d.nib >= 8 THEN -d.diff ELSE d.diff END)),
+         |         greatest(0, least(88,
+         |           d.idx + ([-1, -1, -1, -1, 2, 4, 6, 8])[(d.nib % 8) + 1]))
+         |  FROM (
+         |    SELECT e.*,
+         |           (e.st >> 3)
+         |             + CASE WHEN (e.nib & 4) != 0 THEN e.st ELSE 0 END
+         |             + CASE WHEN (e.nib & 2) != 0 THEN e.st >> 1 ELSE 0 END
+         |             + CASE WHEN (e.nib & 1) != 0 THEN e.st >> 2 ELSE 0 END AS diff
+         |    FROM (
+         |      SELECT s.doc_id, s.k + 1 AS k1, s.pred, s.idx,
+         |             (s.doc_id * 7 + s.k * 3) % 16 AS nib,
+         |             ($steps)[s.idx + 1] AS st
+         |      FROM steps s JOIN params p ON s.doc_id = p.doc_id
+         |      WHERE s.k < p.n
+         |    ) e
+         |  ) d
+         |)
+         |SELECT doc_id AS media_id,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(pred) AS BIGINT) AS pcm_sum,
+         |  md5(string_agg(CAST(pred AS VARCHAR), ',' ORDER BY k)) AS pcm_md5
+         |FROM steps GROUP BY doc_id
+         |ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.AdpcmCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, pcm) = AdpcmCodec.decodeImaWav(imaAdpcmWavBytes(id), id)
+        (id, rate, pcm.length.toLong,
+          pcm.foldLeft(0L)(_ + _), pcm.mkString(","))
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "pcm_sum", "pcm_csv")
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("pcm_sum"), md5(col("pcm_csv")).as("pcm_md5"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Deterministic JPEG-with-EXIF payload: SOI, APP1 `Exif\0\0`
+    * carrying a genuine TIFF stream — byte order flips with doc
+    * parity (`II` even / `MM` odd, so BOTH endiannesses run
+    * corpus-wide), magic 42, a 3-entry IFD0 in ascending tag order
+    * (Make ASCII at offset, Orientation SHORT inline, DateTime ASCII
+    * 20 bytes at offset) — then a COM segment and EOI. Fixed layout
+    * ⇒ 95 bytes total, algebraic.
+    */
+  private def jpegExifBytes(docId: Long): Array[Byte] = {
+    val le = docId % 2 == 0
+    val make = s"cam${docId % 5}"
+    val dt = f"2024:${1 + docId % 12}%02d:${1 + docId % 28}%02d " +
+      f"${docId % 24}%02d:${docId % 60}%02d:${docId % 60}%02d"
+    require(dt.length == 19, s"datetime must be 19 chars, got ${dt.length}")
+    val tiff = java.nio.ByteBuffer.allocate(75)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(8)
+    tiff.putShort(3) // IFD0 entry count
+    tiff.putShort(0x010f).putShort(2).putInt(5).putInt(50) // Make, at offset
+    tiff.putShort(0x0112).putShort(3).putInt(1)
+      .putShort((1 + docId % 8).toShort).putShort(0) // Orientation, inline
+    tiff.putShort(0x0132).putShort(2).putInt(20).putInt(55) // DateTime, at offset
+    tiff.putInt(0) // next-IFD terminator
+    tiff.put(make.getBytes("US-ASCII")).put(0.toByte)
+    tiff.put(dt.getBytes("US-ASCII")).put(0.toByte)
+    val t = tiff.array()
+    val buf = java.nio.ByteBuffer.allocate(2 + 2 + 83 + 2 + 4 + 2)
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xe1.toByte).putShort(83.toShort) // APP1
+    buf.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    buf.put(t)
+    buf.put(0xff.toByte).put(0xfe.toByte).putShort(4.toShort) // COM
+      .put("ab".getBytes("US-ASCII"))
+    buf.put(0xff.toByte).put(0xd9.toByte) // EOI
+    buf.array()
+  }
+
+  /** EXIF METADATA EXTRACTION under the oracle — the per-image
+    * metadata layer an image-crawl pipeline filters on (orientation
+    * for rotate-before-training, capture timestamp for temporal
+    * splits, camera make for source mixing): the synth writes
+    * genuine JPEGs whose APP1 segment carries a real TIFF-structured
+    * EXIF stream, and [[graft.multimodal.ExifParser]] walks it for
+    * real — length-driven JPEG segment walk (the WARC rule), BOTH
+    * TIFF byte orders (`II`/`MM` flip with doc parity — the one
+    * endianness exercise in the m tier the JDK doesn't hide),
+    * ascending-tag-order enforcement, inline vs at-offset values
+    * with bounds checks (the PDF-xref discipline). The oracle
+    * predicts every extracted field algebraically, so a wrong
+    * endianness branch, offset read, or NUL-handling rule fails the
+    * hash. Zero-shuffle per-partition synth+parse.
+    */
+  val m21ExifMeta = Q(
+    "m21_exif_meta",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  '2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' '
+      |    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS date_time,
+      |  'cam' || (doc_id % 5) AS make,
+      |  CAST(3 AS BIGINT) AS n_entries,
+      |  CAST(95 AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.ExifParser
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = jpegExifBytes(id)
+        val e = ExifParser.fromJpeg(payload, id)
+        (id, if (e.byteOrderLE) "II" else "MM", e.orientation.toLong,
+          e.dateTime, e.make, e.nEntries.toLong, payload.length.toLong)
+      })
+      .toDF("media_id", "byte_order", "orientation", "date_time", "make",
+        "n_entries", "n_bytes")
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
-      m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm)
+      m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
+      m20AdpcmPcm, m21ExifMeta)
 }

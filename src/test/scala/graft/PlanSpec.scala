@@ -361,7 +361,8 @@ class PlanSpec extends AnyFunSuite {
     // beyond the presentation sort (or any Join) is a regression
     // against the 100 TB contract
     Seq("m11_flac_meta", "m12_mkv_meta", "m13_tiff_meta", "m14_ogg_meta", "m15_pdf_meta", "m16_webp_meta",
-        "m17_flac_pcm", "m18_ulaw_pcm", "m19_alaw_pcm",
+        "m17_flac_pcm", "m18_ulaw_pcm", "m19_alaw_pcm", "m20_adpcm_pcm",
+        "m21_exif_meta",
         "s13_random_projection",
         "c11_compressed_ingest", "t14_html_extract", "c12_warc_ingest",
         "c14_zip_ingest", "c15_tar_ingest").foreach { name =>

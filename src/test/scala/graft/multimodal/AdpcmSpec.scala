@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the IMA ADPCM state machine against the published algorithm:
+  * hand-walked step vectors, table invariants, both clamps, nibble
+  * packing order, and the WAV-level gates.
+  */
+class AdpcmSpec extends AnyFunSuite {
+
+  test("step tables match the published IMA shapes") {
+    assert(AdpcmCodec.StepTable.length == 89)
+    assert(AdpcmCodec.StepTable.head == 7 && AdpcmCodec.StepTable.last == 32767)
+    // strictly increasing exponential ladder
+    AdpcmCodec.StepTable.sliding(2).foreach { case Array(a, b) => assert(a < b) }
+    assert(AdpcmCodec.IndexTable.toSeq ==
+      Seq(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8))
+  }
+
+  test("hand-walked vectors from (pred=0, index=0)") {
+    // nibble 2: step 7, diff = 0 + (7>>1) = 3, positive → sample 3
+    assert(AdpcmCodec.decode(Array(2), 0, 0).toSeq == Seq(0, 3))
+    // nibble 15: diff = 0 + 7 + 3 + 1 = 11, sign bit → −11, index += 8
+    assert(AdpcmCodec.decode(Array(15), 0, 0).toSeq == Seq(0, -11))
+    // two maximal nibbles: second uses index 8 (step 16):
+    // diff = 2 + 16 + 8 + 4 = 30 → −11 − 30 = −41
+    assert(AdpcmCodec.decode(Array(15, 15), 0, 0).toSeq == Seq(0, -11, -41))
+  }
+
+  test("predictor clamps at ±32768/32767 and index walks clamp to [0, 88]") {
+    // repeated max-magnitude positive nibbles saturate the predictor
+    val up = AdpcmCodec.decode(Array.fill(64)(7), 0, 0)
+    assert(up.last == 32767)
+    assert(up.forall(_ <= 32767))
+    val down = AdpcmCodec.decode(Array.fill(64)(15), 0, 0)
+    assert(down.last == -32768)
+    // index never escapes [0, 88]: magnitude-0 nibbles walk it down
+    // from 0 (stays 0), magnitude-7 nibbles walk it past 88 (clamps)
+    val (_, idxLow) = AdpcmCodec.step(0, 0, 0)
+    assert(idxLow == 0)
+    val (_, idxHigh) = AdpcmCodec.step(7, 0, 88)
+    assert(idxHigh == 88)
+  }
+
+  test("divergence: a single flipped nibble changes every later sample") {
+    val base = Array.tabulate(40)(i => (i * 5) % 16)
+    val flipped = base.clone(); flipped(10) = flipped(10) ^ 1
+    val a = AdpcmCodec.decode(base, 100, 4)
+    val b = AdpcmCodec.decode(flipped, 100, 4)
+    assert(a.take(11).toSeq == b.take(11).toSeq) // prefix identical
+    assert(a(11) != b(11)) // divergence begins at the flipped nibble
+  }
+
+  private def imaWav(format: Int, channels: Int, pred0: Int, idx0: Int,
+      reserved: Int, nibbleBytes: Array[Byte]): Array[Byte] = {
+    val dataSize = 4 + nibbleBytes.length
+    val buf = java.nio.ByteBuffer.allocate(12 + 24 + 8 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(format.toShort).putShort(channels.toShort)
+      .putInt(8000).putInt(4055)
+      .putShort(dataSize.toShort).putShort(4)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.putShort(pred0.toShort).put(idx0.toByte).put(reserved.toByte)
+    buf.put(nibbleBytes)
+    buf.array()
+  }
+
+  test("WAV-level decode: low nibble first, header predictor is sample 0") {
+    // one byte 0x2F = nibbles [15, 2] in stream order (low first)
+    val (rate, pcm) = AdpcmCodec.decodeImaWav(imaWav(0x11, 1, -7, 3, 0,
+      Array(0x2f.toByte)), 1L)
+    assert(rate == 8000L)
+    assert(pcm.toSeq == AdpcmCodec.decode(Array(15, 2), -7, 3).toSeq)
+    assert(pcm.head == -7)
+  }
+
+  test("malformed ADPCM WAVs fail loudly") {
+    val nb = Array(0x10.toByte)
+    intercept[IllegalArgumentException] { // wrong format tag
+      AdpcmCodec.decodeImaWav(imaWav(7, 1, 0, 0, 0, nb), 2L)
+    }
+    intercept[IllegalArgumentException] { // stereo out of scope
+      AdpcmCodec.decodeImaWav(imaWav(0x11, 2, 0, 0, 0, nb), 3L)
+    }
+    intercept[IllegalArgumentException] { // step index out of range
+      AdpcmCodec.decodeImaWav(imaWav(0x11, 1, 0, 89, 0, nb), 4L)
+    }
+    intercept[IllegalArgumentException] { // reserved byte set
+      AdpcmCodec.decodeImaWav(imaWav(0x11, 1, 0, 0, 1, nb), 5L)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[ExifParser]]: both byte orders, inline vs at-offset values,
+  * the ascending-tag-order and bounds contracts, and the
+  * length-driven JPEG segment walk.
+  */
+class ExifSpec extends AnyFunSuite {
+
+  private def tiffExif(le: Boolean, orientation: Int, make: String,
+      tagsAscending: Boolean = true): Array[Byte] = {
+    val makeBytes = make.getBytes("US-ASCII")
+    val dataOff = 8 + 2 + 12 * 2 + 4
+    val buf = java.nio.ByteBuffer.allocate(dataOff + makeBytes.length + 1)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put((if (le) "II" else "MM").getBytes("US-ASCII")).putShort(42).putInt(8)
+    buf.putShort(2)
+    val (t1, t2) = if (tagsAscending) (0x010f, 0x0112) else (0x0112, 0x010f)
+    def entry(tag: Int): Unit = tag match {
+      case 0x010f => buf.putShort(0x010f).putShort(2)
+        .putInt(makeBytes.length + 1).putInt(dataOff)
+      case 0x0112 => buf.putShort(0x0112).putShort(3).putInt(1)
+        .putShort(orientation.toShort).putShort(0)
+    }
+    entry(t1); entry(t2)
+    buf.putInt(0)
+    buf.put(makeBytes).put(0.toByte)
+    buf.array()
+  }
+
+  test("both byte orders parse to identical fields") {
+    val a = ExifParser.parseTiffExif(tiffExif(le = true, 6, "acme"), 1L)
+    val b = ExifParser.parseTiffExif(tiffExif(le = false, 6, "acme"), 2L)
+    assert(a.byteOrderLE && !b.byteOrderLE)
+    assert(a.orientation == 6 && b.orientation == 6)
+    assert(a.make == "acme" && b.make == "acme")
+    assert(a.nEntries == 2 && b.nEntries == 2)
+    assert(a.dateTime == "" && b.dateTime == "") // absent tag → default
+  }
+
+  test("contract violations fail loudly") {
+    // shuffled IFD (descending tags)
+    intercept[IllegalArgumentException] {
+      ExifParser.parseTiffExif(tiffExif(le = true, 1, "wxyz", tagsAscending = false), 3L)
+    }
+    // bad byte-order mark
+    val bad = tiffExif(le = true, 1, "wxyz"); bad(0) = 'X'
+    intercept[IllegalArgumentException](ExifParser.parseTiffExif(bad, 4L))
+    // truncated mid-IFD
+    intercept[IllegalArgumentException] {
+      ExifParser.parseTiffExif(tiffExif(le = true, 1, "wxyz").take(20), 5L)
+    }
+    // orientation out of the 1..8 range
+    intercept[IllegalArgumentException] {
+      ExifParser.parseTiffExif(tiffExif(le = true, 9, "wxyz"), 6L)
+    }
+    // string value offset pointing past the payload
+    val oob = tiffExif(le = false, 1, "wxyz")
+    oob(10 + 8 + 3) = 0x7f // Make's value offset (BE low byte) → far away
+    intercept[IllegalArgumentException](ExifParser.parseTiffExif(oob, 7L))
+  }
+
+  test("JPEG walk is length-driven: fake markers inside a COM segment don't derail it") {
+    val tiff = tiffExif(le = true, 3, "cams")
+    val app1Len = 2 + 6 + tiff.length
+    val buf = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 6 + 2 + app1Len + 2)
+    buf.put(0xff.toByte).put(0xd8.toByte)
+    // COM segment FIRST, whose body contains bytes that look like an
+    // APP1 marker — a skip-to-marker scanner would misparse
+    buf.put(0xff.toByte).put(0xfe.toByte).putShort(6.toShort)
+      .put(Array(0xff.toByte, 0xe1.toByte, 0x00.toByte, 0x04.toByte))
+    buf.put(0xff.toByte).put(0xe1.toByte).putShort(app1Len.toShort)
+      .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      .put(tiff)
+    buf.put(0xff.toByte).put(0xd9.toByte)
+    val e = ExifParser.fromJpeg(buf.array(), 8L)
+    assert(e.orientation == 3 && e.make == "cams")
+  }
+
+  test("a JPEG without EXIF fails loudly") {
+    val noExif = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xfe.toByte, 0, 4, 'a', 'b',
+      0xff.toByte, 0xd9.toByte)
+    intercept[IllegalArgumentException](ExifParser.fromJpeg(noExif, 9L))
+  }
+}
