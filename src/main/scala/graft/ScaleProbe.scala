@@ -37,6 +37,8 @@ object ScaleProbe {
     // DP — expected to track d03's curve (the DP is per-candidate,
     // candidates ∝ true near-dup structure)
     "d13_edit_distance",
+    // fuzzy clusters: d07's propagation over the d13 edge set
+    "d14_fuzzy_clusters",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "s10_ann_ivfpq", "s11_ncm_classify",
@@ -95,6 +97,9 @@ object ScaleProbe {
     // Kneser-Ney: ONE type-table groupBy is the corpus term; the
     // context/continuation aggregates run over the bounded type table
     "t19_kneser_ney",
+    // novelty QA: corpus term is the distinct-3-gram build; chains
+    // and the overlap join are model-sized
+    "t20_synth_novelty",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,

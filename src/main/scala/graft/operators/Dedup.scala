@@ -900,38 +900,46 @@ object Dedup {
     * (Wagner–Fischer 1974), so `lev` is integer-exact and every
     * accepted pair hash-matches bit-for-bit.
     */
-  val d13EditDistance = Q(
-    "d13_edit_distance",
-    { val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
-      val bands = (0 until 2).map(i =>
-        s"SELECT rep_id, n_docs, t, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH groups AS (
-         |  SELECT min(doc_id) AS rep_id, count(*) AS n_docs, any_value(text) AS t
-         |  FROM documents GROUP BY md5(text)
-         |), toks AS (
-         |  SELECT rep_id, n_docs, t, string_split(t, ' ') AS tk FROM groups
-         |), shingled AS (
-         |  SELECT rep_id, n_docs, t,
-         |         CASE WHEN len(tk) >= 3
-         |              THEN list_transform(generate_series(1, len(tk) - 2),
-         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-         |              ELSE tk END AS ts
-         |  FROM toks
-         |), sig AS (
-         |  SELECT rep_id, n_docs, t, $mhs FROM shingled
-         |), bands AS (
-         |  $bands
-         |)
-         |SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
-         |       a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
-         |       levenshtein(a.t, b.t) AS lev,
-         |       length(a.t) AS len_a, length(b.t) AS len_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
-         |WHERE abs(length(a.t) - length(b.t)) * 20 <= length(a.t) + length(b.t)
-         |  AND levenshtein(a.t, b.t) * 20 <= length(a.t) + length(b.t)
-         |ORDER BY id_a, id_b""".stripMargin }
-  ) { (s, d) =>
+  /** DuckDB CTE chain ending in `fuzzy(id_a, id_b, n_docs_a,
+    * n_docs_b, lev, len_a, len_b)` — the shingle-banded, length-
+    * prefiltered, Levenshtein-verified pair set shared by d13 (which
+    * emits it) and d14 (which clusters it).
+    */
+  private def editPairsCtes: String = {
+    val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+    val bands = (0 until 2).map(i =>
+      s"SELECT rep_id, n_docs, t, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""groups AS (
+       |  SELECT min(doc_id) AS rep_id, count(*) AS n_docs, any_value(text) AS t
+       |  FROM documents GROUP BY md5(text)
+       |), toks AS (
+       |  SELECT rep_id, n_docs, t, string_split(t, ' ') AS tk FROM groups
+       |), shingled AS (
+       |  SELECT rep_id, n_docs, t,
+       |         CASE WHEN len(tk) >= 3
+       |              THEN list_transform(generate_series(1, len(tk) - 2),
+       |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |              ELSE tk END AS ts
+       |  FROM toks
+       |), sig AS (
+       |  SELECT rep_id, n_docs, t, $mhs FROM shingled
+       |), bands AS (
+       |  $bands
+       |), fuzzy AS (
+       |  SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+       |         a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |         levenshtein(a.t, b.t) AS lev,
+       |         length(a.t) AS len_a, length(b.t) AS len_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
+       |  WHERE abs(length(a.t) - length(b.t)) * 20 <= length(a.t) + length(b.t)
+       |    AND levenshtein(a.t, b.t) * 20 <= length(a.t) + length(b.t)
+       |)""".stripMargin
+  }
+
+  /** The d13 pair frame (pre-ORDER) — shared with d14's clustering. */
+  private[operators] def editDistancePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     // d01's exact-dup collapse: texts in a group are byte-identical,
     // so first() is deterministic-valued
@@ -964,11 +972,71 @@ object Dedup {
         length(col("b.t")).cast("long").as("len_b"))
       .filter(col("lev") * 20 <= col("len_a") + col("len_b"))
       .distinct() // a pair can match in both bands
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d13EditDistance = Q(
+    "d13_edit_distance",
+    s"""WITH $editPairsCtes
+       |SELECT id_a, id_b, n_docs_a, n_docs_b, lev, len_a, len_b
+       |FROM fuzzy
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    editDistancePairs(s, d).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Fuzzy near-dup CLUSTERS: d07's bounded-hop min-label propagation
+    * run over d13's edit-distance edge set — the keep-one-per-cluster
+    * closure for CHARACTER-level near-dups (typo chains: A~B and B~C
+    * at small edit distance collapse to one cluster even when A~C
+    * alone would miss the threshold — exactly the transitive
+    * structure a keeper rule needs closed). Same propagation kernel
+    * (pointer jumping, fixpoint early-exit, eager localCheckpoint
+    * lineage discipline), same recursive-CTE oracle spelling, same
+    * runtime convergence probe.
+    */
+  val d14FuzzyClusters = Q(
+    "d14_fuzzy_clusters",
+    { val rounds = (1 to CcRounds).map(i =>
+        s"m$i AS MATERIALIZED (SELECT g.src AS vec_id, min(l.label) AS label " +
+          s"FROM g JOIN l${i - 1} l ON g.dst = l.vec_id GROUP BY g.src),\n  " +
+          s"l$i AS (SELECT a.vec_id, b.label FROM m$i a JOIN m$i b ON a.label = b.vec_id)")
+        .mkString(",\n  ")
+      s"""WITH $editPairsCtes,
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM fuzzy
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM fuzzy
+         |), nodes AS (
+         |  SELECT DISTINCT src FROM sym
+         |), g AS MATERIALIZED (
+         |  SELECT src, dst FROM sym
+         |  UNION ALL
+         |  SELECT src, src AS dst FROM nodes
+         |), l0 AS (
+         |  SELECT src AS vec_id, src AS label FROM nodes
+         |),
+         |  $rounds
+         |SELECT l.vec_id AS rep_id, l.label AS cluster_id, c.n_members
+         |FROM l$CcRounds l
+         |JOIN (SELECT label, count(*) AS n_members FROM l$CcRounds GROUP BY label) c
+         |  ON l.label = c.label
+         |ORDER BY rep_id""".stripMargin }
+  ) { (s, d) =>
+    val pairs = editDistancePairs(s, d)
+      .select(col("id_a"), col("id_b")).cache()
+    val (g, labelsRaw) = propagateLabels(pairs, CcRounds)
+    val labels = labelsRaw.localCheckpoint()
+    assertConverged(g, labels, CcRounds, "d14_fuzzy_clusters")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.alias("l")
+      .join(sizes.alias("c"), col("l.label") === col("c.label"))
+      .select(col("l.vec_id").as("rep_id"), col("l.label").as("cluster_id"),
+        col("c.n_members"))
+      .orderBy(col("rep_id"))
   }
 
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
     d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup,
-    d12WeightedSimhash, d13EditDistance)
+    d12WeightedSimhash, d13EditDistance, d14FuzzyClusters)
 }

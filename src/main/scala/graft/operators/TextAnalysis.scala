@@ -970,7 +970,14 @@ object TextAnalysis {
       |)
       |SELECT seed_rank, seed, step, token FROM chain
       |ORDER BY seed_rank, step""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => markovChains(s, d).orderBy(col("seed_rank"), col("step")) }
+
+  /** t18's generation machinery (transition table + greedy chains),
+    * returning `chain(seed_rank, seed, step, token)` pre-ORDER —
+    * shared with t20's novelty QA.
+    */
+  private[operators] def markovChains(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     val bg = docs.select(
       explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
@@ -1001,7 +1008,7 @@ object TextAnalysis {
         .localCheckpoint()
       chain = chain.union(frontier)
     }
-    chain.orderBy(col("seed_rank"), col("step"))
+    chain
   }
 
   /** Interpolated Kneser-Ney bigram smoothing (Kneser & Ney ICASSP'95;
@@ -1088,9 +1095,94 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Synthetic-data NOVELTY QA (the self-BLEU/memorization check run
+    * on every generated corpus before it trains anything — Zhu et
+    * al.'s texygen self-BLEU and the n-gram-overlap memorization
+    * audits of the GPT-2/Carlini lineage, in their integer-exact
+    * core): replay t18's greedy Markov generation, then score each
+    * generated chain's 3-GRAM OVERLAP against the training corpus.
+    * By construction every consecutive BIGRAM of a chain is a corpus
+    * transition (that's what the model is), so the interesting
+    * quantity is one order up: a copied 3-gram means the generator
+    * reproduced a verbatim corpus span, a novel one means it
+    * RECOMBINED — the memorization-vs-generalization split, computed
+    * exactly. Counts stay integer (chain-gram multiset vs the
+    * distinct corpus-gram set, the t10 containment discipline one
+    * tier up); `novel_frac` is the single IEEE-exact division.
+    *
+    * Scale shape: the corpus-linear term is the distinct-3-gram
+    * build (one groupBy); chains are model-sized; the overlap join
+    * keys chain grams (tiny side) against the gram set.
+    */
+  val t20SynthNovelty = Q(
+    "t20_synth_novelty",
+    { val genCtes = t18MarkovGenerate.sql.get
+        .replaceAll("(?s)^WITH RECURSIVE ", "")
+        .replaceAll("(?s)\\)\\s*SELECT seed_rank, seed, step, token FROM chain\\s*ORDER BY seed_rank, step$", ")")
+      s"""WITH RECURSIVE $genCtes, texts AS (
+         |  SELECT seed_rank, seed, count(*) AS chain_len,
+         |         string_split(string_agg(token, ' ' ORDER BY step), ' ') AS ctk
+         |  FROM chain GROUP BY seed_rank, seed
+         |), cgrams AS (
+         |  SELECT seed_rank,
+         |         unnest(list_transform(generate_series(1, len(ctk) - 2),
+         |                i -> ctk[i] || ' ' || ctk[i+1] || ' ' || ctk[i+2])) AS g
+         |  FROM texts
+         |), corpus AS (
+         |  SELECT DISTINCT
+         |         unnest(list_transform(generate_series(1, len(tk) - 2),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM tokd
+         |), overlap AS (
+         |  SELECT c.seed_rank, count(*) AS n_grams,
+         |         count(k.g) AS n_copied
+         |  FROM cgrams c LEFT JOIN corpus k ON c.g = k.g
+         |  GROUP BY c.seed_rank
+         |)
+         |SELECT t.seed_rank, t.seed, CAST(t.chain_len AS BIGINT) AS chain_len,
+         |       CAST(COALESCE(o.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(COALESCE(o.n_copied, 0) AS BIGINT) AS n_copied,
+         |       CASE WHEN COALESCE(o.n_grams, 0) = 0 THEN 0.0
+         |            ELSE CAST(o.n_grams - o.n_copied AS DOUBLE) / o.n_grams
+         |       END AS novel_frac
+         |FROM texts t LEFT JOIN overlap o ON t.seed_rank = o.seed_rank
+         |ORDER BY t.seed_rank""".stripMargin }
+  ) { (s, d) =>
+    val chain = markovChains(s, d)
+    val texts = chain.groupBy(col("seed_rank"), col("seed"))
+      .agg(count(lit(1)).as("chain_len"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("step"), col("token")))),
+            x => x.getField("token")), " ").as("chain_text"))
+      .localCheckpoint() // chains are model-sized; sever the 15-join lineage
+    // WordGramsMulti, not WordGrams: the chain's gram MULTISET is the
+    // denominator (a looped chain repeating one gram 13× must count
+    // 13 occurrences — dedup would report the loop as 2 grams and
+    // overstate novelty exactly on the most-memorized chains)
+    val cgrams = texts.select(col("seed_rank"),
+      explode(graft.functions.WordGramsMulti(split(col("chain_text"), " "), 3)).as("g"))
+    val corpus = Tables.documents(s, d)
+      .select(explode(graft.functions.WordGrams(tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val overlap = cgrams.alias("c")
+      .join(corpus.alias("k"), col("c.g") === col("k.g"), "left")
+      .groupBy(col("seed_rank"))
+      .agg(count(lit(1)).as("n_grams"), count(col("k.g")).as("n_copied"))
+    texts.alias("t")
+      .join(overlap.alias("o"), Seq("seed_rank"), "left")
+      .select(col("seed_rank"), col("seed"),
+        col("chain_len").cast("long").as("chain_len"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_copied"), lit(0L)).as("n_copied"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0)
+          .otherwise((col("n_grams") - col("n_copied")).cast("double")
+            / col("n_grams")).as("novel_frac"))
+      .orderBy(col("seed_rank"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
-    t18MarkovGenerate, t19KneserNey)
+    t18MarkovGenerate, t19KneserNey, t20SynthNovelty)
 }

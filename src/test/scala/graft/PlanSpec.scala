@@ -381,6 +381,18 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d14: fuzzy-cluster propagation stays equi-keyed — no cartesian anywhere") {
+    val p = plan("d14_fuzzy_clusters")
+    assert(!p.contains("CartesianProduct"), s"cluster rounds must not cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("t20: novelty overlap joins grams equi-keyed — no cartesian") {
+    val p = plan("t20_synth_novelty")
+    assert(!p.contains("CartesianProduct"), s"overlap join must not cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("s16: MaxSim broadcasts the query tokens and aggregates two-phase") {
     val p = plan("s16_maxsim_topk")
     assert(p.contains("float_vec_dot"), s"expected the dot kernel in:\n$p")
