@@ -101,6 +101,9 @@ object ScaleProbe {
     // and the overlap join are model-sized
     "t20_synth_novelty",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
+    // z-order layout: per-row interleave + one two-phase agg —
+    // needs lineitem, so probe it across the DRIVER's sf dirs
+    "q45_zorder_layout",
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,
     // expected ≈flat until the decode itself outweighs the floor
