@@ -78,6 +78,9 @@ object ScaleProbe {
     // robots filter: per-row canonicalize + broadcast rule join + a
     // per-URL window over ≤4 matched rules — expected ≈linear
     "c17_robots_filter",
+    // shard writer: one shard-keyed shuffle, then independent
+    // per-shard tar builds — expected ≈linear, parallel in shards
+    "c18_shard_pack",
     "p04_domain_mixture", "p05_mixture_threshold",
     // temperature mixture: one stats agg + broadcast quota + rank
     // window — the p04 curve

@@ -1359,9 +1359,68 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** WebDataset shard WRITER — the SINK side of c15's TAR ingest
+    * (every other archive query READS; a training pipeline's last
+    * step is writing the curated corpus back out as TAR shards, the
+    * WebDataset layout multimodal loaders stream): docs group into
+    * deterministic 10-doc shards (`doc_id div 10`), each shard packs
+    * into a GENUINE multi-member ustar archive via `TarIngest.build`
+    * (real octal fields, real per-member header checksums, the
+    * 1024-byte terminator) with members in ascending doc_id order —
+    * and the writer IMMEDIATELY re-parses its own output with
+    * `TarIngest.parse` (the checksum-verifying reader), requiring
+    * member names and count to round-trip; the emitted text digest
+    * is computed from the RE-PARSED bytes, so the oracle's
+    * prediction (from the original docs) transitively verifies
+    * write → checksum → read as the exact identity. `n_bytes` is the
+    * 512-block algebra (header + padded data per member + the
+    * terminator), predicted independently by the oracle — a writer
+    * that mis-pads or drops the terminator fails the hash.
+    *
+    * Scale shape: ONE shard-keyed shuffle (the groupBy), then each
+    * shard builds independently — parallelism = shard count, the
+    * c03 packing model applied to the container layer.
+    */
+  val c18ShardPack = Q(
+    "c18_shard_pack",
+    """SELECT doc_id // 10 AS shard_id, count(*) AS n_members,
+      |  CAST(1024 + sum(512 + ((strlen(text) + 511) // 512) * 512) AS BIGINT)
+      |    AS n_bytes,
+      |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS texts_md5,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY shard_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TarIngest
+    Tables.documents(s, d)
+      .select(expr("doc_id div 10").as("shard_id"), col("doc_id"), col("text"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("members"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (shardId, members) =>
+        val shard = TarIngest.build(members.map { case (id, t) =>
+          (s"$id.txt", t.getBytes("UTF-8"))
+        })
+        val parsed = TarIngest.parse(shard) // checksum-verifying round-trip
+        require(parsed.length == members.length,
+          s"shard $shardId: wrote ${members.length} members, read back ${parsed.length}")
+        require(parsed.map(_.name) == members.map(m => s"${m._1}.txt"),
+          s"shard $shardId: member names did not round-trip")
+        val texts = parsed.map(m => new String(m.data, "UTF-8"))
+        (shardId, members.length.toLong, shard.length.toLong,
+          texts.mkString("\n"), parsed.map(_.data.length.toLong).sum)
+      }
+      .toDF("shard_id", "n_members", "n_bytes", "texts", "total_chars")
+      .select(col("shard_id"), col("n_members"), col("n_bytes"),
+        md5(col("texts")).as("texts_md5"), col("total_chars"))
+      .orderBy(col("shard_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
-    c17RobotsFilter)
+    c17RobotsFilter, c18ShardPack)
 }

@@ -439,6 +439,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"rule match must not cartesian:\n$p")
   }
 
+  test("c18: shard packing is one shard-keyed shuffle, no joins") {
+    val p = plan("c18_shard_pack")
+    assert(!p.contains("Join"), s"shard writer must not join:\n$p")
+    // the shard groupBy + presentation sort are the only exchanges
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles in:\n$p")
+  }
+
   test("p05: threshold mixture has NO window — broadcast thresholds + per-row filter only") {
     val p = plan("p05_mixture_threshold")
     assert(!p.contains("Window"), s"threshold fill must not rank:\n$p")
