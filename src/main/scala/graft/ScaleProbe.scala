@@ -144,6 +144,14 @@ object ScaleProbe {
     * 8 to 16 bits = 256 → 65k buckets).
     */
   private def wideVariants(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
+    // q45 follow-through: writes the z-ordered + linear parquet
+    // copies and measures footer pruning (rows scanned per probe) —
+    // the datum is the 4-row result, the timing is the write+probe
+    "q45_zorder_prune" -> (() => {
+      val outRoot = java.nio.file.Files
+        .createTempDirectory("graft_zorder_probe_").toString
+      graft.operators.ZorderLayout.pruningProbe(s, dir, outRoot)
+    }),
     "d04_wide_64bit" -> (() =>
       graft.operators.Dedup.simhashNearDupParam(s, dir, nBits = 64, nChunks = 4, maxHamming = 3)),
     "d06_wide_5bit" -> (() =>
@@ -193,6 +201,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same planner as Verify: functions + threshold-inference rules
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -20,8 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeFilter)
-    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPruning)
+    GraftExtensions.optimizerRules.foreach(r => ext.injectOptimizerRule(_ => r))
   }
 }
 
@@ -125,10 +124,27 @@ object GraftExtensions {
           s"winnow_mins expects 3 arguments (array<string>, int constant n, int constant w), got ${exprs.size}")
       }))
 
-  /** Register on an existing session (e.g. one the driver built). */
-  def register(spark: SparkSession): Unit =
+  /** The optimizer rules GraftExtensions installs — the same list for
+    * both installation paths, so a live-session `register` and a
+    * session-build `.withExtensions` produce the same planner.
+    */
+  val optimizerRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    Seq(graft.plans.InferJaccardSizeFilter, graft.plans.LevenshteinLengthPruning)
+
+  /** Register on an existing session (e.g. one the driver built):
+    * functions into the registry, optimizer rules into
+    * `spark.experimental.extraOptimizations` (the live-session analog
+    * of `injectOptimizerRule` — both run after the stable optimizer
+    * batches). Idempotent: rules already present are not re-appended.
+    */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    val existing = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      existing ++ optimizerRules.filterNot(existing.contains)
+  }
 }

@@ -19,7 +19,11 @@ package graft.functions
   * deliberately NOT applied: it changes bytes, and a canonicalizer
   * used for dedup keys must never map two URLs together unless the
   * spec guarantees equivalence for every server — the conservative
-  * subset above is the universally-safe one.
+  * subset above is the universally-safe one. For the same reason a
+  * LONE '?' (empty query) is preserved rather than dropped, and
+  * §3.2 userinfo is split off before the host/port parse and kept
+  * verbatim (credentials are not host syntax; lowercasing or
+  * dropping them would conflate distinct URLs).
   *
   * Plain JVM object (zero Spark deps) so per-partition ingest stages
   * call it directly — the same deployment shape as the media codecs.
@@ -85,11 +89,21 @@ object UrlCanon {
     val (rawPath, rawQuery) =
       if (qIdx < 0) (noFrag, "") else (noFrag.substring(0, qIdx), noFrag.substring(qIdx + 1))
 
-    val (hostPart, portPart) = authority.lastIndexOf(':') match {
-      case i if i >= 0 && authority.substring(i + 1).forall(_.isDigit)
-        && authority.substring(i + 1).nonEmpty =>
-        (authority.substring(0, i), Some(authority.substring(i + 1).toInt))
-      case _ => (authority, None)
+    // RFC 3986 §3.2: authority = [userinfo "@"] host [":" port].
+    // Userinfo splits off BEFORE the host/port parse (it may itself
+    // contain ':') and is preserved verbatim, case included — it is
+    // not host syntax, so §6.2.2.1 lowercasing does not apply, and a
+    // dedup key must never conflate URLs carrying different
+    // credentials with each other or with the credential-free URL.
+    val atIdx = authority.lastIndexOf('@')
+    val (userinfo, hostport) =
+      if (atIdx < 0) ("", authority)
+      else (authority.substring(0, atIdx + 1), authority.substring(atIdx + 1))
+    val (hostPart, portPart) = hostport.lastIndexOf(':') match {
+      case i if i >= 0 && hostport.substring(i + 1).forall(_.isDigit)
+        && hostport.substring(i + 1).nonEmpty =>
+        (hostport.substring(0, i), Some(hostport.substring(i + 1).toInt))
+      case _ => (hostport, None)
     }
     val host = hostPart.toLowerCase(java.util.Locale.ROOT)
     require(host.nonEmpty, s"empty host in: $url")
@@ -102,15 +116,22 @@ object UrlCanon {
       case "" => "/" // authority URLs never have an empty canonical path
       case p  => p
     }
+    // a LONE '?' (empty query) is preserved: RFC 3986 does not
+    // guarantee 'http://a/p?' ≡ 'http://a/p', and the file's contract
+    // is to never conflate non-equivalent URLs — only the parameter
+    // SORT is a policy step, never a drop
     val query =
-      if (rawQuery.isEmpty) ""
+      if (qIdx < 0) ""
+      else if (rawQuery.isEmpty) "?"
       else "?" + rawQuery.split("&", -1).toSeq
         .sortBy(p => p.takeWhile(_ != '='))(Ordering.String) // stable: dup keys keep order
         .mkString("&")
-    s"$scheme://$host$port$path$query"
+    s"$scheme://$userinfo$host$port$path$query"
   }
 
-  /** Host of a canonical (or raw) URL, lowercased, port stripped. */
+  /** Host of a canonical (or raw) URL, lowercased, userinfo and port
+    * stripped (the same §3.2 authority split as [[canonicalize]]).
+    */
   def hostOf(url: String): String = {
     val sep = url.indexOf("://")
     require(sep > 0, s"not an absolute URL: $url")
@@ -120,10 +141,14 @@ object UrlCanon {
       case i  => i
     }
     val authority = rest.substring(0, authEnd)
-    val host = authority.lastIndexOf(':') match {
-      case i if i >= 0 && authority.substring(i + 1).forall(_.isDigit)
-        && authority.substring(i + 1).nonEmpty => authority.substring(0, i)
-      case _ => authority
+    val hostport = authority.lastIndexOf('@') match {
+      case -1 => authority
+      case i  => authority.substring(i + 1)
+    }
+    val host = hostport.lastIndexOf(':') match {
+      case i if i >= 0 && hostport.substring(i + 1).forall(_.isDigit)
+        && hostport.substring(i + 1).nonEmpty => hostport.substring(0, i)
+      case _ => hostport
     }
     host.toLowerCase(java.util.Locale.ROOT)
   }

@@ -95,21 +95,34 @@ object ExifParser {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       s"media_id=$mediaId: not a JPEG (no SOI)")
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       require((b(i) & 0xff) == 0xff, s"media_id=$mediaId: bad JPEG marker at $i")
-      val marker = b(i + 1) & 0xff
-      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-      require(len >= 2 && i + 2 + len <= b.length,
-        s"media_id=$mediaId: JPEG segment overruns payload")
-      if (marker == 0xe1 && len >= 8 &&
-          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
-          b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
-        val tiff = java.util.Arrays.copyOfRange(b, i + 10, i + 2 + len)
-        return parseTiffExif(tiff, mediaId)
+      // ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may precede
+      // a marker code — skip to the last 0xFF of the run
+      var j = i + 1
+      while (j + 1 < b.length && (b(j) & 0xff) == 0xff) j += 1
+      val marker = b(j) & 0xff
+      require(marker != 0xff,
+        s"media_id=$mediaId: JPEG truncated inside a fill-byte run")
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        // TEM / RSTn are STANDALONE markers: no length field follows
+        i = j + 1
+      } else {
+        if (marker == 0xda) // start of scan: entropy data follows, no more segments
+          throw new IllegalArgumentException(s"media_id=$mediaId: no EXIF APP1 before SOS")
+        require(j + 3 <= b.length,
+          s"media_id=$mediaId: JPEG truncated at segment length")
+        val len = ((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff)
+        require(len >= 2 && j + 1 + len <= b.length,
+          s"media_id=$mediaId: JPEG segment overruns payload")
+        if (marker == 0xe1 && len >= 8 &&
+            b(j + 3) == 'E' && b(j + 4) == 'x' && b(j + 5) == 'i' &&
+            b(j + 6) == 'f' && b(j + 7) == 0 && b(j + 8) == 0) {
+          val tiff = java.util.Arrays.copyOfRange(b, j + 9, j + 1 + len)
+          return parseTiffExif(tiff, mediaId)
+        }
+        i = j + 1 + len
       }
-      i += 2 + len
-      if (marker == 0xda) // start of scan: entropy data follows, no more segments
-        throw new IllegalArgumentException(s"media_id=$mediaId: no EXIF APP1 before SOS")
     }
     throw new IllegalArgumentException(s"media_id=$mediaId: no EXIF APP1 segment")
   }

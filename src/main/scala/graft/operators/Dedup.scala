@@ -117,8 +117,11 @@ object Dedup {
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h")
           && col("a.rep_id") < col("b.rep_id"))
-      .filter(size(col("a.ts")) * 10 >= size(col("b.ts")) * 9
-        && size(col("b.ts")) * 10 >= size(col("a.ts")) * 9)
+      // no hand-written size prefilter: InferJaccardSizeFilter (installed
+      // in every driver-shaped session) infers min-size ≥ 0.9·max-size
+      // from the jaccard threshold below and evaluates it BEFORE the
+      // O(n+m) merge scan — PlanSpec pins the inferred conjunct; the
+      // DuckDB spelling keeps the explicit `len(..)*10 >= len(..)*9`
       .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
         col("a.n_docs").as("n_docs_a"), col("b.n_docs").as("n_docs_b"),
         graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
@@ -937,9 +940,14 @@ object Dedup {
        |)""".stripMargin
   }
 
-  /** The d13 pair frame (pre-ORDER) — shared with d14's clustering. */
-  private[operators] def editDistancePairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  /** The d13 pair frame (pre-ORDER) — shared with d14's clustering.
+    * Returns (sig, pairs) LAZILY: sig is cached and pairs references
+    * it — [[editDistancePairs]] owns the materialize-then-release
+    * lifecycle; this staged form exists so PlanSpec can pin the
+    * optimizer-inferred prefilter on the un-checkpointed plan.
+    */
+  private[graft] def editDistancePairsStaged(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, d)
     // d01's exact-dup collapse: texts in a group are byte-identical,
     // so first() is deterministic-valued
@@ -949,22 +957,30 @@ object Dedup {
     val tk = split(col("t"), " ")
     val shingles = when(size(tk) >= 3, graft.functions.WordGrams(tk, 3)).otherwise(tk)
     val sigs8 = graft.functions.MinHashSigs(shingles, 8)
+    // cached: the band join compiles to a BroadcastHashJoin, whose two
+    // sides DON'T share an exchange — uncached, the minhash kernel
+    // runs twice (measured 9× end-to-end at sf0.1, round-10: broadcast
+    // materialization + stream-side recompute). [[editDistancePairs]]
+    // releases the cache once the pair set is materialized.
     val sig = groups.select(
       col("rep_id") +: col("n_docs") +: col("t") +:
         (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
-      .cache() // reused by both band-join sides — compute the kernel once
+      .cache()
     val bandArr = array((0 until 2).map(i =>
       md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
         col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
     val bands = sig.select(col("rep_id"), col("n_docs"), col("t"),
       posexplode(bandArr).as(Seq("band", "h")))
-    bands.alias("a")
+    val pairs = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h")
           && col("a.rep_id") < col("b.rep_id"))
-      // length gap lower-bounds the edit distance: reject before the DP
-      .filter(abs(length(col("a.t")) - length(col("b.t"))) * 20
-        <= length(col("a.t")) + length(col("b.t")))
+      // no hand-written length-gap prefilter: LevenshteinLengthPruning
+      // (installed in every driver-shaped session) infers
+      // abs(len_a − len_b)·20 ≤ len_a + len_b from the relative lev
+      // threshold below and short-circuits BEFORE the O(|a|·|b|) DP —
+      // PlanSpec pins the inferred conjunct; the DuckDB spelling keeps
+      // the explicit gap predicate
       .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
         col("a.n_docs").as("n_docs_a"), col("b.n_docs").as("n_docs_b"),
         levenshtein(col("a.t"), col("b.t")).cast("long").as("lev"),
@@ -972,6 +988,26 @@ object Dedup {
         length(col("b.t")).cast("long").as("len_b"))
       .filter(col("lev") * 20 <= col("len_a") + col("len_b"))
       .distinct() // a pair can match in both bands
+    (sig, pairs)
+  }
+
+  /** The d13 pair set, MATERIALIZED, with the sig cache released
+    * (round-9 verdict #4, return-and-release): the EAGER
+    * localCheckpoint materializes the pairs, so the sig cache drops
+    * before returning — a library caller holds only checkpoint blocks
+    * tied to the returned frame's lifetime (ContextCleaner reclaims
+    * them on GC), never a table-cache entry that outlives the query.
+    * The pair set is the tiny end of the funnel (verified near-dup
+    * pairs), so the checkpoint is cheap at any scale; it also hands
+    * d14's propagation loop pre-materialized edges, replacing the
+    * cache d14 used to add.
+    */
+  private[operators] def editDistancePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (sig, pairs) = editDistancePairsStaged(s, d)
+    val out = pairs.localCheckpoint()
+    sig.unpersist(blocking = false)
+    out
   }
 
   val d13EditDistance = Q(
@@ -1022,11 +1058,18 @@ object Dedup {
          |  ON l.label = c.label
          |ORDER BY rep_id""".stripMargin }
   ) { (s, d) =>
-    val pairs = editDistancePairs(s, d)
-      .select(col("id_a"), col("id_b")).cache()
+    // no cache on pairs: editDistancePairs returns a checkpoint-backed
+    // frame — already materialized blocks, which is exactly what the
+    // propagation loop's repeated reads need
+    val pairs = editDistancePairs(s, d).select(col("id_a"), col("id_b"))
     val (g, labelsRaw) = propagateLabels(pairs, CcRounds)
     val labels = labelsRaw.localCheckpoint()
     assertConverged(g, labels, CcRounds, "d14_fuzzy_clusters")
+    // labels is materialized (eager checkpoint) and the convergence
+    // probe has run — nothing downstream references the edge set, so
+    // release the graph cache HERE instead of leaning on Verify's
+    // between-query clearCache (library callers don't run it)
+    g.unpersist(blocking = false)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     labels.alias("l")
       .join(sizes.alias("c"), col("l.label") === col("c.label"))

@@ -163,11 +163,9 @@ object Relational {
   ) { (s, d) =>
     val li = Tables.lineitem(s, d)
       .select((col("l_orderkey") % 65536).as("x"), (col("l_partkey") % 65536).as("y"))
-    val zkey = (0 until 16).flatMap { i =>
-      Seq(shiftright(col("x"), i).bitwiseAND(1) * lit(1L << (2 * i)),
-        shiftright(col("y"), i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
-    li.select(col("x"), col("y"), zkey.cast("long").as("zkey"))
+    // shared with ZorderLayout's WRITER so query and layout never drift
+    li.select(col("x"), col("y"),
+        ZorderLayout.zkey(col("x"), col("y")).as("zkey"))
       .groupBy(expr("zkey div 1048576").as("z_bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("o_min"), max(col("x")).as("o_max"),

@@ -5,23 +5,87 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-/** Streaming under the DuckDB oracle (round-1 verdict item 10): the
-  * tumbling-window aggregate runs as an ACTUAL Structured Streaming
-  * job — file source over the events parquet, AvailableNow trigger,
-  * complete-mode memory sink — and its result is hash-compared to
-  * the independent batch SQL the oracle evaluates. Streaming == batch
-  * replay is the strongest driver-visible statement available for the
-  * streaming path (in-repo StreamingSpec covers watermarks/late data,
-  * which no batch oracle can express).
+/** Streaming under the DuckDB oracle (round-1 verdict item 10): each
+  * replay runs as an ACTUAL Structured Streaming job — file source
+  * over the fixture parquet, AvailableNow trigger — and its result is
+  * hash-compared to the independent batch SQL the oracle evaluates.
+  * Streaming == batch replay is the strongest driver-visible
+  * statement available for the streaming path (in-repo StreamingSpec
+  * covers watermarks/late data, which no batch oracle can express).
   *
-  * Scale notes: the memory sink is the test harness, not the 100 TB
-  * path (production writes to a real sink per microbatch); the
-  * aggregation itself is the scalable shape — partial aggregation
-  * per microbatch, state keyed by (window, event_type), bounded key
-  * space. Decimal sums keep the result order-independent, so the
-  * nondeterministic microbatch/partition order cannot change a bit.
+  * Sink discipline (round-10): every append-mode replay writes
+  * PER-MICROBATCH TO A PARQUET FILE SINK and reads the committed
+  * result back as a distributed frame ([[fileSinkReplay]]) — the
+  * production deployment shape. The previous `format("memory")`
+  * harness funneled the complete result through driver memory and was
+  * the repo's only super-linear scale term on record (q77 15.3× at
+  * sf10→sf100; q75's sf10 run needed a driver.maxResultSize bump) —
+  * the operators were scale-safe, the verification plan was not. Only
+  * q71's complete-mode aggregate keeps the memory sink: complete mode
+  * has no file sink, and its result is bounded by the (day ×
+  * event_type) key space, not the input size.
+  *
+  * The presentation `orderBy` the oracle contract needs runs on the
+  * read-back DISTRIBUTED frame (a range-partitioned sort, the same
+  * shape every batch query ends with), never on driver-collected
+  * rows. Decimal sums / set-valued outputs keep every replay
+  * microbatch-order-independent, so the nondeterministic
+  * microbatch/partition order cannot change a bit.
   */
 object StreamReplay {
+
+  /** Runs an append-mode streaming frame to completion against a
+    * PARQUET file sink and returns the committed result as a
+    * distributed read-back frame.
+    *
+    * Shape notes for 100 TB: the sink appends one set of part files
+    * per microbatch under an exactly-once commit log
+    * (`_spark_metadata` — the batch reader consults it and ignores
+    * uncommitted files, so a crashed trigger can't leak partial
+    * output into the comparison); nothing ever moves through the
+    * driver. The read-back uses the streaming frame's own schema —
+    * inference over an output directory would re-derive nullability
+    * from whichever part file is listed first.
+    *
+    * The sink+checkpoint directories live under java.io.tmpdir (or
+    * SPARK_GRAFT_REPLAY_DIR) and are removed on JVM exit — per-run
+    * temp space, like any CI artifact dir. Production would point
+    * this at a durable store path and keep the checkpoint for
+    * restart; the plan is identical.
+    */
+  private[graft] def fileSinkReplay(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    val base = java.nio.file.Files.createTempDirectory(root, s"graft_${name}_")
+    cleanupOnExit(base)
+    val out = base.resolve("out").toString
+    val query = df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.schema(df.schema).parquet(out)
+  }
+
+  /** Recursive-delete shutdown hook for replay temp dirs (File
+    * .deleteOnExit can't remove non-empty directories). Registered
+    * per directory; deletion failures are ignored — tmpdir hygiene,
+    * not correctness.
+    */
+  private def cleanupOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
 
   /** Streaming file source over the events table. The streaming
     * reader needs an explicit schema — and round 6 proved a
@@ -264,16 +328,8 @@ object StreamReplay {
         && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
       .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
-    val sinkName = "graft_q73_replay"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = joined.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    fileSinkReplay(s, joined, "q73")
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   } }
 
   /** Streaming dedup under the oracle: `dropDuplicates` over a
@@ -293,16 +349,8 @@ object StreamReplay {
     val deduped = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val sinkName = "graft_q74_replay"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = deduped.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("user_id"), col("event_type"))
+    fileSinkReplay(s, deduped, "q74")
+      .orderBy(col("user_id"), col("event_type"))
   } }
 
   /** The reference's ACTUAL deployment shape — events stream through
@@ -353,16 +401,7 @@ object StreamReplay {
           e.get("hop") match { case Some(EInt(h)) => h; case _ => -1L },
           e.get("value") match { case Some(EFloat(v)) => v; case _ => Double.NaN })
       }).toDF("event_id", "hop", "value")
-    val sinkName = "graft_q75_cast_replay"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = hops.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("event_id"), col("hop"))
+    fileSinkReplay(s, hops, "q75").orderBy(col("event_id"), col("hop"))
   } }
 
   /** STREAM-STATIC join under the oracle — the one join shape q73's
@@ -419,16 +458,7 @@ object StreamReplay {
       .select(col("doc_id"), explode(winnow16(tokens(col("text")))).as("fp"))
       .join(broadcast(benchFps), "fp")
       .select(col("doc_id"), col("fp"))
-    val sinkName = "graft_q76_replay"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = hits.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("doc_id"), col("fp"))
+    fileSinkReplay(s, hits, "q76").orderBy(col("doc_id"), col("fp"))
   }
 
   /** STREAMING chunking — c08's RAG-ingestion chunker run as an
@@ -447,16 +477,7 @@ object StreamReplay {
     val docsSchema = graft.Tables.documents(s, d).schema
     val chunks = graft.operators.Curation.chunkFrame(
       tableStream(s, d, "documents", docsSchema))
-    val sinkName = "graft_q77_replay"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = chunks.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("doc_id"), col("chunk_idx"))
+    fileSinkReplay(s, chunks, "q77").orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** STREAMING-STATEFUL ingest gate — c09's incremental-ingest
@@ -513,16 +534,7 @@ object StreamReplay {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val sinkName = "graft_q78_replay"
-      scala.util.Try(s.catalog.dropTempView(sinkName))
-      val query = verdicts.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sinkName)
+      fileSinkReplay(s, verdicts.toDF(), "q78")
         .select(col("doc_id"), col("source"), col("quality"), col("verdict"))
         .orderBy(col("doc_id"))
     } finally prev match {
@@ -607,16 +619,7 @@ object StreamReplay {
         val (cb, cu, v) = bc.value
         it.map { case (id, text) => scoreLm(cb, cu, v, id, text) }
       }.toDF("doc_id", "n_bigrams", "total_bits", "bits_per_token", "keep")
-    val sinkName = "graft_q79_lm_gate"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = scored.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("doc_id"))
+    fileSinkReplay(s, scored, "q79").orderBy(col("doc_id"))
   } }
 
   /** STREAMING URL-frontier gate — c16's canonicalize-then-dedup as
@@ -671,16 +674,7 @@ object StreamReplay {
       })
       .toDF("canon_url", "host", "domain")
       .dropDuplicates("canon_url")
-    val sinkName = "graft_q80_url_gate"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = frontier.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("canon_url"))
+    fileSinkReplay(s, frontier, "q80").orderBy(col("canon_url"))
   }
 
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,

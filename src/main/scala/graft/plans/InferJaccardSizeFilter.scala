@@ -39,7 +39,7 @@ object InferJaccardSizeFilter extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def augment(cond: Expression): Option[Expression] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    val inferred = conjuncts.flatMap {
+    val inferredRaw = conjuncts.flatMap {
       case GreaterThanOrEqual(SortedArrayJaccard(a, b), Literal(c: Double, DoubleType))
           if c > 0.0 && c <= 1.0 =>
         sizeBounds(a, b, c)
@@ -47,7 +47,14 @@ object InferJaccardSizeFilter extends Rule[LogicalPlan] with PredicateHelper {
           if c > 0.0 && c <= 1.0 =>
         sizeBounds(a, b, c)
       case _ => Nil
-    }.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+    }
+    // dedupe within the pass (two identical thresholds must not stack
+    // two identical bounds), then against what the predicate already has
+    val inferred = inferredRaw
+      .foldLeft(Vector.empty[Expression]) { (acc, p) =>
+        if (acc.exists(_.semanticEquals(p))) acc else acc :+ p
+      }
+      .filterNot(p => conjuncts.exists(_.semanticEquals(p)))
     if (inferred.isEmpty) None else Some((inferred :+ cond).reduce(And))
   }
 

@@ -11,12 +11,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // Verify-shaped planner: every driver-run session installs
+    // GraftExtensions (functions + threshold-inference optimizer
+    // rules), so the pins here must hold under the same rules —
+    // register() is the live-session path (the spec JVM's session may
+    // already exist, so .withExtensions wouldn't apply)
+    graft.functions.GraftExtensions.register(s)
+    s
+  }
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -24,6 +33,9 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.executedPlan.toString
   }
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
 
   test("q02: filter and projection push down to the parquet scan") {
     val p = plan("q02_filter_project")
@@ -83,6 +95,17 @@ class PlanSpec extends AnyFunSuite {
   test("d03: LSH candidate generation is an equi-join (shuffle), not a cross join") {
     val p = plan("d03_lsh_near_dup")
     assert(!p.contains("CartesianProduct"), s"LSH must not cartesian-join:\n$p")
+  }
+
+  test("d03: InferJaccardSizeFilter's size-ratio bound fires in the optimized plan") {
+    // the hand-written size prefilter was retired (round 10) — the
+    // optimizer rule must now infer min-size ≥ 0.9·(1−1e-9)·max-size
+    // from the jaccard ≥ 0.9 threshold, or every candidate pair pays
+    // the O(n+m) merge scan
+    val p = optimized("d03_lsh_near_dup")
+    assert(p.contains("0.8999999"),
+      s"no inferred size-ratio conjunct (0.9·(1−1e-9)) in:\n$p")
+    spark.catalog.clearCache()
   }
 
   test("d12: weighted simhash chunk join stays equi-keyed, md5 staged pre-join") {
@@ -373,11 +396,31 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d13: fuzzy-dedup candidates come from the banded equi-join — never a cartesian") {
-    val p = plan("d13_edit_distance")
+    // pinned on the STAGED (pre-checkpoint) plan — the shipped query
+    // materializes the pairs eagerly, so its own physical plan is
+    // just the checkpoint scan + sort
+    val (sig, pairs) = graft.operators.Dedup.editDistancePairsStaged(spark, dir)
+    val p = pairs.queryExecution.executedPlan.toString
+    sig.unpersist(blocking = false)
     assert(!p.contains("CartesianProduct"), s"fuzzy dedup must not cartesian:\n$p")
     // the Levenshtein DP runs post-join on candidates only; the
     // length prefilter must sit in the join, not after a cross
     assert(p.contains("levenshtein"), s"expected the levenshtein verify in:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("d13: LevenshteinLengthPruning's length-gap bound fires in the optimized plan") {
+    // the hand-written gap prefilter was retired (round 10) — the rule
+    // must infer abs(len_a − len_b)·20 ≤ len_a + len_b from the
+    // relative lev·20 ≤ len_a + len_b threshold, short-circuiting
+    // candidate pairs before the O(|a|·|b|) DP. Pinned on the STAGED
+    // (pre-checkpoint) plan: the shipped query materializes the pairs
+    // eagerly, so its own optimized plan is just the checkpoint scan.
+    val (sig, pairs) = graft.operators.Dedup.editDistancePairsStaged(spark, dir)
+    val p = pairs.queryExecution.optimizedPlan.toString
+    sig.unpersist(blocking = false)
+    assert(p.contains("abs((length("),
+      s"no inferred length-gap conjunct in:\n$p")
     spark.catalog.clearCache()
   }
 

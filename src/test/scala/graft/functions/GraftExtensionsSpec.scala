@@ -243,4 +243,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("SELECT float_vec_dot(array(cast(2.0 as float)), array(cast(5.0 as float)))")
       .head().getDouble(0) == 10.0)
   }
+
+  test("register installs the optimizer rules on a live session, idempotently") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // second call must not duplicate
+    val installed = spark.experimental.extraOptimizations
+    GraftExtensions.optimizerRules.foreach { r =>
+      assert(installed.count(_ == r) == 1,
+        s"expected exactly one copy of ${r.ruleName}, got ${installed.count(_ == r)}")
+    }
+  }
 }

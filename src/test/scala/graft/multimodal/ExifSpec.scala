@@ -79,6 +79,23 @@ class ExifSpec extends AnyFunSuite {
     assert(e.orientation == 3 && e.make == "cams")
   }
 
+  test("fill bytes and standalone markers (TEM) are walked, not misread as segments") {
+    // round-9 ADVICE: 0xFF padding before a marker and zero-length
+    // standalone markers used to be parsed as length-bearing segments
+    val tiff = tiffExif(le = true, 6, "fill")
+    val app1Len = 2 + 6 + tiff.length
+    val buf = java.nio.ByteBuffer.allocate(2 + 3 + 2 + 2 + app1Len + 2)
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xff.toByte).put(0x01.toByte) // fill byte, then TEM (standalone)
+    buf.put(0xff.toByte).put(0xd3.toByte) // RST3 (standalone)
+    buf.put(0xff.toByte).put(0xe1.toByte).putShort(app1Len.toShort)
+      .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      .put(tiff)
+    buf.put(0xff.toByte).put(0xd9.toByte)
+    val e = ExifParser.fromJpeg(buf.array(), 10L)
+    assert(e.orientation == 6 && e.make == "fill")
+  }
+
   test("a JPEG without EXIF fails loudly") {
     val noExif = Array[Byte](0xff.toByte, 0xd8.toByte,
       0xff.toByte, 0xfe.toByte, 0, 4, 'a', 'b',

@@ -61,6 +61,32 @@ class LevenshteinLengthPruningSpec extends AnyFunSuite {
     assert(withRule == plain)
   }
 
+  test("relative thresholds (lev * m <= rhs) infer the gap bound; duplicates infer once") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("ab", "abcdefghijklmnopqrstuvwxyz"))
+      .toDF("a", "b")
+    // d13's spelling: a relative threshold with a non-literal rhs
+    val rel = df.filter(expr("levenshtein(a, b) * 20 <= length(a) + length(b)"))
+      .queryExecution.analyzed
+    val rewritten = LevenshteinLengthPruning(rel)
+    assert(rewritten.toString.contains("abs("),
+      s"relative form not rewritten:\n$rewritten")
+    // the cast context (lev.cast(long) * 20L) must rewrite too, with
+    // the cast preserved around the gap
+    val castRel = df.filter(
+      expr("CAST(levenshtein(a, b) AS BIGINT) * 20 <= length(a) + length(b)"))
+      .queryExecution.analyzed
+    assert(LevenshteinLengthPruning(castRel).toString.contains("abs("),
+      "cast-wrapped relative form not rewritten")
+    // two identical thresholds in one predicate infer ONE bound
+    // (round-9 ADVICE: the old pass stacked a duplicate conjunct)
+    val dup = df.filter(expr("levenshtein(a, b) <= 3 AND levenshtein(a, b) <= 3"))
+      .queryExecution.analyzed
+    val dupRewritten = LevenshteinLengthPruning(dup).toString
+    assert("abs\\(".r.findAllIn(dupRewritten).size == 1,
+      s"duplicate threshold inferred more than one bound:\n$dupRewritten")
+  }
+
   test("rule is idempotent and leaves the bounded (3-arg) form alone") {
     import spark.implicits._
     val df = Seq(("abc", "abd")).toDF("a", "b")

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Test-only bridge into the `private[sql]` cache manager: the cache
+  * hygiene pins (no table cache left behind after a query
+  * materializes) need to OBSERVE emptiness, which the public catalog
+  * API can't do — it can only clear.
+  */
+object CacheBridge {
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
+}
