@@ -121,6 +121,10 @@ object ScaleProbe {
     "m18_ulaw_pcm", "m19_alaw_pcm", "m20_adpcm_pcm",
     // m21: JPEG/APP1/TIFF-IFD walk — per-row parse, ≈flat
     "m21_exif_meta",
+    // m22: real LZW encode+decode per row (plus the ImageIO
+    // cross-decode) — the heaviest per-row codec kernel, still
+    // zero-shuffle, expected ≈linear in rows
+    "m22_gif_lzw",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78

@@ -1,0 +1,290 @@
+package graft.multimodal
+
+/** REAL GIF LZW codec — both directions, hand-rolled (ITU-T T.81-era
+  * LZW as specified in GIF89a Appendix F; variable code width 9→12,
+  * LSB-first bit packing, clear/EOI codes, the KwKwK case).
+  *
+  * This closes the round-9 stretch item (a lossy/entropy-coded frame
+  * decode beyond m17's FLAC): [[GifSynth]]'s clear-per-literal trick
+  * deliberately avoided the dictionary; here the dictionary is the
+  * point — runs and repeated tiles make it grow through genuine
+  * 9→10→11-bit width bumps, and the decoder mirrors the growth.
+  *
+  * Independence discipline (an encoder/decoder PAIR could hide a
+  * symmetric bug, so each side is checked against a third party):
+  *  - the ENCODER's streams are decoded by the JDK's own ImageIO GIF
+  *    codec inside the m22 query (`require` per row) and the result
+  *    hash-gated by the DuckDB oracle's closed-form pixel prediction;
+  *  - the DECODER also decodes [[GifSynth]]'s independent
+  *    clear-per-literal streams (m08's synth — written before this
+  *    codec existed) and fixed known-byte vectors in GifLzwSpec.
+  *
+  * Reference scope note: sackosoft/sanctum has no media surface
+  * (main.zig:63-394 is an event engine) — this is the ⟨ns⟩
+  * training-data-pipeline tier, where multimodal corpora arrive as
+  * opaque binary columns and per-partition decode is the 100 TB shape
+  * (zero shuffle, row-local work).
+  */
+object GifLzwCodec {
+
+  private val MaxWidth = 12
+
+  /** LZW-compress 8-bit palette indices into a GIF code stream
+    * (minCodeSize 8 ⇒ clear=256, EOI=257, first dict entry 258).
+    * Emits a leading clear code, resets the dictionary when it fills
+    * (4096 entries), and bumps the code width exactly when the next
+    * code to be EMITTED could be the just-added entry — the GIF
+    * convention every decoder (ImageIO included) mirrors.
+    */
+  def encode(indices: Array[Byte], minCodeSize: Int = 8): Array[Byte] = {
+    require(indices.nonEmpty, "empty pixel stream")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val bits = new BitWriter
+    // dictionary: (prefix code, suffix byte) → code, as a hash map
+    // keyed by (prefix << 8) | suffix — prefix < 4096, suffix < 256
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    var width = minCodeSize + 1
+    bits.put(clear, width)
+    var w = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val c = indices(i) & 0xff
+      val key = (w << 8) | c
+      val hit = dict.get(key)
+      if (hit != null) w = hit
+      else {
+        bits.put(w, width)
+        dict.put(key, next)
+        // the just-added code `next` becomes emittable by the DECODER
+        // one step later; both sides widen when `next` first needs
+        // width+1 bits
+        if (next == (1 << width) && width < MaxWidth) width += 1
+        next += 1
+        if (next > (1 << MaxWidth) - 1) { // dictionary full: reset
+          bits.put(clear, width)
+          dict = new java.util.HashMap[Integer, Integer]()
+          next = eoi + 1
+          width = minCodeSize + 1
+        }
+        w = c
+      }
+      i += 1
+    }
+    bits.put(w, width)
+    bits.put(eoi, width)
+    bits.result()
+  }
+
+  /** Decode a GIF code stream back to palette indices. Handles clear
+    * codes anywhere, the KwKwK case (a code referencing the entry
+    * being defined), and the width-bump schedule mirrored from
+    * [[encode]]. `expectedPixels` bounds the output (a stream that
+    * overruns it fails loudly — corrupt data must not allocate
+    * unboundedly).
+    */
+  def decode(data: Array[Byte], minCodeSize: Int, expectedPixels: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(expectedPixels)
+    val bits = new BitReader(data)
+    // dictionary as (prefix, suffix) arrays — entry k expands to
+    // expand(prefix(k)) :+ suffix(k); literals expand to themselves
+    val prefix = new Array[Int](1 << MaxWidth)
+    val suffix = new Array[Byte](1 << MaxWidth)
+    var next = eoi + 1
+    var width = minCodeSize + 1
+    var prev = -1
+    val firstByte = new Array[Byte](1 << MaxWidth) // memoized head of each entry
+    var k = 0
+    while (k < clear) { firstByte(k) = k.toByte; k += 1 }
+
+    def emit(code: Int): Byte = {
+      // iterative expansion (a recursive one would stack-overflow on
+      // adversarial 4096-deep chains): collect the reversed tail
+      val stack = new Array[Byte](1 << MaxWidth)
+      var depth = 0
+      var c = code
+      while (c >= clear + 2) {
+        stack(depth) = suffix(c); depth += 1
+        c = prefix(c)
+        require(depth < (1 << MaxWidth), "LZW prefix chain loops")
+      }
+      val head = c.toByte
+      out.write(head & 0xff)
+      while (depth > 0) { depth -= 1; out.write(stack(depth) & 0xff) }
+      head
+    }
+
+    var done = false
+    while (!done) {
+      val code = bits.take(width)
+      if (code == eoi) done = true
+      else if (code == clear) {
+        next = eoi + 1
+        width = minCodeSize + 1
+        prev = -1
+      } else {
+        require(code < next || (code == next && prev >= 0),
+          s"LZW code $code out of range (next=$next)")
+        if (prev < 0) {
+          require(code < clear, s"first code after clear must be a literal, got $code")
+          emit(code)
+        } else {
+          if (code == next) {
+            // KwKwK: the entry being defined — expands to
+            // expand(prev) + firstByte(prev)
+            prefix(next) = prev
+            suffix(next) = firstByte(prev)
+            firstByte(next) = firstByte(prev)
+            emit(next)
+          } else {
+            // new entry = expand(prev) + head(code); its own head is
+            // head(prev)
+            prefix(next) = prev
+            suffix(next) = firstByte(code)
+            firstByte(next) = firstByte(prev)
+            emit(code)
+          }
+          if (next + 1 == (1 << width) && width < MaxWidth) width += 1
+          next += 1
+        }
+        prev = code
+        require(out.size() <= expectedPixels,
+          s"LZW stream decodes past $expectedPixels pixels")
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Wrap a code stream as a complete GIF89a: grayscale 256-entry
+    * global palette (index i → RGB (i,i,i)), single image block at
+    * (0,0), ≤255-byte sub-block packaging — [[GifSynth]]'s container
+    * layout around a REAL dictionary-compressed stream.
+    */
+  def wrapGif(w: Int, h: Int, lzw: Array[Byte], minCodeSize: Int = 8): Array[Byte] = {
+    val blocks = (lzw.length + 254) / 255
+    val out = java.nio.ByteBuffer
+      .allocate(6 + 7 + 768 + 10 + 1 + lzw.length + blocks + 1 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+      .put(0xf7.toByte).put(0.toByte).put(0.toByte)
+    var i = 0
+    while (i < 256) { out.put(i.toByte).put(i.toByte).put(i.toByte); i += 1 }
+    out.put(0x2c.toByte).putShort(0).putShort(0)
+      .putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+    out.put(minCodeSize.toByte)
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.put(len.toByte).put(lzw, off, len)
+      off += len
+    }
+    out.put(0.toByte)
+    out.put(0x3b.toByte)
+    out.array()
+  }
+
+  /** Extract (code stream, minCodeSize, width, height) from a GIF
+    * payload: header + LSD + GCT walk, extension blocks skipped by
+    * their sub-block lengths (never scanned for markers), sub-blocks
+    * of the first image concatenated. Fails loudly on anything
+    * structurally off — corpus garbage must not decode plausibly.
+    */
+  def extractLzw(b: Array[Byte]): (Array[Byte], Int, Int, Int) = {
+    require(b.length > 13 && new String(b, 0, 6, "US-ASCII").startsWith("GIF"),
+      "not a GIF payload")
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val flags = b(10) & 0xff
+    var i = 13
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 7) + 1)) // global color table
+    while (i < b.length && (b(i) & 0xff) == 0x21) { // extensions: label + sub-blocks
+      i += 2
+      while ((b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+      i += 1
+    }
+    require(i < b.length && (b(i) & 0xff) == 0x2c, "no image descriptor")
+    val idFlags = b(i + 9) & 0xff
+    i += 10
+    if ((idFlags & 0x80) != 0) i += 3 * (1 << ((idFlags & 7) + 1)) // local color table
+    val minCodeSize = b(i) & 0xff
+    i += 1
+    val stream = new java.io.ByteArrayOutputStream()
+    while ((b(i) & 0xff) != 0) {
+      val len = b(i) & 0xff
+      stream.write(b, i + 1, len)
+      i += 1 + len
+    }
+    (stream.toByteArray, minCodeSize, w, h)
+  }
+
+  // ImageIO defaults to a DISK-backed stream cache; per-row temp
+  // files on executors would be absurd. One-time, process-wide.
+  private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Full m22 per-row kernel: extract + hand-decode the payload, then
+    * CROSS-CHECK against the JDK's own ImageIO GIF codec (independent
+    * LZW implementation — a symmetric encoder/decoder bug here cannot
+    * survive it). Returns the decoded palette indices.
+    */
+  def decodeChecked(payload: Array[Byte], mediaId: Long): Array[Byte] = {
+    noDiskCache
+    val (stream, minCode, w, h) = extractLzw(payload)
+    val px = decode(stream, minCode, w * h)
+    require(px.length == w * h,
+      s"media_id=$mediaId: decoded ${px.length} pixels, descriptor says ${w * h}")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null && img.getWidth == w && img.getHeight == h,
+      s"media_id=$mediaId: ImageIO dimension mismatch")
+    var p = 0
+    while (p < w * h) {
+      val ref = img.getRGB(p % w, p / w) & 0xff // grayscale palette: blue == index
+      require(ref == (px(p) & 0xff),
+        s"media_id=$mediaId: pixel $p is $ref per ImageIO, ${px(p) & 0xff} per GifLzwCodec")
+      p += 1
+    }
+    px
+  }
+
+  /** LSB-first bit writer (GIF's packing order). */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code.toLong << nBits
+      nBits += width
+      while (nBits >= 8) {
+        buf.write((acc & 0xff).toInt)
+        acc >>>= 8
+        nBits -= 8
+      }
+    }
+    def result(): Array[Byte] = {
+      if (nBits > 0) buf.write((acc & 0xff).toInt)
+      buf.toByteArray
+    }
+  }
+
+  /** LSB-first bit reader. Reading past the end fails loudly. */
+  private final class BitReader(data: Array[Byte]) {
+    private var pos = 0
+    private var acc = 0L
+    private var nBits = 0
+    def take(width: Int): Int = {
+      while (nBits < width) {
+        require(pos < data.length, "LZW stream truncated (no EOI)")
+        acc |= (data(pos) & 0xffL) << nBits
+        pos += 1
+        nBits += 8
+      }
+      val v = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nBits -= width
+      v
+    }
+  }
+}

@@ -1499,10 +1499,93 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** m22's pixel raster: 4×4 constant tiles cycling through 32 gray
+    * levels — runs and repeats that a REAL LZW dictionary learns (the
+    * stream length is emergently sub-linear, `require`-gated in the
+    * kernel), with dimensions walking 32-80 × 32-48 so the larger
+    * rasters push the code width through genuine 9→10-bit (and at
+    * 80×48, 11-bit) bumps.
+    */
+  private def gifLzwPixels(id: Long): (Int, Int, Array[Byte]) = {
+    val w = 32 + (id % 4).toInt * 16
+    val h = 32 + (id % 2).toInt * 16
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((x >> 2) + (y >> 2) * 7 + id) % 32).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** REAL GIF LZW round-trip under the oracle — the round-9 stretch
+    * item (a dictionary/entropy-coded frame decode beyond m17's
+    * FLAC): [[gifLzwPixels]]' raster is compressed by
+    * [[graft.multimodal.GifLzwCodec.encode]] — a genuine
+    * variable-width LZW (dictionary growth, 9→11-bit code-width
+    * bumps, KwKwK sequences from the constant tiles) — wrapped as a
+    * complete GIF89a, then HAND-DECODED by
+    * [[graft.multimodal.GifLzwCodec.decode]] and cross-checked
+    * per-pixel against the JDK's own ImageIO GIF codec (an
+    * independent LZW implementation, so a symmetric encode/decode
+    * bug cannot survive; GifLzwSpec additionally decodes GifSynth's
+    * independent clear-per-literal streams and fixed byte vectors).
+    * The DuckDB oracle predicts the raster in closed form — decoded
+    * pixels are hash-gated end to end.
+    *
+    * Scale shape: per-partition synth + decode, zero shuffle — the
+    * m-tier deployment shape (decode cost rides with the rows).
+    */
+  val m22GifLzw = Q(
+    "m22_gif_lzw",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    32 + (doc_id % 4) * 16 AS w,
+      |    32 + (doc_id % 2) * 16 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(0, w * h),
+      |      p -> ((p % w) // 4 + ((p // w) // 4) * 7 + doc_id) % 32) AS px
+      |  FROM s
+      |)
+      |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(w * h AS BIGINT) AS n_px,
+      |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+      |  md5(array_to_string(px, ',')) AS px_md5
+      |FROM px ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.GifLzwCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = gifLzwPixels(id)
+        val lzw = GifLzwCodec.encode(px)
+        // the dictionary must have actually compressed the tiles —
+        // a degenerate literal-per-code stream would exceed n bytes
+        require(lzw.length < w * h,
+          s"media_id=$id: LZW stream ${lzw.length} B did not compress ${w * h} px")
+        val payload = GifLzwCodec.wrapGif(w, h, lzw)
+        val decoded = GifLzwCodec.decodeChecked(payload, id)
+        (id, w.toLong, h.toLong, (w * h).toLong,
+          decoded.foldLeft(0L)((a, b) => a + (b & 0xff)),
+          decoded.map(b => b & 0xff).mkString(","))
+      })
+      .toDF("media_id", "w", "h", "n_px", "px_sum", "px_csv")
+      .select(col("media_id"), col("w"), col("h"), col("n_px"),
+        col("px_sum"), md5(col("px_csv")).as("px_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
-      m20AdpcmPcm, m21ExifMeta)
+      m20AdpcmPcm, m21ExifMeta, m22GifLzw)
 }

@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GifLzwCodec pins, designed so a symmetric encoder/decoder bug
+  * cannot hide: the decoder is exercised against streams the encoder
+  * NEVER produced (a hand-assembled byte vector and GifSynth's
+  * clear-per-literal style), and the encoder against the JDK's
+  * ImageIO decoder (an independent LZW implementation).
+  */
+class GifLzwSpec extends AnyFunSuite {
+
+  test("hand-assembled 9-bit stream decodes to the worked-out pixels (incl. KwKwK)") {
+    // codes for input "a a a a a" (a=65) with minCodeSize 8:
+    // clear(256), 65, 257+1=258 KwKwK ("aa"), 259 KwKwK? — build the
+    // canonical sequence by hand: emit clear, 'a'; dict 258="aa";
+    // emit 258 (KwKwK at decode: defines 258 on the fly); dict
+    // 259="aaa"; emit 65; eoi. Decodes to a,aa,a = "aaaa" — 4 a's.
+    val codes = Seq(256, 65, 258, 65, 257)
+    val bytes = packLsb(codes, 9)
+    val px = GifLzwCodec.decode(bytes, 8, 16)
+    assert(px.toSeq == Seq[Byte](65, 65, 65, 65))
+  }
+
+  test("round trip over tiled and random-ish rasters, all widths") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 17, 256, 4096)) {
+      // tiled (dictionary-friendly) and noisy (dictionary-hostile)
+      val tiled = Array.tabulate(n)(i => ((i / 5) % 32).toByte)
+      val noisy = Array.tabulate(n)(_ => rnd.nextInt(256).toByte)
+      for (px <- Seq(tiled, noisy)) {
+        val dec = GifLzwCodec.decode(GifLzwCodec.encode(px), 8, n)
+        assert(dec.toSeq == px.toSeq, s"round trip failed at n=$n")
+      }
+    }
+    // long enough to force a 12-bit dictionary RESET mid-stream:
+    // high-entropy input adds ~1 entry per code, 8k codes > 4096
+    val big = Array.tabulate(20000)(i => ((i * 31 + (i >> 3) * 7) % 256).toByte)
+    assert(GifLzwCodec.decode(GifLzwCodec.encode(big), 8, big.length).toSeq
+      == big.toSeq)
+  }
+
+  test("decoder handles GifSynth's independent clear-per-literal streams") {
+    // GifSynth predates this codec and never grows the dictionary —
+    // a decoder that only understands its own encoder's output fails here
+    val idx = Array.tabulate(6 * 4)(j => ((7 + j) % 256).toByte)
+    val payload = GifSynth.encode(6, 4, idx)
+    val (stream, minCode, w, h) = GifLzwCodec.extractLzw(payload)
+    assert((w, h) == (6, 4) && minCode == 8)
+    assert(GifLzwCodec.decode(stream, minCode, w * h).toSeq == idx.toSeq)
+    // and the full checked path (incl. ImageIO cross-decode) agrees
+    assert(GifLzwCodec.decodeChecked(payload, 1L).toSeq == idx.toSeq)
+  }
+
+  test("encoder streams survive the JDK's ImageIO decoder across width bumps") {
+    for (id <- 0L until 8L) {
+      val w = 32 + (id % 4).toInt * 16
+      val h = 32 + (id % 2).toInt * 16
+      val px = Array.tabulate(w * h) { p =>
+        (((p % w) / 4 + (p / w / 4) * 7 + id) % 32).toByte
+      }
+      val lzw = GifLzwCodec.encode(px)
+      assert(lzw.length < px.length, "tiles must actually compress")
+      val payload = GifLzwCodec.wrapGif(w, h, lzw)
+      assert(GifLzwCodec.decodeChecked(payload, id).toSeq == px.toSeq)
+    }
+  }
+
+  test("corrupt streams fail loudly") {
+    val px = Array.tabulate(64)(i => (i % 8).toByte)
+    val lzw = GifLzwCodec.encode(px)
+    // truncation: no EOI
+    intercept[IllegalArgumentException](
+      GifLzwCodec.decode(lzw.dropRight(2), 8, 64))
+    // a stream that decodes past the declared pixel count
+    intercept[IllegalArgumentException](
+      GifLzwCodec.decode(GifLzwCodec.encode(Array.fill(128)(3.toByte)), 8, 64))
+    // out-of-range code
+    intercept[IllegalArgumentException](
+      GifLzwCodec.decode(packLsb(Seq(256, 65, 300, 257), 9), 8, 64))
+  }
+
+  private def packLsb(codes: Seq[Int], width: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var n = 0
+    codes.foreach { c =>
+      acc |= c.toLong << n
+      n += width
+      while (n >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    if (n > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+}
