@@ -140,7 +140,10 @@ object ScaleProbe {
     "q79_stream_lm_gate",
     // q80: stateless canonicalize + keyed seen-set state (the q78
     // shape at URL granularity) — output bounded by distinct URLs
-    "q80_stream_url_gate")
+    "q80_stream_url_gate",
+    // q81: watermarked windowed agg — bounded (window × event_type)
+    // state like q71, plus the append-mode finalization machinery
+    "q81_stream_topk_replay")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -677,8 +677,63 @@ object StreamReplay {
     fileSinkReplay(s, frontier, "q80").orderBy(col("canon_url"))
   }
 
+  /** WATERMARKED windowed top-k under the oracle — the first query to
+    * make WATERMARK semantics itself oracle-checkable (StreamingSpec
+    * drives watermarks in-memory; every prior replay avoided them
+    * because append-mode aggregation output depends on the watermark,
+    * which no plain batch SQL "sees"). The key observation: with a
+    * 0-second delay, the windows an AvailableNow replay EMITS are
+    * exactly those whose end ≤ max event time — an algebraic
+    * predicate the batch oracle can apply (`window_start + 1 day ≤
+    * max(ts)`). So the streaming run exercises the real
+    * append-mode machinery — watermark tracking, state finalization,
+    * the trailing open window staying IN state and out of the output
+    * — and the oracle still predicts every row.
+    *
+    * The top-k rank runs as a BATCH window over the replay's emitted
+    * (file-sink, distributed) frame: a live dashboard would do the
+    * same — rank per closed window once it finalizes. State is
+    * (window × event_type) counts — bounded keys, the q71 shape; the
+    * sink is [[fileSinkReplay]], nothing through the driver.
+    */
+  val q81StreamTopkReplay = Q(
+    "q81_stream_topk_replay",
+    """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+      |agg AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), closed AS (
+      |  SELECT a.* FROM agg a, mx
+      |  WHERE a.window_start + INTERVAL 1 DAY <= mx.m
+      |), ranked AS (
+      |  SELECT window_start, event_type, n,
+      |         row_number() OVER (PARTITION BY window_start
+      |                            ORDER BY n DESC, event_type) AS rk
+      |  FROM closed
+      |)
+      |SELECT window_start, rk, event_type, n FROM ranked
+      |WHERE rk <= 3
+      |ORDER BY window_start, rk""".stripMargin
+  ) { (s, d) => {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val emitted = fileSinkReplay(s, agg, "q81")
+    val byWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    emitted
+      .withColumn("rk", row_number().over(byWindow).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("window_start"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("rk"))
+  } }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
-    q80StreamUrlGate)
+    q80StreamUrlGate, q81StreamTopkReplay)
 }
