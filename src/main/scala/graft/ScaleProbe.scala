@@ -143,7 +143,10 @@ object ScaleProbe {
     "q80_stream_url_gate",
     // q81: watermarked windowed agg — bounded (window × event_type)
     // state like q71, plus the append-mode finalization machinery
-    "q81_stream_topk_replay")
+    "q81_stream_topk_replay",
+    // q82: watermarked OUTER stream-stream join — q73's state shape
+    // but with watermark eviction bounding it to the 12 h window
+    "q82_stream_outer_join_replay")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -1,0 +1,32 @@
+package graft
+
+/** Prints ZorderLayout.pruningProbe's rows-scanned table for one or
+  * more sf dirs — the SCALE.md datum for the q45 layout follow-through
+  * (ScaleProbe's JSON records only sec/rows; the pruning CONTENT is
+  * the point here). Usage: ZorderProbe <label=dir> [...].
+  */
+object ZorderProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { a =>
+      val Array(label, dir) = a.split("=", 2)
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder_probe_")
+      val rows = graft.operators.ZorderLayout
+        .pruningProbe(spark, dir, out.toString).collect()
+      rows.foreach { r =>
+        println(s"ZPROBE $label layout=${r.getString(0)} probe=${r.getString(1)} " +
+          s"scanned=${r.getLong(2)} matched=${r.getLong(3)} total=${r.getLong(4)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -732,8 +732,78 @@ object StreamReplay {
       .orderBy(col("window_start"), col("rk"))
   } }
 
+  /** STREAM-STREAM LEFT OUTER join under the oracle — the emission
+    * semantics q73's inner join can't exercise: an unmatched view
+    * emits (with null purchase columns) only when the WATERMARK
+    * proves no future purchase can match it (view_ts + 12 h behind
+    * the watermark → state evicted, null row emitted). q81's
+    * observation makes this oracle-checkable, with one two-stream
+    * refinement: the query's global watermark is the MIN over both
+    * watermark nodes — `least(max view ts, max purchase ts)`, not the
+    * overall max (the initial max(ts) spelling missed exactly the
+    * unmatched views whose window closed between the two sides'
+    * maxima — one row at sf0.01, caught by the hash gate). So the
+    * emitted set is matched pairs ∪ unmatched views whose join window
+    * closed before that two-sided watermark; trailing unmatched views
+    * stay IN state and OUT of the output, exactly what the batch
+    * spelling's `v.ts + 12 h < least(...)` predicate encodes.
+    *
+    * Determinism note (applies to every watermarked replay, q81
+    * included): the fixture replays in one batch (file source,
+    * AvailableNow, part-file count ≪ maxFilesPerTrigger), so the
+    * watermark only advances after ALL data is seen and no genuinely
+    * late row is dropped mid-replay; cross-batch late-data behavior
+    * is StreamingSpec territory (no batch oracle can express it).
+    *
+    * Scale shape: user-keyed join state on both sides like q73, but
+    * bounded — the watermark EVICTS rows older than the 12 h window,
+    * which is the production knob q73 deliberately leaves off.
+    */
+  val q82StreamOuterJoinReplay = Q(
+    "q82_stream_outer_join_replay",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |mx AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) AS m),
+      |matched AS (
+      |  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |         v.ts AS view_ts, p.ts AS purchase_ts
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+      |), unmatched AS (
+      |  SELECT v.user_id, v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |         v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |  FROM v, mx
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR)
+      |    AND v.ts + INTERVAL 12 HOUR < mx.m
+      |)
+      |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts FROM matched
+      |UNION ALL
+      |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts FROM unmatched
+      |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin
+  ) { (s, d) => {
+    def side(eventType: String, prefix: String) =
+      eventsStream(s, d)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "0 seconds")
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+      col("view_user") === col("purchase_user")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
+      "leftOuter")
+      .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+    fileSinkReplay(s, joined, "q82")
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  } }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
-    q80StreamUrlGate, q81StreamTopkReplay)
+    q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay)
 }
