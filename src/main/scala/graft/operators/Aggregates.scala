@@ -314,7 +314,58 @@ object Aggregates {
       .orderBy(col("measure"))
   }
 
+  /** HLL SKETCH MERGE (Apache DataSketches via Spark's
+    * hll_sketch_agg / hll_union_agg) — the cross-shard distinct-count
+    * pattern a 100 TB pipeline actually runs: per-shard sketches are
+    * built (and in production PERSISTED — a few KB each), then UNIONED
+    * at query time, never re-scanning history. The union must
+    * DEDUPLICATE users active under several event types — summing
+    * per-type estimates cannot, and that error is exactly what the
+    * gate would catch. Sketch bits aren't cross-engine-spellable, so
+    * the oracle gates q22-style: exact distinct counts are the
+    * compared output in both engines, and the estimates ride as
+    * within-tolerance flags the DuckDB spelling hardcodes to 1 (an
+    * estimator past the bound fails the hash; lgK=14 ⇒ rsd ≈ 0.8%,
+    * the 5% gate is ~6 sigma). Exact and sketch aggregations run as
+    * SEPARATE aggregates joined on the tiny type key — q22's lesson:
+    * mixing DISTINCT and sketch aggs in one agg triggers the
+    * expand-based multi-distinct plan, allocating sketch buffers per
+    * expanded row. Map-side partial sketch agg means BYTES, not rows,
+    * cross the shuffle (PlanSpec-pinned).
+    */
+  val q46HllUnion = Q(
+    "q46_hll_union",
+    """WITH per_type AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |  FROM events GROUP BY event_type
+      |), overall AS (
+      |  SELECT count(DISTINCT user_id) AS n_exact FROM events
+      |)
+      |SELECT event_type, n_exact, CAST(1 AS INT) AS est_ok FROM per_type
+      |UNION ALL
+      |SELECT 'ALL' AS event_type, n_exact, CAST(1 AS INT) AS est_ok FROM overall
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      when(abs(est.cast("double") - exact.cast("double"))
+        <= exact.cast("double") * 0.05, 1).otherwise(0).cast("int")
+    val ev = Tables.events(s, d)
+    val perTypeExact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val perTypeSketch = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val typed = perTypeExact.join(broadcast(perTypeSketch), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        ok(expr("hll_sketch_estimate(sk)"), col("n_exact")).as("est_ok"))
+    val overallExact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    val unioned = perTypeSketch.agg(expr("hll_union_agg(sk, true)").as("sk_all"))
+    val allRow = overallExact.crossJoin(unioned)
+      .select(lit("ALL").as("event_type"), col("n_exact"),
+        ok(expr("hll_sketch_estimate(sk_all)"), col("n_exact")).as("est_ok"))
+    typed.unionByName(allRow).orderBy(col("event_type"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
-    q29ApproxPercentile, q44Unpivot)
+    q29ApproxPercentile, q44Unpivot, q46HllUnion)
 }

@@ -467,6 +467,18 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q46: HLL sketches aggregate two-phase — bytes, not rows, cross the shuffle") {
+    val p = plan("q46_hll_union")
+    // sketch build + union run as ObjectHashAggregate pairs (partial
+    // map-side, final after the exchange) — the shape where each
+    // shuffle moves a few-KB sketch per group, never the user rows
+    assert(p.contains("ObjectHashAggregate"), s"no object agg in:\n$p")
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial hll_sketch_agg")
+      || "partial_?hll".r.findFirstIn(p).isDefined,
+      s"expected partial sketch aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"only 1-row broadcast joins allowed:\n$p")
+  }
+
   test("q45: the z-key is a pure projection — one two-phase aggregate, no joins") {
     val p = plan("q45_zorder_layout")
     assert(!p.contains("Join"), s"z-order layout must not join:\n$p")
