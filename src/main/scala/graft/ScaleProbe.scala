@@ -103,6 +103,8 @@ object ScaleProbe {
     // novelty QA: corpus term is the distinct-3-gram build; chains
     // and the overlap join are model-sized
     "t20_synth_novelty",
+    // t21: per-row NFC normalize kernel — ≈flat + the scan term
+    "t21_unicode_normalize",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // z-order layout: per-row interleave + one two-phase agg —
     // needs lineitem, so probe it across the DRIVER's sf dirs

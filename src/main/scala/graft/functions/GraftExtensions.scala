@@ -108,6 +108,13 @@ object GraftExtensions {
         case exprs => throw new IllegalArgumentException(
           s"pii_scrub expects 1 argument, got ${exprs.size}")
       }),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      {
+        case Seq(t) => NfcNormalize(t)
+        case exprs => throw new IllegalArgumentException(
+          s"nfc_normalize expects 1 argument, got ${exprs.size}")
+      }),
     ("argmax_dot",
       new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
       {

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization (UAX #15 canonical composition) as a
+  * codegen expression — the normalization step every multilingual
+  * curation pipeline runs BEFORE hashing/dedup: the same visible text
+  * arrives from the web in composed ("é") and decomposed ("e"+U+0301)
+  * forms, which are byte-different, so every downstream content hash
+  * (d01), minhash shingle (d02/d03), and URL key treats them as
+  * distinct documents unless normalized first. NFC is the W3C-
+  * recommended form for content identity.
+  *
+  * Delegates to `java.text.Normalizer` (the JDK's ICU-derived
+  * implementation of the Unicode normalization spec); DuckDB's
+  * `nfc_normalize` implements the same spec, and t21 hash-pins the
+  * two byte-for-byte. Null in ⇒ null out. Fast path: Normalizer
+  * .isNormalized short-circuits the (common) already-composed case
+  * without allocating.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def compute(raw: UTF8String): UTF8String = {
+    val s = raw.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) raw
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  def apply(c: Column): Column = ColumnBridge.column(
+    NfcNormalize(ColumnBridge.expression(c)))
+}

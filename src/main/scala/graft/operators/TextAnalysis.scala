@@ -1180,9 +1180,61 @@ object TextAnalysis {
       .orderBy(col("seed_rank"))
   }
 
+  /** UNICODE NFC NORMALIZATION (UAX #15) under the oracle — the
+    * multilingual-curation step that runs BEFORE content hashing:
+    * composed ("é") and decomposed ("e"+U+0301) spellings of the same
+    * visible text are byte-different, so d01's content hash, the
+    * minhash shingles, and every URL key treat them as distinct
+    * documents unless normalized first (NFC is the W3C content-
+    * identity form). The corpus is ASCII, so the decomposed forms are
+    * SYNTHESIZED per row (four fragments cycling by doc_id — acute,
+    * diaeresis, ring, mixed accents — appended to a doc-id tag) and
+    * normalized by [[graft.functions.NfcNormalize]] (a codegen
+    * expression over the JDK's Normalizer, with an isNormalized
+    * fast path); DuckDB's independent `nfc_normalize` implements the
+    * same Unicode spec, and the normalized STRING ITSELF is a
+    * compared column — two implementations of UAX #15 must agree
+    * byte-for-byte, with the codepoint shrink (raw_cp → nfc_cp)
+    * pinned alongside. Per-row projection, zero shuffle.
+    */
+  val t21UnicodeNormalize = Q(
+    "t21_unicode_normalize",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'Cafe' || chr(769)
+      |      WHEN 1 THEN 'nai' || chr(776) || 've'
+      |      WHEN 2 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+      |      ELSE 'e' || chr(769) || 'le' || chr(768) || 've'
+      |    END || ' doc ' || doc_id AS raw
+      |  FROM documents
+      |)
+      |SELECT doc_id, length(raw) AS raw_cp,
+      |       nfc_normalize(raw) AS nfc,
+      |       length(nfc_normalize(raw)) AS nfc_cp
+      |FROM s ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    // the same fragments as Scala literals (Spark's chr() folds
+    // codepoints mod 256, so the decomposed sequences are spelled
+    // directly; scalac keeps them as the identical UTF-8 bytes)
+    val frags = Seq("Café", "naïve", "Ångström",
+      "élève")
+    val frag = (0 until 4).foldRight(lit(frags(3)): org.apache.spark.sql.Column) {
+      (i, acc) => when(col("doc_id") % 4 === i, frags(i)).otherwise(acc)
+    }
+    val raw = concat(frag, lit(" doc "), col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), length(col("raw")).cast("long").as("raw_cp"),
+        graft.functions.NfcNormalize(col("raw")).as("nfc"))
+      .select(col("doc_id"), col("raw_cp"), col("nfc"),
+        length(col("nfc")).cast("long").as("nfc_cp"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
-    t18MarkovGenerate, t19KneserNey, t20SynthNovelty)
+    t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize)
 }

@@ -244,6 +244,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0) == 10.0)
   }
 
+  test("nfc_normalize: composed/decomposed collapse, ascii fast-path identity, SQL registration") {
+    GraftExtensions.register(spark)
+    // decomposed e + U+0301 composes to U+00E9; codepoint count drops
+    val r = spark.sql(
+      "SELECT nfc_normalize('e\u0301') = '\u00e9', length(nfc_normalize('e\u0301')), " +
+        "nfc_normalize('plain ascii'), nfc_normalize(CAST(NULL AS STRING))").head()
+    assert(r.getBoolean(0), "decomposed sequence did not compose to the NFC form")
+    assert(r.getInt(1) == 1)
+    assert(r.getString(2) == "plain ascii")
+    assert(r.isNullAt(3))
+  }
+
   test("register installs the optimizer rules on a live session, idempotently") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark) // second call must not duplicate
