@@ -221,6 +221,99 @@ object GifLzwCodec {
     (stream.toByteArray, minCodeSize, w, h)
   }
 
+  /** One frame of an animated GIF: GCE delay (centiseconds; 0 when no
+    * GCE preceded the image block), frame position/dims, code stream.
+    */
+  final case class Frame(delayCs: Int, x: Int, y: Int, w: Int, h: Int,
+    minCodeSize: Int, stream: Array[Byte])
+
+  /** Walk EVERY image block of a (possibly animated) GIF: graphic
+    * control extensions are parsed for their delay, other extensions
+    * skipped by their sub-block lengths, each image block's code
+    * stream concatenated. Same loud-failure discipline as
+    * [[extractLzw]] (which remains the single-frame fast path).
+    */
+  def frames(b: Array[Byte]): Seq[Frame] = {
+    require(b.length > 13 && new String(b, 0, 6, "US-ASCII").startsWith("GIF"),
+      "not a GIF payload")
+    val flags = b(10) & 0xff
+    var i = 13
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 7) + 1))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    var pendingDelay = 0
+    var done = false
+    while (!done) {
+      require(i < b.length, "GIF truncated before trailer")
+      (b(i) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          val label = b(i + 1) & 0xff
+          if (label == 0xf9) // graphic control: block size 4, delay LE at +2
+            pendingDelay = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8)
+          i += 2
+          while ((b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c =>
+          val fx = (b(i + 1) & 0xff) | ((b(i + 2) & 0xff) << 8)
+          val fy = (b(i + 3) & 0xff) | ((b(i + 4) & 0xff) << 8)
+          val fw = (b(i + 5) & 0xff) | ((b(i + 6) & 0xff) << 8)
+          val fh = (b(i + 7) & 0xff) | ((b(i + 8) & 0xff) << 8)
+          val idFlags = b(i + 9) & 0xff
+          i += 10
+          if ((idFlags & 0x80) != 0) i += 3 * (1 << ((idFlags & 7) + 1))
+          val minCode = b(i) & 0xff
+          i += 1
+          val stream = new java.io.ByteArrayOutputStream()
+          while ((b(i) & 0xff) != 0) {
+            val len = b(i) & 0xff
+            stream.write(b, i + 1, len)
+            i += 1 + len
+          }
+          i += 1
+          out += Frame(pendingDelay, fx, fy, fw, fh, minCode, stream.toByteArray)
+          pendingDelay = 0
+        case other =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x at $i")
+      }
+    }
+    require(out.nonEmpty, "GIF contains no image blocks")
+    out.toSeq
+  }
+
+  /** Wrap per-frame code streams as an animated GIF89a: NETSCAPE2.0
+    * loop extension, a graphic control extension (delay, disposal 1)
+    * before every frame, all frames full-logical-screen at (0,0).
+    */
+  def wrapAnimatedGif(w: Int, h: Int, framesWithDelay: Seq[(Int, Array[Byte])],
+      minCodeSize: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def short(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    short(w); short(h); out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); short(0); out.write(0)
+    framesWithDelay.foreach { case (delayCs, lzw) =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04) // disposal 1 (do not dispose), no transparency
+      short(delayCs); out.write(0); out.write(0)
+      out.write(0x2c); short(0); short(0); short(w); short(h); out.write(0)
+      out.write(minCodeSize)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.write(len); out.write(lzw, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   // ImageIO defaults to a DISK-backed stream cache; per-row temp
   // files on executors would be absurd. One-time, process-wide.
   private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
@@ -247,6 +340,46 @@ object GifLzwCodec {
       p += 1
     }
     px
+  }
+
+  /** Multi-frame m23 kernel: hand-decode EVERY frame, then
+    * cross-check each against the JDK's ImageIO GIF reader (which
+    * hands back per-frame rasters). Returns (delayCs, pixels) per
+    * frame in stream order.
+    */
+  def decodeFramesChecked(payload: Array[Byte], mediaId: Long): Seq[(Int, Array[Byte])] = {
+    noDiskCache
+    val fs = frames(payload)
+    val decoded = fs.map { f =>
+      val px = decode(f.stream, f.minCodeSize, f.w * f.h)
+      require(px.length == f.w * f.h,
+        s"media_id=$mediaId: frame decodes ${px.length} px, descriptor says ${f.w * f.h}")
+      (f, px)
+    }
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"media_id=$mediaId: no ImageIO GIF reader")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n == fs.length,
+        s"media_id=$mediaId: ImageIO sees $n frames, walker sees ${fs.length}")
+      decoded.zipWithIndex.foreach { case ((f, px), k) =>
+        val img = reader.read(k)
+        require(img.getWidth == f.w && img.getHeight == f.h,
+          s"media_id=$mediaId: frame $k dimension mismatch")
+        var p = 0
+        while (p < f.w * f.h) {
+          val ref = img.getRGB(p % f.w, p / f.w) & 0xff
+          require(ref == (px(p) & 0xff),
+            s"media_id=$mediaId: frame $k pixel $p is $ref per ImageIO, ${px(p) & 0xff} per GifLzwCodec")
+          p += 1
+        }
+      }
+    } finally { reader.dispose(); iis.close() }
+    decoded.map { case (f, px) => (f.delayCs, px) }
   }
 
   /** LSB-first bit writer (GIF's packing order). */

@@ -1582,10 +1582,70 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** ANIMATED (multi-frame) GIF decode — the video-adjacent tier:
+    * per-frame graphic-control extensions (real centisecond delays),
+    * a NETSCAPE2.0 loop block, and one REAL LZW stream per frame,
+    * walked by [[graft.multimodal.GifLzwCodec.frames]] and
+    * hand-decoded frame by frame, each cross-checked against the
+    * JDK's ImageIO GIF reader's per-frame rasters. The oracle
+    * predicts the concatenated rasters and the summed delays in
+    * closed form — a wrong GCE parse, a mis-walked extension block,
+    * or any per-frame LZW slip fails the hash. Per-partition
+    * synth+decode, zero shuffle (the m-tier shape); this is the
+    * frame-extraction primitive a multimodal training pipeline runs
+    * over animation/video-like corpora (m03's frame SAMPLING over an
+    * opaque payload, now with the frames genuinely decoded).
+    */
+  val m23GifAnim = Q(
+    "m23_gif_anim",
+    """WITH s AS (
+      |  SELECT doc_id, 16 + (doc_id % 2) * 8 AS w, 16 AS h,
+      |         2 + doc_id % 3 AS nf
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, nf,
+      |    flatten(list_transform(range(0, nf), f ->
+      |      list_transform(range(0, w * h), p ->
+      |        ((p % w) // 4 + ((p // w) // 4) * 5 + doc_id + f * 11) % 32))) AS px
+      |  FROM s
+      |)
+      |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(10 * nf + (5 * nf * (nf - 1)) // 2 AS BIGINT) AS total_delay_cs,
+      |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+      |  md5(array_to_string(px, ',')) AS px_md5
+      |FROM px ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.GifLzwCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 2).toInt * 8
+        val h = 16
+        val nf = 2 + (id % 3).toInt
+        val framesIn = (0 until nf).map { f =>
+          val px = Array.tabulate(w * h) { p =>
+            (((p % w) / 4 + (p / w / 4) * 5 + id + f * 11) % 32).toByte
+          }
+          (10 + 5 * f, GifLzwCodec.encode(px))
+        }
+        val payload = GifLzwCodec.wrapAnimatedGif(w, h, framesIn)
+        val dec = GifLzwCodec.decodeFramesChecked(payload, id)
+        val allPx = dec.flatMap(_._2.map(b => (b & 0xff).toLong))
+        (id, w.toLong, h.toLong, dec.length.toLong,
+          dec.map(_._1.toLong).sum, allPx.sum, allPx.mkString(","))
+      })
+      .toDF("media_id", "w", "h", "n_frames", "total_delay_cs", "px_sum", "px_csv")
+      .select(col("media_id"), col("w"), col("h"), col("n_frames"),
+        col("total_delay_cs"), col("px_sum"), md5(col("px_csv")).as("px_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
-      m20AdpcmPcm, m21ExifMeta, m22GifLzw)
+      m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim)
 }

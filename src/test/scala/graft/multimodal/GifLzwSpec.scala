@@ -66,6 +66,30 @@ class GifLzwSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIFs: frame walk parses GCE delays; every frame round-trips") {
+    val w = 16
+    val h = 8
+    val framesIn = (0 until 3).map { f =>
+      (7 + f, GifLzwCodec.encode(
+        Array.tabulate(w * h)(p => ((p / 3 + f) % 16).toByte)))
+    }
+    val payload = GifLzwCodec.wrapAnimatedGif(w, h, framesIn)
+    val fs = GifLzwCodec.frames(payload)
+    assert(fs.map(_.delayCs) == Seq(7, 8, 9))
+    assert(fs.forall(f => f.w == w && f.h == h))
+    val dec = GifLzwCodec.decodeFramesChecked(payload, 2L)
+    assert(dec.length == 3)
+    (0 until 3).foreach { f =>
+      assert(dec(f)._2.toSeq ==
+        Array.tabulate(w * h)(p => ((p / 3 + f) % 16).toByte).toSeq)
+    }
+    // the single-frame extractor still reads the FIRST frame of an
+    // animation (it walks extensions by length, not by scanning)
+    val (stream, minCode, ww, hh) = GifLzwCodec.extractLzw(payload)
+    assert((ww, hh) == (w, h))
+    assert(GifLzwCodec.decode(stream, minCode, w * h).toSeq == dec(0)._2.toSeq)
+  }
+
   test("corrupt streams fail loudly") {
     val px = Array.tabulate(64)(i => (i % 8).toByte)
     val lzw = GifLzwCodec.encode(px)
