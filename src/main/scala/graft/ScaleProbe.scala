@@ -106,6 +106,9 @@ object ScaleProbe {
     // t21: per-row NFC normalize kernel — ≈flat + the scan term
     "t21_unicode_normalize",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
+    // q46: two-phase HLL sketch agg + tiny-key join + sketch union —
+    // bytes (not rows) cross the shuffle; expected ≈linear in the scan
+    "q46_hll_union",
     // z-order layout: per-row interleave + one two-phase agg —
     // needs lineitem, so probe it across the DRIVER's sf dirs
     "q45_zorder_layout",
@@ -127,6 +130,9 @@ object ScaleProbe {
     // cross-decode) — the heaviest per-row codec kernel, still
     // zero-shuffle, expected ≈linear in rows
     "m22_gif_lzw",
+    // m23: multi-frame LZW decode + per-pixel ImageIO cross-check per
+    // frame — m22's kernel × n_frames, zero-shuffle, expected ≈linear
+    "m23_gif_anim",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78
