@@ -133,6 +133,8 @@ object ScaleProbe {
     // m23: multi-frame LZW decode + per-pixel ImageIO cross-check per
     // frame — m22's kernel × n_frames, zero-shuffle, expected ≈linear
     "m23_gif_anim",
+    // m24: per-row side-info/scalefactor bit walk — ≈flat + scan term
+    "m24_mp3_sideinfo",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78

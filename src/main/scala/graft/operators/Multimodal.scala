@@ -1642,10 +1642,158 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Synth side of m24: MPEG-1 Layer III frames whose SIDE INFO and
+    * long-block SCALEFACTORS are closed-form functions of doc_id —
+    * main_data_begin=0 (no bit reservoir), big_values=0 (no Huffman
+    * spectral data), scfsi=0, window_switching off, so
+    * part2_3_length is exactly the scalefactor bit count. Every
+    * field below is algebraically predictable by the oracle.
+    */
+  private def mp3SideInfoBytes(docId: Long): Array[Byte] = {
+    import graft.multimodal.Mp3SideInfo.{BitWriter, Slen1, Slen2}
+    val mono = docId % 2 == 0
+    val nch = if (mono) 1 else 2
+    val rateIdx = (docId % 3).toInt
+    val frameLen = Array(417, 384, 576)(rateIdx)
+    val nf = (1 + docId % 3).toInt
+    val out = java.nio.ByteBuffer.allocate(nf * frameLen)
+    var f = 0
+    while (f < nf) {
+      out.put(0xff.toByte).put(0xfb.toByte)
+        .put((0x90 | (rateIdx << 2)).toByte)
+        .put((if (mono) 0xc0 else 0x00).toByte)
+      val w = new BitWriter
+      w.write(0, 9)                       // main_data_begin
+      w.write(0, if (mono) 5 else 3)      // private_bits
+      (0 until nch).foreach(_ => w.write(0, 4)) // scfsi
+      for (gr <- 0 until 2; ch <- 0 until nch) {
+        val sc = ((docId + f * 5 + gr * 3 + ch) % 16).toInt
+        w.write(11 * Slen1(sc) + 10 * Slen2(sc), 12) // part2_3_length
+        w.write(0, 9)                     // big_values
+        w.write(((docId * 7 + f * 17 + gr * 13 + ch * 29) % 256).toInt, 8)
+        w.write(sc, 4)
+        w.write(0, 1)                     // window_switching off
+        val v = docId + f + gr + ch
+        w.write((v % 32).toInt, 5); w.write(((v + 7) % 32).toInt, 5)
+        w.write(((v + 14) % 32).toInt, 5) // table_select ×3
+        w.write(((docId + f) % 16).toInt, 4)  // region0_count
+        w.write(((docId + gr) % 8).toInt, 3)  // region1_count
+        w.write(((docId + f) % 2).toInt, 1)   // preflag
+        w.write(((docId + gr) % 2).toInt, 1)  // scalefac_scale
+        w.write(((docId + ch) % 2).toInt, 1)  // count1table_select
+      }
+      for (gr <- 0 until 2; ch <- 0 until nch) {
+        val sc = ((docId + f * 5 + gr * 3 + ch) % 16).toInt
+        val s1 = Slen1(sc); val s2 = Slen2(sc)
+        (0 until 11).foreach(b => if (s1 > 0)
+          w.write(((docId + f + gr * 11 + ch * 7 + 3 * b) % (1 << s1)).toInt, s1))
+        (11 until 21).foreach(b => if (s2 > 0)
+          w.write(((docId + f + gr * 11 + ch * 7 + 3 * b) % (1 << s2)).toInt, s2))
+      }
+      val body = w.toBytes
+      out.put(body)
+      var j = 4 + body.length
+      while (j < frameLen) { out.put(((docId + f * 13 + j) % 256).toByte); j += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** LOSSY-CODEC PAYLOAD STRUCTURE under the oracle: real MPEG-1
+    * Layer III side-information + part2 scalefactor bit-parse
+    * ([[graft.multimodal.Mp3SideInfo]] — the step past m07's frame
+    * walk into the coded stream; full Huffman sample synthesis stays
+    * a loud stub). The parser walks the 17/32-byte side info field
+    * by field (9-bit main_data_begin, per-granule-channel 59-bit
+    * blocks, the non-switched table_select/region branch), `require`s
+    * it lands exactly on the spec boundary, then reads each
+    * granule-channel's scalefactor stream with the standard
+    * scalefac_compress width table and `require`s the bit count
+    * equals part2_3_length. The oracle predicts the SUMS of every
+    * parsed field class in closed form — a one-bit misalignment
+    * anywhere shifts every later field and fails the hash. Same
+    * zero-shuffle per-partition synth+parse shape as the rest of the
+    * m tier.
+    */
+  val m24Mp3SideInfo = Q(
+    "m24_mp3_sideinfo",
+    """WITH s AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS nf,
+      |    CASE doc_id % 3 WHEN 0 THEN 417 WHEN 1 THEN 384 ELSE 576 END AS flen,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS nch
+      |  FROM documents
+      |), agg AS (
+      |  SELECT doc_id, nf, flen, nch,
+      |    list_sum(flatten(flatten(list_transform(range(0, nf), f ->
+      |      list_transform(range(0, 2), gr ->
+      |        list_transform(range(0, nch), ch ->
+      |          (doc_id * 7 + f * 17 + gr * 13 + ch * 29) % 256)))))) AS sum_gain,
+      |    list_sum(flatten(flatten(list_transform(range(0, nf), f ->
+      |      list_transform(range(0, 2), gr ->
+      |        list_transform(range(0, nch), ch ->
+      |          11 * ([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1]
+      |        + 10 * ([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1]
+      |        )))))) AS sum_part23,
+      |    list_sum(flatten(flatten(list_transform(range(0, nf), f ->
+      |      list_transform(range(0, 2), gr ->
+      |        list_transform(range(0, nch), ch ->
+      |          (doc_id + f + gr + ch) % 32 + (doc_id + f + gr + ch + 7) % 32
+      |        + (doc_id + f + gr + ch + 14) % 32)))))) AS sum_tsel,
+      |    list_sum(flatten(flatten(list_transform(range(0, nf), f ->
+      |      list_transform(range(0, 2), gr ->
+      |        list_transform(range(0, nch), ch ->
+      |          list_sum(list_transform(range(0, 11), b ->
+      |            CASE WHEN ([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] = 0 THEN 0
+      |            ELSE (doc_id + f + gr*11 + ch*7 + 3*b)
+      |              % ([1,2,4,8,16])[([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] + 1] END))
+      |        + list_sum(list_transform(range(11, 21), b ->
+      |            CASE WHEN ([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] = 0 THEN 0
+      |            ELSE (doc_id + f + gr*11 + ch*7 + 3*b)
+      |              % ([1,2,4,8,16])[([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] + 1] END))
+      |        )))))) AS sum_sf
+      |  FROM s
+      |)
+      |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nch AS BIGINT) AS n_ch, CAST(sum_gain AS BIGINT) AS sum_gain,
+      |  CAST(sum_part23 AS BIGINT) AS sum_part23,
+      |  CAST(sum_tsel AS BIGINT) AS sum_tsel,
+      |  CAST(sum_sf AS BIGINT) AS sum_sf,
+      |  CAST(nf * flen AS BIGINT) AS n_bytes
+      |FROM agg ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Mp3SideInfo
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = mp3SideInfoBytes(id)
+        val frameLen = Array(417, 384, 576)((id % 3).toInt)
+        val nf = payload.length / frameLen
+        var sumGain = 0L; var sumPart23 = 0L; var sumTsel = 0L; var sumSf = 0L
+        var nCh = 0L
+        var f = 0
+        while (f < nf) {
+          val si = Mp3SideInfo.parseFrame(payload, f * frameLen, id)
+          nCh = si.channels.toLong
+          si.granules.foreach(_.foreach { g =>
+            sumGain += g.globalGain
+            sumPart23 += g.part23Length
+            sumTsel += g.tableSelect.sum
+            sumSf += g.scalefactors.sum
+          })
+          f += 1
+        }
+        (id, nf.toLong, nCh, sumGain, sumPart23, sumTsel, sumSf, payload.length.toLong)
+      })
+      .toDF("media_id", "n_frames", "n_ch", "sum_gain", "sum_part23",
+        "sum_tsel", "sum_sf", "n_bytes")
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
-      m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim)
+      m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo)
 }

@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import Mp3SideInfo.{BitWriter, Slen1, Slen2}
+
+class Mp3SideInfoSpec extends AnyFunSuite {
+
+  /** Mono MPEG-1 L3 header, 44.1 kHz 128 kbps, no CRC. */
+  private val Header = Array(0xff, 0xfb, 0x90, 0xc0).map(_.toByte)
+
+  private def monoFrame(gr0Sc: Int, gr1Sc: Int, gain0: Int, gain1: Int,
+      sf: Int => Int): Array[Byte] = {
+    val w = new BitWriter
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    for ((sc, gain) <- Seq((gr0Sc, gain0), (gr1Sc, gain1))) {
+      w.write(11 * Slen1(sc) + 10 * Slen2(sc), 12)
+      w.write(0, 9); w.write(gain, 8); w.write(sc, 4); w.write(0, 1)
+      w.write(1, 5); w.write(2, 5); w.write(3, 5)
+      w.write(4, 4); w.write(5, 3); w.write(1, 1); w.write(0, 1); w.write(1, 1)
+    }
+    for (sc <- Seq(gr0Sc, gr1Sc)) {
+      val s1 = Slen1(sc); val s2 = Slen2(sc)
+      (0 until 11).foreach(b => if (s1 > 0) w.write(sf(b) % (1 << s1), s1))
+      (11 until 21).foreach(b => if (s2 > 0) w.write(sf(b) % (1 << s2), s2))
+    }
+    Header ++ w.toBytes
+  }
+
+  test("hand-computed MSB-first packing: the first six side-info bytes") {
+    // mdb=0(9) priv=0(5) scfsi=0(4) | part23=21(12) big=0(9) gain=200(8)
+    // sc=5(4) ... worked out bit by bit on paper:
+    // 18 zeros, 000000010101, 000000000, 11001000, 0101 ...
+    val b = monoFrame(gr0Sc = 5, gr1Sc = 0, gain0 = 200, gain1 = 99, sf = _ % 2)
+    assert(b.slice(4, 10).map(_ & 0xff).toSeq ==
+      Seq(0x00, 0x00, 0x00, 0x54, 0x01, 0x90))
+  }
+
+  test("round trip: every field of every granule comes back") {
+    val b = monoFrame(gr0Sc = 5, gr1Sc = 9, gain0 = 200, gain1 = 99, sf = b => b + 1)
+    val si = Mp3SideInfo.parseFrame(b, 0, 1L)
+    assert(si.channels == 1 && si.mainDataBegin == 0)
+    val g0 = si.granules(0)(0); val g1 = si.granules(1)(0)
+    assert(g0.globalGain == 200 && g1.globalGain == 99)
+    assert(g0.scalefacCompress == 5 && g1.scalefacCompress == 9)
+    assert(g0.part23Length == 11 * Slen1(5) + 10 * Slen2(5))
+    assert(g0.tableSelect == Seq(1, 2, 3) && g0.region0Count == 4 && g0.region1Count == 5)
+    assert(g0.preflag == 1 && g0.scalefacScale == 0 && g0.count1Table == 1)
+    // sc=5: slen1=1 slen2=1 -> sf values are (b+1) mod 2
+    assert(g0.scalefactors == (0 until 21).map(b => (b + 1) % 2))
+    // sc=9: slen1=2 slen2=2 -> (b+1) mod 4
+    assert(g1.scalefactors == (0 until 21).map(b => (b + 1) % 4))
+  }
+
+  test("stereo side info lands exactly on the 32-byte boundary") {
+    val w = new BitWriter
+    w.write(0, 9); w.write(0, 3); w.write(0, 4); w.write(0, 4)
+    for (_ <- 0 until 4) { // 2 granules x 2 channels, sc=0 (no scalefactors)
+      w.write(0, 12); w.write(0, 9); w.write(7, 8); w.write(0, 4); w.write(0, 1)
+      w.write(1, 5); w.write(2, 5); w.write(3, 5)
+      w.write(0, 4); w.write(0, 3); w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    }
+    assert(w.bitCount == 256) // 9 + 3 + 2x4 + 4x59 = 32 bytes exactly
+    val stereoHeader = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+    val si = Mp3SideInfo.parseFrame(stereoHeader ++ w.toBytes, 0, 2L)
+    assert(si.channels == 2)
+    assert(si.granules.flatten.map(_.globalGain) == Seq(7, 7, 7, 7))
+  }
+
+  test("the switched (short-block) side-info branch walks its 22 bits correctly") {
+    // A switched granule must parse the alternate branch with the right
+    // widths — a one-bit slip there trips the 17-byte boundary require,
+    // not the scalefactor-scope error asserted here.
+    val w = new BitWriter
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    for (_ <- 0 until 2) {
+      w.write(0, 12); w.write(0, 9); w.write(50, 8); w.write(0, 4)
+      w.write(1, 1)            // window_switching ON
+      w.write(2, 2)            // block_type = short
+      w.write(0, 1)            // mixed_block_flag
+      w.write(1, 5); w.write(2, 5)          // table_select x2
+      w.write(1, 3); w.write(2, 3); w.write(3, 3) // subblock_gain x3
+      w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Mp3SideInfo.parseFrame(Header ++ w.toBytes, 0, 3L)
+    }
+    assert(e.getMessage.contains("short-block scalefactors"))
+  }
+
+  test("loud failures: CRC frames, bit-reservoir frames, part2 length lies") {
+    val good = monoFrame(5, 0, 200, 99, _ % 2)
+    val crc = good.clone(); crc(1) = 0xfa.toByte
+    assert(intercept[IllegalArgumentException] {
+      Mp3SideInfo.parseFrame(crc, 0, 4L)
+    }.getMessage.contains("CRC"))
+
+    val reservoir = good.clone()
+    reservoir(4) = 0x80.toByte // first side-info bit set -> mdb != 0
+    assert(intercept[IllegalArgumentException] {
+      Mp3SideInfo.parseFrame(reservoir, 0, 5L)
+    }.getMessage.contains("bit-reservoir"))
+
+    // Corrupt part2_3_length of granule 0 (bits 18..29 of side info):
+    // claims 20 bits where the scalefac_compress table says 21.
+    val lying = good.clone()
+    lying(4 + 3) = (lying(4 + 3) ^ 0x04).toByte // flip part23 bit 21->20
+    assert(intercept[IllegalArgumentException] {
+      Mp3SideInfo.parseFrame(lying, 0, 6L)
+    }.getMessage.contains("part2_3_length"))
+  }
+}
