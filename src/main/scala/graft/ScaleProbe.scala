@@ -60,6 +60,10 @@ object ScaleProbe {
     // binary quantization: 8-byte code scan + 32-per-query exact
     // re-rank — expected ≈linear with a small constant (the s09 curve)
     "s17_binary_quantize",
+    // MMR: one corpus scan builds the shortlist; the five selection
+    // steps run over the checkpointed queries×12 frame — expected
+    // ≈linear in the scan with a flat iteration tail
+    "s18_mmr_rerank",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",

@@ -1259,8 +1259,130 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** The five unrolled MMR selection steps of the s18 oracle: step 1
+    * ranks by relevance alone (empty-selection penalty = 0); each
+    * later step computes every remaining candidate's penalty as the
+    * max pairwise cosine to the selected set, scores
+    * 0.7·rel − 0.3·penalty, and takes the arg-max (ties by cid).
+    */
+  private def mmrOracleSteps: String = (2 to 5).map { i =>
+    s"""pen$i AS (
+       |  SELECT p.query_id, p.ca AS cid, max(p.psim) AS pen
+       |  FROM pair p JOIN sel${i - 1} s ON s.query_id = p.query_id AND s.cid = p.cb
+       |  GROUP BY p.query_id, p.ca
+       |), s$i AS (
+       |  SELECT query_id, cid, rel, score, $i AS r FROM (
+       |    SELECT c.query_id, c.cid, c.rel, 0.7 * c.rel - 0.3 * n.pen AS score,
+       |           row_number() OVER (PARTITION BY c.query_id
+       |             ORDER BY 0.7 * c.rel - 0.3 * n.pen DESC, c.cid) AS rn
+       |    FROM cand c JOIN pen$i n ON n.query_id = c.query_id AND n.cid = c.cid
+       |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+       |                      WHERE s.query_id = c.query_id AND s.cid = c.cid)
+       |  ) WHERE rn = 1
+       |), sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+  }.mkString(", ")
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR
+    * 1998) diversity re-ranking — the context-selection step a
+    * retrieval pipeline runs AFTER ANN shortlisting, so the k items
+    * handed to a model are relevant AND mutually non-redundant
+    * (near-dup passages crowd out coverage otherwise; this is the
+    * retrieval-side mirror of the d-tier's corpus dedup). Greedy:
+    * pick arg-max 0.7·cos(q,d) − 0.3·max_{s∈sel} cos(d,s), k=5 from
+    * the top-12 cosine candidates per query.
+    *
+    * Scale shape: the corpus is scanned ONCE to build the per-query
+    * top-N shortlist (s01's broadcast-query scan + window); the
+    * candidate frame (queries × 12 rows) is then eagerly
+    * localCheckpoint-ed (d13's pattern) so the five selection steps
+    * iterate over a query-bounded frame — per-step joins are all
+    * keyed by query_id and the pairwise-sim table is N² per query,
+    * never corpus-sized. Both engines run the same five unrolled
+    * arg-max steps with the same tie-break, so scores and picks are
+    * bit-identical.
+    */
+  val s18MmrRerank = Q(
+    "s18_mmr_rerank",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |), cand0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cid, c.embedding AS cemb,
+       |         c.nrm AS cnrm,
+       |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS rel
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), cand AS (
+       |  SELECT query_id, cid, cemb, cnrm, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cid) AS rn FROM cand0) WHERE rn <= 12
+       |), pair AS (
+       |  SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+       |         CASE WHEN a.cnrm * b.cnrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("a.cemb", "b.cemb")} / (a.cnrm * b.cnrm) END AS psim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+       |), s1 AS (
+       |  SELECT query_id, cid, rel, score, 1 AS r FROM (
+       |    SELECT query_id, cid, rel, 0.7 * rel AS score,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY 0.7 * rel DESC, cid) AS rn FROM cand) WHERE rn = 1
+       |), sel1 AS (SELECT * FROM s1), $mmrOracleSteps
+       |SELECT query_id, r, cid AS neighbor_id, rel AS cos_sim, score AS mmr_score
+       |FROM sel5 ORDER BY query_id, r""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("cid"),
+        col("embedding").as("cemb"), col("nrm").as("cnrm"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("rel"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cid"))
+    // ONE corpus scan ends here: the shortlist is queries × 12 rows,
+    // checkpointed so the five iteration steps never re-scan the corpus.
+    val cand = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 12).drop("rn")
+      .localCheckpoint(true)
+    val a = cand.select(col("query_id"), col("cid").as("ca"),
+      col("cemb").as("aemb"), col("cnrm").as("anrm"))
+    val b = cand.select(col("query_id").as("qb"), col("cid").as("cb"),
+      col("cemb").as("bemb"), col("cnrm").as("bnrm"))
+    val pair = a.join(b, col("query_id") === col("qb") && col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        when(col("anrm") * col("bnrm") === 0, 0.0)
+          .otherwise(dot(col("aemb"), col("bemb")) / (col("anrm") * col("bnrm")))
+          .as("psim"))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cid"))
+    val s1 = cand.select(col("query_id"), col("cid"), col("rel"),
+        (lit(0.7) * col("rel")).as("score"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .drop("rn").withColumn("r", lit(1))
+    val sel5 = (2 to 5).foldLeft(s1) { (sel, r) =>
+      val pen = pair
+        .join(sel.select(col("query_id").as("qs"), col("cid").as("scb")),
+          col("query_id") === col("qs") && col("cb") === col("scb"))
+        .groupBy(col("query_id"), col("ca").as("cid"))
+        .agg(max(col("psim")).as("pen"))
+      val remaining = cand.select("query_id", "cid", "rel")
+        .join(sel.select("query_id", "cid"), Seq("query_id", "cid"), "left_anti")
+      val picked = remaining.join(pen, Seq("query_id", "cid"))
+        .select(col("query_id"), col("cid"), col("rel"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("pen")).as("score"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .drop("rn").withColumn("r", lit(r))
+      sel.unionByName(picked)
+    }
+    sel5.select(col("query_id"), col("r"), col("cid").as("neighbor_id"),
+        col("rel").as("cos_sim"), col("score").as("mmr_score"))
+      .orderBy(col("query_id"), col("r"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
-    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize)
+    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank)
 }

@@ -453,6 +453,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_vec_dot"), s"expected the exact re-rank kernel in:\n$p")
   }
 
+  test("s18: MMR iterates over the checkpointed shortlist — corpus scanned once, never per step") {
+    val p = plan("s18_mmr_rerank")
+    // The five selection steps must read the queries×12 checkpointed
+    // frame, not re-scan the embeddings parquet per step: building
+    // the DataFrame materializes the shortlist, and the final plan
+    // contains zero file scans.
+    assert(!p.contains("FileScan"),
+      s"selection steps must not re-scan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"per-query pairwise sims are query_id-keyed, not cartesian:\n$p")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("p08: temperature mixture broadcasts the quota table, no cartesian blow-up") {
     val p = plan("p08_temperature_mixture")
     assert(!p.contains("CartesianProduct"), s"quota join must not cartesian:\n$p")
