@@ -392,7 +392,93 @@ object Joins {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SCD2 MERGE (keyed upsert with row versioning) — the lakehouse
+    * write-side primitive every incremental corpus refresh needs
+    * (Delta/Iceberg `MERGE INTO`, re-expressed as a pure-query
+    * snapshot transform): a change batch (updates to every custkey
+    * divisible by 3, plus five brand-new keys) merges into the
+    * customer dimension via ONE full-outer equi-join; rows whose
+    * value actually changed emit a CLOSED version-1 row plus a
+    * current version-2 row, no-op updates (value equal) stay
+    * version 1, inserts arrive as version 1. Change detection,
+    * versioning and the history row all come from the same joined
+    * row — no second pass over the base.
+    *
+    * Scale shape: one key-partitioned shuffle join (sort-merge +
+    * AQE; production change batches are ≪ base and broadcast), the
+    * closed/current legs are projection-only unions of that single
+    * join — the base table is read once and never driver-side. The
+    * doubling update is an exponent bump (exact in IEEE), so change
+    * detection (`new_bal <> bal` ⇔ bal ≠ 0) is bit-deterministic in
+    * both engines.
+    */
+  val q47Scd2Merge = Q(
+    "q47_scd2_merge",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+      |), changes AS (
+      |  SELECT k, bal * 2 AS new_bal FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 1000000 + n AS k, CAST((1000000 + n) % 997 AS DOUBLE) AS new_bal
+      |  FROM range(1, 6) t(n)
+      |), merged AS (
+      |  SELECT coalesce(b.k, c.k) AS k, b.bal, c.new_bal,
+      |         CASE WHEN c.k IS NULL THEN 'kept'
+      |              WHEN b.k IS NULL THEN 'inserted'
+      |              WHEN c.new_bal <> b.bal THEN 'updated'
+      |              ELSE 'noop' END AS change_type
+      |  FROM base b FULL JOIN changes c ON b.k = c.k
+      |)
+      |SELECT k, 1 AS version, bal AS acctbal, FALSE AS is_current,
+      |       'closed' AS row_kind
+      |FROM merged WHERE change_type = 'updated'
+      |UNION ALL
+      |SELECT k, CASE WHEN change_type = 'updated' THEN 2 ELSE 1 END AS version,
+      |       CASE WHEN change_type IN ('updated', 'inserted') THEN new_bal
+      |            ELSE bal END AS acctbal,
+      |       TRUE AS is_current, change_type AS row_kind
+      |FROM merged
+      |ORDER BY k, version""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val updates = base.filter(col("k") % 3 === 0)
+      .select(col("k"), (col("bal") * 2).as("new_bal"))
+    val inserts = s.range(1, 6)
+      .select((lit(1000000L) + col("id")).as("k"),
+        ((lit(1000000L) + col("id")) % 997).cast("double").as("new_bal"))
+    val changes = updates.unionByName(inserts)
+    val merged = base.alias("b").join(changes.alias("c"), col("b.k") === col("c.k"), "full")
+      .select(coalesce(col("b.k"), col("c.k")).as("k"), col("bal"), col("new_bal"),
+        when(col("c.k").isNull, "kept")
+          .when(col("b.k").isNull, "inserted")
+          .when(col("new_bal") =!= col("bal"), "updated")
+          .otherwise("noop").as("change_type"))
+    // One pass: each joined row emits its 1-2 output rows inline
+    // (closed history + current for updates), so the join — and the
+    // base scan under it — appears ONCE in the plan instead of once
+    // per union leg (PlanSpec-pinned).
+    merged.select(col("k"), explode(
+        when(col("change_type") === "updated",
+          array(
+            struct(lit(1).as("version"), col("bal").as("acctbal"),
+              lit(false).as("is_current"), lit("closed").as("row_kind")),
+            struct(lit(2).as("version"), col("new_bal").as("acctbal"),
+              lit(true).as("is_current"), lit("updated").as("row_kind"))))
+          .otherwise(array(
+            struct(lit(1).as("version"),
+              when(col("change_type") === "inserted", col("new_bal"))
+                .otherwise(col("bal")).as("acctbal"),
+              lit(true).as("is_current"), col("change_type").as("row_kind"))))
+      ).as("r"))
+      .select(col("k"), col("r.version").as("version"),
+        col("r.acctbal").as("acctbal"), col("r.is_current").as("is_current"),
+        col("r.row_kind").as("row_kind"))
+      .orderBy(col("k"), col("version"))
+  }
+
   def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
     q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof,
-    q19ScalarSubquery, q41SaltedJoin, q42BinnedRangeJoin, q43IntervalJoin)
+    q19ScalarSubquery, q41SaltedJoin, q42BinnedRangeJoin, q43IntervalJoin,
+    q47Scd2Merge)
 }

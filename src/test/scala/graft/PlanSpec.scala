@@ -453,6 +453,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_vec_dot"), s"expected the exact re-rank kernel in:\n$p")
   }
 
+  test("q47: SCD2 merge is ONE full-outer join — history rows explode inline, no per-leg re-join") {
+    val p = plan("q47_scd2_merge")
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"the closed/current legs must share one join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the inline row expansion in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"merge must stay equi-keyed:\n$p")
+  }
+
   test("s18: MMR iterates over the checkpointed shortlist — corpus scanned once, never per step") {
     val p = plan("s18_mmr_rerank")
     // The five selection steps must read the queries×12 checkpointed
