@@ -64,6 +64,10 @@ object ScaleProbe {
     // steps run over the checkpointed queries×12 frame — expected
     // ≈linear in the scan with a flat iteration tail
     "s18_mmr_rerank",
+    // RRF: each leg is its own corpus-linear retrieval (s01 scan,
+    // s12 broadcast index probe); the fusion join is queries×10-row
+    // — expected ≈linear in the two scans with a flat fusion tail
+    "s19_rrf_fusion",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",

@@ -1381,8 +1381,144 @@ object Similarity {
       .orderBy(col("query_id"), col("r"))
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher SIGIR'09) —
+    * the standard hybrid-retrieval combiner: the same five queries
+    * (doc 0-4: their text drives s12's BM25 lexical leg, their
+    * embedding drives s01's dense cosine leg) retrieve top-10 lists
+    * from EACH retriever, and fusion scores every retrieved doc
+    * Σ 1/(60 + rank) over the lists it appears in — rank-based, so
+    * the two legs' incomparable score scales never matter, which is
+    * exactly why production hybrid search ships RRF rather than
+    * score interpolation.
+    *
+    * Scale shape: each leg keeps its own scale story (s01's
+    * broadcast-query single corpus scan; s12's broadcast query-term
+    * probe into the term-partitioned inverted index); fusion itself
+    * is a full-outer equi-join of two (queries × 10)-row frames —
+    * bounded by the query count, never corpus-sized. Both engines
+    * fuse as coalesce(dense, 0) + coalesce(lex, 0) with the same
+    * tie-break, so every fused score is bit-identical.
+    */
+  val s19RrfFusion = Q(
+    "s19_rrf_fusion",
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS term FROM tok) GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT term, count(*) AS df FROM tfc GROUP BY 1
+       |), dl AS (
+       |  SELECT doc_id, len(tk) AS dl FROM tok
+       |), nn AS (
+       |  SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS s FROM tok
+       |), qt AS (
+       |  SELECT doc_id AS qid, unnest(list_distinct(tk)) AS term
+       |  FROM tok WHERE doc_id < 5
+       |), cand AS (
+       |  SELECT qt.qid, tfc.doc_id, tfc.term,
+       |    ((length(bin(2 * nn.n - 2 * dfc.df + 1)) - 1)
+       |      - (length(bin(2 * dfc.df + 1)) - 1))
+       |    * ((tfc.tf * 2.2) / (tfc.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * nn.n) / nn.s))))
+       |      AS addend
+       |  FROM qt JOIN tfc ON qt.term = tfc.term
+       |  JOIN dfc ON tfc.term = dfc.term
+       |  JOIN dl ON dl.doc_id = tfc.doc_id
+       |  CROSS JOIN nn
+       |  WHERE tfc.doc_id <> qt.qid
+       |), lex_scored AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(addend ORDER BY term)), (acc, x) -> acc + x) AS score
+       |  FROM cand GROUP BY qid, doc_id
+       |), lex AS (
+       |  SELECT qid, doc_id, k AS lk FROM (
+       |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS k FROM lex_scored) WHERE k <= 10
+       |), e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |), den0 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+       |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS rel
+       |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |), den AS (
+       |  SELECT qid, doc_id, k AS dk FROM (
+       |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, doc_id) AS k FROM den0) WHERE k <= 10
+       |), fused AS (
+       |  SELECT coalesce(d.qid, l.qid) AS query_id,
+       |         coalesce(d.doc_id, l.doc_id) AS doc_id,
+       |         coalesce(1.0 / (60 + d.dk), 0.0)
+       |           + coalesce(1.0 / (60 + l.lk), 0.0) AS rrf_score,
+       |         coalesce(d.dk, 0) AS dense_rank, coalesce(l.lk, 0) AS lex_rank
+       |  FROM den d FULL JOIN lex l ON d.qid = l.qid AND d.doc_id = l.doc_id
+       |)
+       |SELECT query_id, rk, doc_id, rrf_score, dense_rank, lex_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS rk FROM fused)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  ) { (s, d) =>
+    // Lexical leg: s12's BM25 pipeline, top-10 per query.
+    val docs = Tables.documents(s, d)
+    val tfc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val nn = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens(col("text")))).cast("long").as("s"))
+    val qt = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val candLex = broadcast(qt).join(tfc, Seq("term"))
+      .join(dfc, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nn))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"), col("term"),
+        (((length(bin(lit(2) * col("n") - lit(2) * col("df") + 1)) - 1)
+          - (length(bin(lit(2) * col("df") + 1)) - 1))
+          * expr("(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((dl * n) / s)))"))
+          .as("addend"))
+    val lexScored = candLex.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("addend")))),
+        lit(0.0), (acc, x) => acc + x.getField("addend")).as("score"))
+    val wLex = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val lex = lexScored.withColumn("lk", row_number().over(wLex))
+      .filter(col("lk") <= 10).select("qid", "doc_id", "lk")
+    // Dense leg: s01's broadcast-query corpus scan, top-10 per query.
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val den0 = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("rel"))
+    val wDen = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc_id"))
+    val den = den0.withColumn("dk", row_number().over(wDen))
+      .filter(col("dk") <= 10).select("qid", "doc_id", "dk")
+    // Fusion: full-outer join of two (queries × 10)-row lists.
+    val fused = den.join(lex, Seq("qid", "doc_id"), "full")
+      .select(col("qid").as("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("dk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("lk")), lit(0.0))).as("rrf_score"),
+        coalesce(col("dk"), lit(0)).as("dense_rank"),
+        coalesce(col("lk"), lit(0)).as("lex_rank"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_score"),
+        col("dense_rank"), col("lex_rank"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
-    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank)
+    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank, s19RrfFusion)
 }
