@@ -117,6 +117,11 @@ object ScaleProbe {
     // q46: two-phase HLL sketch agg + tiny-key join + sketch union —
     // bytes (not rows) cross the shuffle; expected ≈linear in the scan
     "q46_hll_union",
+    // q48: map-side bottom-k KMV sketches (≤64 longs per type per
+    // partition cross the shuffle) + a 10-row pair algebra; the exact
+    // audit branch's distinct self-join is the only corpus-shaped
+    // term — expected ≈linear in the scan
+    "q48_kmv_intersect",
     // z-order layout: per-row interleave + one two-phase agg —
     // needs lineitem, so probe it across the DRIVER's sf dirs
     "q45_zorder_layout",

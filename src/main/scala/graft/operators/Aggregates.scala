@@ -365,7 +365,129 @@ object Aggregates {
     typed.unionByName(allRow).orderBy(col("event_type"))
   }
 
+  /** KMV (bottom-k) sketch INTERSECTION + DIFFERENCE estimates over
+    * every pair of event-type audiences — the distinct-count algebra
+    * HLL (q46) cannot do (Beyer et al., SIGMOD 2007: HLL registers
+    * lose the sample identities; KMV keeps the k smallest hash
+    * values, so the bottom-k of A∪B is computable from the parts and
+    * Jaccard over that union sample calibrates |A∩B| and |A\B|).
+    *
+    * Oracle discipline: the estimate itself is pinned BIT-EXACTLY,
+    * not just accuracy-gated — both engines hash user ids with md5
+    * (the repo's only cross-engine hash), so they hold identical
+    * bottom-64 samples and the estimator arithmetic
+    * (k−1)·2^60 / h_k is the same IEEE expression tree on both
+    * sides. `est_ok` additionally gates the estimate against the
+    * exact intersection within 3 standard errors (3/√k = 0.375) of
+    * the union estimate. When an audience (or the union sample) has
+    * fewer than k members the sketch IS the set and the estimator
+    * degrades to the exact count — the adversarial fixture exercises
+    * that branch, sf0.01 exercises the estimating branch.
+    *
+    * 100 TB shape: ONE pass over events, no pre-distinct shuffle —
+    * [[graft.functions.KmvSketch]] is a typed Aggregator whose
+    * map-side partials are the k-sized sketches themselves, so only
+    * ≤64 longs per type per partition cross the wire; the pair
+    * algebra runs on a 5-row frame. The exact-count branch (distinct
+    * self-join) exists only to audit the estimate and would be
+    * dropped in production.
+    */
+  val q48KmvIntersect = Q(
+    "q48_kmv_intersect",
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |), hs AS (
+      |  SELECT DISTINCT event_type, h FROM ev
+      |), rk AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      |  FROM hs
+      |), sk AS (
+      |  SELECT event_type, list(h ORDER BY h) AS sig
+      |  FROM rk WHERE r <= 64 GROUP BY event_type
+      |), du AS (
+      |  SELECT DISTINCT event_type, user_id FROM ev
+      |), ex AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS nx
+      |  FROM du a JOIN du b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.sig AS sig_a, b.sig AS sig_b,
+      |    list_sort(list_distinct(a.sig || b.sig))[1:64] AS big_l
+      |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+      |), est AS (
+      |  SELECT type_a, type_b, len(big_l) AS lsz,
+      |    len(list_filter(big_l, x ->
+      |      list_contains(sig_a, x) AND list_contains(sig_b, x))) AS matches,
+      |    CASE WHEN len(big_l) < 64 THEN CAST(len(big_l) AS DOUBLE)
+      |         ELSE 63.0 * 1152921504606846976.0 / CAST(big_l[64] AS DOUBLE)
+      |    END AS est_union,
+      |    CASE WHEN len(sig_a) < 64 THEN CAST(len(sig_a) AS DOUBLE)
+      |         ELSE 63.0 * 1152921504606846976.0 / CAST(sig_a[64] AS DOUBLE)
+      |    END AS est_a
+      |  FROM m
+      |)
+      |SELECT e.type_a, e.type_b,
+      |  coalesce(x.nx, 0) AS n_exact_intersect,
+      |  (CAST(e.matches AS DOUBLE) / CAST(e.lsz AS DOUBLE)) * e.est_union
+      |    AS est_intersect,
+      |  e.est_a - (CAST(e.matches AS DOUBLE) / CAST(e.lsz AS DOUBLE)) * e.est_union
+      |    AS est_diff_ab,
+      |  CASE WHEN abs((CAST(e.matches AS DOUBLE) / CAST(e.lsz AS DOUBLE)) * e.est_union
+      |                - coalesce(x.nx, 0)) <= 0.375 * e.est_union
+      |       THEN 1 ELSE 0 END AS est_ok
+      |FROM est e LEFT JOIN ex x ON e.type_a = x.type_a AND e.type_b = x.type_b
+      |ORDER BY e.type_a, e.type_b""".stripMargin
+  ) { (s, d) =>
+    val K = 64
+    val scale = lit(63.0) * lit(1152921504606846976.0) // (k−1)·2^60, exact in double
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    // ONE pass: the Aggregator dedups inside the k-sized buffer, so no
+    // distinct shuffle precedes it — map-side partials are sketches.
+    val kmv = udaf(graft.functions.KmvSketch(K))
+    val sk = ev.groupBy(col("event_type")).agg(kmv(col("h")).as("sig"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("sig").as("sig_a"))
+      .join(broadcast(sk.select(col("event_type").as("type_b"), col("sig").as("sig_b"))),
+        col("type_a") < col("type_b"))
+      .withColumn("big_l",
+        slice(array_sort(array_distinct(concat(col("sig_a"), col("sig_b")))), 1, K))
+      .withColumn("lsz", size(col("big_l")))
+      .withColumn("matches", size(filter(col("big_l"),
+        x => array_contains(col("sig_a"), x) && array_contains(col("sig_b"), x))))
+      .withColumn("est_union",
+        when(col("lsz") < K, col("lsz").cast("double"))
+          .otherwise(scale / element_at(col("big_l"), K).cast("double")))
+      .withColumn("est_a",
+        when(size(col("sig_a")) < K, size(col("sig_a")).cast("double"))
+          .otherwise(scale / element_at(col("sig_a"), K).cast("double")))
+    // Exact audit branch (test-scale only; production ships the sketch).
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
+    val ex = du.as("a").join(du.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("nx"))
+    val estInt =
+      (col("matches").cast("double") / col("lsz").cast("double")) * col("est_union")
+    pairs.join(broadcast(ex), Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("nx"), lit(0L)).as("n_exact_intersect"),
+        estInt.as("est_intersect"),
+        (col("est_a") - estInt).as("est_diff_ab"),
+        when(abs(estInt - coalesce(col("nx"), lit(0L)))
+          <= lit(0.375) * col("est_union"), 1).otherwise(0).cast("int").as("est_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
-    q29ApproxPercentile, q44Unpivot, q46HllUnion)
+    q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect)
 }
