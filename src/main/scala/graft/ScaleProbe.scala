@@ -113,6 +113,10 @@ object ScaleProbe {
     "t20_synth_novelty",
     // t21: per-row NFC normalize kernel — ≈flat + the scan term
     "t21_unicode_normalize",
+    // t22: one tokenize pass + two low-key groupBys; the ordered
+    // oracle fold is per-source-vocab-sized — expected ≈linear in
+    // the scan with a vocab-bounded fold tail
+    "t22_distribution_drift",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // q46: two-phase HLL sketch agg + tiny-key join + sketch union —
     // bytes (not rows) cross the shuffle; expected ≈linear in the scan

@@ -1232,9 +1232,98 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DISTRIBUTION-DRIFT QA per corpus slice: how far each `source`'s
+    * unigram distribution sits from the corpus-wide distribution —
+    * the domain-shift / mixture-balance check a training-data
+    * pipeline runs before reweighting (CCNet-style curation monitors
+    * exactly this to catch a crawl slice drifting off-distribution).
+    * Two measures per source, both computed from the SAME token join:
+    * total-variation distance ½·Σ|p_s−p_c| and Pearson χ² divergence
+    * Σ(p_s−p_c)²/p_c — χ² chosen over KL deliberately: the repo's
+    * oracle discipline bans `ln()` (Spark's Math.log and DuckDB's
+    * libm log are not guaranteed bit-identical; same reason s12's
+    * BM25 uses the rational integer idf), and χ² both bounds KL
+    * (KL ≤ ln(1+χ²)) and is pure rational arithmetic on exact
+    * integer counts, so every addend is bit-identical across engines.
+    *
+    * Terms absent from a slice contribute their full corpus mass to
+    * both measures; that tail is 1 − Σ_{t∈S} p_c — computed from the
+    * slice-side join alone, never a corpus-vocab anti-join.
+    *
+    * Both engines fold the per-term addends in term order
+    * (sort_array + aggregate ↔ list(… ORDER BY term) + list_reduce,
+    * the s19 pairing), so the double sums are bit-exact. 100 TB
+    * shape: one tokenize pass, two low-key groupBys (source×term,
+    * term), slice totals broadcast; the ordered fold exists for the
+    * oracle — production replaces it with a plain two-phase sum.
+    */
+  val t22DistributionDrift = Q(
+    "t22_distribution_drift",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |), st AS (
+      |  SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), ns AS (
+      |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_s, count(*) AS v_s
+      |  FROM st GROUP BY 1
+      |), ct AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM st GROUP BY 1
+      |), nc AS (
+      |  SELECT CAST(sum(ctf) AS BIGINT) AS n_c FROM ct
+      |), addend AS (
+      |  SELECT st.source, st.term,
+      |    CAST(st.tf AS DOUBLE) / ns.n_s AS p_s,
+      |    CAST(ct.ctf AS DOUBLE) / nc.n_c AS p_c
+      |  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nc
+      |), fold AS (
+      |  SELECT source,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(abs(p_s - p_c) ORDER BY term)), (a, x) -> a + x) AS sum_abs,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(((p_s - p_c) * (p_s - p_c)) / p_c ORDER BY term)),
+      |      (a, x) -> a + x) AS sum_chi,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(p_c ORDER BY term)), (a, x) -> a + x) AS sum_pc
+      |  FROM addend GROUP BY source
+      |)
+      |SELECT f.source, ns.n_s AS n_tokens, ns.v_s AS n_terms,
+      |  0.5 * (sum_abs + (1.0 - sum_pc)) AS tv_drift,
+      |  sum_chi + (1.0 - sum_pc) AS chi2_drift
+      |FROM fold f JOIN ns USING (source)
+      |ORDER BY f.source""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val st = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val ns = st.groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_s"), count(lit(1)).as("v_s"))
+    val ct = st.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("ctf"))
+    val nc = ct.agg(sum(col("ctf")).cast("long").as("n_c"))
+    val addend = st.join(broadcast(ns), Seq("source")).join(ct, Seq("term"))
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("term"),
+        (col("tf").cast("double") / col("n_s")).as("p_s"),
+        (col("ctf").cast("double") / col("n_c")).as("p_c"))
+    def fold(v: org.apache.spark.sql.Column) =
+      aggregate(
+        sort_array(collect_list(struct(col("term").as("t"), v.as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v"))
+    val folded = addend.groupBy(col("source")).agg(
+      fold(abs(col("p_s") - col("p_c"))).as("sum_abs"),
+      fold(((col("p_s") - col("p_c")) * (col("p_s") - col("p_c"))) / col("p_c"))
+        .as("sum_chi"),
+      fold(col("p_c")).as("sum_pc"))
+    folded.join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("v_s").as("n_terms"),
+        (lit(0.5) * (col("sum_abs") + (lit(1.0) - col("sum_pc")))).as("tv_drift"),
+        (col("sum_chi") + (lit(1.0) - col("sum_pc"))).as("chi2_drift"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
-    t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize)
+    t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize,
+    t22DistributionDrift)
 }
