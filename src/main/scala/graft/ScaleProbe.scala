@@ -143,6 +143,9 @@ object ScaleProbe {
     "m18_ulaw_pcm", "m19_alaw_pcm", "m20_adpcm_pcm",
     // m21: JPEG/APP1/TIFF-IFD walk — per-row parse, ≈flat
     "m21_exif_meta",
+    // m25: JDK-zlib deflate + our full Huffman/LZ77 inflate per row
+    // — per-row codec work ∝ text bytes, expected ≈linear in bytes
+    "m25_inflate",
     // m22: real LZW encode+decode per row (plus the ImageIO
     // cross-decode) — the heaviest per-row codec kernel, still
     // zero-shuffle, expected ≈linear in rows

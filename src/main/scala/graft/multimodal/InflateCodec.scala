@@ -1,0 +1,257 @@
+package graft.multimodal
+
+/** Hand-built DEFLATE (RFC 1951) + zlib (RFC 1950) DECODER — all
+  * three block types decoded from first principles: stored (§3.2.4),
+  * fixed-Huffman (§3.2.6) and dynamic-Huffman (§3.2.7, including the
+  * 16/17/18 run-length meta-codes over the code-length alphabet),
+  * LZ77 length/distance back-references resolved against the sliding
+  * window, and the zlib envelope (CMF/FLG header check, hand-rolled
+  * Adler-32 trailer verification, mod 65521). This is the codec the
+  * rest of the media tier previously delegated to `java.util.zip` —
+  * m25 decodes streams produced by the JDK's REAL zlib compressor
+  * with this implementation, so a slip anywhere in the Huffman table
+  * construction, the bit order (codes MSB-first inside LSB-first
+  * bytes, §3.1.1), or the repeat semantics fails the content hash
+  * against the oracle, not a self-referential round-trip.
+  *
+  * Decoding is per-partition per-row work with zero shuffle — the
+  * m-tier 100 TB shape.
+  */
+object InflateCodec {
+
+  /** Canonical Huffman decoder built from code lengths (§3.2.2):
+    * `count(l)`/`firstCode(l)`/`offset(l)` per bit length, symbols
+    * sorted by (length, symbol). Decode walks one bit at a time,
+    * extending the code MSB-first.
+    */
+  final class Huffman(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    require(maxLen > 0, "Huffman table with no used symbols")
+    private val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    private val firstCode = new Array[Int](maxLen + 1)
+    private val offset = new Array[Int](maxLen + 1)
+    locally {
+      var code = 0
+      var idx = 0
+      var l = 1
+      while (l <= maxLen) {
+        code = (code + count(l - 1)) << 1
+        firstCode(l) = code
+        offset(l) = idx
+        idx += count(l)
+        l += 1
+      }
+      // over-subscribed codes are corrupt input — fail loudly
+      // (incomplete codes are allowed: zlib permits a single-symbol
+      // distance code, whose unused codewords just never decode)
+      var kraft = 0L
+      l = maxLen
+      while (l >= 1) { kraft += count(l).toLong << (maxLen - l); l -= 1 }
+      require(kraft <= (1L << maxLen), s"over-subscribed Huffman code (kraft=$kraft)")
+    }
+    private val sorted: Array[Int] = {
+      val out = new Array[Int](lengths.count(_ > 0))
+      val pos = offset.clone()
+      var s = 0
+      while (s < lengths.length) {
+        val l = lengths(s)
+        if (l > 0) { out(pos(l)) = s; pos(l) += 1 }
+        s += 1
+      }
+      out
+    }
+    def decode(in: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | in.readBit()
+        len += 1
+        if (len <= maxLen && count(len) > 0 &&
+          code - firstCode(len) < count(len) && code >= firstCode(len))
+          return sorted(offset(len) + (code - firstCode(len)))
+      }
+      throw new IllegalArgumentException(
+        s"invalid Huffman code after $len bits (code=$code)")
+    }
+  }
+
+  /** LSB-first bit reader (§3.1.1: data elements fill bytes from the
+    * least-significant bit; Huffman codes are the one exception,
+    * handled by [[Huffman.decode]] reading bit-by-bit).
+    */
+  final class BitReader(data: Array[Byte], var bytePos: Int) {
+    private var bitPos = 0
+    def readBit(): Int = {
+      require(bytePos < data.length, "DEFLATE stream truncated mid-code")
+      val b = (data(bytePos) >> bitPos) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+    def alignByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  // §3.2.5 length/distance tables
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23,
+    27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+    129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193,
+    12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+  // §3.2.7 code-length alphabet transmission order
+  private val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3,
+    13, 2, 14, 1, 15)
+
+  private lazy val fixedLit: Huffman = {
+    val l = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      l(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8
+      i += 1
+    }
+    new Huffman(l)
+  }
+  private lazy val fixedDist: Huffman = new Huffman(Array.fill(30)(5))
+
+  final case class InflateStats(nBlocks: Int, nStored: Int, nFixed: Int,
+    nDynamic: Int, nBackRefs: Long)
+
+  /** Raw DEFLATE over `data` starting at `startByte`; returns the
+    * decompressed bytes, the per-block-type census, and the byte
+    * position just past the final block.
+    */
+  def inflateRaw(data: Array[Byte], startByte: Int): (Array[Byte], InflateStats, Int) = {
+    val in = new BitReader(data, startByte)
+    val out = new java.io.ByteArrayOutputStream()
+    val window = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var nBlocks = 0; var nStored = 0; var nFixed = 0; var nDynamic = 0
+    var nBackRefs = 0L
+    var bfinal = 0
+    def emit(b: Byte): Unit = { out.write(b); window += b }
+    do {
+      bfinal = in.readBit()
+      val btype = in.readBits(2)
+      nBlocks += 1
+      btype match {
+        case 0 => // stored (§3.2.4)
+          nStored += 1
+          in.alignByte()
+          val p = in.bytePos
+          require(p + 4 <= data.length, "stored block header truncated")
+          val len = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
+          val nlen = (data(p + 2) & 0xff) | ((data(p + 3) & 0xff) << 8)
+          require((len ^ 0xffff) == nlen, s"stored LEN/NLEN mismatch: $len/$nlen")
+          require(p + 4 + len <= data.length, "stored block payload truncated")
+          var i = 0
+          while (i < len) { emit(data(p + 4 + i)); i += 1 }
+          in.bytePos = p + 4 + len
+        case 1 | 2 =>
+          val (lit, dist) =
+            if (btype == 1) { nFixed += 1; (fixedLit, fixedDist) }
+            else {
+              nDynamic += 1
+              val hlit = in.readBits(5) + 257
+              val hdist = in.readBits(5) + 1
+              val hclen = in.readBits(4) + 4
+              val clLen = new Array[Int](19)
+              var i = 0
+              while (i < hclen) { clLen(ClOrder(i)) = in.readBits(3); i += 1 }
+              val clCode = new Huffman(clLen)
+              val all = new Array[Int](hlit + hdist)
+              var n = 0
+              while (n < all.length) {
+                clCode.decode(in) match {
+                  case 16 =>
+                    require(n > 0, "repeat code 16 with no previous length")
+                    val rep = 3 + in.readBits(2)
+                    var r = 0
+                    while (r < rep) { all(n) = all(n - 1); n += 1; r += 1 }
+                  case 17 =>
+                    n += 3 + in.readBits(3) // zeros (array pre-zeroed)
+                  case 18 =>
+                    n += 11 + in.readBits(7)
+                  case s =>
+                    all(n) = s; n += 1
+                }
+              }
+              require(n == all.length, s"code-length overrun: $n > ${all.length}")
+              require(all(256) > 0, "dynamic block has no end-of-block code")
+              val distLens = all.drop(hlit)
+              // a block with no distance codes at all (all lengths 0)
+              // is legal when no back-references occur; pad to one
+              // 1-bit phantom so table construction succeeds — any
+              // USE of it still fails in decode, matching zlib
+              val distFixed =
+                if (distLens.forall(_ == 0)) Array(1) else distLens
+              (new Huffman(all.take(hlit)), new Huffman(distFixed))
+            }
+          var sym = lit.decode(in)
+          while (sym != 256) {
+            if (sym < 256) emit(sym.toByte)
+            else {
+              require(sym <= 285, s"invalid litlen symbol $sym")
+              val li = sym - 257
+              val len = LenBase(li) + in.readBits(LenExtra(li))
+              val ds = dist.decode(in)
+              require(ds <= 29, s"invalid distance symbol $ds")
+              val d = DistBase(ds) + in.readBits(DistExtra(ds))
+              require(d <= window.length,
+                s"back-reference distance $d exceeds window ${window.length}")
+              nBackRefs += 1
+              var i = 0
+              val start = window.length - d
+              while (i < len) { emit(window(start + i)); i += 1 }
+            }
+            sym = lit.decode(in)
+          }
+        case t => throw new IllegalArgumentException(s"reserved block type $t")
+      }
+    } while (bfinal == 0)
+    in.alignByte()
+    (out.toByteArray,
+      InflateStats(nBlocks, nStored, nFixed, nDynamic, nBackRefs), in.bytePos)
+  }
+
+  /** Adler-32 (RFC 1950 §8.2), hand-rolled: s1/s2 mod 65521. */
+  def adler32(data: Array[Byte]): Long = {
+    var s1 = 1L; var s2 = 0L
+    var i = 0
+    while (i < data.length) {
+      s1 = (s1 + (data(i) & 0xff)) % 65521
+      s2 = (s2 + s1) % 65521
+      i += 1
+    }
+    (s2 << 16) | s1
+  }
+
+  /** Full zlib member: CMF/FLG validation, raw inflate, Adler-32
+    * trailer check. Fails loudly on preset dictionaries (FDICT) and
+    * checksum mismatches.
+    */
+  def inflateZlib(data: Array[Byte]): (Array[Byte], InflateStats) = {
+    require(data.length >= 6, s"zlib stream too short: ${data.length} B")
+    val cmf = data(0) & 0xff
+    val flg = data(1) & 0xff
+    require((cmf & 0x0f) == 8, s"zlib CM ${cmf & 0x0f} != 8 (deflate)")
+    require(((cmf << 8) | flg) % 31 == 0, "zlib header check failed")
+    require((flg & 0x20) == 0, "FDICT preset dictionaries unsupported")
+    val (raw, stats, end) = inflateRaw(data, 2)
+    require(end + 4 <= data.length, "zlib Adler-32 trailer truncated")
+    val expected = ((data(end) & 0xffL) << 24) | ((data(end + 1) & 0xffL) << 16) |
+      ((data(end + 2) & 0xffL) << 8) | (data(end + 3) & 0xffL)
+    val actual = adler32(raw)
+    require(actual == expected,
+      f"Adler-32 mismatch: got $actual%08x, trailer says $expected%08x")
+    (raw, stats)
+  }
+}

@@ -1790,10 +1790,64 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** REAL DEFLATE/zlib decode ([[graft.multimodal.InflateCodec]] —
+    * RFC 1951 stored + fixed-Huffman + dynamic-Huffman blocks with
+    * the 16/17/18 code-length meta-codes, LZ77 window copies, and the
+    * RFC 1950 envelope with a hand-rolled Adler-32). The compressor
+    * side is deliberately NOT ours: each document's text is deflated
+    * by the JDK's real zlib (level 0 for ids ≡ 0 mod 7 → stored
+    * blocks; level 6 otherwise → dynamic tables + back-references),
+    * so the oracle comparison pins our decoder against an independent
+    * industrial encoder — md5(inflate(zlib(text))) must equal the
+    * DuckDB-computed md5(text) for every document, and any slip in
+    * Huffman construction, bit order or window arithmetic fails the
+    * hash. DEFLATE is the codec under PNG IDAT, gzip/zlib WARC
+    * payloads, and ZIP members — the byte-level primitive a crawl
+    * pipeline touches most. Per-partition deflate+inflate, zero
+    * shuffle (the m-tier shape).
+    */
+  val m25Inflate = Q(
+    "m25_inflate",
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_raw,
+      |  md5(text) AS text_md5,
+      |  CAST(1 AS INT) AS roundtrip_ok
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.InflateCodec
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val level = if (id % 7 == 0) 0 else 6
+        val defl = new java.util.zip.Deflater(level, /*nowrap=*/ false)
+        defl.setInput(raw); defl.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+        defl.end()
+        val (decoded, stats) = InflateCodec.inflateZlib(bos.toByteArray)
+        // block-type coverage is structural, not sampled: level 0
+        // must hit the stored path, level 6 (on non-empty text) must
+        // build at least one Huffman-coded block
+        if (level == 0) require(stats.nStored == stats.nBlocks,
+          s"media_id=$id: level-0 stream decoded ${stats.nStored}/${stats.nBlocks} stored")
+        else if (raw.nonEmpty) require(stats.nFixed + stats.nDynamic > 0,
+          s"media_id=$id: level-6 stream had no Huffman-coded block")
+        (id, raw.length.toLong, decoded)
+      })
+      .toDF("media_id", "n_raw", "decoded")
+      .select(col("media_id"), col("n_raw"), md5(col("decoded")).as("text_md5"),
+        lit(1).cast("int").as("roundtrip_ok"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
-      m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo)
+      m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
+      m25Inflate)
 }

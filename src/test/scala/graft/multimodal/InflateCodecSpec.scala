@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decoder's evidence is adversarial, not self-referential: every
+  * payload here is produced by the JDK's REAL zlib compressor (or
+  * hand-assembled bit-by-bit from RFC 1951), never by an encoder we
+  * wrote — so the Huffman table construction, bit order, repeat
+  * meta-codes and window copies are pinned against an independent
+  * implementation.
+  */
+class InflateCodecSpec extends AnyFunSuite {
+
+  private def deflate(data: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level, /*nowrap=*/ false)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  // deterministic pseudo-text: repetitive enough for back-references,
+  // varied enough for dynamic Huffman tables
+  private def corpus(n: Int, seed: Int): Array[Byte] = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val sb = new StringBuilder
+    var x = seed
+    while (sb.length < n) {
+      x = x * 1103515245 + 12345
+      sb.append(words(math.abs(x) % words.length)).append(' ')
+    }
+    sb.toString.take(n).getBytes("UTF-8")
+  }
+
+  test("round-trips real JDK zlib output at every compression level") {
+    for (level <- Seq(0, 1, 6, 9); size <- Seq(0, 1, 80, 5000, 70000)) {
+      val data = corpus(size, level * 31 + size)
+      val (decoded, stats) = InflateCodec.inflateZlib(deflate(data, level))
+      assert(decoded.sameElements(data), s"level=$level size=$size mismatch")
+      assert(stats.nBlocks > 0)
+      if (level == 0 && size > 0)
+        assert(stats.nStored == stats.nBlocks, "level 0 must emit stored blocks")
+      if (level >= 6 && size >= 5000) {
+        assert(stats.nDynamic > 0, s"level=$level size=$size: expected dynamic blocks")
+        assert(stats.nBackRefs > 0, "repetitive corpus must yield back-references")
+      }
+    }
+  }
+
+  test("level-0 70000-byte input forces multiple stored blocks (64 KiB cap)") {
+    val data = corpus(70000, 7)
+    val (decoded, stats) = InflateCodec.inflateZlib(deflate(data, 0))
+    assert(decoded.sameElements(data))
+    assert(stats.nStored >= 2, s"expected >1 stored block, got ${stats.nStored}")
+  }
+
+  test("hand-assembled fixed-Huffman block with a back-reference decodes") {
+    // DEFLATE bit stream assembled LSB-first per RFC 1951 §3.2.6:
+    // literals 'a'(0x61) 'b'(0x62), then length=4/dist=2 back-ref
+    // ("abab"), then end-of-block → "ababab" ... actually a,b + 4@2
+    // copies "abab" → "ababab".
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def putBitsLsb(v: Int, n: Int): Unit = // data elements: LSB first
+      (0 until n).foreach(i => bits += ((v >> i) & 1))
+    def putCode(code: Int, n: Int): Unit = // Huffman codes: MSB first
+      (n - 1 to 0 by -1).foreach(i => bits += ((code >> i) & 1))
+    putBitsLsb(1, 1) // BFINAL
+    putBitsLsb(1, 2) // BTYPE=01 fixed
+    // fixed table: lit 0x61 → code 0x30+0x61=0x91 (8 bits); 0x62 → 0x92
+    putCode(0x30 + 0x61, 8)
+    putCode(0x30 + 0x62, 8)
+    // length 4 → symbol 258 (base 4, no extra); fixed codes for
+    // 256..279 are 7 bits starting at 0: symbol 258 → code 2
+    putCode(258 - 256, 7)
+    // distance 2 → symbol 1, 5-bit code = 1, no extra bits
+    putCode(1, 5)
+    putCode(0, 7) // end of block (symbol 256 → 7-bit code 0)
+    val nBytes = (bits.length + 7) / 8
+    val raw = new Array[Byte](nBytes)
+    bits.zipWithIndex.foreach { case (b, i) =>
+      if (b == 1) raw(i / 8) = (raw(i / 8) | (1 << (i % 8))).toByte
+    }
+    val (decoded, stats, _) = InflateCodec.inflateRaw(raw, 0)
+    assert(new String(decoded, "UTF-8") == "ababab")
+    assert(stats.nFixed == 1 && stats.nBackRefs == 1)
+  }
+
+  test("corrupted Adler-32 trailer fails loudly") {
+    val z = deflate(corpus(500, 3), 6)
+    z(z.length - 1) = (z(z.length - 1) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](InflateCodec.inflateZlib(z))
+    assert(e.getMessage.contains("Adler-32"))
+  }
+
+  test("corrupted header check fails loudly") {
+    val z = deflate(corpus(100, 4), 6)
+    z(1) = (z(1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](InflateCodec.inflateZlib(z))
+    assert(e.getMessage.contains("header check"))
+  }
+
+  test("adler32 matches the JDK on varied inputs") {
+    val jdk = new java.util.zip.Adler32()
+    for (seed <- 0 until 5) {
+      val data = corpus(seed * 997, seed)
+      jdk.reset(); jdk.update(data)
+      assert(InflateCodec.adler32(data) == jdk.getValue, s"seed=$seed")
+    }
+  }
+
+  test("decoder agrees with the JDK Inflater on high-entropy input") {
+    // md5-chained bytes: incompressible, exercises the dynamic path's
+    // near-literal tables and 17/18 zero-run codes over sparse lengths
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val chunks = Iterator.iterate(md.digest("seed".getBytes))(md.digest)
+    val data = chunks.take(600).flatten.toArray // 9600 high-entropy bytes
+    val z = deflate(data, 9)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z)
+    val ref = new Array[Byte](data.length + 16)
+    val n = inflater.inflate(ref)
+    inflater.end()
+    val (decoded, _) = InflateCodec.inflateZlib(z)
+    assert(decoded.sameElements(ref.take(n)))
+    assert(decoded.sameElements(data))
+  }
+}
