@@ -89,6 +89,10 @@ object ScaleProbe {
     // shard writer: one shard-keyed shuffle, then independent
     // per-shard tar builds — expected ≈linear, parallel in shards
     "c18_shard_pack",
+    // fuzzy decontam: corpus-linear signature pass, bench side
+    // broadcast (no corpus shuffle), exact verify on band-collision
+    // candidates only — expected ≈linear in the scan
+    "c19_fuzzy_decontam",
     "p04_domain_mixture", "p05_mixture_threshold",
     // temperature mixture: one stats agg + broadcast quota + rank
     // window — the p04 curve

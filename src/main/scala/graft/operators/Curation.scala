@@ -1418,9 +1418,104 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** FUZZY (near-duplicate) DECONTAMINATION — the paraphrase gap c04
+    * leaves open: c04 drops docs sharing a VERBATIM 8-gram with a
+    * benchmark doc, but a lightly reworded benchmark item shares no
+    * verbatim 8-gram while still leaking the answer (the
+    * contamination mode the Llama/GPT data cards decontaminate with
+    * n-gram-overlap THRESHOLDS rather than exact matches). c19 flags
+    * corpus docs whose 3-word-shingle Jaccard against any benchmark
+    * doc clears 0.5: d13's banding machinery (MinHash-8 over
+    * order-sensitive shingles, 2 bands of 4) generates candidates,
+    * exact set intersection verifies them — band recall for J ≥ 0.5
+    * at r=4 is 1−(1−J⁴)² ≥ 12%, and planted near-dups sit far above
+    * the threshold where recall ≈ 1; the verify step is exact, so
+    * precision is 1 by construction.
+    *
+    * 100 TB shape: the benchmark side is small BY DEFINITION, so its
+    * banded signatures BROADCAST and the corpus stream never
+    * shuffles for the join; candidates are bounded by true band
+    * collisions (never corpus×bench); the exact verify runs only on
+    * candidates. Integer-exact oracle: intersection/union sizes are
+    * list arithmetic in both engines, the Jaccard double one shared
+    * IEEE division, the 0.5 threshold spelled 2·inter ≥ union in
+    * integers.
+    */
+  val c19FuzzyDecontam = Q(
+    "c19_fuzzy_decontam",
+    { val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' AS is_bench,
+         |    string_split(text, ' ') AS tk
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, is_bench,
+         |    CASE WHEN len(tk) >= 3
+         |         THEN list_transform(generate_series(1, len(tk) - 2),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |         ELSE tk END AS ts
+         |  FROM base
+         |), gsets AS (
+         |  SELECT doc_id, is_bench, list_sort(list_distinct(ts)) AS gs,
+         |    $mhs
+         |  FROM sh
+         |), bands AS (
+         |  SELECT doc_id, is_bench, gs, 0 AS band,
+         |         md5(mh0 || mh1 || mh2 || mh3) AS h FROM gsets
+         |  UNION ALL
+         |  SELECT doc_id, is_bench, gs, 1 AS band,
+         |         md5(mh4 || mh5 || mh6 || mh7) AS h FROM gsets
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id,
+         |         a.gs AS gs_a, b.gs AS gs_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |  WHERE NOT a.is_bench AND b.is_bench
+         |)
+         |SELECT doc_id, bench_id,
+         |  CAST(len(list_intersect(gs_a, gs_b)) AS BIGINT) AS inter,
+         |  CAST(len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b)) AS BIGINT) AS uni,
+         |  CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+         |    / (len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b))) AS jaccard
+         |FROM cand
+         |WHERE 2 * len(list_intersect(gs_a, gs_b))
+         |      >= len(gs_a) + len(gs_b) - len(list_intersect(gs_a, gs_b))
+         |ORDER BY doc_id, bench_id""".stripMargin }
+  ) { (s, d) =>
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
+    val tk = split(col("text"), " ")
+    val shingles = when(size(tk) >= 3, graft.functions.WordGrams(tk, 3)).otherwise(tk)
+    val sigs8 = graft.functions.MinHashSigs(shingles, 8)
+    val sig = Tables.documents(s, d).select(
+      col("doc_id") +: isBench.as("is_bench") +:
+        array_sort(array_distinct(shingles)).as("gs") +:
+        (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
+    val bandArr = array((0 until 2).map(i =>
+      md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+    val bands = sig.select(col("doc_id"), col("is_bench"), col("gs"),
+      posexplode(bandArr).as(Seq("band", "h")))
+    // benchmark side broadcast: small by definition, so the corpus
+    // stream joins without shuffling
+    val cand = bands.filter(!col("is_bench")).alias("a")
+      .join(broadcast(bands.filter(col("is_bench")).alias("b")),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"),
+        col("a.gs").as("gs_a"), col("b.gs").as("gs_b"))
+      .distinct() // a pair can collide in both bands
+    val inter = size(array_intersect(col("gs_a"), col("gs_b")))
+    val uni = size(col("gs_a")) + size(col("gs_b")) - inter
+    cand
+      .filter(lit(2) * inter >= uni)
+      .select(col("doc_id"), col("bench_id"),
+        inter.cast("long").as("inter"), uni.cast("long").as("uni"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
-    c17RobotsFilter, c18ShardPack)
+    c17RobotsFilter, c18ShardPack, c19FuzzyDecontam)
 }
