@@ -150,6 +150,9 @@ object ScaleProbe {
     // m25: JDK-zlib deflate + our full Huffman/LZ77 inflate per row
     // — per-row codec work ∝ text bytes, expected ≈linear in bytes
     "m25_inflate",
+    // m26: our LZ77/fixed-Huffman ENCODER + two independent decodes
+    // per row — per-row codec work ∝ text bytes, expected ≈linear
+    "m26_deflate",
     // m22: real LZW encode+decode per row (plus the ImageIO
     // cross-decode) — the heaviest per-row codec kernel, still
     // zero-shuffle, expected ≈linear in rows

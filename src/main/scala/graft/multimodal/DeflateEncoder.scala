@@ -1,0 +1,183 @@
+package graft.multimodal
+
+/** Hand-built DEFLATE (RFC 1951) + zlib (RFC 1950) ENCODER — the
+  * write side of [[InflateCodec]]: a greedy LZ77 compressor with a
+  * zlib-style hash-chain matcher (3-byte hash heads + previous-match
+  * chains, longest-match search capped like zlib's `nice_length`)
+  * emitting ONE fixed-Huffman block (§3.2.6), wrapped in the RFC 1950
+  * envelope with the hand-rolled Adler-32 shared with the decoder.
+  * Empty input emits a single empty stored block.
+  *
+  * Fixed (not dynamic) Huffman is a deliberate, documented trade:
+  * the fixed code is part of the spec, so emission is table-free and
+  * deterministic byte-for-byte across platforms — what the oracle
+  * needs — while still exercising the full LZ77 length/distance
+  * machinery (the compression itself). Every stream this encoder
+  * produces is verified two INDEPENDENT ways in m26: decoded by the
+  * JDK's real zlib inflater AND by our own [[InflateCodec]], both of
+  * which must reproduce the original bytes.
+  */
+object DeflateEncoder {
+
+  private val MinMatch = 3
+  private val MaxMatch = 258
+  private val WindowSize = 32768
+  private val NiceLength = 128 // stop chain search on a match this good
+  private val MaxChain = 128
+
+  // §3.2.5 tables (shared shape with InflateCodec, re-derived here so
+  // encoder and decoder stay independent implementations)
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23,
+    27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+    129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193,
+    12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  /** LSB-first bit writer (§3.1.1); Huffman codes are pushed MSB-first
+    * of the code via [[putCode]].
+    */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def putBitsLsb(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    def putCode(code: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur |= ((code >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def alignByte(): Unit = if (nBits > 0) { out.write(cur); cur = 0; nBits = 0 }
+    def bytes: Array[Byte] = { alignByte(); out.toByteArray }
+    def writeRaw(b: Array[Byte], off: Int, len: Int): Unit = {
+      require(nBits == 0, "raw write must be byte-aligned")
+      out.write(b, off, len)
+    }
+  }
+
+  /** Fixed litlen code for a symbol (§3.2.6 table): returns
+    * (code, nBits).
+    */
+  private def fixedLitCode(sym: Int): (Int, Int) =
+    if (sym < 144) (0x30 + sym, 8)
+    else if (sym < 256) (0x190 + (sym - 144), 9)
+    else if (sym < 280) (sym - 256, 7)
+    else (0xc0 + (sym - 280), 8)
+
+  private def lenSymbol(len: Int): Int = {
+    // largest base ≤ len; length 258 lands exactly on symbol 285
+    // (base 258, no extra bits), never on 284+31
+    var i = LenBase.length - 1
+    while (LenBase(i) > len) i -= 1
+    i
+  }
+
+  private def distSymbol(d: Int): Int = {
+    var i = DistBase.length - 1
+    while (DistBase(i) > d) i -= 1
+    i
+  }
+
+  final case class EncodeStats(nLiterals: Long, nMatches: Long, matchedBytes: Long)
+
+  /** Greedy LZ77 + fixed-Huffman DEFLATE of `data` into `bw`. */
+  private def deflateFixed(data: Array[Byte], bw: BitWriter): EncodeStats = {
+    bw.putBitsLsb(1, 1) // BFINAL
+    bw.putBitsLsb(1, 2) // BTYPE=01 fixed
+    val n = data.length
+    val hashBits = 15
+    val hashMask = (1 << hashBits) - 1
+    val head = Array.fill(1 << hashBits)(-1)
+    val prev = new Array[Int](n)
+    def hashAt(i: Int): Int =
+      (((data(i) & 0xff) << 10) ^ ((data(i + 1) & 0xff) << 5) ^
+        (data(i + 2) & 0xff)) & hashMask
+    var nLit = 0L; var nMatch = 0L; var matched = 0L
+    var i = 0
+    while (i < n) {
+      var bestLen = 0
+      var bestDist = 0
+      if (i + MinMatch <= n) {
+        val h = hashAt(i)
+        var cand = head(h)
+        var chain = 0
+        while (cand >= 0 && chain < MaxChain && bestLen < NiceLength &&
+          i - cand <= WindowSize) {
+          var l = 0
+          val cap = math.min(MaxMatch, n - i)
+          while (l < cap && data(cand + l) == data(i + l)) l += 1
+          if (l >= MinMatch && l > bestLen) { bestLen = l; bestDist = i - cand }
+          cand = prev(cand)
+          chain += 1
+        }
+        // insert current position into the chain
+        prev(i) = head(h); head(h) = i
+      }
+      if (bestLen >= MinMatch) {
+        val ls = lenSymbol(bestLen)
+        val (c, nb) = fixedLitCode(257 + ls)
+        bw.putCode(c, nb)
+        bw.putBitsLsb(bestLen - LenBase(ls), LenExtra(ls))
+        val ds = distSymbol(bestDist)
+        bw.putCode(ds, 5) // fixed distance codes: 5-bit, code == symbol
+        bw.putBitsLsb(bestDist - DistBase(ds), DistExtra(ds))
+        nMatch += 1; matched += bestLen
+        // register the skipped positions' hashes so later matches see them
+        var j = i + 1
+        val end = math.min(i + bestLen, n - MinMatch + 1)
+        while (j < end) {
+          val h = hashAt(j); prev(j) = head(h); head(h) = j; j += 1
+        }
+        i += bestLen
+      } else {
+        val (c, nb) = fixedLitCode(data(i) & 0xff)
+        bw.putCode(c, nb)
+        nLit += 1
+        i += 1
+      }
+    }
+    val (eob, eobBits) = fixedLitCode(256)
+    bw.putCode(eob, eobBits)
+    EncodeStats(nLit, nMatch, matched)
+  }
+
+  /** zlib member: CMF/FLG (32 KiB window, check bits making the pair
+    * ≡ 0 mod 31), one fixed-Huffman DEFLATE block (or one empty
+    * stored block for empty input), big-endian Adler-32 trailer.
+    */
+  def zlibCompress(data: Array[Byte]): (Array[Byte], EncodeStats) = {
+    val bw = new BitWriter
+    val cmf = 0x78 // CM=8, CINFO=7 (32 KiB)
+    val flg = 31 - ((cmf << 8) % 31) match { case 31 => 0; case r => r }
+    bw.writeRaw(Array(cmf.toByte, flg.toByte), 0, 2)
+    val stats =
+      if (data.isEmpty) {
+        bw.putBitsLsb(1, 1) // BFINAL
+        bw.putBitsLsb(0, 2) // stored
+        bw.alignByte()
+        bw.writeRaw(Array(0, 0, 0xff.toByte, 0xff.toByte), 0, 4) // LEN=0/NLEN
+        EncodeStats(0, 0, 0)
+      } else deflateFixed(data, bw)
+    bw.alignByte()
+    val adler = InflateCodec.adler32(data)
+    bw.writeRaw(Array(
+      ((adler >> 24) & 0xff).toByte, ((adler >> 16) & 0xff).toByte,
+      ((adler >> 8) & 0xff).toByte, (adler & 0xff).toByte), 0, 4)
+    (bw.bytes, stats)
+  }
+}

@@ -1843,11 +1843,69 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** REAL DEFLATE/zlib ENCODE — m25's write side
+    * ([[graft.multimodal.DeflateEncoder]]: greedy LZ77 with a
+    * zlib-style hash-chain matcher, fixed-Huffman emission, RFC 1950
+    * envelope + hand-rolled Adler-32). Compression is how a pipeline
+    * SHIPS its corpus (gzip'd WARC/WET shards, zlib'd parquet pages,
+    * PNG IDAT), so the encoder matters as much as m25's decoder.
+    * Verification is doubly independent per document: the stream our
+    * encoder emits must decode back to the original bytes through
+    * the JDK's REAL zlib inflater (an implementation we didn't
+    * write) AND through our own [[graft.multimodal.InflateCodec]] —
+    * and the oracle pins md5 of both decodes against DuckDB's
+    * md5(text). `compressed_ok` additionally asserts the LZ77 layer
+    * genuinely compresses every ≥200-byte document (the synthetic
+    * corpus is word-repetitive; a matcher that stopped finding
+    * back-references would flip the flag and fail the hash).
+    * Per-partition encode+decode×2, zero shuffle (the m-tier shape).
+    */
+  val m26Deflate = Q(
+    "m26_deflate",
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_raw,
+      |  md5(text) AS jdk_md5,
+      |  md5(text) AS own_md5,
+      |  CAST(1 AS INT) AS compressed_ok
+      |FROM documents ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{DeflateEncoder, InflateCodec}
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (z, stats) = DeflateEncoder.zlibCompress(raw)
+        // independent decode #1: the JDK's zlib
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(z)
+        val jdkOut = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          require(n > 0 || inf.finished(), s"media_id=$id: JDK inflater stalled")
+          jdkOut.write(buf, 0, n)
+        }
+        inf.end()
+        // independent decode #2: our own decoder
+        val (own, _) = InflateCodec.inflateZlib(z)
+        val compressedOk =
+          if (raw.length < 200) 1
+          else if (z.length < raw.length && stats.nMatches > 0) 1 else 0
+        (id, raw.length.toLong, jdkOut.toByteArray, own, compressedOk)
+      })
+      .toDF("media_id", "n_raw", "jdk_bytes", "own_bytes", "compressed_ok")
+      .select(col("media_id"), col("n_raw"),
+        md5(col("jdk_bytes")).as("jdk_md5"), md5(col("own_bytes")).as("own_md5"),
+        col("compressed_ok").cast("int").as("compressed_ok"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
-      m25Inflate)
+      m25Inflate, m26Deflate)
 }

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The encoder's evidence mirrors InflateCodecSpec's in reverse:
+  * every stream it emits must be decodable by the JDK's REAL zlib
+  * inflater (an implementation we didn't write) — and, separately,
+  * by our own [[InflateCodec]], so the pair is pinned against each
+  * other AND against the reference implementation.
+  */
+class DeflateEncoderSpec extends AnyFunSuite {
+
+  private def jdkInflate(z: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(), "JDK inflater stalled")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def corpus(n: Int, seed: Int): Array[Byte] = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val sb = new StringBuilder
+    var x = seed
+    while (sb.length < n) {
+      x = x * 1103515245 + 12345
+      sb.append(words(math.abs(x) % words.length)).append(' ')
+    }
+    sb.toString.take(n).getBytes("UTF-8")
+  }
+
+  test("JDK zlib inflater decodes our streams back to the original bytes") {
+    for (size <- Seq(0, 1, 2, 3, 50, 4000, 70000); seed <- Seq(1, 9)) {
+      val data = corpus(size, seed)
+      val (z, _) = DeflateEncoder.zlibCompress(data)
+      assert(jdkInflate(z).sameElements(data), s"size=$size seed=$seed")
+    }
+  }
+
+  test("our own InflateCodec decodes our streams (encoder/decoder pair)") {
+    for (size <- Seq(0, 1, 40, 5000, 70000)) {
+      val data = corpus(size, size + 7)
+      val (z, _) = DeflateEncoder.zlibCompress(data)
+      val (decoded, stats) = InflateCodec.inflateZlib(z)
+      assert(decoded.sameElements(data), s"size=$size")
+      if (size > 0) assert(stats.nFixed == 1 && stats.nBlocks == 1)
+      else assert(stats.nStored == 1)
+    }
+  }
+
+  test("repetitive input genuinely compresses via back-references") {
+    val data = corpus(10000, 3)
+    val (z, stats) = DeflateEncoder.zlibCompress(data)
+    assert(stats.nMatches > 0, "LZ77 found no matches in repetitive text")
+    assert(stats.matchedBytes > data.length / 2,
+      s"matches cover only ${stats.matchedBytes} of ${data.length} bytes")
+    assert(z.length < data.length / 2,
+      s"compressed ${data.length} B to only ${z.length} B")
+  }
+
+  test("the 258-byte maximum match length round-trips (symbol 285)") {
+    val data = ("ab" * 400).getBytes("UTF-8") // forces max-length copies
+    val (z, stats) = DeflateEncoder.zlibCompress(data)
+    assert(stats.nMatches > 0)
+    assert(jdkInflate(z).sameElements(data))
+    assert(InflateCodec.inflateZlib(z)._1.sameElements(data))
+  }
+
+  test("overlapping forward copy (dist < len) round-trips") {
+    val data = ("x" * 300).getBytes("UTF-8") // dist=1, len up to 258
+    val (z, _) = DeflateEncoder.zlibCompress(data)
+    assert(jdkInflate(z).sameElements(data))
+    assert(InflateCodec.inflateZlib(z)._1.sameElements(data))
+  }
+
+  test("high-entropy input stays correct (literal-heavy, may expand)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val data = Iterator.iterate(md.digest("s".getBytes))(md.digest)
+      .take(300).flatten.toArray
+    val (z, _) = DeflateEncoder.zlibCompress(data)
+    assert(jdkInflate(z).sameElements(data))
+    assert(InflateCodec.inflateZlib(z)._1.sameElements(data))
+  }
+
+  test("matches never reach behind the 32 KiB window") {
+    // 40 KiB with the only repetition 36 KiB apart: the matcher must
+    // NOT emit a back-reference to it (distance > 32768 is invalid)
+    val marker = "UNIQUEMARKERSEQ".getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val noise = Iterator.iterate(md.digest("w".getBytes))(md.digest)
+      .take(2400).flatten.toArray // 38400 high-entropy bytes
+    val data = marker ++ noise ++ marker
+    val (z, _) = DeflateEncoder.zlibCompress(data)
+    assert(jdkInflate(z).sameElements(data))
+    assert(InflateCodec.inflateZlib(z)._1.sameElements(data))
+  }
+}
