@@ -68,6 +68,9 @@ object ScaleProbe {
     // s12 broadcast index probe); the fusion join is queries×10-row
     // — expected ≈linear in the two scans with a flat fusion tail
     "s19_rrf_fusion",
+    // int4 nibble-pack + unpacked-code scoring: the s01/s08 shape —
+    // one corpus-linear scan, broadcast queries, top-k window
+    "s20_int4_pack",
     "c01_curate", "c02_curate_neardup", "c03_pack_sequences",
     "c04_curate_decontam", "c05_curate_mixture", "c06_curate_pack",
     "c07_curation_funnel", "c08_chunk_overlap", "c09_incremental_ingest",

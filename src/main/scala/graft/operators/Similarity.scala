@@ -1517,8 +1517,111 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** INT4 (4-bit) scalar quantization with NIBBLE PACKING — the 8×
+    * member completing the compression ladder (s07 int8 = 4×, THIS =
+    * 8×, s09 PQ = 32×, s17 binary = 256×): per-vector symmetric
+    * quantization to codes in [−7, 7] (s07's floor(x·7/amax + 0.5)
+    * rule at 4-bit range), then two codes packed per byte as
+    * (hi+8)·16 + (lo+8) — the 64-dim vector becomes 32 bytes, the
+    * ACTUAL storage artifact an 8×-compressed store ships, pinned
+    * byte-for-byte via `neighbor_packed_md5`. The top-5 cosine search
+    * runs over vectors UNPACKED FROM THE PACKED BYTES (b div 16 − 8,
+    * b mod 16 − 8, × amax/7), so the pack→unpack identity sits inside
+    * the scored path: a nibble-order slip or bias error shifts every
+    * score and fails the hash. All pack/unpack arithmetic is integer,
+    * dequantization one shared scale multiply, scoring the ordered
+    * dot fold — bit-identical across engines (the s07/s08 oracle
+    * discipline at half the width). Same scale shape as s01/s08:
+    * broadcast query side, ONE corpus-linear scan, per-query top-k
+    * window. Int4QuantSpec asserts recall@5 vs the exact s01 ranking.
+    */
+  val s20Int4Pack = Q(
+    "s20_int4_pack",
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings
+       |), q4 AS (
+       |  SELECT vec_id, amax,
+       |         CASE WHEN amax = 0
+       |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |              ELSE list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * 7.0 / amax + 0.5) AS BIGINT))
+       |         END AS codes
+       |  FROM base
+       |), pk AS (
+       |  SELECT vec_id,
+       |         CASE WHEN amax = 0 THEN 0.0 ELSE amax / 7.0 END AS scale,
+       |         list_transform(generate_series(0, 31),
+       |           i -> (codes[2 * i + 1] + 8) * 16 + (codes[2 * i + 2] + 8)) AS packed
+       |  FROM q4
+       |), e AS (
+       |  SELECT vec_id,
+       |         md5(array_to_string(packed, ',')) AS packed_md5,
+       |         flatten(list_transform(packed, b ->
+       |           [CAST(b // 16 - 8 AS DOUBLE) * scale,
+       |            CAST(b % 16 - 8 AS DOUBLE) * scale])) AS xq
+       |  FROM pk
+       |), n AS (
+       |  SELECT vec_id, packed_md5, xq, ${sqlNorm("xq")} AS nrm FROM e
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         c.packed_md5 AS neighbor_packed_md5,
+       |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |              ELSE ${sqlDot("q.xq", "c.xq")} / (q.nrm * c.nrm) END AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, neighbor_packed_md5, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS k
+       |  FROM scored
+       |)
+       |SELECT query_id, k, neighbor_id, cos_sim, neighbor_packed_md5 FROM ranked
+       |WHERE k <= 5
+       |ORDER BY query_id, k""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.DoubleVecDot
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("amax"))
+    val q4 = base.select(col("vec_id"), col("amax"),
+      when(col("amax") === 0, transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") * 7.0 / col("amax") + 0.5).cast("long")))
+        .as("codes"))
+    val pk = q4.select(col("vec_id"),
+      when(col("amax") === 0, 0.0).otherwise(col("amax") / 7.0).as("scale"),
+      expr("transform(sequence(0, 31), i -> " +
+        "(element_at(codes, 2 * i + 1) + 8) * 16 + (element_at(codes, 2 * i + 2) + 8))")
+        .as("packed"))
+    val e = pk.select(col("vec_id"),
+      md5(concat_ws(",", transform(col("packed"), v => v.cast("string"))))
+        .as("packed_md5"),
+      expr("flatten(transform(packed, b -> " +
+        "array(CAST(b DIV 16 - 8 AS DOUBLE) * scale, CAST(b % 16 - 8 AS DOUBLE) * scale)))")
+        .as("xq"))
+    val n = e.select(col("vec_id"), col("packed_md5"), col("xq"),
+      sqrt(DoubleVecDot(col("xq"), col("xq"))).as("nrm"))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("xq").as("q_xq"), col("nrm").as("q_nrm"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("packed_md5").as("neighbor_packed_md5"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(DoubleVecDot(col("q_xq"), col("xq")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 5)
+      .select(col("query_id"), col("k"), col("neighbor_id"), col("cos_sim"),
+        col("neighbor_packed_md5"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
-    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank, s19RrfFusion)
+    s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank, s19RrfFusion,
+    s20Int4Pack)
 }
