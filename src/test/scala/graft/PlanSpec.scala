@@ -653,4 +653,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     spark.catalog.clearCache()
   }
+
+  test("q48: KMV sketches partial-aggregate map-side; only sketch frames join") {
+    val p = plan("q48_kmv_intersect")
+    // the typed Aggregator must plan as a two-phase ObjectHashAggregate:
+    // partial sketches (k longs) cross the shuffle, never raw events
+    assert(p.contains("ObjectHashAggregate"),
+      s"KMV agg must be an ObjectHashAggregate:\n$p")
+    assert("partial_kmvsketch|partial_KmvSketch|Partial".r.findFirstIn(p).isDefined,
+      s"no partial (map-side) sketch aggregation in:\n$p")
+    // pair algebra + exact audit join small frames — no cartesian over
+    // anything corpus-sized
+    assert(!p.contains("CartesianProduct"), s"cartesian in the pair algebra:\n$p")
+  }
+
+  test("c19: the benchmark side broadcasts — the corpus stream never shuffles for the join") {
+    val p = plan("c19_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"bench band join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus band stream must not shuffle for the bench join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s20: int4 search is one corpus scan with broadcast queries — no self-shuffle") {
+    val p = plan("s20_int4_pack")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
