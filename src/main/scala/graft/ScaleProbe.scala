@@ -221,7 +221,15 @@ object ScaleProbe {
         .orderBy(col("id_a"), col("id_b"))),
     "d07_wide_8bit" -> (() => wideClusters(s, dir, bitsPerBand = 8, "d07_wide_8bit")),
     "d11_wide_k256" -> (() =>
-      graft.operators.Dedup.semanticDedupParam(s, dir, k = 256)))
+      graft.operators.Dedup.semanticDedupParam(s, dir, k = 256)),
+    // q82 in PRODUCTION geometry: time-ordered multi-batch replay, so
+    // the 12 h watermark evicts between chunks and join state holds
+    // the open windows, not the whole history (the single-batch
+    // oracle replay is state ∝ corpus BY CONSTRUCTION and OOMs at
+    // sf100) — output set-identical, StreamChunkedReplaySpec-pinned
+    "q82_wide_chunked" -> (() =>
+      graft.operators.StreamReplay.outerJoinReplayChunked(s, dir, nChunks = 24)
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))))
 
   /** d07's cluster collapse over a width-parameterized d06 edge set. */
   private def wideClusters(s: SparkSession, dir: String,

@@ -785,22 +785,80 @@ object StreamReplay {
       |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts FROM unmatched
       |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin
   ) { (s, d) => {
+    fileSinkReplay(s, watermarkedOuterJoinOf(eventsStream(s, d)), "q82")
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  } }
+
+  /** q82's watermarked outer join over an arbitrary events-shaped
+    * source stream — shared between the oracle replay (single-batch,
+    * [[eventsStream]]) and the production-geometry probe variant
+    * ([[outerJoinReplayChunked]], time-ordered multi-batch).
+    */
+  private def watermarkedOuterJoinOf(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def side(eventType: String, prefix: String) =
-      eventsStream(s, d)
-        .filter(col("event_type") === eventType)
+      src.filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "0 seconds")
-    val joined = side("view", "view").join(side("purchase", "purchase"),
+    side("view", "view").join(side("purchase", "purchase"),
       col("view_user") === col("purchase_user")
         && col("purchase_ts") >= col("view_ts")
         && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
       "leftOuter")
       .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
-    fileSinkReplay(s, joined, "q82")
-      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
-  } }
+  }
+
+  /** PRODUCTION-GEOMETRY replay of q82's outer join: the single-batch
+    * oracle replay must hold the ENTIRE history in join state (the
+    * watermark only advances BETWEEN microbatches), so its state
+    * grows with the corpus, not the window — at sf100 (100M events in
+    * one batch) that is an OOM by construction, not an operator
+    * defect. A live stream never has that geometry: data arrives in
+    * event-time order across many triggers and the 12 h watermark
+    * EVICTS closed windows as it goes. This variant reproduces that
+    * shape faithfully: an INGEST-TIME time-ordered copy of events
+    * (range-partitioned + sorted by ts — the order a live stream has
+    * by construction; built once per corpus, like the parquet itself,
+    * outside the timing the same way q68's shred is), part-file
+    * mtimes staggered so the file source's (mtime, path) ordering
+    * replays chunks in event-time order, and `maxFilesPerTrigger`
+    * bounding each microbatch — so state holds only the open 12 h
+    * windows of the current chunk frontier. Output is set-identical
+    * to the single-batch replay (chunk boundaries introduce no late
+    * data because the chunks are range-disjoint in ts) —
+    * StreamChunkedReplaySpec pins that equality at fixture scale.
+    */
+  private[graft] def outerJoinReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    val ordered = java.nio.file.Files.createTempDirectory(root, "graft_q82ord_")
+    cleanupOnExit(ordered)
+    val orderedDir = ordered.resolve("events").toString
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .repartitionByRange(nChunks, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(orderedDir)
+    // stagger mtimes in part-file (= ts-range) order: the file source
+    // admits files by (modification time, path), and same-second
+    // mtimes would let listing order race the range order
+    val parts = new java.io.File(orderedDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = parts.map(_.lastModified()).max
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + (i + 1) * 2000L): Unit
+    }
+    val schema = s.read.parquet(orderedDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(orderedDir)
+    fileSinkReplay(s, watermarkedOuterJoinOf(src), "q82_chunked")
+  }
 
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
