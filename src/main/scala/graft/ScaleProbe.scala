@@ -156,6 +156,9 @@ object ScaleProbe {
     // m26: our LZ77/fixed-Huffman ENCODER + two independent decodes
     // per row — per-row codec work ∝ text bytes, expected ≈linear
     "m26_deflate",
+    // m27: JPEG entropy encode + decode + 256-px ImageIO cross-check
+    // per row — fixed work per doc, expected ≈flat + the scan term
+    "m27_jpeg_entropy",
     // m22: real LZW encode+decode per row (plus the ImageIO
     // cross-decode) — the heaviest per-row codec kernel, still
     // zero-shuffle, expected ≈linear in rows

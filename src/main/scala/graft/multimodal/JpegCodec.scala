@@ -1,0 +1,388 @@
+package graft.multimodal
+
+/** Hand-built BASELINE JPEG (ITU T.81) codec for single-component
+  * (grayscale) images — the first LOSSY image codec in the tier with
+  * the full coded-sample path implemented from the spec:
+  *
+  *  - ENCODER: real JFIF segment stream (SOI, DQT with the Annex K
+  *    luminance quantization table in zigzag order, SOF0, two DHT
+  *    segments, SOS, EOI) and a real entropy-coded segment — DC
+  *    DIFFERENTIAL prediction with magnitude categories (§F.1.2.1),
+  *    AC run-length/size symbols with ZRL and EOB (§F.1.2.2),
+  *    canonical JPEG Huffman codes generated from BITS/HUFFVAL
+  *    (§C.2), MSB-first bit packing with 0xFF 0x00 byte stuffing
+  *    (§B.1.1.5).
+  *  - DECODER: a generic segment walk that takes its quantization
+  *    and Huffman tables FROM THE FILE (DQT/DHT — nothing is
+  *    assumed shared with the encoder), entropy-decodes every block
+  *    (Huffman → category → EXTEND sign recovery → DC prediction
+  *    chain → AC run/EOB), dequantizes, inverse-zigzags, and runs
+  *    the reference double-precision IDCT (§A.3.3) with level shift.
+  *
+  * The encoder operates directly in the QUANTIZED-coefficient domain
+  * (no forward DCT): m27 chooses the coefficients deterministically,
+  * so the DuckDB oracle predicts the decoded, dequantized
+  * coefficient stream in closed form and a one-bit slip anywhere in
+  * the Huffman/stuffing/prediction chain fails the hash.
+  * JpegCodecSpec additionally grounds the whole file format against
+  * the JDK: ImageIO's independent JPEG reader must decode our
+  * streams to the same pixels (±2, IDCTs are implementation-defined
+  * within IEEE 1180-style tolerance; coefficients round-trip
+  * EXACTLY).
+  */
+object JpegCodec {
+
+  /** Annex K.1 luminance quantization table, natural (row-major) order. */
+  val QuantNatural: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Zigzag scan: natural index of each zigzag position (§A.3.6). */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K table re-ordered to zigzag positions — the order DQT
+    * stores it and the order m27's oracle dequantizes in.
+    */
+  val QuantZigzag: Array[Int] = Zigzag.map(QuantNatural)
+
+  // DC table: the standard luminance BITS/HUFFVAL (K.3.1) — 12
+  // categories. AC table: a compact CUSTOM table (custom tables are
+  // first-class JPEG — optimizing encoders always write their own):
+  // every (run ≤ 9, size ≤ 4) symbol plus ZRL and EOB at 6 bits.
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).map(_.toByte).toArray
+  private val AcVals: Array[Byte] =
+    (Array(0x00) ++ // EOB
+      (for (r <- 0 to 9; s <- 1 to 4) yield (r << 4) | s) ++
+      Array(0xF0)).map(_.toByte) // ZRL
+  private val AcBits = {
+    val b = new Array[Int](16)
+    b(5) = AcVals.length // all 42 symbols at length 6 (Kraft: 42/64)
+    b
+  }
+
+  /** Canonical JPEG code assignment (§C.2): increasing length, then
+    * HUFFVAL order. Returns symbol → (code, length).
+    */
+  private def buildCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        out(vals(vi) & 0xff) = (code, l)
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  private final class BitWriterMsb {
+    val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def put(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(cur)
+          if (cur == 0xff) out.write(0x00) // §B.1.1.5 byte stuffing
+          cur = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit =
+      if (n > 0) { // pad the final byte with 1-bits (§F.1.2.3)
+        cur = (cur << (8 - n)) | ((1 << (8 - n)) - 1)
+        out.write(cur)
+        if (cur == 0xff) out.write(0x00)
+        cur = 0; n = 0
+      }
+  }
+
+  private def magnitude(v: Int): Int = {
+    var s = 0
+    var a = math.abs(v)
+    while (a != 0) { s += 1; a >>= 1 }
+    s
+  }
+
+  /** Encode a grayscale baseline JPEG from QUANTIZED coefficients:
+    * `blocks(i)` is the i-th 8×8 block's 64 quantized values in
+    * ZIGZAG order; blocks iterate over the image left-to-right,
+    * top-to-bottom. Width/height must be multiples of 8.
+    */
+  def encode(w: Int, h: Int, blocks: Array[Array[Int]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"dims $w x $h not multiples of 8")
+    require(blocks.length == (w / 8) * (h / 8),
+      s"expected ${(w / 8) * (h / 8)} blocks, got ${blocks.length}")
+    val dcCodes = buildCodes(DcBits, DcVals)
+    val acCodes = buildCodes(AcBits, AcVals)
+    val o = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+    def marker(m: Int): Unit = { o.write(0xff); o.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(67); o.write(0x00) // DQT, table 0, 8-bit
+    QuantZigzag.foreach(o.write)
+    marker(0xc0); u16(11) // SOF0: precision, dims, 1 component
+    o.write(8); u16(h); u16(w); o.write(1)
+    o.write(1); o.write(0x11); o.write(0) // C1, H1V1, Tq0
+    marker(0xc4); u16(2 + 1 + 16 + DcVals.length); o.write(0x00) // DHT DC0
+    DcBits.foreach(o.write); DcVals.foreach(b => o.write(b & 0xff))
+    marker(0xc4); u16(2 + 1 + 16 + AcVals.length); o.write(0x10) // DHT AC0
+    AcBits.foreach(o.write); AcVals.foreach(b => o.write(b & 0xff))
+    marker(0xda); u16(8) // SOS
+    o.write(1); o.write(1); o.write(0x00) // 1 comp, Cs1, Td0/Ta0
+    o.write(0); o.write(63); o.write(0) // Ss, Se, AhAl (baseline)
+    val bw = new BitWriterMsb
+    var pred = 0
+    blocks.foreach { blk =>
+      require(blk.length == 64, "block must carry 64 zigzag coefficients")
+      // DC: category + magnitude bits of the prediction difference
+      val diff = blk(0) - pred
+      pred = blk(0)
+      val s = magnitude(diff)
+      val (dcCode, dcLen) = dcCodes(s)
+      bw.put(dcCode, dcLen)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      // AC: run/size symbols with ZRL + EOB
+      var run = 0
+      var lastNonzero = 0
+      var k = 63
+      while (k >= 1 && blk(k) == 0) k -= 1
+      lastNonzero = k
+      k = 1
+      while (k <= lastNonzero) {
+        if (blk(k) == 0) { run += 1 }
+        else {
+          while (run > 15) {
+            val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
+          }
+          val sz = magnitude(blk(k))
+          val sym = (run << 4) | sz
+          require(acCodes.contains(sym),
+            s"AC symbol run=$run size=$sz not in the encoder's table")
+          val (c, cl) = acCodes(sym)
+          bw.put(c, cl)
+          bw.put(if (blk(k) >= 0) blk(k) else blk(k) + (1 << sz) - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNonzero < 63) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+    }
+    bw.flushWithOnes()
+    o.write(bw.out.toByteArray)
+    marker(0xd9) // EOI
+    o.toByteArray
+  }
+
+  final case class JpegDecoded(w: Int, h: Int,
+    quantizedZigzag: Array[Array[Int]], // per block, zigzag order
+    dequantizedZigzag: Array[Array[Int]], // per block, zigzag order
+    pixels: Array[Int]) // row-major, level-shifted [0,255]
+
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Byte]) {
+    // canonical (code, length) list in spec order for bit-serial decode
+    private val byLen: Array[(Int, Int, Int)] = { // (code, len, symbol)
+      var code = 0; var vi = 0
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      for (l <- 1 to 16) {
+        var i = 0
+        while (i < bits(l - 1)) {
+          out += ((code, l, vals(vi) & 0xff)); code += 1; vi += 1; i += 1
+        }
+        code <<= 1
+      }
+      out.toArray
+    }
+    def decode(rd: () => Int): Int = {
+      var code = 0; var len = 0
+      while (len <= 16) {
+        code = (code << 1) | rd(); len += 1
+        var i = 0
+        while (i < byLen.length) {
+          val (c, l, s) = byLen(i)
+          if (l == len && c == code) return s
+          i += 1
+        }
+      }
+      throw new IllegalArgumentException("invalid JPEG Huffman code")
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline single-component JPEG produced by any
+    * spec-conforming encoder: tables come from the file's DQT/DHT.
+    */
+  def decode(data: Array[Byte]): JpegDecoded = {
+    require(data.length > 4 && (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8,
+      "not a JPEG (missing SOI)")
+    var p = 2
+    var quant: Array[Int] = null
+    var dcTab: HuffDecoder = null
+    var acTab: HuffDecoder = null
+    var w = 0; var h = 0
+    def u16(at: Int): Int = ((data(at) & 0xff) << 8) | (data(at + 1) & 0xff)
+    while (p < data.length) {
+      require(p + 2 <= data.length, "truncated before marker")
+      while ((data(p) & 0xff) == 0xff && p + 1 < data.length &&
+        (data(p + 1) & 0xff) == 0xff) p += 1 // fill bytes
+      require(p + 2 <= data.length, "truncated marker")
+      require((data(p) & 0xff) == 0xff, f"expected marker at $p, got ${data(p)}%02x")
+      val m = data(p + 1) & 0xff
+      p += 2
+      if (m != 0xd9) {
+        require(p + 2 <= data.length, f"marker $m%02x missing its length")
+        require(p + u16(p) <= data.length, f"segment $m%02x overruns the file")
+      }
+      m match {
+        case 0xdb =>
+          val len = u16(p)
+          require((data(p + 2) & 0xf0) == 0, "only 8-bit quant tables supported")
+          quant = Array.tabulate(64)(i => data(p + 3 + i) & 0xff)
+          p += len
+        case 0xc0 =>
+          val len = u16(p)
+          require((data(p + 2) & 0xff) == 8, "only 8-bit precision supported")
+          h = u16(p + 3); w = u16(p + 5)
+          require((data(p + 7) & 0xff) == 1, "only single-component JPEGs supported")
+          p += len
+        case 0xc4 =>
+          val len = u16(p)
+          var q = p + 2
+          while (q < p + len) {
+            val tc = (data(q) & 0xf0) >> 4
+            val bits = Array.tabulate(16)(i => data(q + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => data(q + 17 + i))
+            if (tc == 0) dcTab = new HuffDecoder(bits, vals)
+            else acTab = new HuffDecoder(bits, vals)
+            q += 17 + n
+          }
+          p += len
+        case 0xda =>
+          val len = u16(p)
+          val scanStart = p + len
+          require(quant != null && dcTab != null && acTab != null && w > 0,
+            "SOS before tables/frame header")
+          return decodeScan(data, scanStart, w, h, quant, dcTab, acTab)
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case other =>
+          val len = u16(p); p += len // skip APPn/COM etc.
+          require(other >= 0xe0 || other == 0xfe, f"unexpected marker $other%02x")
+      }
+    }
+    throw new IllegalArgumentException("no SOS segment found")
+  }
+
+  private def decodeScan(data: Array[Byte], start: Int, w: Int, h: Int,
+      quant: Array[Int], dcTab: HuffDecoder, acTab: HuffDecoder): JpegDecoded = {
+    // bit reader with 0xFF00 unstuffing (§B.1.1.5)
+    var p = start
+    var cur = 0; var n = 0
+    def rd(): Int = {
+      if (n == 0) {
+        require(p < data.length, "entropy data truncated")
+        var b = data(p) & 0xff; p += 1
+        if (b == 0xff) {
+          require(p < data.length, "stuffing truncated")
+          val next = data(p) & 0xff
+          require(next == 0x00, f"marker $next%02x inside entropy data")
+          p += 1
+        }
+        cur = b; n = 8
+      }
+      n -= 1
+      (cur >> n) & 1
+    }
+    val nBlocks = (w / 8) * (h / 8)
+    val qz = Array.ofDim[Int](nBlocks, 64)
+    val dz = Array.ofDim[Int](nBlocks, 64)
+    var pred = 0
+    var b = 0
+    while (b < nBlocks) {
+      val s = dcTab.decode(rd)
+      var bits = 0
+      var i = 0
+      while (i < s) { bits = (bits << 1) | rd(); i += 1 }
+      pred += extend(bits, s)
+      qz(b)(0) = pred
+      var k = 1
+      var done = false
+      while (k < 64 && !done) {
+        val sym = acTab.decode(rd)
+        if (sym == 0x00) done = true // EOB
+        else if (sym == 0xf0) k += 16 // ZRL
+        else {
+          val run = (sym >> 4) & 0xf
+          val sz = sym & 0xf
+          k += run
+          require(k < 64, s"AC run overflows block at k=$k")
+          var v = 0
+          var j = 0
+          while (j < sz) { v = (v << 1) | rd(); j += 1 }
+          qz(b)(k) = extend(v, sz)
+          k += 1
+        }
+      }
+      var z = 0
+      while (z < 64) { dz(b)(z) = qz(b)(z) * quant(z); z += 1 }
+      b += 1
+    }
+    // IDCT (§A.3.3, reference double formulation) + level shift
+    val px = new Array[Int](w * h)
+    val bw = w / 8
+    val cos = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    b = 0
+    while (b < nBlocks) {
+      // natural-order coefficients for this block
+      val f = new Array[Int](64)
+      var z = 0
+      while (z < 64) { f(Zigzag(z)) = dz(b)(z); z += 1 }
+      val bx = (b % bw) * 8
+      val by = (b / bw) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              sum += c(u) * c(v) * f(v * 8 + u) * cos(x)(u) * cos(y)(v)
+              v += 1
+            }
+            u += 1
+          }
+          val s = math.round(sum / 4.0).toInt + 128
+          px((by + y) * w + bx + x) = math.max(0, math.min(255, s))
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    JpegDecoded(w, h, qz, dz, px)
+  }
+}

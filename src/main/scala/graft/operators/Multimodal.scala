@@ -1901,11 +1901,105 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** BASELINE JPEG entropy decode ([[graft.multimodal.JpegCodec]]) —
+    * the tier's first LOSSY image codec with the coded-sample path
+    * real on both sides: each document synthesizes a 16×16 grayscale
+    * baseline JPEG from DETERMINISTIC quantized coefficients (4
+    * blocks; DC and four AC positions driven by doc_id in closed
+    * form), our encoder emits the genuine JFIF stream (Annex K DQT in
+    * zigzag order, SOF0, DHT, SOS, DC-differential + run-length AC
+    * Huffman entropy coding with 0xFF byte stuffing), and our decoder
+    * — which takes ALL tables from the file — entropy-decodes every
+    * block back. The oracle predicts the decoded, DEQUANTIZED
+    * coefficient stream algebraically (the generation rule × the
+    * zigzag-ordered Annex K table, inlined below from the same
+    * source constant), so a one-bit slip in Huffman construction, DC
+    * prediction, run/EOB handling or stuffing fails `coeff_md5`.
+    * Pixels are grounded in the scored path too: the JDK's
+    * independent ImageIO JPEG reader must decode every synthesized
+    * file to within ±2 of our reference IDCT (IDCTs are
+    * implementation-defined within IEEE 1180-style tolerance, which
+    * is why the ORACLE pins coefficients, not pixels). Per-partition
+    * encode+decode+cross-check, zero shuffle (the m-tier shape).
+    */
+  val m27JpegEntropy = Q(
+    "m27_jpeg_entropy",
+    { val qzz = graft.multimodal.JpegCodec.QuantZigzag.mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS blk FROM documents
+         |), co AS (
+         |  SELECT doc_id, blk,
+         |    list_transform(range(0, 64), k ->
+         |      CASE WHEN k = 0 THEN (((doc_id * 7 + blk * 13) % 33) - 16) * 16
+         |           WHEN k IN (1, 3, 6, 10)
+         |             THEN (((doc_id + blk * 5 + k * 11) % 21) - 10) * qt.qzz[k + 1]
+         |           ELSE 0 END) AS deq
+         |  FROM b CROSS JOIN (SELECT $qzz AS qzz) qt
+         |), agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(deq[1]) AS BIGINT) AS dc_sum_deq,
+         |    CAST(sum(len(list_filter(deq[2:64], v -> v <> 0))) AS BIGINT) AS n_nonzero_ac,
+         |    md5(string_agg(array_to_string(deq, ','), ',' ORDER BY blk)) AS coeff_md5
+         |  FROM co GROUP BY doc_id
+         |)
+         |SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_blocks,
+         |  dc_sum_deq, n_nonzero_ac, coeff_md5
+         |FROM agg ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.JpegCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val blocks = Array.tabulate(4) { b =>
+          val blk = new Array[Int](64)
+          blk(0) = (((id * 7 + b * 13) % 33) - 16).toInt
+          for (k <- Seq(1, 3, 6, 10))
+            blk(k) = (((id + b * 5 + k * 11) % 21) - 10).toInt
+          blk
+        }
+        val jpeg = JpegCodec.encode(16, 16, blocks)
+        val dec = JpegCodec.decode(jpeg)
+        var b = 0
+        while (b < 4) {
+          require(dec.quantizedZigzag(b).sameElements(blocks(b)),
+            s"media_id=$id block=$b: decoded coefficients diverge from encoded")
+          b += 1
+        }
+        // ground the pixel path against the JDK's independent reader
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpeg))
+        require(img != null && img.getWidth == 16 && img.getHeight == 16,
+          s"media_id=$id: ImageIO rejected the synthesized JPEG")
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val diff = math.abs(
+              img.getRaster.getSample(x, y, 0) - dec.pixels(y * 16 + x))
+            require(diff <= 2,
+              s"media_id=$id px($x,$y): IDCT deviates $diff from ImageIO")
+            x += 1
+          }
+          y += 1
+        }
+        val deq = dec.dequantizedZigzag
+        (id, 4L,
+          deq.map(_(0).toLong).sum,
+          deq.map(_.drop(1).count(_ != 0).toLong).sum,
+          deq.flatten.mkString(","))
+      })
+      .toDF("media_id", "n_blocks", "dc_sum_deq", "n_nonzero_ac", "coeff_csv")
+      .select(col("media_id"), col("n_blocks"), col("dc_sum_deq"),
+        col("n_nonzero_ac"), md5(col("coeff_csv")).as("coeff_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
-      m25Inflate, m26Deflate)
+      m25Inflate, m26Deflate, m27JpegEntropy)
 }

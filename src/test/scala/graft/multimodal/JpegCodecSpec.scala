@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two independent groundings for the JPEG codec: (1) the quantized
+  * coefficient stream must round-trip EXACTLY through our
+  * encode→decode (Huffman, stuffing, DC prediction, runs — all
+  * bit-level machinery), and (2) the JDK's ImageIO JPEG reader — an
+  * implementation we didn't write — must accept our files and decode
+  * them to the same pixels within the IDCT tolerance (IDCTs are
+  * implementation-defined within IEEE 1180-style bounds, so pixels
+  * compare ±2 while coefficients compare exactly).
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def blocksFor(id: Long, nBlocks: Int): Array[Array[Int]] =
+    Array.tabulate(nBlocks) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = (((id * 7 + b * 13) % 33) - 16).toInt
+      for (k <- Seq(1, 3, 6, 10))
+        blk(k) = (((id + b * 5 + k * 11) % 21) - 10).toInt
+      blk
+    }
+
+  test("quantized coefficients round-trip exactly through encode→decode") {
+    for (id <- 0L until 40L) {
+      val blocks = blocksFor(id, 4)
+      val jpeg = JpegCodec.encode(16, 16, blocks)
+      val dec = JpegCodec.decode(jpeg)
+      assert(dec.w == 16 && dec.h == 16)
+      for (b <- 0 until 4)
+        assert(dec.quantizedZigzag(b).toSeq == blocks(b).toSeq,
+          s"id=$id block=$b coefficient mismatch")
+    }
+  }
+
+  test("ImageIO decodes our files to the same pixels within IDCT tolerance") {
+    var maxDiff = 0
+    for (id <- 0L until 25L) {
+      val jpeg = JpegCodec.encode(16, 16, blocksFor(id, 4))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(img != null, s"id=$id: ImageIO rejected our JPEG")
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      val ours = JpegCodec.decode(jpeg)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val jdk = img.getRaster.getSample(x, y, 0)
+        val d = math.abs(jdk - ours.pixels(y * 16 + x))
+        maxDiff = math.max(maxDiff, d)
+        assert(d <= 2, s"id=$id px($x,$y): ours=${ours.pixels(y * 16 + x)} jdk=$jdk")
+      }
+    }
+    info(s"max per-pixel deviation vs ImageIO: $maxDiff")
+  }
+
+  test("dequantization uses the file's DQT (Annex K zigzag order)") {
+    val blocks = blocksFor(3L, 4)
+    val dec = JpegCodec.decode(JpegCodec.encode(16, 16, blocks))
+    for (b <- 0 until 4; k <- 0 until 64)
+      assert(dec.dequantizedZigzag(b)(k) == blocks(b)(k) * JpegCodec.QuantZigzag(k))
+  }
+
+  test("DC prediction chain survives blocks with negative diffs") {
+    // force a strictly decreasing DC sequence: every diff negative
+    val blocks = Array.tabulate(4) { b =>
+      val blk = new Array[Int](64); blk(0) = 10 - 7 * b; blk
+    }
+    val dec = JpegCodec.decode(JpegCodec.encode(16, 16, blocks))
+    assert(dec.quantizedZigzag.map(_(0)).toSeq == Seq(10, 3, -4, -11))
+  }
+
+  test("byte stuffing: a guaranteed 0xFF entropy byte round-trips") {
+    // two consecutive max-category DC diffs (+2047 each): the second
+    // one's code follows the first's all-ones magnitude bits with no
+    // intervening 0 — 11 + 8 = 19 consecutive 1-bits, which contain a
+    // full 0xFF byte at EVERY alignment, so the stuffed FF 00 pair is
+    // structurally guaranteed, not probabilistic
+    val blocks = Array.tabulate(4) { b =>
+      val blk = new Array[Int](64); blk(0) = 2047 * math.min(b + 1, 2); blk
+    }
+    val jpeg = JpegCodec.encode(16, 16, blocks)
+    val eoi = jpeg.length - 2
+    var sosEnd = -1
+    var i = 0
+    while (i < jpeg.length - 1 && sosEnd < 0) {
+      if ((jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xda)
+        sosEnd = i + 2 + (((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff))
+      i += 1
+    }
+    val sawStuffed = (sosEnd until eoi - 1).exists(j =>
+      (jpeg(j) & 0xff) == 0xff && (jpeg(j + 1) & 0xff) == 0x00)
+    assert(sawStuffed, "expected a stuffed FF 00 pair in the entropy data")
+    val dec = JpegCodec.decode(jpeg)
+    assert(dec.quantizedZigzag.map(_(0)).toSeq == Seq(2047, 4094, 4094, 4094))
+  }
+
+  test("corrupted entropy data fails loudly, not plausibly") {
+    val jpeg = JpegCodec.encode(16, 16, blocksFor(1L, 4))
+    jpeg(jpeg.length - 8) = 0xff.toByte // invalid marker inside entropy
+    intercept[IllegalArgumentException](JpegCodec.decode(jpeg))
+  }
+
+  test("multi-component or truncated files are rejected loudly") {
+    val jpeg = JpegCodec.encode(16, 16, blocksFor(2L, 4))
+    intercept[IllegalArgumentException](JpegCodec.decode(jpeg.take(20)))
+    val noSoi = jpeg.clone(); noSoi(1) = 0x00
+    intercept[IllegalArgumentException](JpegCodec.decode(noSoi))
+  }
+}
