@@ -189,7 +189,10 @@ object ScaleProbe {
     "q81_stream_topk_replay",
     // q82: watermarked OUTER stream-stream join — q73's state shape
     // but with watermark eviction bounding it to the 12 h window
-    "q82_stream_outer_join_replay")
+    "q82_stream_outer_join_replay",
+    // q83: watermarked SEMI stream-stream join — strictly smaller
+    // state than q82 (matched views leave state immediately)
+    "q83_stream_semi_join_replay")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -789,6 +789,48 @@ object StreamReplay {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   } }
 
+  /** Watermarked stream-stream LEFT SEMI join — the third member of
+    * the streaming join family (q73 inner, q82 left outer, THIS
+    * semi): "which views CONVERTED within 12 h", emitting each view
+    * at most once no matter how many purchases match — the
+    * conversion-detection / joined-existence query a funnel pipeline
+    * runs live. Same two-sided watermark + event-time bound as q82
+    * (semi joins need them for state eviction too); the oracle is
+    * the EXISTS spelling, which is exactly semi-join semantics.
+    * State story: the view side buffers only open 12 h windows, and
+    * a matched view leaves state immediately — strictly smaller
+    * state than q82's outer buffers.
+    */
+  val q83StreamSemiJoinReplay = Q(
+    "q83_stream_semi_join_replay",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+      |FROM v
+      |WHERE EXISTS (
+      |  SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR)
+      |ORDER BY user_id, view_id""".stripMargin
+  ) { (s, d) => {
+    def side(eventType: String, prefix: String) =
+      eventsStream(s, d)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "0 seconds")
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+      col("view_user") === col("purchase_user")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
+      "leftSemi")
+      .select(col("view_user").as("user_id"), col("view_id"),
+        col("view_ts"))
+    fileSinkReplay(s, joined, "q83")
+      .orderBy(col("user_id"), col("view_id"))
+  } }
+
   /** q82's watermarked outer join over an arbitrary events-shaped
     * source stream — shared between the oracle replay (single-batch,
     * [[eventsStream]]) and the production-geometry probe variant
@@ -863,5 +905,6 @@ object StreamReplay {
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
-    q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay)
+    q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
+    q83StreamSemiJoinReplay)
 }
