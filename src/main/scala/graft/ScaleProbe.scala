@@ -235,7 +235,12 @@ object ScaleProbe {
     // sf100) — output set-identical, StreamChunkedReplaySpec-pinned
     "q82_wide_chunked" -> (() =>
       graft.operators.StreamReplay.outerJoinReplayChunked(s, dir, nChunks = 24)
-        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))),
+    // q83 in the same production geometry — semi state is strictly
+    // smaller than q82's (matched views leave state immediately)
+    "q83_wide_chunked" -> (() =>
+      graft.operators.StreamReplay.semiJoinReplayChunked(s, dir, nChunks = 24)
+        .orderBy(col("user_id"), col("view_id"))))
 
   /** d07's cluster collapse over a width-parameterized d06 edge set. */
   private def wideClusters(s: SparkSession, dir: String,

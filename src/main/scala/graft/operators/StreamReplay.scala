@@ -837,18 +837,29 @@ object StreamReplay {
     * ([[outerJoinReplayChunked]], time-ordered multi-batch).
     */
   private def watermarkedOuterJoinOf(
-      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    watermarkedJoinOf(src, "leftOuter")
+
+  /** The shared view-purchase watermarked join at any join type the
+    * streaming engine supports ("leftOuter" for q82, "leftSemi" for
+    * q83); semi output carries only the view columns.
+    */
+  private def watermarkedJoinOf(src: org.apache.spark.sql.DataFrame,
+      joinType: String): org.apache.spark.sql.DataFrame = {
     def side(eventType: String, prefix: String) =
       src.filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "0 seconds")
-    side("view", "view").join(side("purchase", "purchase"),
+    val joined = side("view", "view").join(side("purchase", "purchase"),
       col("view_user") === col("purchase_user")
         && col("purchase_ts") >= col("view_ts")
         && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
-      "leftOuter")
-      .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
+      joinType)
+    if (joinType == "leftSemi")
+      joined.select(col("view_user").as("user_id"), col("view_id"), col("view_ts"))
+    else
+      joined.select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
   }
 
@@ -873,7 +884,20 @@ object StreamReplay {
     * StreamChunkedReplaySpec pins that equality at fixture scale.
     */
   private[graft] def outerJoinReplayChunked(s: org.apache.spark.sql.SparkSession,
-      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    joinReplayChunked(s, d, nChunks, "leftOuter")
+
+  /** [[outerJoinReplayChunked]]'s geometry for q83's semi join —
+    * same ingest-time ordered copy, same per-chunk watermark
+    * eviction; semi state is strictly smaller (matched views leave
+    * state immediately).
+    */
+  private[graft] def semiJoinReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    joinReplayChunked(s, d, nChunks, "leftSemi")
+
+  private def joinReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int, joinType: String): org.apache.spark.sql.DataFrame = {
     val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
@@ -899,7 +923,7 @@ object StreamReplay {
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(orderedDir)
-    fileSinkReplay(s, watermarkedOuterJoinOf(src), "q82_chunked")
+    fileSinkReplay(s, watermarkedJoinOf(src, joinType), s"chunked_$joinType")
   }
 
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,

@@ -38,4 +38,15 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
         s"(sizes ${single.size} vs ${chunked.size})")
     assert(single.nonEmpty, "fixture produced no joined rows")
   }
+
+  test("chunked multi-batch q83 semi output equals the single-batch replay") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(SparkEntry.queries("q83_stream_semi_join_replay")(spark, dir))
+    val chunked = rows(graft.operators.StreamReplay
+      .semiJoinReplayChunked(spark, dir, nChunks = 6))
+    assert(chunked == single,
+      s"chunked semi replay diverged (sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no semi-joined rows")
+  }
 }
