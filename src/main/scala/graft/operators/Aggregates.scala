@@ -487,7 +487,93 @@ object Aggregates {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** COUNT-MIN SKETCH point queries (Cormode & Muthukrishnan 2005,
+    * "An improved data stream summary: the count-min sketch and its
+    * applications") — the third member of the sketch family next to
+    * HLL distinct (q46) and KMV intersection (q48): HLL answers "how
+    * many distinct", KMV "how much overlap", CMS "how often does THIS
+    * key occur" in sub-linear space. The sketch is a d×w grid of
+    * counters (d=4 seeded hash rows, w=64 buckets); every event
+    * increments one cell per row, and a point query reads
+    * min over rows of cell(j, h_j(x)) — an overestimate by
+    * construction (collisions only ever ADD), which the `never_under`
+    * gate asserts per key, while `overshoot` exposes the collision
+    * error mass the min failed to cancel.
+    *
+    * Scale shape: building the grid is ONE corpus-linear scan whose
+    * shuffle carries at most d×w = 256 partial cells per map task
+    * (map-side combine collapses everything else), the finished grid
+    * is broadcast to the point-query side, and the truth side is a
+    * plain two-phase count — no join touches corpus-sized data. At
+    * 100 TB the grid is still 256 rows; only the heavy-hitter truth
+    * lookup (itself a top-k over a groupBy) grows with the corpus.
+    * Hashing is the md5-prefix spelling both engines share (q48's
+    * portable-hash discipline); all arithmetic is integer-exact.
+    */
+  val q49CountMin = Q(
+    "q49_countmin",
+    """WITH ev AS (
+      |  SELECT user_id FROM events WHERE user_id IS NOT NULL
+      |), n AS (
+      |  SELECT count(*) AS n_total FROM ev
+      |), cells AS (
+      |  SELECT j,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % 64 AS b,
+      |    count(*) AS cnt
+      |  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS j) seeds
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT user_id, count(*) AS true_cnt FROM ev GROUP BY 1
+      |  ORDER BY true_cnt DESC, user_id LIMIT 16
+      |), est AS (
+      |  SELECT t.user_id, t.true_cnt, min(c.cnt) AS est_cnt
+      |  FROM truth t
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) seeds
+      |  JOIN cells c ON c.j = seeds.j
+      |    AND c.b = ('0x' || substr(md5(CAST(seeds.j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % 64
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.user_id, e.true_cnt, e.est_cnt,
+      |  e.est_cnt - e.true_cnt AS overshoot,
+      |  CASE WHEN e.est_cnt >= e.true_cnt THEN 1 ELSE 0 END AS never_under,
+      |  n.n_total
+      |FROM est e CROSS JOIN n
+      |ORDER BY e.true_cnt DESC, e.user_id""".stripMargin
+  ) { (s, d) =>
+    val D = 4
+    val W = 64
+    def bucket(jCol: String, idCol: String) =
+      expr(s"CAST(conv(substr(md5(CAST($jCol AS STRING) || ':' || CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % $W")
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+    // grid build: one scan, explode to d rows, two-phase count — the
+    // shuffle carries <= d*w partial cells per map task
+    val cells = ev
+      .withColumn("j", explode(lit((0 until D).toArray)))
+      .withColumn("b", bucket("j", "user_id"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
+    val nTotal = ev.agg(count(lit(1)).as("n_total"))
+    val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(16)
+    // point queries: finished grid (<= 256 rows) broadcasts to the
+    // heavy-hitter side; min over the d probed cells
+    val est = truth
+      .withColumn("j", explode(lit((0 until D).toArray)))
+      .withColumn("b", bucket("j", "user_id"))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("user_id"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+    est.crossJoin(broadcast(nTotal))
+      .select(col("user_id"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overshoot"),
+        when(col("est_cnt") >= col("true_cnt"), 1).otherwise(0)
+          .cast("int").as("never_under"),
+        col("n_total"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
-    q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect)
+    q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect, q49CountMin)
 }

@@ -667,6 +667,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in the pair algebra:\n$p")
   }
 
+  test("q49: CMS grid builds two-phase and broadcasts to the point-query side") {
+    val p = plan("q49_countmin")
+    // the d×w grid build must partial-aggregate map-side (only <=256
+    // partial cells cross the shuffle, never raw events) ...
+    assert("partial_count|Partial".r.findFirstIn(p).isDefined,
+      s"no partial (map-side) cell aggregation in:\n$p")
+    // ... and the finished grid joins the heavy-hitter side broadcast —
+    // nothing corpus-sized shuffles for a point query
+    assert(p.contains("BroadcastHashJoin"), s"grid probe must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row n_total frame must broadcast, not cartesian:\n$p")
+  }
+
   test("c19: the benchmark side broadcasts — the corpus stream never shuffles for the join") {
     val p = plan("c19_fuzzy_decontam")
     assert(p.contains("BroadcastHashJoin"), s"bench band join must broadcast:\n$p")
