@@ -1,0 +1,226 @@
+package graft.multimodal
+
+/** PNG (ISO/IEC 15948 / RFC 2083) encoder + decoder for 8-bit
+  * grayscale images — the container layer over the repo's own DEFLATE
+  * pair: the encoder filters scanlines (all five ISO 9.2 filter
+  * types) and compresses them with [[DeflateEncoder]]; the decoder
+  * walks the chunk stream, verifies every CRC-32 with its own
+  * table-driven implementation (ISO annex D polynomial 0xEDB88320),
+  * inflates IDAT through [[InflateCodec]], and reconstructs pixels by
+  * inverting the per-scanline filter — including the Paeth predictor
+  * (ISO 9.4), the one with the famously easy-to-miss tie-breaking
+  * order (left, then above, then upper-left).
+  *
+  * Everything here fails loudly: a bad signature, an out-of-order or
+  * truncated chunk, a CRC mismatch, an unsupported IHDR shape, an
+  * unknown filter byte, or an inflated-size mismatch all throw with
+  * the offending offset — a corrupt shard must never decode to
+  * plausible pixels silently.
+  *
+  * Scope: bit depth 8, color type 0 (grayscale), compression 0,
+  * filter method 0, no interlace — the minimal REAL profile that
+  * still exercises every filter predictor and the full chunk/CRC
+  * grammar. (Reference has no media surface; this is ⟨ns⟩-tier
+  * plumbing for the multimodal columns mandate.)
+  */
+object PngCodec {
+
+  /** Table-driven CRC-32 (reflected, poly 0xEDB88320), per the PNG
+    * spec's annex D reference implementation — kept our own (not
+    * `java.util.zip.CRC32`) so the decoder's integrity check is
+    * independently real; the spec pins it against the JDK's.
+    */
+  private val crcTable: Array[Int] = Array.tabulate(256) { n =>
+    var c = n
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1
+      k += 1
+    }
+    c
+  }
+
+  def crc32(data: Array[Byte], from: Int, until: Int): Long = {
+    var c = 0xffffffff
+    var i = from
+    while (i < until) {
+      c = crcTable((c ^ data(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    (c ^ 0xffffffff).toLong & 0xffffffffL
+  }
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  final case class Decoded(
+      width: Int,
+      height: Int,
+      pixels: Array[Int], // row-major grayscale 0..255
+      filterCounts: Array[Int], // index = filter type 0..4
+      nChunks: Int)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    // ISO 9.4: predictor is whichever of a (left), b (above),
+    // c (upper-left) is closest to a+b-c; ties break a, then b.
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode 8-bit grayscale pixels as a PNG, cycling the scanline
+    * filter type as `y % 5` so every predictor (None/Sub/Up/Average/
+    * Paeth) appears in every image ≥5 rows tall — the coverage the
+    * round-trip gate then asserts structurally.
+    */
+  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"bad geometry: ${width}x$height with ${pixels.length} pixels")
+    val raw = new Array[Byte](height * (width + 1))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      val rowOff = y * (width + 1)
+      raw(rowOff) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = pixels(y * width + x)
+        val left = if (x > 0) pixels(y * width + x - 1) else 0
+        val up = if (y > 0) pixels((y - 1) * width + x) else 0
+        val ul = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(rowOff + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val (idat, _) = DeflateEncoder.zlibCompress(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    val ihdr = new Array[Byte](13)
+    putBE32(ihdr, 0, width)
+    putBE32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    ihdr(10) = 0 // compression: deflate
+    ihdr(11) = 0 // filter method 0
+    ihdr(12) = 0 // no interlace
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def putBE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val buf = new Array[Byte](8 + data.length)
+    putBE32(buf, 0, data.length)
+    var i = 0
+    while (i < 4) { buf(4 + i) = typ.charAt(i).toByte; i += 1 }
+    System.arraycopy(data, 0, buf, 8, data.length)
+    val crc = crc32(buf, 4, buf.length)
+    out.write(buf, 0, buf.length)
+    val tail = new Array[Byte](4)
+    putBE32(tail, 0, crc.toInt)
+    out.write(tail, 0, 4)
+  }
+
+  /** Decode a PNG produced by any conformant encoder within the
+    * supported profile (8-bit grayscale, filter method 0, no
+    * interlace). Verifies the signature, every chunk CRC, chunk
+    * ordering (IHDR first, IEND last), and the exact inflated size.
+    */
+  def decode(png: Array[Byte]): Decoded = {
+    require(png.length >= 8 && (0 until 8).forall(i => png(i) == Signature(i)),
+      "not a PNG: bad signature")
+    var off = 8
+    var width = -1
+    var height = -1
+    var seenEnd = false
+    var nChunks = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off < png.length) {
+      require(!seenEnd, s"chunk after IEND at offset $off")
+      require(off + 8 <= png.length, s"truncated chunk header at $off")
+      val len = be32(png, off)
+      require(len >= 0 && off + 12 + len <= png.length,
+        s"chunk at $off overruns file (len=$len)")
+      val typ = new String(png, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crcStored = be32(png, off + 8 + len).toLong & 0xffffffffL
+      val crcCalc = crc32(png, off + 4, off + 8 + len)
+      require(crcStored == crcCalc,
+        f"chunk $typ at $off: CRC mismatch (stored $crcStored%08x, computed $crcCalc%08x)")
+      nChunks += 1
+      typ match {
+        case "IHDR" =>
+          require(width < 0, "duplicate IHDR")
+          require(len == 13, s"IHDR length $len != 13")
+          width = be32(png, off + 8)
+          height = be32(png, off + 12)
+          val (depth, color, comp, filt, interlace) =
+            (png(off + 16), png(off + 17), png(off + 18), png(off + 19), png(off + 20))
+          require(depth == 8 && color == 0,
+            s"unsupported IHDR: depth=$depth color=$color (8-bit grayscale only)")
+          require(comp == 0 && filt == 0 && interlace == 0,
+            s"unsupported IHDR: compression=$comp filter=$filt interlace=$interlace")
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          idat.write(png, off + 8, len)
+        case "IEND" =>
+          require(len == 0, s"IEND with length $len")
+          seenEnd = true
+        case _ => // ancillary chunk: CRC already verified, content skipped
+      }
+      off += 12 + len
+    }
+    require(seenEnd, "missing IEND")
+    require(width > 0 && height > 0, "missing IHDR")
+    val (raw, _) = InflateCodec.inflateZlib(idat.toByteArray)
+    require(raw.length == height * (width + 1),
+      s"inflated ${raw.length} bytes, expected ${height * (width + 1)}")
+    val pixels = new Array[Int](width * height)
+    val filterCounts = new Array[Int](5)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (width + 1)
+      val f = raw(rowOff) & 0xff
+      require(f <= 4, s"row $y: unknown filter type $f")
+      filterCounts(f) += 1
+      var x = 0
+      while (x < width) {
+        val v = raw(rowOff + 1 + x) & 0xff
+        val left = if (x > 0) pixels(y * width + x - 1) else 0
+        val up = if (y > 0) pixels((y - 1) * width + x) else 0
+        val ul = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + ((left + up) >> 1)
+          case 4 => v + paeth(left, up, ul)
+        }
+        pixels(y * width + x) = recon & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(width, height, pixels, filterCounts, nChunks)
+  }
+}

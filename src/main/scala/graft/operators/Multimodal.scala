@@ -1995,11 +1995,83 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** REAL PNG write + read ([[graft.multimodal.PngCodec]]) — the
+    * container layer that turns m26's DEFLATE encoder and m25's
+    * inflater into a complete image format: each document synthesizes
+    * a deterministic 16×16 grayscale image (pixel = closed form of
+    * doc_id, the rule inlined into the oracle), our encoder filters
+    * every scanline cycling ALL FIVE ISO 9.2 predictors
+    * (None/Sub/Up/Average/Paeth), zlib-compresses the filtered
+    * stream with OUR DeflateEncoder, and emits the genuine chunk
+    * grammar (signature, IHDR, IDAT, IEND, each with a table-driven
+    * CRC-32). Our decoder then walks the chunks, verifies every CRC,
+    * inflates through OUR InflateCodec, and inverts the filters —
+    * and because PNG is lossless the gate is EXACT: recovered pixels
+    * must equal the generation rule (oracle pins their md5
+    * algebraically) and the JDK's independent ImageIO reader must
+    * decode the very same file to identical pixels (`imageio_ok`).
+    * `filters_ok` asserts all five predictors genuinely ran.
+    * Per-partition encode+decode+cross-check, zero shuffle (the
+    * m-tier shape).
+    */
+  val m28Png = Q(
+    "m28_png",
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 256), k ->
+      |      (doc_id * 31 + (k // 16) * 17 + (k % 16) * 7) % 256) AS pxs
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(256 AS BIGINT) AS n_px,
+      |  md5(array_to_string(pxs, ',')) AS px_md5,
+      |  CAST(1 AS INT) AS filters_ok,
+      |  CAST(1 AS INT) AS imageio_ok
+      |FROM px ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.PngCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val px = Array.tabulate(256) { k =>
+          val y = k / 16; val x = k % 16
+          ((id * 31 + y * 17 + x * 7) % 256).toInt
+        }
+        val png = PngCodec.encode(16, 16, px)
+        val dec = PngCodec.decode(png)
+        require(dec.width == 16 && dec.height == 16 &&
+          dec.pixels.sameElements(px),
+          s"media_id=$id: decoded pixels diverge from encoded")
+        // structural filter coverage: 16 rows cycling y%5 must hit
+        // every predictor — None ×4, Sub/Up/Average/Paeth ×3
+        val filtersOk =
+          if (dec.filterCounts.sameElements(Array(4, 3, 3, 3, 3))) 1 else 0
+        // independent ground truth: the JDK's PNG reader on OUR bytes
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null && img.getWidth == 16 && img.getHeight == 16,
+          s"media_id=$id: ImageIO rejected the synthesized PNG")
+        var ok = 1
+        var k = 0
+        while (k < 256 && ok == 1) {
+          if (img.getRaster.getSample(k % 16, k / 16, 0) != px(k)) ok = 0
+          k += 1
+        }
+        (id, 256L, px.mkString(","), filtersOk, ok)
+      })
+      .toDF("media_id", "n_px", "px_csv", "filters_ok", "imageio_ok")
+      .select(col("media_id"), col("n_px"), md5(col("px_csv")).as("px_md5"),
+        col("filters_ok").cast("int").as("filters_ok"),
+        col("imageio_ok").cast("int").as("imageio_ok"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
-      m25Inflate, m26Deflate, m27JpegEntropy)
+      m25Inflate, m26Deflate, m27JpegEntropy, m28Png)
 }

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Groundings for the PNG codec, each independent of our own code:
+  * (1) pixels round-trip EXACTLY through encode→decode (PNG is
+  * lossless — unlike the JPEG spec's ±2 IDCT tolerance, any
+  * deviation is a bug); (2) the JDK's ImageIO PNG reader — an
+  * implementation we didn't write — must decode our files to
+  * identical pixels; (3) our decoder must decode ImageIO-WRITTEN
+  * files (whatever filter choices the JDK encoder makes) back to the
+  * original pixels; (4) our CRC-32 must agree with
+  * `java.util.zip.CRC32`; and the failure paths must all throw.
+  */
+class PngCodecSpec extends AnyFunSuite {
+
+  private def pix(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val y = k / w; val x = k % w
+      ((id * 31 + y * 17 + x * 7) % 256).toInt
+    }
+
+  test("pixels round-trip exactly; every filter type appears") {
+    for (id <- 0L until 40L) {
+      val px = pix(id, 16, 16)
+      val png = PngCodec.encode(16, 16, px)
+      val dec = PngCodec.decode(png)
+      assert(dec.width == 16 && dec.height == 16)
+      assert(dec.pixels.toSeq == px.toSeq, s"id=$id pixel mismatch")
+      // encoder cycles y % 5: 16 rows cover all five predictors
+      assert(dec.filterCounts.toSeq == Seq(4, 3, 3, 3, 3),
+        s"id=$id filter coverage ${dec.filterCounts.toSeq}")
+    }
+  }
+
+  test("non-square and single-column geometries round-trip") {
+    for ((w, h) <- Seq((1, 7), (7, 1), (3, 11), (33, 5))) {
+      val px = pix(w.toLong * h, w, h)
+      val dec = PngCodec.decode(PngCodec.encode(w, h, px))
+      assert(dec.width == w && dec.height == h && dec.pixels.toSeq == px.toSeq,
+        s"geometry ${w}x$h")
+    }
+  }
+
+  test("ImageIO decodes our files to identical pixels") {
+    for (id <- 0L until 25L) {
+      val px = pix(id, 16, 16)
+      val png = PngCodec.encode(16, 16, px)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16,
+        s"id=$id: ImageIO rejected our PNG")
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(img.getRaster.getSample(x, y, 0) == px(y * 16 + x),
+          s"id=$id px($x,$y)")
+    }
+  }
+
+  test("our decoder decodes ImageIO-written files (independent encoder)") {
+    for (id <- 0L until 10L) {
+      val px = pix(id, 16, 16)
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, px(y * 16 + x))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val dec = PngCodec.decode(bos.toByteArray)
+      assert(dec.width == 16 && dec.height == 16)
+      assert(dec.pixels.toSeq == px.toSeq, s"id=$id: JDK-encoded PNG mismatch")
+    }
+  }
+
+  test("CRC-32 agrees with java.util.zip.CRC32") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 7, 256, 4096)) {
+      val data = new Array[Byte](n)
+      rnd.nextBytes(data)
+      val jdk = new java.util.zip.CRC32()
+      jdk.update(data)
+      assert(PngCodec.crc32(data, 0, n) == jdk.getValue, s"n=$n")
+    }
+  }
+
+  test("corrupt streams fail loudly") {
+    val png = PngCodec.encode(16, 16, pix(3, 16, 16))
+    // bad signature
+    val sig = png.clone(); sig(0) = 0x42
+    assertThrows[IllegalArgumentException](PngCodec.decode(sig))
+    // flipped bit inside IHDR payload -> CRC mismatch
+    val ihdr = png.clone(); ihdr(20) = (ihdr(20) ^ 1).toByte
+    assertThrows[IllegalArgumentException](PngCodec.decode(ihdr))
+    // truncation mid-chunk
+    assertThrows[IllegalArgumentException](
+      PngCodec.decode(png.take(png.length - 6)))
+    // unknown filter type: rebuild with a poisoned filter byte is
+    // covered by CRC; instead corrupt after inflate is unreachable —
+    // assert the geometry guard instead
+    assertThrows[IllegalArgumentException](PngCodec.encode(4, 4, new Array[Int](15)))
+  }
+}
