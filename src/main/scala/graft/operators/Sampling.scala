@@ -388,8 +388,112 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169): select the pool documents whose hashed
+    * n-gram distribution looks most like a TARGET domain. Features
+    * are bigram occurrences hashed into B=1024 buckets (the paper's
+    * hashed n-gram reduction); the importance weight of a document is
+    * Σ_occurrences [log p_target(bucket) − log p_raw(bucket)] under
+    * add-1 smoothing. Logs follow the repo's no-libm oracle
+    * discipline (COVERAGE.md: Spark's Math.log and DuckDB's ln
+    * disagree in the last ulp): `flog2(n) = length(bin(n)) − 1`
+    * quantizes each log₂ to whole bits, making the weight exact
+    * integer arithmetic — identical in both engines. The per-bucket
+    * numerator/denominator totals contribute a per-occurrence
+    * CONSTANT (flog2(Cr+B) − flog2(Ct+B)), folded in as
+    * n_feat × const so the broadcast table stays ratio-only.
+    *
+    * Scale shape: the bucket model is ≤1024 rows built by ONE
+    * corpus-linear two-phase count over the codegen bigram kernel
+    * (WordGramsMulti — one token-array materialization per row, the
+    * CollapseProject lesson), then BROADCAST to the pool-side scoring
+    * scan; scoring shuffles only per-doc partial sums keyed by
+    * doc_id, and the final top-k is TakeOrdered, not a global sort.
+    * Pool docs with <2 tokens have no features and are not
+    * candidates (documented; DSIR has no evidence to rank them on).
+    * Target = sources src0-src3 (the "wiki-like" slice of the 20).
+    */
+  val p09DsirSelect = Q(
+    "p09_dsir_select",
+    """WITH tokd AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(generate_series(1, len(tk) - 1),
+      |                          i -> tk[i] || ' ' || tk[i+1])) AS g
+      |  FROM tokd
+      |), feat AS (
+      |  SELECT doc_id, source,
+      |    source IN ('src0', 'src1', 'src2', 'src3') AS is_t,
+      |    ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT % 1024 AS b
+      |  FROM bg
+      |), wtab AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM feat GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS ctot, CAST(sum(cr) AS BIGINT) AS rtot
+      |  FROM wtab
+      |), scored AS (
+      |  SELECT f.doc_id, f.source, count(*) AS n_feat,
+      |    CAST(sum((length(bin(w.ct + 1)) - 1) - (length(bin(w.cr + 1)) - 1))
+      |         AS BIGINT) AS sum_wb
+      |  FROM feat f JOIN wtab w ON f.b = w.b
+      |  WHERE NOT f.is_t
+      |  GROUP BY 1, 2
+      |), fl AS (
+      |  SELECT s.doc_id, s.source, s.n_feat,
+      |    s.sum_wb + s.n_feat *
+      |      ((length(bin(t.rtot + 1024)) - 1) - (length(bin(t.ctot + 1024)) - 1))
+      |      AS w_bits
+      |  FROM scored s CROSS JOIN tot t
+      |), ranked AS (
+      |  SELECT doc_id, source, n_feat, w_bits,
+      |    row_number() OVER (ORDER BY w_bits DESC, doc_id) AS rk
+      |  FROM fl
+      |)
+      |SELECT doc_id, source, n_feat, w_bits, rk
+      |FROM ranked WHERE rk <= 24 ORDER BY rk""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.TextVec.tokens
+    val targetSrcs = Seq("src0", "src1", "src2", "src3")
+    def flog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+    val docs = Tables.documents(s, d)
+    val feat = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
+      .withColumn("is_t", col("source").isin(targetSrcs: _*))
+      .withColumn("b",
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % 1024"))
+      .select(col("doc_id"), col("source"), col("is_t"), col("b"))
+    // bucket model: ONE corpus pass, two-phase count, <=1024 rows out
+    val wtab = feat.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).cast("long").as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).cast("long").as("cr"))
+    val tot = wtab.agg(sum(col("ct")).cast("long").as("ctot"),
+      sum(col("cr")).cast("long").as("rtot"))
+    // pool scoring: broadcast the model to the scan; shuffle only
+    // per-doc partial sums
+    val scored = feat.filter(!col("is_t"))
+      .join(broadcast(wtab), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(flog2(col("ct") + 1) - flog2(col("cr") + 1)).cast("long").as("sum_wb"))
+    val fl = scored.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("n_feat"),
+        (col("sum_wb") + col("n_feat") *
+          (flog2(col("rtot") + 1024) - flog2(col("ctot") + 1024))).as("w_bits"))
+    // top-k plans as TakeOrdered; the row_number window then runs on
+    // the 24-row frame only (never a global single-partition sort)
+    val top = fl.orderBy(col("w_bits").desc, col("doc_id")).limit(24)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("w_bits").desc, col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("n_feat"), col("w_bits"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
       p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
-      p08TemperatureMixture)
+      p08TemperatureMixture, p09DsirSelect)
 }

@@ -680,6 +680,18 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row n_total frame must broadcast, not cartesian:\n$p")
   }
 
+  test("p09: DSIR bucket model broadcasts; top-k is TakeOrdered, not a global sort") {
+    val p = plan("p09_dsir_select")
+    // the <=1024-row bucket model must broadcast to the pool scan
+    assert(p.contains("BroadcastHashJoin"), s"bucket model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the pool feature stream must not shuffle for the model join:\n$p")
+    // k=24 selection must plan as TakeOrdered (heap per partition +
+    // driver merge), never a full global sort of the pool
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c19: the benchmark side broadcasts — the corpus stream never shuffles for the join") {
     val p = plan("c19_fuzzy_decontam")
     assert(p.contains("BroadcastHashJoin"), s"bench band join must broadcast:\n$p")
