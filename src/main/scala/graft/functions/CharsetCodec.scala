@@ -1,0 +1,149 @@
+package graft.functions
+
+/** Charset sniffing + transcoding for crawl ingest — the step between
+  * "bytes from the wire" and "UTF-8 text in a column" that every web
+  * corpus pipeline runs before any text operator can touch the data
+  * (WARC payloads arrive in whatever encoding the origin server chose;
+  * HTTP headers lie often enough that pipelines sniff the bytes).
+  *
+  * Detection order (the standard one, per the WHATWG encoding sniff
+  * and what chardet-family tools do as a last resort):
+  *   1. BOM: EF BB BF → UTF-8, FF FE → UTF-16LE, FE FF → UTF-16BE.
+  *   2. No BOM: run a FULL UTF-8 validation DFA (RFC 3629 — correct
+  *      continuation counts, overlong rejection, surrogate rejection,
+  *      max U+10FFFF). Valid → UTF-8.
+  *   3. Invalid UTF-8 → ISO-8859-1 (Latin-1), the byte-transparent
+  *      fallback (every byte sequence is valid Latin-1).
+  *
+  * Decoding is hand-rolled per branch — Latin-1 is the 1:1 byte→char
+  * map, UTF-16 is explicit byte pairing in the detected endianness —
+  * so a sniff bug cannot be masked by a lenient JDK decoder
+  * (CharsetDecoder default REPLACEs malformed input silently; this
+  * codec throws instead: a mis-detected stream must fail loudly, not
+  * ship U+FFFD into the corpus).
+  */
+object CharsetCodec {
+
+  final case class Sniffed(encoding: String, bomBytes: Int)
+
+  /** RFC 3629 validation: true iff `bytes[from..until)` is well-formed
+    * UTF-8 (overlongs, surrogates, and >U+10FFFF rejected).
+    */
+  def isValidUtf8(bytes: Array[Byte], from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else if (b0 < 0xc2) return false // continuation or overlong lead
+      else if (b0 < 0xe0) { // 2-byte
+        if (i + 1 >= until || (bytes(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (b0 < 0xf0) { // 3-byte
+        if (i + 2 >= until) return false
+        val b1 = bytes(i + 1) & 0xff
+        val lo = if (b0 == 0xe0) 0xa0 else 0x80 // reject overlong
+        val hi = if (b0 == 0xed) 0x9f else 0xbf // reject surrogates
+        if (b1 < lo || b1 > hi || (bytes(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (b0 < 0xf5) { // 4-byte
+        if (i + 3 >= until) return false
+        val b1 = bytes(i + 1) & 0xff
+        val lo = if (b0 == 0xf0) 0x90 else 0x80 // reject overlong
+        val hi = if (b0 == 0xf4) 0x8f else 0xbf // reject >U+10FFFF
+        if (b1 < lo || b1 > hi ||
+          (bytes(i + 2) & 0xc0) != 0x80 || (bytes(i + 3) & 0xc0) != 0x80)
+          return false
+        i += 4
+      } else return false // F5..FF never appear in UTF-8
+    }
+    true
+  }
+
+  def sniff(bytes: Array[Byte]): Sniffed = {
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      Sniffed("utf-8-bom", 3)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      Sniffed("utf-16le", 2)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      Sniffed("utf-16be", 2)
+    else if (isValidUtf8(bytes, 0, bytes.length)) Sniffed("utf-8", 0)
+    else Sniffed("latin-1", 0)
+  }
+
+  /** Sniff + decode to a JVM string. Fails loudly on malformed input
+    * in the detected encoding (odd UTF-16 length, unpaired
+    * surrogates) — never substitutes U+FFFD.
+    */
+  def decode(bytes: Array[Byte]): (String, String) = {
+    val s = sniff(bytes)
+    val text = s.encoding match {
+      case "utf-8" | "utf-8-bom" =>
+        // validated above (BOM branch validates the remainder here)
+        require(isValidUtf8(bytes, s.bomBytes, bytes.length),
+          "utf-8 BOM followed by malformed UTF-8")
+        new String(bytes, s.bomBytes, bytes.length - s.bomBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case "utf-16le" | "utf-16be" =>
+        val n = bytes.length - s.bomBytes
+        require(n % 2 == 0, s"${s.encoding}: odd payload length $n")
+        val chars = new Array[Char](n / 2)
+        val le = s.encoding == "utf-16le"
+        var i = 0
+        while (i < chars.length) {
+          val o = s.bomBytes + 2 * i
+          val unit =
+            if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+            else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          chars(i) = unit.toChar
+          i += 1
+        }
+        // surrogate pairing must be well-formed
+        var j = 0
+        while (j < chars.length) {
+          if (Character.isHighSurrogate(chars(j))) {
+            require(j + 1 < chars.length && Character.isLowSurrogate(chars(j + 1)),
+              s"${s.encoding}: unpaired high surrogate at unit $j")
+            j += 2
+          } else {
+            require(!Character.isLowSurrogate(chars(j)),
+              s"${s.encoding}: orphan low surrogate at unit $j")
+            j += 1
+          }
+        }
+        new String(chars)
+      case "latin-1" =>
+        val chars = new Array[Char](bytes.length)
+        var i = 0
+        while (i < bytes.length) { chars(i) = (bytes(i) & 0xff).toChar; i += 1 }
+        new String(chars)
+    }
+    (text, s.encoding)
+  }
+
+  /** Encode helpers for the synthesis side (tested against the JDK's
+    * encoders in the spec).
+    */
+  def encodeUtf16(text: String, littleEndian: Boolean, bom: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(text.length * 2 + 2)
+    def unit(u: Int): Unit =
+      if (littleEndian) { out.write(u & 0xff); out.write((u >> 8) & 0xff) }
+      else { out.write((u >> 8) & 0xff); out.write(u & 0xff) }
+    if (bom) unit(0xfeff)
+    var i = 0
+    while (i < text.length) { unit(text.charAt(i)); i += 1 }
+    out.toByteArray
+  }
+
+  def encodeLatin1(text: String): Array[Byte] = {
+    val out = new Array[Byte](text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      require(c <= 0xff, f"not Latin-1-encodable: U+${c.toInt}%04X at $i")
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+}

@@ -1513,9 +1513,70 @@ object Curation {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** CHARSET SNIFF + TRANSCODE ([[graft.functions.CharsetCodec]]) —
+    * the step between "bytes from the wire" and "UTF-8 text in a
+    * column" every crawl pipeline runs first (origin servers pick the
+    * encoding; HTTP headers lie, so production sniffs the bytes). Each
+    * document synthesizes its wire payload in a doc_id-determined
+    * encoding — plain UTF-8, UTF-16LE/BE with BOM, BOM'd UTF-8, or
+    * Latin-1 with a high byte appended (text+'©', which is NOT valid
+    * UTF-8, forcing the fallback branch) — and the codec must sniff
+    * it back by BOM inspection plus a full RFC 3629 UTF-8 validation
+    * DFA (overlongs, surrogates, >U+10FFFF all rejected), then decode
+    * through the hand-rolled per-branch transcoders (no lenient JDK
+    * decoder that would mask a sniff bug with U+FFFD). The oracle
+    * pins BOTH sides algebraically: `detected` and `n_payload` follow
+    * from the id rule in closed form (the corpus is ASCII — the
+    * synthesis REQUIREs it loudly), and `text_md5` proves the decoded
+    * text is byte-identical to the original (with the Latin-1 branch's
+    * appended '©' spelled chr(169) in DuckDB). Per-row encode + sniff
+    * + decode, zero shuffle — embarrassingly parallel at 100 TB.
+    */
+  val c20CharsetSniff = Q(
+    "c20_charset_sniff",
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'utf-16be'
+      |    WHEN 3 THEN 'utf-8-bom' WHEN 4 THEN 'latin-1'
+      |    ELSE 'utf-8' END AS detected,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 1 THEN 2 * strlen(text) + 2 WHEN 2 THEN 2 * strlen(text) + 2
+      |    WHEN 3 THEN strlen(text) + 3 WHEN 4 THEN strlen(text) + 1
+      |    ELSE strlen(text) END AS BIGINT) AS n_payload,
+      |  CASE WHEN doc_id % 5 = 4 THEN md5(text || chr(169)) ELSE md5(text) END
+      |    AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.CharsetCodec
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // the n_payload closed form in the oracle assumes an ASCII
+        // corpus (1 UTF-8 byte and 1 UTF-16 unit per char) — enforce
+        // the precondition loudly rather than drift silently
+        require(text.forall(_ < 0x80), s"doc_id=$id: non-ASCII corpus text")
+        val payload: Array[Byte] = (id % 5) match {
+          case 1 => CharsetCodec.encodeUtf16(text, littleEndian = true, bom = true)
+          case 2 => CharsetCodec.encodeUtf16(text, littleEndian = false, bom = true)
+          case 3 =>
+            Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 4 => CharsetCodec.encodeLatin1(text + "©")
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val (decoded, detected) = CharsetCodec.decode(payload)
+        (id, detected, payload.length.toLong, decoded)
+      })
+      .toDF("doc_id", "detected", "n_payload", "decoded")
+      .select(col("doc_id"), col("detected"), col("n_payload"),
+        md5(col("decoded")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
-    c17RobotsFilter, c18ShardPack, c19FuzzyDecontam)
+    c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff)
 }

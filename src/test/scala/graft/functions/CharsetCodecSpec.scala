@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Groundings for the charset codec: the UTF-8 validator must agree
+  * with the JDK's strict decoder on the RFC 3629 edge cases (overlong
+  * forms, surrogates, planes beyond U+10FFFF); our UTF-16/Latin-1
+  * encoders must agree byte-for-byte with the JDK's; sniff+decode
+  * must round-trip non-ASCII text through every branch; and malformed
+  * streams must throw, never yield U+FFFD.
+  */
+class CharsetCodecSpec extends AnyFunSuite {
+
+  private def jdkStrictValid(b: Array[Byte]): Boolean = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(b)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
+  test("UTF-8 validator agrees with the JDK strict decoder on edge cases") {
+    val cases: Seq[Array[Byte]] = Seq(
+      Array[Int](0x41, 0x42), // plain ASCII
+      Array[Int](0xc3, 0xa9), // é
+      Array[Int](0xe2, 0x82, 0xac), // €
+      Array[Int](0xf0, 0x9f, 0x98, 0x80), // 😀
+      Array[Int](0xc0, 0x80), // overlong NUL
+      Array[Int](0xc1, 0xbf), // overlong
+      Array[Int](0xe0, 0x80, 0x80), // overlong 3-byte
+      Array[Int](0xe0, 0xa0, 0x80), // minimal legal 3-byte U+0800
+      Array[Int](0xed, 0x9f, 0xbf), // U+D7FF (legal, just below surrogates)
+      Array[Int](0xed, 0xa0, 0x80), // surrogate U+D800 (illegal)
+      Array[Int](0xf0, 0x80, 0x80, 0x80), // overlong 4-byte
+      Array[Int](0xf0, 0x90, 0x80, 0x80), // minimal legal 4-byte U+10000
+      Array[Int](0xf4, 0x8f, 0xbf, 0xbf), // U+10FFFF (max legal)
+      Array[Int](0xf4, 0x90, 0x80, 0x80), // > U+10FFFF (illegal)
+      Array[Int](0xf5, 0x80, 0x80, 0x80), // lead F5 never legal
+      Array[Int](0x80), // lone continuation
+      Array[Int](0xc3), // truncated 2-byte
+      Array[Int](0xe2, 0x82), // truncated 3-byte
+      Array[Int](0xff, 0xfe, 0x41) // FF never legal (also: not sniffed here)
+    ).map(_.map(_.toByte))
+    for (c <- cases)
+      assert(CharsetCodec.isValidUtf8(c, 0, c.length) == jdkStrictValid(c),
+        s"disagreement on ${c.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+  }
+
+  test("UTF-16 and Latin-1 encoders agree with the JDK byte-for-byte") {
+    for (text <- Seq("", "abc", "héllo wörld", "mixed € and ASCII", "😀 astral")) {
+      assert(CharsetCodec.encodeUtf16(text, littleEndian = true, bom = false)
+        .sameElements(text.getBytes(StandardCharsets.UTF_16LE)), s"LE: $text")
+      assert(CharsetCodec.encodeUtf16(text, littleEndian = false, bom = false)
+        .sameElements(text.getBytes(StandardCharsets.UTF_16BE)), s"BE: $text")
+      // JDK "UTF-16" = BOM + BE — except the JDK emits ZERO bytes for
+      // the empty string (no BOM) while we always write the BOM (a
+      // BOM-only payload is a well-formed empty UTF-16 file, and the
+      // c20 oracle's 2n+2 byte formula depends on it)
+      if (text.nonEmpty)
+        assert(CharsetCodec.encodeUtf16(text, littleEndian = false, bom = true)
+          .sameElements(text.getBytes("UTF-16")), s"BOM+BE: $text")
+      else
+        assert(CharsetCodec.encodeUtf16(text, littleEndian = false, bom = true)
+          .sameElements(Array(0xfe.toByte, 0xff.toByte)))
+    }
+    val latin = "café © naïve"
+    assert(CharsetCodec.encodeLatin1(latin)
+      .sameElements(latin.getBytes(StandardCharsets.ISO_8859_1)))
+    assertThrows[IllegalArgumentException](CharsetCodec.encodeLatin1("€"))
+  }
+
+  test("sniff+decode round-trips every branch, non-ASCII included") {
+    val text = "héllo € wörld 😀"
+    val branches = Seq(
+      text.getBytes(StandardCharsets.UTF_8) -> "utf-8",
+      (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++
+        text.getBytes(StandardCharsets.UTF_8)) -> "utf-8-bom",
+      CharsetCodec.encodeUtf16(text, littleEndian = true, bom = true) -> "utf-16le",
+      CharsetCodec.encodeUtf16(text, littleEndian = false, bom = true) -> "utf-16be")
+    for ((payload, expected) <- branches) {
+      val (decoded, detected) = CharsetCodec.decode(payload)
+      assert(detected == expected && decoded == text, s"branch $expected")
+    }
+    // Latin-1 fallback: high bytes that are NOT valid UTF-8
+    val l1 = "café ©"
+    val (decoded, detected) = CharsetCodec.decode(CharsetCodec.encodeLatin1(l1))
+    assert(detected == "latin-1" && decoded == l1)
+  }
+
+  test("Latin-1 bytes that happen to be valid UTF-8 sniff as UTF-8 (documented ambiguity)") {
+    // 0xC3 0xA9 is 'é' in UTF-8 but 'Ã©' in Latin-1 — byte sniffing
+    // CANNOT distinguish these; the standard resolution (ours too) is
+    // UTF-8-wins, which is the overwhelmingly-correct prior on the web
+    val (decoded, detected) = CharsetCodec.decode(Array(0xc3, 0xa9).map(_.toByte))
+    assert(detected == "utf-8" && decoded == "é")
+  }
+
+  test("malformed streams throw — never U+FFFD") {
+    // odd-length UTF-16 payload
+    assertThrows[IllegalArgumentException](
+      CharsetCodec.decode(Array(0xff, 0xfe, 0x41).map(_.toByte)))
+    // unpaired high surrogate in UTF-16LE
+    assertThrows[IllegalArgumentException](
+      CharsetCodec.decode(Array(0xff, 0xfe, 0x00, 0xd8).map(_.toByte)))
+    // orphan low surrogate in UTF-16BE
+    assertThrows[IllegalArgumentException](
+      CharsetCodec.decode(Array(0xfe, 0xff, 0xdc, 0x00).map(_.toByte)))
+    // BOM'd UTF-8 with malformed remainder
+    assertThrows[IllegalArgumentException](
+      CharsetCodec.decode(Array(0xef, 0xbb, 0xbf, 0xed, 0xa0, 0x80).map(_.toByte)))
+  }
+}
