@@ -168,6 +168,23 @@ object ScaleProbe {
     "m23_gif_anim",
     // m24: per-row side-info/scalefactor bit walk — ≈flat + scan term
     "m24_mp3_sideinfo",
+    // m28: full PNG encode (our deflate) + decode (our inflate +
+    // unfilter) + 256-px ImageIO cross-check per row — fixed work per
+    // doc (16×16 image regardless of text length), expected ≈flat +
+    // the scan term
+    "m28_png",
+    // p09: corpus-linear bigram-bucket count + broadcast-model
+    // scoring scan + TakeOrdered top-k — expected ≈linear in the two
+    // scans, model fixed at 1024 buckets
+    "p09_dsir_select",
+    // c20: per-row encode + sniff DFA + decode ∝ text bytes, zero
+    // shuffle — expected ≈linear in bytes
+    "c20_charset_sniff",
+    // q49: grid build is a two-phase count (≤256 partial cells per
+    // map task); probe needs events in the scale dir (ScaleGen
+    // TABLES=events) — expected ≈linear in the scan with a flat
+    // sketch/query tail
+    "q49_countmin",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78

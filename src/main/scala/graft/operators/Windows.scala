@@ -192,6 +192,99 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SEQUENTIAL-PATTERN FUNNEL — the MATCH_RECOGNIZE shape (ISO SQL
+    * 2016 row-pattern matching; Snowflake/Flink ship it as
+    * MATCH_RECOGNIZE, product analytics engines as "funnels"):
+    * per user, does `view → click → purchase` occur IN ORDER?
+    * The sequential dependency ("first click AFTER the first
+    * qualifying view") is what a plain conditional aggregate cannot
+    * express; here it compiles to THREE stacked whole-partition
+    * windows over the SAME user partitioning — Catalyst plans ONE
+    * Exchange and pipelines the window operators, so the pattern
+    * match costs exactly one shuffle of the events table at any
+    * scale (PlanSpec-pinned). Per-stage output: users reached,
+    * conversion from stage 1, and total µs spent converting —
+    * elapsed arithmetic in integer epoch-µs (the q18/q43 idiom), so
+    * every value is engine-exact.
+    */
+  val q36FunnelPattern = Q(
+    "q36_funnel_pattern",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE user_id IS NOT NULL
+      |), w1 AS (
+      |  SELECT user_id, event_type, us,
+      |    min(CASE WHEN event_type = 'view' THEN us END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM ev
+      |), w2 AS (
+      |  SELECT user_id, event_type, us, t1,
+      |    min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |      OVER (PARTITION BY user_id) AS t2
+      |  FROM w1
+      |), w3 AS (
+      |  SELECT user_id, t1, t2,
+      |    min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |      OVER (PARTITION BY user_id) AS t3
+      |  FROM w2
+      |), per_user AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM w3 GROUP BY user_id
+      |), agg AS (
+      |  SELECT
+      |    CAST(count(t1) AS BIGINT) AS n1, CAST(count(t2) AS BIGINT) AS n2,
+      |    CAST(count(t3) AS BIGINT) AS n3,
+      |    CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) AS el12,
+      |    CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) AS el23
+      |  FROM per_user
+      |)
+      |SELECT stage, stage_name, n_users,
+      |  CASE WHEN n1 = 0 THEN 0.0
+      |       ELSE CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conv_from_top,
+      |  sum_elapsed_us
+      |FROM (
+      |  SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_users,
+      |         CAST(0 AS BIGINT) AS sum_elapsed_us, n1 FROM agg
+      |  UNION ALL
+      |  SELECT 2, 'view>click', n2, el12, n1 FROM agg
+      |  UNION ALL
+      |  SELECT 3, 'view>click>purchase', n3, el23, n1 FROM agg
+      |) st
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // three stacked windows, same partitioning -> ONE Exchange; the
+    // groupBy that follows reuses it (hash partitioning on user_id)
+    val perRow = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("us") > col("t1"),
+        col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+        col("us"))).over(w))
+    val perUser = perRow.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    val agg = perUser.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"), count(col("t3")).as("n3"),
+      coalesce(sum(col("t2") - col("t1")), lit(0L)).cast("long").as("el12"),
+      coalesce(sum(col("t3") - col("t2")), lit(0L)).cast("long").as("el23"))
+    val stages = agg.select(
+      expr("stack(3, " +
+        "1, 'view', n1, CAST(0 AS BIGINT), " +
+        "2, 'view>click', n2, el12, " +
+        "3, 'view>click>purchase', n3, el23) AS (stage, stage_name, n_users, sum_elapsed_us)"),
+      col("n1"))
+    stages.select(col("stage"), col("stage_name"), col("n_users"),
+      when(col("n1") === 0, lit(0.0))
+        .otherwise(col("n_users").cast("double") / col("n1").cast("double"))
+        .as("conv_from_top"),
+      col("sum_elapsed_us"))
+      .orderBy(col("stage"))
+  }
+
   def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
-    q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q40SortLimit)
+    q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q36FunnelPattern, q40SortLimit)
 }

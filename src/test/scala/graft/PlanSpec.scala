@@ -680,6 +680,20 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row n_total frame must broadcast, not cartesian:\n$p")
   }
 
+  test("q36: the funnel's three windows and the per-user agg share ONE user shuffle") {
+    val p = plan("q36_funnel_pattern")
+    // three stacked Window operators over the same partitioning …
+    assert("(?s)Window.*Window.*Window".r.findFirstIn(p).isDefined,
+      s"expected three stacked Window operators:\n$p")
+    // … must plan exactly one hash Exchange: the windows share it and
+    // the groupBy(user_id) reuses the partitioning (the remaining
+    // exchange is the 3-row global-agg SinglePartition one)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"funnel must shuffle events exactly once, saw $hashExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p09: DSIR bucket model broadcasts; top-k is TakeOrdered, not a global sort") {
     val p = plan("p09_dsir_select")
     // the <=1024-row bucket model must broadcast to the pool scan
