@@ -185,6 +185,10 @@ object ScaleProbe {
     // TABLES=events) — expected ≈linear in the scan with a flat
     // sketch/query tail
     "q49_countmin",
+    // q36: three stacked windows + per-user agg over ONE user
+    // shuffle; needs events in the scale dir — expected ≈linear in
+    // the shuffle with a flat 3-row tail
+    "q36_funnel_pattern",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78
