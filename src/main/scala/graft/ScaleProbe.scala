@@ -213,7 +213,10 @@ object ScaleProbe {
     "q82_stream_outer_join_replay",
     // q83: watermarked SEMI stream-stream join — strictly smaller
     // state than q82 (matched views leave state immediately)
-    "q83_stream_semi_join_replay")
+    "q83_stream_semi_join_replay",
+    // q84: watermarked FULL OUTER stream-stream join — q82's state
+    // shape on BOTH sides (each buffers its open 12 h windows)
+    "q84_stream_full_outer_join_replay")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
@@ -261,7 +264,12 @@ object ScaleProbe {
     // smaller than q82's (matched views leave state immediately)
     "q83_wide_chunked" -> (() =>
       graft.operators.StreamReplay.semiJoinReplayChunked(s, dir, nChunks = 24)
-        .orderBy(col("user_id"), col("view_id"))))
+        .orderBy(col("user_id"), col("view_id"))),
+    // q84 in the same production geometry — the full outer join's
+    // two-sided buffers hold open windows only, evicted per chunk
+    "q84_wide_chunked" -> (() =>
+      graft.operators.StreamReplay.fullOuterJoinReplayChunked(s, dir, nChunks = 24)
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))))
 
   /** d07's cluster collapse over a width-parameterized d06 edge set. */
   private def wideClusters(s: SparkSession, dir: String,

@@ -858,6 +858,11 @@ object StreamReplay {
       joinType)
     if (joinType == "leftSemi")
       joined.select(col("view_user").as("user_id"), col("view_id"), col("view_ts"))
+    else if (joinType == "fullOuter")
+      // either side may be the null one — the user key survives via
+      // coalesce (both sides carry it when matched)
+      joined.select(coalesce(col("view_user"), col("purchase_user")).as("user_id"),
+        col("view_id"), col("purchase_id"), col("view_ts"), col("purchase_ts"))
     else
       joined.select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
@@ -896,6 +901,17 @@ object StreamReplay {
       d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
     joinReplayChunked(s, d, nChunks, "leftSemi")
 
+  /** [[outerJoinReplayChunked]]'s geometry for q84's full outer join
+    * — both null-extension rules stay chunk-safe: a purchase's
+    * candidate views (`view_ts ≤ purchase_ts`) live in chunks at or
+    * before its own, so they have always arrived before the
+    * watermark can null-extend it, symmetric to the view-side
+    * argument.
+    */
+  private[graft] def fullOuterJoinReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    joinReplayChunked(s, d, nChunks, "fullOuter")
+
   private def joinReplayChunked(s: org.apache.spark.sql.SparkSession,
       d: String, nChunks: Int, joinType: String): org.apache.spark.sql.DataFrame = {
     val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
@@ -926,9 +942,67 @@ object StreamReplay {
     fileSinkReplay(s, watermarkedJoinOf(src, joinType), s"chunked_$joinType")
   }
 
+  /** Watermarked stream-stream FULL OUTER join — completing the
+    * streaming join family (q73 inner, q82 left outer, q83 left
+    * semi, THIS full outer): "every view AND every purchase, matched
+    * where a conversion happened within 12 h, null-extended where
+    * not" — the reconciliation shape (ad-spend vs revenue, orders vs
+    * shipments) run live. Both null-extension rules are WATERMARK
+    * semantics and the oracle spells them explicitly: an unmatched
+    * VIEW emits only once its 12 h window closes below the final
+    * watermark (`view_ts + 12h < m`, q82's rule), and an unmatched
+    * PURCHASE emits once no future view could still match it — a
+    * future view has `ts ≥ m` and must satisfy `view_ts ≤
+    * purchase_ts`, so the purchase is evictable exactly when
+    * `purchase_ts < m` (`m` = min of the two sides' max event time,
+    * Spark's global-watermark min policy). State story: both sides
+    * buffer only open 12 h windows once the watermark advances — the
+    * chunked production geometry applies unchanged via
+    * [[joinReplayChunked]].
+    */
+  val q84StreamFullOuterJoinReplay = Q(
+    "q84_stream_full_outer_join_replay",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |mx AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) AS m),
+      |matched AS (
+      |  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |         v.ts AS view_ts, p.ts AS purchase_ts
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+      |), unmatched_v AS (
+      |  SELECT v.user_id, v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |         v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |  FROM v, mx
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR)
+      |    AND v.ts + INTERVAL 12 HOUR < mx.m
+      |), unmatched_p AS (
+      |  SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id, p.event_id AS purchase_id,
+      |         CAST(NULL AS TIMESTAMP) AS view_ts, p.ts AS purchase_ts
+      |  FROM p, mx
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM v WHERE v.user_id = p.user_id
+      |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR)
+      |    AND p.ts < mx.m
+      |)
+      |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts FROM matched
+      |UNION ALL
+      |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts FROM unmatched_v
+      |UNION ALL
+      |SELECT user_id, view_id, purchase_id, view_ts, purchase_ts FROM unmatched_p
+      |ORDER BY user_id, view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+  ) { (s, d) => {
+    fileSinkReplay(s, watermarkedJoinOf(eventsStream(s, d), "fullOuter"), "q84")
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  } }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
-    q83StreamSemiJoinReplay)
+    q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay)
 }

@@ -39,6 +39,20 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
     assert(single.nonEmpty, "fixture produced no joined rows")
   }
 
+  test("chunked multi-batch q84 full-outer output equals the single-batch replay") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(SparkEntry.queries("q84_stream_full_outer_join_replay")(spark, dir))
+    val chunked = rows(graft.operators.StreamReplay
+      .fullOuterJoinReplayChunked(spark, dir, nChunks = 6))
+    assert(chunked == single,
+      s"chunked full-outer replay diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    // both null-extension branches must actually occur in the fixture
+    assert(single.exists(_.contains("|null|")), "no null-extended row in fixture")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
