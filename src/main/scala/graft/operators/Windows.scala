@@ -285,6 +285,58 @@ object Windows {
       .orderBy(col("stage"))
   }
 
+  /** COHORT RETENTION — the other product-analytics staple next to
+    * q36's funnel: users grouped by the week of their FIRST event
+    * (the cohort), each later event bucketed by whole-week offset
+    * from that first touch, distinct users counted per (cohort,
+    * offset), and retention = cell / cohort size. Week indexing is
+    * integer epoch-µs division (`us div 7-days-of-µs`) — no calendar
+    * functions, so both engines bucket identically. Plan shape:
+    * first-touch is a whole-partition window over user_id (ONE
+    * events shuffle, the q36 lesson), the distinct-user count is a
+    * two-phase agg on the small (cohort, offset) key space, and the
+    * cohort-size table (≤ weeks rows) joins back BROADCAST.
+    */
+  val q37CohortRetention = Q(
+    "q37_cohort_retention",
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+      |  FROM events WHERE user_id IS NOT NULL
+      |), firstw AS (
+      |  SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS w0
+      |  FROM ev
+      |), cells AS (
+      |  SELECT w0 AS cohort_w, w - w0 AS offset_w,
+      |         count(DISTINCT user_id) AS n_users
+      |  FROM firstw GROUP BY 1, 2
+      |), base AS (
+      |  SELECT cohort_w, n_users AS n_cohort FROM cells WHERE offset_w = 0
+      |)
+      |SELECT c.cohort_w, c.offset_w, c.n_users, b.n_cohort,
+      |  CAST(c.n_users AS DOUBLE) / CAST(b.n_cohort AS DOUBLE) AS retention
+      |FROM cells c JOIN base b ON c.cohort_w = b.cohort_w
+      |ORDER BY c.cohort_w, c.offset_w""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"))
+    val firstw = ev.withColumn("w0", min(col("w")).over(w))
+    val cells = firstw
+      .groupBy(col("w0").as("cohort_w"), (col("w") - col("w0")).as("offset_w"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val base = cells.filter(col("offset_w") === 0)
+      .select(col("cohort_w"), col("n_users").as("n_cohort"))
+    cells.join(broadcast(base), Seq("cohort_w"))
+      .select(col("cohort_w"), col("offset_w"), col("n_users"), col("n_cohort"),
+        (col("n_users").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_w"), col("offset_w"))
+  }
+
   def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
-    q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q36FunnelPattern, q40SortLimit)
+    q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q36FunnelPattern,
+    q37CohortRetention, q40SortLimit)
 }

@@ -694,6 +694,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q37: cohort base joins broadcast; distinct-user agg is two-phase") {
+    val p = plan("q37_cohort_retention")
+    // the <=weeks-row cohort-size table must broadcast back onto cells
+    assert(p.contains("BroadcastHashJoin"), s"cohort base must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cells must not shuffle for the base join:\n$p")
+    // count(DISTINCT user) over the (cohort, offset) keys must partial-
+    // aggregate map-side before any shuffle
+    assert("partial_count|Partial".r.findFirstIn(p).isDefined,
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p09: DSIR bucket model broadcasts; top-k is TakeOrdered, not a global sort") {
     val p = plan("p09_dsir_select")
     // the <=1024-row bucket model must broadcast to the pool scan
