@@ -336,7 +336,70 @@ object Windows {
       .orderBy(col("cohort_w"), col("offset_w"))
   }
 
+  /** GAPS-AND-ISLANDS SESSIONIZATION — the batch spelling of q72's
+    * streaming sessionize, and the canonical SQL pattern of that
+    * name: a session boundary opens where the gap to the previous
+    * event exceeds 30 min (`lag` over user/ts order), the running
+    * sum of boundaries numbers each user's sessions, and a grouped
+    * aggregate emits per-session stats. Both window passes AND the
+    * per-session aggregate share ONE user-keyed shuffle: the windows
+    * use the same (user_id × ts, event_id) order, and
+    * HashPartitioning(user_id) already satisfies the (user_id,
+    * session_idx) clustering the aggregate needs — a subset-key
+    * partitioning Spark recognizes, PlanSpec-pinned. All arithmetic
+    * is integer epoch-µs; ts ties order by event_id so lag is
+    * well-defined (a 0 gap lands in the same session either way).
+    */
+  val q38GapsIslands = Q(
+    "q38_gaps_islands",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE user_id IS NOT NULL
+      |), lagged AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |              > 1800000000
+      |           OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM ev
+      |), numbered AS (
+      |  SELECT user_id, event_type, us,
+      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM lagged
+      |)
+      |SELECT user_id, session_idx,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(us) AS BIGINT) AS start_us,
+      |  CAST(max(us) AS BIGINT) AS end_us,
+      |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM numbered
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+  ) { (s, d) =>
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val lagged = ev.withColumn("prev_us", lag(col("us"), 1).over(ord))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+    val numbered = lagged.withColumn("session_idx",
+      sum(col("boundary")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    numbered.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        count_distinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
     q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q36FunnelPattern,
-    q37CohortRetention, q40SortLimit)
+    q37CohortRetention, q38GapsIslands, q40SortLimit)
 }

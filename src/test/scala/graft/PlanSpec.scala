@@ -706,6 +706,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q38: sessionize windows and the per-session agg share ONE user shuffle") {
+    val p = plan("q38_gaps_islands")
+    // lag + running sum + groupBy(user, session_idx): the windows
+    // share their Exchange and HashPartitioning(user_id) satisfies
+    // the aggregate's subset clustering — one hash shuffle total
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"sessionization must shuffle events exactly once, saw $hashExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p09: DSIR bucket model broadcasts; top-k is TakeOrdered, not a global sort") {
     val p = plan("p09_dsir_select")
     // the <=1024-row bucket model must broadcast to the pool scan
