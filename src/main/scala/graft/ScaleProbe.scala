@@ -189,6 +189,12 @@ object ScaleProbe {
     // shuffle; needs events in the scale dir — expected ≈linear in
     // the shuffle with a flat 3-row tail
     "q36_funnel_pattern",
+    // q37: one user window + small-key distinct agg + broadcast base
+    // join — expected ≈linear in the user shuffle
+    "q37_cohort_retention",
+    // q38: lag + running sum + per-session agg over ONE user shuffle
+    // — expected ≈linear in the shuffle, output ∝ sessions
+    "q38_gaps_islands",
     // the streaming tier (round-7 verdict: the one tier with zero scale
     // evidence). q71/q74/q75/q77 are stateless replays (expected ≲3×
     // per decade: micro-batch machinery + linear work); q72/q73/q78
