@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextVec._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis inventory (SURVEY.md §2C ⟨ns⟩ "Text analysis"):
@@ -1320,10 +1321,71 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** ZIPF RANK-FREQUENCY PROFILE in octave bins — the corpus-health
+    * diagnostic next to t13's per-lang counts and t22's drift QA: a
+    * natural-language corpus follows Zipf's law (freq ∝ 1/rank,
+    * Zipf 1949), under which each DOUBLING of rank contributes
+    * roughly constant token mass (Σ_{r∈[2^k,2^{k+1})} C/r ≈ C·ln 2)
+    * — so the per-octave mass column reads as a flatness diagnostic:
+    * a machine-generated or template-heavy corpus shows its head
+    * octaves dwarfing the tail (exactly what this synthetic
+    * fixed-pool corpus exhibits, which is the point of shipping the
+    * numbers rather than a pass flag). Ranking is freq DESC with a
+    * token tie-break, octave = flog2(rank) under the no-libm
+    * discipline.
+    *
+    * Scale shape: the frequency table is ONE corpus-linear two-phase
+    * count; everything after (rank window, octave agg) runs on the
+    * VOCABULARY-sized table — model-sized like t16's merge rounds,
+    * bounded regardless of corpus size (Heaps' law: |V| ∝ n^β,
+    * β<1), so the global rank window never sees corpus-scale rows.
+    */
+  val t23ZipfOctaves = Q(
+    "t23_zipf_octaves",
+    """WITH tf AS (
+      |  SELECT tok, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok
+      |), ranked AS (
+      |  SELECT tok, freq,
+      |    row_number() OVER (ORDER BY freq DESC, tok) AS r
+      |  FROM tf
+      |), oct AS (
+      |  SELECT length(bin(r)) - 1 AS octave, freq, r
+      |  FROM ranked
+      |)
+      |SELECT octave,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(freq) AS BIGINT) AS mass,
+      |  CAST(max(freq) AS BIGINT) AS max_freq,
+      |  CAST(min(freq) AS BIGINT) AS min_freq,
+      |  CAST(min(r) AS BIGINT) AS first_rank
+      |FROM oct GROUP BY octave
+      |ORDER BY octave""".stripMargin
+  ) { (s, d) =>
+    def flog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+    val tf = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // the rank window runs on the vocabulary-sized table only —
+    // bounded by Heaps' law, never corpus-scale (class doc)
+    val ranked = tf.withColumn("r",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    ranked.select(flog2(col("r")).as("octave"), col("freq"), col("r"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("freq")).cast("long").as("mass"),
+        max(col("freq")).as("max_freq"),
+        min(col("freq")).as("min_freq"),
+        min(col("r")).as("first_rank"))
+      .orderBy(col("octave"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
     t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize,
-    t22DistributionDrift)
+    t22DistributionDrift, t23ZipfOctaves)
 }
