@@ -477,8 +477,58 @@ object Joins {
       .orderBy(col("k"), col("version"))
   }
 
+  /** CDC CHANGELOG APPLY — q47's SCD2 keeps history; THIS is the
+    * other lakehouse merge shape: compact an ordered
+    * insert/update/delete changelog down to final table state
+    * (Delta/Iceberg `MERGE` fed by a Debezium-style feed, or any
+    * log-structured table's read path). The changelog derives from
+    * events deterministically — per (user_id, event_type) key,
+    * `view`→upsert with the event's value, `purchase`→delete, others
+    * ignored — and last-write-wins ORDER is (ts, event_id), the
+    * event_id tie-break making concurrent same-µs writes
+    * well-defined (the LWW rule every CDC compactor needs spelled
+    * out). One window pass ranks each key's log descending, the
+    * r=1 row is the survivor, and a surviving DELETE drops the key
+    * entirely. ONE key shuffle; the whole compaction is the window
+    * + a filter — no join, no second pass.
+    */
+  val q39CdcApply = Q(
+    "q39_cdc_apply",
+    """WITH log AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN event_type = 'view' THEN 'U' ELSE 'D' END AS op,
+      |    value, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+      |), ranked AS (
+      |  SELECT user_id, op, value, us, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY us DESC, event_id DESC) AS r
+      |  FROM log
+      |)
+      |SELECT user_id, value AS final_value, us AS applied_us,
+      |       event_id AS applied_id
+      |FROM ranked WHERE r = 1 AND op = 'U'
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"),
+        when(col("event_type") === "view", "U").otherwise("D").as("op"),
+        col("value"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1 && col("op") === "U")
+      .select(col("user_id"), col("value").as("final_value"),
+        col("us").as("applied_us"), col("event_id").as("applied_id"))
+      .orderBy(col("user_id"))
+  }
+
   def all: Seq[Q] = Seq(q10JoinInner, q11JoinMultiway, q12JoinLeft, q13JoinSemi,
     q14JoinAnti, q15JoinFull, q16JoinTheta, q17JoinRange, q18JoinAsof,
-    q19ScalarSubquery, q41SaltedJoin, q42BinnedRangeJoin, q43IntervalJoin,
-    q47Scd2Merge)
+    q19ScalarSubquery, q39CdcApply, q41SaltedJoin, q42BinnedRangeJoin,
+    q43IntervalJoin, q47Scd2Merge)
 }
