@@ -1574,9 +1574,83 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** CONTENT-DEFINED CHUNKING — c08 cuts every 96 tokens by POSITION,
+    * which a one-token insertion shifts for the whole document tail
+    * (every downstream chunk hash changes); content-defined cutting
+    * (Muthitacharoen et al. SOSP'01 LBFS; Xia et al. ATC'16 FastCDC)
+    * decides each boundary from CONTENT — here, a token is a cut
+    * point iff its md5 ≡ 0 (mod 16), giving E[chunk] = 16 tokens —
+    * so an edit perturbs only the chunk containing it and chunk-hash
+    * dedup (c10) keeps matching everything else. That boundary
+    * self-synchronization is why backup/CAS systems and corpus-delta
+    * pipelines chunk this way. (Production CDC adds min/max bounds
+    * via the sequential gear scan; the unbounded cut rule keeps both
+    * engines' spellings identical — the same 1/16 cut rate governs.)
+    * The whole derivation is per-row higher-order algebra — cut
+    * positions via zip_with+filter over the ONCE-built token array
+    * (each lambda touches only its own element: the CollapseProject
+    * trap needs per-element re-access of the outer array, which this
+    * spelling never does), spans from the cut-edge list, one
+    * explode — ZERO shuffle before the presentation sort.
+    */
+  val c21CdcChunking = Q(
+    "c21_cdc_chunking",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), cu AS (
+      |  SELECT doc_id, tk, n,
+      |    list_filter(list_transform(generate_series(1, n),
+      |      i -> CASE WHEN ('0x' || substr(md5(tk[i]), 1, 15))::UBIGINT::BIGINT % 16 = 0
+      |                THEN i ELSE -1 END), p -> p >= 0) AS cuts
+      |  FROM t
+      |), ed AS (
+      |  SELECT doc_id, tk,
+      |    list_sort(list_distinct([0] || cuts || [n])) AS edges
+      |  FROM cu
+      |), x AS (
+      |  SELECT doc_id, tk, edges,
+      |    unnest(generate_series(0, len(edges) - 2)) AS k
+      |  FROM ed
+      |)
+      |SELECT doc_id, k AS chunk_idx,
+      |  CAST(edges[k + 1] AS BIGINT) AS tok_start,
+      |  CAST(edges[k + 2] AS BIGINT) AS tok_end,
+      |  CAST(edges[k + 2] - edges[k + 1] AS BIGINT) AS n_tok,
+      |  md5(array_to_string(tk[edges[k + 1] + 1 : edges[k + 2]], ' ')) AS chunk_md5
+      |FROM x
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n"))
+      .withColumn("cuts",
+        expr("""filter(zip_with(tk, sequence(1L, n),
+                  (t, i) -> IF(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 16 = 0,
+                               i, CAST(-1 AS BIGINT))),
+                  p -> p >= 0)"""))
+      .withColumn("edges",
+        expr("array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)), cuts, array(n))))"))
+      .select(col("doc_id"), col("tk"), col("edges"),
+        explode(expr("sequence(0L, size(edges) - 2)")).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        expr("element_at(edges, CAST(k + 1 AS INT))").as("tok_start"),
+        expr("element_at(edges, CAST(k + 2 AS INT))").as("tok_end"),
+        expr("element_at(edges, CAST(k + 2 AS INT)) - element_at(edges, CAST(k + 1 AS INT))")
+          .as("n_tok"),
+        md5(expr("""concat_ws(' ',
+            slice(tk, CAST(element_at(edges, CAST(k + 1 AS INT)) + 1 AS INT),
+                  CAST(element_at(edges, CAST(k + 2 AS INT))
+                       - element_at(edges, CAST(k + 1 AS INT)) AS INT)))"""))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
-    c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff)
+    c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
+    c21CdcChunking)
 }
