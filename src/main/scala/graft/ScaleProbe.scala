@@ -180,6 +180,15 @@ object ScaleProbe {
     // c20: per-row encode + sniff DFA + decode ∝ text bytes, zero
     // shuffle — expected ≈linear in bytes
     "c20_charset_sniff",
+    // c21: per-row HOF chunk derivation (one md5 per token) + explode
+    // — zero shuffle, expected ≈linear in tokens
+    "c21_cdc_chunking",
+    // t23: one corpus-linear count; rank window + octave agg on the
+    // Heaps-bounded vocab table — expected ≈flat + the scan term
+    "t23_zipf_octaves",
+    // q39: one key window + filter (events) — expected ≈linear in
+    // the user shuffle
+    "q39_cdc_apply",
     // q49: grid build is a two-phase count (≤256 partial cells per
     // map task); probe needs events in the scale dir (ScaleGen
     // TABLES=events) — expected ≈linear in the scan with a flat
