@@ -1078,8 +1078,112 @@ object Dedup {
       .orderBy(col("rep_id"))
   }
 
+  /** EXACT MAXIMAL DUPLICATED SPANS — the exact complement to d09's
+    * winnowing: d09 SAMPLES fingerprints (guaranteed to detect ≥
+    * window-length overlaps but reporting approximate extents);
+    * this query reports every cross-document verbatim run ≥ 12
+    * tokens with EXACT boundaries and lengths — the output a
+    * suffix-array pass produces in "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., ACL 2022), computed
+    * Spark-shaped: instead of a global suffix sort, every positional
+    * 8-gram match between two documents lands on a DIAGONAL
+    * (pos_a − pos_b constant along a shared run), and a
+    * gaps-and-islands pass per (doc_a, doc_b, diagonal) merges
+    * consecutive matches into maximal spans (q38's pattern applied
+    * to dedup). Grams with corpus document-frequency > 8 are
+    * excluded before the join — the standard boilerplate cutoff
+    * (ubiquitous substrings are their own category, and the bound
+    * caps the join fan-out at C(8,2) pairs per gram, which is what
+    * makes the plan safe at 100 TB: no gram can explode).
+    *
+    * Scale shape: positional grams are a per-row explode; the
+    * doc-frequency filter and the pair join are gram-keyed shuffles
+    * (bounded fan-out per key); the island merge shuffles once on
+    * (a, b, diagonal). Nothing is ever quadratic in the corpus —
+    * only in the true shared-span structure.
+    */
+  val d15ExactSpans = Q(
+    "d15_exact_spans",
+    """WITH tokd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), gr AS (
+      |  SELECT doc_id, p.i AS pos, p.g AS g
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, n - 7),
+      |        i -> {'i': i, 'g': array_to_string(tk[i : i + 7], ' ')})) AS p
+      |    FROM tokd WHERE n >= 8
+      |  )
+      |), gf AS (
+      |  SELECT g FROM gr GROUP BY g
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 8
+      |), fg AS (
+      |  SELECT gr.doc_id, gr.pos, gr.g FROM gr JOIN gf ON gr.g = gf.g
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.pos AS pa, a.pos - b.pos AS d
+      |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+      |), isl AS (
+      |  SELECT doc_a, doc_b, d, pa,
+      |    CASE WHEN pa - lag(pa) OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) = 1
+      |         THEN 0 ELSE 1 END AS boundary
+      |  FROM pr
+      |), num AS (
+      |  SELECT doc_a, doc_b, d, pa,
+      |    sum(boundary) OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa
+      |                        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl
+      |), sp AS (
+      |  SELECT doc_a, doc_b, d, min(pa) AS start_a,
+      |         max(pa) - min(pa) + 8 AS span_len
+      |  FROM num GROUP BY doc_a, doc_b, d, island
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(start_a AS BIGINT) AS start_a,
+      |  CAST(start_a - d AS BIGINT) AS start_b,
+      |  CAST(span_len AS BIGINT) AS span_len
+      |FROM sp WHERE span_len >= 12
+      |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    // positional 8-grams: the WordGramsMulti kernel emits them in
+    // position order, so posexplode's 0-based index + 1 IS the
+    // 1-based token position the oracle uses
+    val gr = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordGramsMulti(tokens(col("text")), 8))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
+    val gf = gr.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, 8))
+      .select(col("g"))
+    val fg = gr.join(gf, Seq("g"))
+    val pr = fg.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(fg.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("d"))
+    val ord = Window.partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("pa"))
+    val num = pr
+      .withColumn("boundary",
+        when(col("pa") - lag(col("pa"), 1).over(ord) === 1, 0L).otherwise(1L))
+      .withColumn("island",
+        sum(col("boundary")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    num.groupBy(col("doc_a"), col("doc_b"), col("d"), col("island"))
+      .agg(min(col("pa")).as("start_a"),
+        (max(col("pa")) - min(col("pa")) + 8).as("span_len"))
+      .filter(col("span_len") >= 12)
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("d")).as("start_b"), col("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
     d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup,
-    d12WeightedSimhash, d13EditDistance, d14FuzzyClusters)
+    d12WeightedSimhash, d13EditDistance, d14FuzzyClusters, d15ExactSpans)
 }
