@@ -39,6 +39,10 @@ object ScaleProbe {
     "d13_edit_distance",
     // fuzzy clusters: d07's propagation over the d13 edge set
     "d14_fuzzy_clusters",
+    // d15: positional-gram diagonal islands — gram-keyed shuffles
+    // with df-capped fan-out (≤ C(8,2) pairs per gram), then one
+    // (a,b,diagonal) window; expected ≈linear in grams + true spans
+    "d15_exact_spans",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ann_ivf",
     "s05_knn_classify", "s06_ann_multiprobe", "s08_dequant_topk", "s09_ann_pq",
     "s10_ann_ivfpq", "s11_ncm_classify",
