@@ -1647,10 +1647,156 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** SPAN-LEVEL DECONTAMINATION SCRUB — c04 and c19 DROP whole
+    * documents that touch the benchmark; the operation Lee et al.
+    * (ACL 2022, "Deduplicating Training Data Makes Language Models
+    * Better") actually recommend — and what Llama/GPT data cards
+    * describe for long documents — is surgical: EXCISE the verbatim
+    * overlap and keep the rest. This query rewrites each contaminated
+    * document: d15's positional-gram diagonal islands (8-grams,
+    * runs ≥ 12 tokens) locate every maximal verbatim run shared with
+    * a benchmark doc (c04's deterministic 5% md5 sample), overlapping
+    * runs from different benchmark docs merge into covered-position
+    * intervals, the covered tokens are cut, and the remaining tokens
+    * reassemble in order. Emits only the docs that were scrubbed:
+    * merged span count, tokens cut, and the rebuilt text (empty when
+    * a doc is covered entirely).
+    *
+    * Scale shape: positional grams are a per-row explode; the
+    * candidate join is corpus-scan × BROADCAST benchmark-position
+    * grams (benchmarks are small by definition — the corpus never
+    * shuffles to discover contamination); the island merge shuffles
+    * only matched positions on (doc_id, bench_id, diagonal); the
+    * rebuild shuffles only SCRUBBED docs (a left-semi cut before the
+    * token explode). Nothing is ever corpus-quadratic.
+    */
+  val c22SpanScrub = Q(
+    "c22_span_scrub",
+    """WITH tokd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' AS is_bench
+      |  FROM documents
+      |), gr AS (
+      |  SELECT doc_id, is_bench, p.i AS pos, p.g AS g
+      |  FROM (
+      |    SELECT doc_id, is_bench,
+      |      unnest(list_transform(generate_series(1, n - 7),
+      |        i -> {'i': i, 'g': array_to_string(tk[i : i + 7], ' ')})) AS p
+      |    FROM tokd WHERE n >= 8
+      |  )
+      |), mt AS (
+      |  SELECT c.doc_id, c.pos, b.doc_id AS bench_id, c.pos - b.pos AS d
+      |  FROM gr c JOIN gr b ON c.g = b.g AND b.is_bench AND NOT c.is_bench
+      |), isl AS (
+      |  SELECT doc_id, bench_id, d, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id, bench_id, d ORDER BY pos) = 1
+      |         THEN 0 ELSE 1 END AS boundary
+      |  FROM mt
+      |), num AS (
+      |  SELECT doc_id, bench_id, d, pos,
+      |    sum(boundary) OVER (PARTITION BY doc_id, bench_id, d ORDER BY pos
+      |                        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl
+      |), sp AS (
+      |  SELECT doc_id, min(pos) AS start_p, max(pos) - min(pos) + 8 AS span_len
+      |  FROM num GROUP BY doc_id, bench_id, d, island
+      |  HAVING max(pos) - min(pos) + 8 >= 12
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, unnest(generate_series(start_p, start_p + span_len - 1)) AS pos
+      |  FROM sp
+      |), cb AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+      |         THEN 0 ELSE 1 END AS b
+      |  FROM cov
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS cut_tokens, sum(b) AS n_spans
+      |  FROM cb GROUP BY doc_id
+      |), toks AS (
+      |  SELECT doc_id, p.i AS pos, p.tok
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, n), i -> {'i': i, 'tok': tk[i]})) AS p
+      |    FROM tokd WHERE doc_id IN (SELECT doc_id FROM agg)
+      |  )
+      |), keep AS (
+      |  SELECT t.doc_id, t.pos, t.tok
+      |  FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+      |  WHERE cov.doc_id IS NULL
+      |), rebuilt AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+      |  FROM keep GROUP BY doc_id
+      |)
+      |SELECT a.doc_id,
+      |  CAST(a.n_spans AS BIGINT) AS n_spans,
+      |  CAST(a.cut_tokens AS BIGINT) AS cut_tokens,
+      |  coalesce(r.clean_text, '') AS clean_text
+      |FROM agg a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
+    val gr = docs
+      .select(col("doc_id"), isBench.as("is_bench"),
+        posexplode(graft.functions.WordGramsMulti(tokens(col("text")), 8))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), col("is_bench"),
+        (col("pos0") + 1).cast("long").as("pos"), col("g"))
+    val bench = gr.filter(col("is_bench"))
+      .select(col("g"), col("doc_id").as("bench_id"), col("pos").as("bpos"))
+    val corp = gr.filter(!col("is_bench"))
+      .select(col("g"), col("doc_id"), col("pos"))
+    val mt = corp.join(broadcast(bench), Seq("g"))
+      .select(col("doc_id"), col("bench_id"), col("pos"),
+        (col("pos") - col("bpos")).as("d"))
+    val ord = Window.partitionBy(col("doc_id"), col("bench_id"), col("d"))
+      .orderBy(col("pos"))
+    val sp = mt
+      .withColumn("boundary",
+        when(col("pos") - lag(col("pos"), 1).over(ord) === 1, 0L).otherwise(1L))
+      .withColumn("island",
+        sum(col("boundary")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("bench_id"), col("d"), col("island"))
+      .agg(min(col("pos")).as("start_p"),
+        (max(col("pos")) - min(col("pos")) + 8).as("span_len"))
+      .filter(col("span_len") >= 12)
+    // covered positions feed the count agg, the rebuild anti-join,
+    // and the scrubbed-id semi-join — materialize ONCE (eager), so
+    // the gram join never re-runs per consumer
+    val cov = sp
+      .select(col("doc_id"),
+        explode(sequence(col("start_p"), col("start_p") + col("span_len") - 1))
+          .as("pos"))
+      .distinct()
+      .localCheckpoint()
+    val covOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val agg = cov
+      .withColumn("b",
+        when(col("pos") - lag(col("pos"), 1).over(covOrd) === 1, 0L).otherwise(1L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cut_tokens"), sum(col("b")).as("n_spans"))
+    val toks = docs
+      .join(agg.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    val rebuilt = toks
+      .join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    agg.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"),
+        col("cut_tokens").cast("long").as("cut_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
-    c21CdcChunking)
+    c21CdcChunking, c22SpanScrub)
 }
