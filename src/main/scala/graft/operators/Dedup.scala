@@ -489,33 +489,57 @@ object Dedup {
         s"($changed labels still changing); raise the round budget for this corpus")
   }
 
+  /** The full d07 oracle CTE chain — embedding near-dup pairs,
+    * self-loop graph, and all CcRounds hop+jump label rounds — ending
+    * in `l{CcRounds}(vec_id, label)`. Shared by d07 and p10 (the
+    * leakage-safe split groups docs by exactly these labels).
+    */
+  private[operators] def sqlEmbClusterLabelCtes: String = {
+    val rounds = (1 to CcRounds).map(i =>
+      s"m$i AS MATERIALIZED (SELECT g.src AS vec_id, min(l.label) AS label " +
+        s"FROM g JOIN l${i - 1} l ON g.dst = l.vec_id GROUP BY g.src),\n  " +
+        s"l$i AS (SELECT a.vec_id, b.label FROM m$i a JOIN m$i b ON a.label = b.vec_id)")
+      .mkString(",\n  ")
+    s"""$embPairsCtes,
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM verified
+       |), nodes AS (
+       |  SELECT DISTINCT src FROM sym
+       |), g AS MATERIALIZED (
+       |  SELECT src, dst FROM sym
+       |  UNION ALL
+       |  SELECT src, src AS dst FROM nodes
+       |), l0 AS (
+       |  SELECT src AS vec_id, src AS label FROM nodes
+       |),
+       |  $rounds""".stripMargin
+  }
+
+  /** Convergence-asserted embedding near-dup labels
+    * `(vec_id, label)` — d07's propagation, materialized, with the
+    * one-extra-hop probe run and the graph cache released. The
+    * Spark-side pairing of [[sqlEmbClusterLabelCtes]] for callers
+    * outside d07 (p10's group-aware split).
+    */
+  private[operators] def convergedEmbLabels(s: org.apache.spark.sql.SparkSession,
+      d: String, query: String): org.apache.spark.sql.DataFrame = {
+    val (g, labelsRaw) = clusterLabelsWithGraph(s, d, CcRounds)
+    val labels = labelsRaw.localCheckpoint()
+    assertConverged(g, labels, CcRounds, query)
+    g.unpersist(blocking = false)
+    labels
+  }
+
   val d07DedupClusters = Q(
     "d07_dedup_clusters",
-    { val rounds = (1 to CcRounds).map(i =>
-        s"m$i AS MATERIALIZED (SELECT g.src AS vec_id, min(l.label) AS label " +
-          s"FROM g JOIN l${i - 1} l ON g.dst = l.vec_id GROUP BY g.src),\n  " +
-          s"l$i AS (SELECT a.vec_id, b.label FROM m$i a JOIN m$i b ON a.label = b.vec_id)")
-        .mkString(",\n  ")
-      s"""WITH $embPairsCtes,
-         |sym AS (
-         |  SELECT id_a AS src, id_b AS dst FROM verified
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM verified
-         |), nodes AS (
-         |  SELECT DISTINCT src FROM sym
-         |), g AS MATERIALIZED (
-         |  SELECT src, dst FROM sym
-         |  UNION ALL
-         |  SELECT src, src AS dst FROM nodes
-         |), l0 AS (
-         |  SELECT src AS vec_id, src AS label FROM nodes
-         |),
-         |  $rounds
-         |SELECT l.vec_id, l.label AS cluster_id, c.n_members
-         |FROM l$CcRounds l
-         |JOIN (SELECT label, count(*) AS n_members FROM l$CcRounds GROUP BY label) c
-         |  ON l.label = c.label
-         |ORDER BY vec_id""".stripMargin }
+    s"""WITH $sqlEmbClusterLabelCtes
+       |SELECT l.vec_id, l.label AS cluster_id, c.n_members
+       |FROM l$CcRounds l
+       |JOIN (SELECT label, count(*) AS n_members FROM l$CcRounds GROUP BY label) c
+       |  ON l.label = c.label
+       |ORDER BY vec_id""".stripMargin
   ) { (s, d) =>
     val (g, labelsRaw) = clusterLabelsWithGraph(s, d, CcRounds)
     val labels = labelsRaw.localCheckpoint()

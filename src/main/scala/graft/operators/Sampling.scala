@@ -492,8 +492,51 @@ object Sampling {
       .orderBy(col("rk"))
   }
 
+  /** LEAKAGE-SAFE SPLIT — p03 assigns train/val/test per DOCUMENT,
+    * which silently leaks: near-duplicate docs hash independently, so
+    * a test doc's near-copy lands in train and the eval measures
+    * memorization (the standard held-out-contamination failure;
+    * group-aware splitting is the textbook fix — scikit-learn's
+    * GroupKFold, Kaggle's GroupShuffleSplit — applied here with d07's
+    * near-dup clusters as the groups). Every doc joins its
+    * convergence-asserted embedding-cluster label (docs with no
+    * near-dup edge form singleton groups of themselves), and the
+    * p03 hash bands key on md5(GROUP id) — so an entire near-dup
+    * cluster moves to one split atomically, by construction.
+    *
+    * Scale shape: d07's propagation (O(log n) bounded rounds of
+    * linear equi-joins) + ONE doc↔label equi-join (labels cover only
+    * edge-incident docs) + a per-row hash band — nothing new beyond
+    * the machinery d07 already proved at three decades.
+    */
+  val p10LeakageSafeSplit = Q(
+    "p10_leakage_safe_split",
+    { val gk = "substr(md5(CAST(group_id AS VARCHAR)), 1, 4)"
+      s"""WITH ${Dedup.sqlEmbClusterLabelCtes},
+         |grp AS (
+         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN l${Dedup.CcRounds} l ON d.doc_id = l.vec_id
+         |)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN $gk < 'e666' THEN 'train'
+         |       WHEN $gk < 'f333' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM grp
+         |ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val labels = Dedup.convergedEmbLabels(s, d, "p10_leakage_safe_split")
+    val grp = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))
+    val gk = substring(md5(col("group_id").cast("string")), 1, 4)
+    grp.select(col("doc_id"), col("group_id"),
+      when(gk < "e666", "train").when(gk < "f333", "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
       p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
-      p08TemperatureMixture, p09DsirSelect)
+      p08TemperatureMixture, p09DsirSelect, p10LeakageSafeSplit)
 }
