@@ -187,6 +187,13 @@ object ScaleProbe {
     // c21: per-row HOF chunk derivation (one md5 per token) + explode
     // — zero shuffle, expected ≈linear in tokens
     "c21_cdc_chunking",
+    // c22: corpus gram scan × broadcast bench-position grams, island
+    // merge over matched positions only, rebuild over scrubbed docs
+    // only — expected ≈linear in the scan + true contamination
+    "c22_span_scrub",
+    // p10: d07's propagation + one doc↔label equi-join + per-row
+    // hash band — expected to track d07's curve
+    "p10_leakage_safe_split",
     // t23: one corpus-linear count; rank window + octave agg on the
     // Heaps-bounded vocab table — expected ≈flat + the scan term
     "t23_zipf_octaves",

@@ -1619,9 +1619,117 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** FILTERED ANN with predicate-aware ADAPTIVE probing — the
+    * metadata-constrained vector search every retrieval stack needs
+    * ("nearest neighbors WHERE label = X") and the known failure mode
+    * of fixed-nprobe IVF under it: with a selective predicate, the
+    * query's top cell may hold fewer than k PASSING vectors, and a
+    * fixed probe count silently returns a starved result (the
+    * filtered-search problem Qdrant/Vespa/Milvus all special-case).
+    * The deterministic fix here: per query, cells are ordered by
+    * centroid alignment (s06's probe order) and the probe depth is
+    * the SMALLEST prefix whose cumulative count of predicate-passing
+    * vectors — from a (cell, label) histogram — reaches k + 1
+    * (self-match headroom), falling back to all 8 cells when the
+    * label is rarer than that everywhere. Candidates then pay the
+    * exact cosine only inside the chosen cells AND the label filter.
+    *
+    * Scale shape: the (cell, label) histogram is one tiny two-key
+    * partial agg (8 × |labels| rows); probe planning runs entirely on
+    * query-side frames (queries × 8 rows) and broadcasts; the corpus
+    * pays ONE cell-pruned, label-filtered scan — exactly the fraction
+    * of the data the predicate requires, never a fixed 1/8.
+    */
+  val s21FilteredAnn = Q(
+    "s21_filtered_ann",
+    { val unpiv = (0 until 8).map(j =>
+        s"SELECT vec_id, embedding, nrm, $j AS pcell, d$j AS pd FROM ctr WHERE vec_id < 10")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sqlCtrCells, lab AS (
+         |  SELECT c.vec_id, c.embedding, c.nrm, c.cell, e.label
+         |  FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id
+         |), cellcnt AS (
+         |  SELECT cell, label AS clabel, count(*) AS n FROM lab GROUP BY cell, label
+         |), qd AS (
+         |  $unpiv
+         |), qorder AS (
+         |  SELECT q.vec_id, q.embedding, q.nrm, e.label, q.pcell,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY q.pd DESC, q.pcell) AS probe
+         |  FROM qd q JOIN embeddings e ON q.vec_id = e.vec_id
+         |), budget AS (
+         |  SELECT o.vec_id, o.probe,
+         |         sum(coalesce(cc.n, 0)) OVER (PARTITION BY o.vec_id ORDER BY o.probe
+         |                                      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM qorder o LEFT JOIN cellcnt cc ON cc.cell = o.pcell AND cc.clabel = o.label
+         |), depth AS (
+         |  SELECT vec_id, coalesce(min(CASE WHEN cum >= 4 THEN probe END), 8) AS n_probe
+         |  FROM budget GROUP BY vec_id
+         |), probes AS (
+         |  SELECT o.vec_id, o.embedding, o.nrm, o.label, o.pcell, dp.n_probe
+         |  FROM qorder o JOIN depth dp ON o.vec_id = dp.vec_id AND o.probe <= dp.n_probe
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS q_label,
+         |         CAST(q.n_probe AS BIGINT) AS n_probe,
+         |         c.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos_sim
+         |  FROM probes q JOIN lab c
+         |    ON c.cell = q.pcell AND c.label = q.label AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, q_label, n_probe, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, q_label, n_probe, neighbor_id, cos_sim, k FROM ranked
+         |WHERE k <= 3
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val withDots = emb.select(col("vec_id") +: col("embedding") +: col("label") +:
+        norm(col("embedding")).as("nrm") +:
+        (0 until 8).map(j =>
+          dot(col("embedding"), seededPlaneCol(CentroidSeedBase + j)).as(s"d$j")): _*)
+      .cache() // assignment subtree feeds the corpus cells AND the query probes
+    val cells = withDots.select(col("vec_id"), col("embedding"), col("label"),
+      col("nrm"), cellExpr.as("cell"))
+    val cellcnt = cells.groupBy(col("cell"), col("label").as("clabel"))
+      .agg(count(lit(1)).as("n"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("pd").desc, col("pcell"))
+    val qorder = withDots.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
+        posexplode(array((0 until 8).map(j => col(s"d$j")): _*)).as(Seq("pcell", "pd")))
+      .withColumn("probe", row_number().over(wq))
+    val wcum = Window.partitionBy(col("vec_id")).orderBy(col("probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val depth = qorder
+      .join(cellcnt, col("pcell") === col("cell") && col("label") === col("clabel"), "left")
+      .withColumn("cum", sum(coalesce(col("n"), lit(0L))).over(wcum))
+      .groupBy(col("vec_id"))
+      .agg(coalesce(min(when(col("cum") >= 4, col("probe"))), lit(8)).as("n_probe"))
+    val probes = qorder.join(depth, Seq("vec_id")).filter(col("probe") <= col("n_probe"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"),
+        col("pcell"), col("n_probe"))
+    val scored = cells.join(broadcast(probes),
+        col("cell") === col("pcell") && col("label") === col("q_label")
+          && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("q_label"),
+        col("n_probe").cast("long").as("n_probe"),
+        col("vec_id").as("neighbor_id"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("q_label"), col("n_probe"), col("neighbor_id"),
+        col("cos_sim"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
     s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank, s19RrfFusion,
-    s20Int4Pack)
+    s20Int4Pack, s21FilteredAnn)
 }

@@ -744,4 +744,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("s21: probe plan and probes broadcast — the corpus never shuffles for the search") {
+    val p = plan("s21_filtered_ann")
+    // the (cell,label) histogram, depth plan, and probe set are all
+    // query-sized; every join in the plan must be broadcast-built
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"filtered ANN must not shuffle the corpus for any join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c22: the benchmark position-gram side broadcasts to the corpus gram scan") {
+    val p = plan("c22_span_scrub")
+    // contamination discovery must never shuffle the corpus: the
+    // bench-gram join is broadcast; the rebuild's semi/anti joins
+    // shuffle only scrubbed docs and ARE allowed to sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"bench gram join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p10: the group split adds only equi-joins over the propagation") {
+    val p = plan("p10_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"doc-label join must stay an equi-join:\n$p")
+  }
 }
