@@ -674,9 +674,13 @@ object TextAnalysis {
     * materializes once per row. One explode, two equi-joins, one
     * doc-keyed aggregate, no global state: linear in corpus size.
     */
-  val t15NgramPerplexity = Q(
-    "t15_ngram_perplexity",
-    """WITH tokd AS (
+  /** The t15 LM-scoring CTE chain (reference model from even-id
+    * docs, add-1/vocab-smoothed flog2 bits per bigram, per-doc
+    * totals), ending in `agg(doc_id, n_bigrams, total_bits)` —
+    * shared by t15 (keep flag) and t24 (CCNet tercile buckets).
+    */
+  private val sqlPplAggCtes: String =
+    """tokd AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |), bg AS (
       |  SELECT doc_id,
@@ -705,18 +709,13 @@ object TextAnalysis {
       |  SELECT doc_id, count(*) AS n_bigrams,
       |         CAST(sum(bits) AS BIGINT) AS total_bits
       |  FROM scored GROUP BY doc_id
-      |)
-      |SELECT d.doc_id,
-      |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
-      |  COALESCE(a.total_bits, 0) AS total_bits,
-      |  CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
-      |       ELSE CAST(a.total_bits AS DOUBLE) / a.n_bigrams END AS bits_per_token,
-      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
-      |            AND a.total_bits * 10 <= a.n_bigrams * 45
-      |       THEN 1 ELSE 0 END AS keep
-      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-      |ORDER BY d.doc_id""".stripMargin
-  ) { (s, d) =>
+      |)""".stripMargin
+
+  /** Spark pairing of [[sqlPplAggCtes]]: every doc with its bigram
+    * count and smoothed total bits (0/0 for sub-2-token docs).
+    */
+  private def pplAgg(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     val bgAll = docs.select(col("doc_id"),
       explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
@@ -741,11 +740,29 @@ object TextAnalysis {
     docs.select(col("doc_id")).join(agg0, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
-        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"))
+  }
+
+  val t15NgramPerplexity = Q(
+    "t15_ngram_perplexity",
+    s"""WITH $sqlPplAggCtes
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(a.total_bits, 0) AS total_bits,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(a.total_bits AS DOUBLE) / a.n_bigrams END AS bits_per_token,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |            AND a.total_bits * 10 <= a.n_bigrams * 45
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    pplAgg(s, d)
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("total_bits").cast("double") / col("n_bigrams"))
           .as("bits_per_token"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+        when(col("n_bigrams") > 0 &&
           col("total_bits") * 10 <= col("n_bigrams") * 45, lit(1))
           .otherwise(lit(0)).as("keep"))
       .orderBy(col("doc_id"))
@@ -1382,10 +1399,70 @@ object TextAnalysis {
       .orderBy(col("octave"))
   }
 
+  /** CCNet PERPLEXITY BUCKETING (Wenzek et al., LREC 2020 — the
+    * quality tiers behind CCNet/CC-100 and the LLaMA-1 CommonCrawl
+    * slice): per LANGUAGE, documents rank by their t15 LM score
+    * (bits per bigram — lower = more fluent under the reference
+    * model) and split into equal TERCILES — head/middle/tail — so a
+    * pipeline can train on head+middle or reweight tails, per
+    * language rather than globally (a global cut would starve
+    * languages the LM models worse; CCNet's per-lang terciles are
+    * exactly this). Sub-2-token docs carry no LM evidence and sort
+    * LAST within their language (flagged, after every scored doc).
+    * Ranking is fully deterministic: (unscored flag, IEEE
+    * bits_per_token, doc_id) — both engines divide the same BIGINTs,
+    * and NTILE over identical orderings buckets identically.
+    *
+    * Scale shape: t15's scoring is the corpus term (bigram explode +
+    * model equi-joins, model bounded by the reference slice); the
+    * bucketing adds ONE lang-keyed window over doc-sized rows —
+    * languages partition the sort, so no global ordering exists
+    * anywhere (the presentation ORDER BY is the oracle contract,
+    * not the operator).
+    */
+  val t24CcnetBuckets = Q(
+    "t24_ccnet_buckets",
+    s"""WITH $sqlPplAggCtes,
+       |sc AS (
+       |  SELECT d.doc_id, d.lang,
+       |    COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |    CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+       |         ELSE CAST(a.total_bits AS DOUBLE) / a.n_bigrams END AS bits_per_token,
+       |    CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 1 ELSE 0 END AS unscored
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |), nt AS (
+       |  SELECT doc_id, lang, n_bigrams, bits_per_token, unscored,
+       |    ntile(3) OVER (PARTITION BY lang
+       |                   ORDER BY unscored, bits_per_token, doc_id) AS tercile
+       |  FROM sc
+       |)
+       |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  bits_per_token,
+       |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM nt
+       |ORDER BY lang, bucket, doc_id""".stripMargin
+  ) { (s, d) =>
+    val sc = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(pplAgg(s, d), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("total_bits").cast("double") / col("n_bigrams"))
+          .as("bits_per_token"),
+        when(col("n_bigrams") === 0, lit(1)).otherwise(lit(0)).as("unscored"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("unscored"), col("bits_per_token"), col("doc_id"))
+    sc.withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams").cast("long").as("n_bigrams"),
+        col("bits_per_token"),
+        when(col("tercile") === 1, "head").when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("lang"), col("bucket"), col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
     t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize,
-    t22DistributionDrift, t23ZipfOctaves)
+    t22DistributionDrift, t23ZipfOctaves, t24CcnetBuckets)
 }
