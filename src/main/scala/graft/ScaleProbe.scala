@@ -194,6 +194,12 @@ object ScaleProbe {
     // p10: d07's propagation + one doc↔label equi-join + per-row
     // hash band — expected to track d07's curve
     "p10_leakage_safe_split",
+    // s21: query-sized probe planning (broadcast), ONE cell-pruned
+    // label-filtered corpus scan — expected ≈linear in the scan
+    "s21_filtered_ann",
+    // t24: t15's scoring term + one lang-keyed ntile window over
+    // doc-sized rows — expected to track t15's curve
+    "t24_ccnet_buckets",
     // t23: one corpus-linear count; rank window + octave agg on the
     // Heaps-bounded vocab table — expected ≈flat + the scan term
     "t23_zipf_octaves",
@@ -276,6 +282,23 @@ object ScaleProbe {
       graft.operators.Dedup.verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = 8)
         .orderBy(col("id_a"), col("id_b"))),
     "d07_wide_8bit" -> (() => wideClusters(s, dir, bitsPerBand = 8, "d07_wide_8bit")),
+    // p10 at production width: the registered 2×2 banding is
+    // O(n²/buckets) by design past sf1 (d07's documented knee) — the
+    // leakage-safe split's scale path rides d07's wide config, adding
+    // only the doc↔label join + per-row band
+    "p10_wide_8bit" -> (() => {
+      val labels = wideClusters(s, dir, bitsPerBand = 8, "p10_wide_8bit")
+        .select(col("vec_id"), col("cluster_id").as("label"))
+      import org.apache.spark.sql.functions.{coalesce, lit, md5, substring, when}
+      val grp = graft.Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("vec_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))
+      val gk = substring(md5(col("group_id").cast("string")), 1, 4)
+      grp.select(col("doc_id"), col("group_id"),
+        when(gk < "e666", "train").when(gk < "f333", "val")
+          .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
     "d11_wide_k256" -> (() =>
       graft.operators.Dedup.semanticDedupParam(s, dir, k = 256)),
     // q82 in PRODUCTION geometry: time-ordered multi-batch replay, so

@@ -573,7 +573,69 @@ object Aggregates {
       .orderBy(col("true_cnt").desc, col("user_id"))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the daily-pipeline pattern
+    * that makes 100 TB aggregation affordable: yesterday's PARTIAL
+    * STATE (per-group count/min/max/sum) is persisted, and today's
+    * delta is aggregated ALONE and MERGED into it — the full history
+    * is never rescanned. The query executes exactly that plan: events
+    * before the cut aggregate into a base state, events after it into
+    * a delta state, and the states merge with the standard algebra
+    * (counts add, sums add, min/least, max/greatest). The ORACLE is
+    * the one-shot aggregate over everything — so the hash gate proves
+    * merge(state(base), state(delta)) ≡ recompute(all), which is the
+    * entire correctness obligation of an incremental pipeline (every
+    * measure here is algebraic in the Gray et al. "Data Cube" sense —
+    * distributive: the merge loses nothing). The summed measure is
+    * floor(value·1000) in BIGINT — integer-exact in both engines and
+    * immune to float summation order (the repo's t15/c13 discipline);
+    * avg derives from the exact sum at read time (never merged
+    * directly — avg is NOT distributive, sum/count are).
+    *
+    * Scale shape: two partial aggregates (each one map-side-combined
+    * group shuffle over its slice — the delta slice being the only
+    * data a production run reads) + a union of two GROUP-COUNT-sized
+    * states + one merge agg over that tiny union. Nothing rescans the
+    * base slice's rows in the merge.
+    */
+  val q56IncrementalAgg = Q(
+    "q56_incremental_agg",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  min(value) AS min_val,
+      |  max(value) AS max_val,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / count(*) AS avg_milli
+      |FROM (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-25 00:00:00").cast("timestamp")
+    val milli = floor(col("value") * 1000).cast("long")
+    // state(slice): the persisted per-group partial a production run
+    // writes to its state store / summary table
+    def state(slice: org.apache.spark.sql.DataFrame) = slice
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"), sum(milli).as("total_milli"))
+    val base = state(ev.filter(col("ts") < cut))
+    val delta = state(ev.filter(col("ts") >= cut))
+    // merge: counts/sums add, min/max fold — the only pass a daily
+    // run executes against yesterday's state
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val"),
+        sum(col("total_milli")).cast("long").as("total_milli"))
+      .select(col("event_type"), col("n"), col("min_val"), col("max_val"),
+        col("total_milli"),
+        (col("total_milli").cast("double") / col("n")).as("avg_milli"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
-    q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect, q49CountMin)
+    q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect, q49CountMin,
+    q56IncrementalAgg)
 }
