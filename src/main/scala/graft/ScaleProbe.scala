@@ -200,6 +200,9 @@ object ScaleProbe {
     // t24: t15's scoring term + one lang-keyed ntile window over
     // doc-sized rows — expected to track t15's curve
     "t24_ccnet_buckets",
+    // q56: two partial group aggs + a group-count-sized state merge
+    // — expected ≈linear in the scan (needs events in the scale dir)
+    "q56_incremental_agg",
     // t23: one corpus-linear count; rank window + octave agg on the
     // Heaps-bounded vocab table — expected ≈flat + the scan term
     "t23_zipf_octaves",
