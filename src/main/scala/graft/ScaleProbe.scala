@@ -203,6 +203,9 @@ object ScaleProbe {
     // q56: two partial group aggs + a group-count-sized state merge
     // — expected ≈linear in the scan (needs events in the scale dir)
     "q56_incremental_agg",
+    // t25: model-sized chain grams broadcast to the corpus-linear
+    // (doc, gram) projection — expected ≈linear in the gram scan
+    "t25_attribution",
     // t23: one corpus-linear count; rank window + octave agg on the
     // Heaps-bounded vocab table — expected ≈flat + the scan term
     "t23_zipf_octaves",

@@ -1198,6 +1198,90 @@ object TextAnalysis {
       .orderBy(col("seed_rank"))
   }
 
+  /** TRAINING-DATA ATTRIBUTION — t20's forensic complement: t20
+    * reports HOW MUCH of each generated sequence is copied from the
+    * training corpus (the novelty rate); this query reports WHERE
+    * each generation's copied material lives — the top-3 corpus
+    * documents ranked by the number of DISTINCT 3-grams they share
+    * with the chain. That doc-level attribution is what a
+    * memorization audit or provenance/copyright triage actually
+    * needs (Carlini et al.'s extraction work reports the training
+    * source of each memorized sample, not just an overlap rate).
+    * Distinct grams, not the multiset: attribution asks which doc
+    * the material CAME from; a loop repeating one copied gram 13×
+    * is one shared gram of evidence, not 13 (the exact inverse of
+    * t20's denominator choice, deliberate in both).
+    *
+    * Scale shape: chains are model-sized (20 seeds) and BROADCAST to
+    * the corpus-linear (doc, gram) projection — the corpus never
+    * shuffles to discover attribution; the per-(seed, doc) count and
+    * the top-3 window run over true shared structure only. At 100 TB
+    * the common-gram fan-out is bounded by the chain side's ~1,200
+    * distinct grams — never by the corpus.
+    */
+  val t25Attribution = Q(
+    "t25_attribution",
+    { val genCtes = t18MarkovGenerate.sql.get
+        .replaceAll("(?s)^WITH RECURSIVE ", "")
+        .replaceAll("(?s)\\)\\s*SELECT seed_rank, seed, step, token FROM chain\\s*ORDER BY seed_rank, step$", ")")
+      s"""WITH RECURSIVE $genCtes, texts AS (
+         |  SELECT seed_rank,
+         |         string_split(string_agg(token, ' ' ORDER BY step), ' ') AS ctk
+         |  FROM chain GROUP BY seed_rank
+         |), cg AS (
+         |  SELECT DISTINCT seed_rank, g FROM (
+         |    SELECT seed_rank,
+         |           unnest(list_transform(generate_series(1, len(ctk) - 2),
+         |                  i -> ctk[i] || ' ' || ctk[i+1] || ' ' || ctk[i+2])) AS g
+         |    FROM texts
+         |  )
+         |), dtok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), dg AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, len(tk) - 2),
+         |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |    FROM dtok
+         |  )
+         |), sh AS (
+         |  SELECT c.seed_rank, d.doc_id, count(*) AS n_shared
+         |  FROM cg c JOIN dg d ON c.g = d.g
+         |  GROUP BY c.seed_rank, d.doc_id
+         |), rk AS (
+         |  SELECT seed_rank, doc_id, n_shared,
+         |         row_number() OVER (PARTITION BY seed_rank
+         |                            ORDER BY n_shared DESC, doc_id) AS rank
+         |  FROM sh
+         |)
+         |SELECT seed_rank, rank, doc_id, n_shared FROM rk
+         |WHERE rank <= 3
+         |ORDER BY seed_rank, rank""".stripMargin }
+  ) { (s, d) =>
+    val texts = markovChains(s, d)
+      .groupBy(col("seed_rank"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("step"), col("token")))),
+          x => x.getField("token")), " ").as("chain_text"))
+      .localCheckpoint() // chains are model-sized; sever the 15-join lineage
+    val cg = texts.select(col("seed_rank"),
+        explode(graft.functions.WordGrams(split(col("chain_text"), " "), 3)).as("g"))
+      .distinct()
+    val dg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.WordGrams(tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val sh = dg.join(broadcast(cg), Seq("g"))
+      .groupBy(col("seed_rank"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("seed_rank"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+    sh.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("seed_rank"), col("rank"), col("doc_id"), col("n_shared"))
+      .orderBy(col("seed_rank"), col("rank"))
+  }
+
   /** UNICODE NFC NORMALIZATION (UAX #15) under the oracle — the
     * multilingual-curation step that runs BEFORE content hashing:
     * composed ("é") and decomposed ("e"+U+0301) spellings of the same
@@ -1464,5 +1548,6 @@ object TextAnalysis {
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
     t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize,
-    t22DistributionDrift, t23ZipfOctaves, t24CcnetBuckets)
+    t22DistributionDrift, t23ZipfOctaves, t24CcnetBuckets,
+    t25Attribution)
 }

@@ -764,6 +764,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t25: the chain gram set broadcasts — the corpus never shuffles for attribution") {
+    val p = plan("t25_attribution")
+    assert(p.contains("BroadcastHashJoin"), s"chain grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus gram stream must not shuffle for the chain join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p10: the group split adds only equi-joins over the propagation") {
     val p = plan("p10_leakage_safe_split")
     assert(!p.contains("CartesianProduct"), p)
