@@ -206,6 +206,10 @@ object ScaleProbe {
     // t25: model-sized chain grams broadcast to the corpus-linear
     // (doc, gram) projection — expected ≈linear in the gram scan
     "t25_attribution",
+    // q57: map-side top-k summaries, ≤k pairs per group per partition
+    // across the shuffle — expected ≈linear in the scan (needs orders,
+    // so probe across the DRIVER's sf dirs like q45)
+    "q57_topk_mapside",
     // t23: one corpus-linear count; rank window + octave agg on the
     // Heaps-bounded vocab table — expected ≈flat + the scan term
     "t23_zipf_octaves",

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Map-side TOP-K as a typed distributed [[Aggregator]] — the
+  * mergeable-summaries answer (Agarwal et al., TODS 2013 — same
+  * contract as [[KmvSketch]]/[[MisraGries]], but EXACT, not a
+  * sketch: top-k under a total order is fully mergeable) to the
+  * top-k-per-group problem that q33 solves with a window. The window
+  * plan shuffles EVERY row to its group's partition and sorts the
+  * whole group before row_number can cut at k; this buffer carries
+  * AT MOST k (value, id) pairs per group per map task across the
+  * shuffle, and the reduce side merges group-count × k rows — at
+  * 100 TB that is the difference between sorting the corpus and
+  * merging a summary.
+  *
+  * The buffer is the answer itself: an array of at most k pairs
+  * sorted best-first under the total order (value DESC, id ASC —
+  * the id tiebreak makes the result deterministic and
+  * arrival-order-independent, which is what lets the oracle pin it
+  * against the window spelling bit-for-bit). `reduce` is an O(k)
+  * ordered insert; `merge` is a two-pointer ordered merge cut at k.
+  * Both associative and commutative with an identity, so Spark's
+  * map-side partial aggregation is exact.
+  */
+final class TopKByValue(k: Int)
+    extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
+  require(k > 0, s"TopKByValue needs k > 0, got $k")
+
+  /** Strict total order: true iff a ranks strictly before b. */
+  private def before(av: Double, ai: Long, bv: Double, bi: Long): Boolean =
+    av > bv || (av == bv && ai < bi)
+
+  override def zero: Array[(Double, Long)] = Array.empty
+
+  override def reduce(buf: Array[(Double, Long)],
+      x: (Double, Long)): Array[(Double, Long)] = {
+    var ins = 0
+    while (ins < buf.length && before(buf(ins)._1, buf(ins)._2, x._1, x._2)) ins += 1
+    if (ins >= k) buf // ranks below every kept pair of a full buffer
+    else {
+      val n = math.min(buf.length + 1, k)
+      val out = new Array[(Double, Long)](n)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = x
+      System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+      out
+    }
+  }
+
+  override def merge(a: Array[(Double, Long)],
+      b: Array[(Double, Long)]): Array[(Double, Long)] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[(Double, Long)](math.min(a.length + b.length, k))
+    var ia = 0; var ib = 0; var n = 0
+    while (n < out.length) {
+      out(n) =
+        if (ib >= b.length || (ia < a.length &&
+            before(a(ia)._1, a(ia)._2, b(ib)._1, b(ib)._2))) {
+          val x = a(ia); ia += 1; x
+        } else { val x = b(ib); ib += 1; x }
+      n += 1
+    }
+    out
+  }
+
+  override def finish(reduction: Array[(Double, Long)]): Array[(Double, Long)] =
+    reduction
+
+  override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+    ExpressionEncoder[Array[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Array[(Double, Long)]] =
+    ExpressionEncoder[Array[(Double, Long)]]()
+}
+
+object TopKByValue {
+  def apply(k: Int): TopKByValue = new TopKByValue(k)
+}

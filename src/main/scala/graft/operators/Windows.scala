@@ -399,7 +399,42 @@ object Windows {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** q33's SEMANTICS through a MERGEABLE-SUMMARY plan — the 100 TB
+    * spelling of top-k-per-group: q33's window shuffles EVERY order
+    * row to its priority's partition and sorts the whole group before
+    * row_number can cut at 3; [[graft.functions.TopKByValue]] keeps
+    * an at-most-k buffer per group per map task, so the shuffle
+    * carries ≤ k (value, id) pairs per group per partition and the
+    * reduce side merges summaries instead of sorting the corpus
+    * (exact, not a sketch — top-k under a total order is fully
+    * mergeable; Agarwal et al.'s contract, the q46/q48/t12 family).
+    * The ORACLE is q33's row_number spelling verbatim, so the hash
+    * gate proves the aggregator plan ≡ the window plan row-for-row
+    * — PlanSpec pins that the executed plan is ObjectHashAggregate
+    * with NO Window and NO corpus sort.
+    */
+  val q57TopkMapside = Q(
+    "q57_topk_mapside",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, k
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS k
+      |      FROM orders)
+      |WHERE k <= 3
+      |ORDER BY o_orderpriority, k""".stripMargin
+  ) { (s, d) =>
+    val topk = udaf(graft.functions.TopKByValue(3))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("k0", "p")))
+      .select(col("o_orderpriority"), col("p._2").as("o_orderkey"),
+        col("p._1").as("o_totalprice"), (col("k0") + 1).cast("int").as("k"))
+      .orderBy(col("o_orderpriority"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
     q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q36FunnelPattern,
-    q37CohortRetention, q38GapsIslands, q40SortLimit)
+    q37CohortRetention, q38GapsIslands, q40SortLimit, q57TopkMapside)
 }

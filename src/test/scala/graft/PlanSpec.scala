@@ -764,6 +764,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q57: top-k runs as a mergeable summary — partial ObjectHashAggregate, no Window, one hash shuffle") {
+    val p = plan("q57_topk_mapside")
+    assert(p.contains("ObjectHashAggregate"), s"typed top-k must aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the mergeable-summary plan must not fall back to a window:\n$p")
+    // map-side partials mean the group shuffle carries ≤k pairs per
+    // group per partition; the only other exchange is the
+    // presentation sort's range partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"top-k must shuffle the summaries exactly once, saw $hashExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t25: the chain gram set broadcasts — the corpus never shuffles for attribution") {
     val p = plan("t25_attribution")
     assert(p.contains("BroadcastHashJoin"), s"chain grams must broadcast:\n$p")

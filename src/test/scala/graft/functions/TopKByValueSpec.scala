@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The mergeable-summaries contract for [[TopKByValue]], checked
+  * directly on the buffer algebra (the q57 oracle only sees the
+  * final rows): reduce/merge must agree with the brute-force top-k
+  * under the (value DESC, id ASC) total order for ANY partition of
+  * the input into map tasks and ANY arrival order — that invariance
+  * is what makes map-side partial aggregation exact.
+  */
+object TopKByValueProps extends Properties("TopKByValue") {
+  private val K = 3
+  private def brute(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sortBy { case (v, i) => (-v, i) }.take(K)
+
+  private def viaAgg(parts: Seq[Seq[(Double, Long)]]): Seq[(Double, Long)] = {
+    val agg = new TopKByValue(K)
+    parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      .foldLeft(agg.zero)(agg.merge).toSeq
+  }
+
+  private val pair = for {
+    v <- Gen.chooseNum(-5.0, 5.0)
+    i <- Gen.chooseNum(0L, 50L)
+  } yield (v, i)
+
+  property("reduce+merge == brute force for any partitioning and order") =
+    Prop.forAll(Gen.listOf(pair).map(_.distinctBy(_._2)), Gen.chooseNum(1, 4)) {
+      (xs, cuts) =>
+        val parts = xs.grouped(math.max(1, xs.length / cuts + 1)).toSeq
+        viaAgg(if (parts.isEmpty) Seq(Nil) else parts) == brute(xs)
+    }
+}
+
+class TopKByValueSpec extends AnyFunSuite {
+  private val K = 3
+
+  test("ties on value break by lower id, and a full buffer displaces its worst") {
+    val agg = new TopKByValue(K)
+    val xs = Seq((1.0, 9L), (1.0, 2L), (1.0, 5L), (1.0, 1L), (7.0, 8L))
+    val out = xs.foldLeft(agg.zero)(agg.reduce).toSeq
+    assert(out == Seq((7.0, 8L), (1.0, 1L), (1.0, 2L)),
+      s"expected value-desc then id-asc with displacement, got $out")
+  }
+
+  test("merge is commutative") {
+    val agg = new TopKByValue(K)
+    val a = Seq((3.0, 1L), (2.0, 4L)).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq((5.0, 2L), (2.0, 3L), (1.0, 9L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(a, b).toSeq == agg.merge(b, a).toSeq)
+  }
+}
