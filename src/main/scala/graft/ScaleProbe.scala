@@ -208,8 +208,9 @@ object ScaleProbe {
     "t25_attribution",
     // q57: map-side top-k summaries, ≤k pairs per group per partition
     // across the shuffle — expected ≈linear in the scan (needs orders,
-    // so probe across the DRIVER's sf dirs like q45)
-    "q57_topk_mapside",
+    // so probe across the DRIVER's sf dirs like q45); q33 is the same
+    // semantics through the window plan — probed as q57's contrast
+    "q57_topk_mapside", "q33_topk_per_group",
     // t23: one corpus-linear count; rank window + octave agg on the
     // Heaps-bounded vocab table — expected ≈flat + the scan term
     "t23_zipf_octaves",
