@@ -177,6 +177,9 @@ object ScaleProbe {
     // doc (16×16 image regardless of text length), expected ≈flat +
     // the scan term
     "m28_png",
+    // m29: per-row RLE8 encode + fail-loud walk + per-pixel ImageIO
+    // cross-check — fixed work per doc, expected ≈flat + scan term
+    "m29_bmp_rle8",
     // p09: corpus-linear bigram-bucket count + broadcast-model
     // scoring scan + TakeOrdered top-k — expected ≈linear in the two
     // scans, model fixed at 1024 buckets

@@ -1,0 +1,158 @@
+package graft.multimodal
+
+/** BI_RLE8 — the Windows BMP 8-bit run-length codec (the BMP spec's
+  * compression type 1; Microsoft Windows GDI documentation, public
+  * since Windows 3.0): a byte-pair stream where `(n>0, v)` paints n
+  * copies of palette index v, `(0, n>=3)` switches to ABSOLUTE mode
+  * (n raw indices follow, padded to a 16-bit boundary), `(0,0)` ends
+  * the scanline and `(0,1)` ends the bitmap. Rows are stored
+  * BOTTOM-UP like every BMP raster. This is the m-tier's third real
+  * sequential codec (after m20's ADPCM state machine and m22's LZW
+  * dictionary): the decoder is a little state machine over an opcode
+  * stream, and a one-byte slip desynchronizes everything after it —
+  * which is exactly what the per-pixel ImageIO cross-check (the
+  * JDK's independent BMPImageReader implements BI_RLE8 too) and the
+  * oracle's pixel hash are there to catch.
+  *
+  * Encoder policy (deterministic): each row is emitted as maximal
+  * encoded-mode runs, EXCEPT a per-image designated row whose first
+  * four pixels go through ABSOLUTE mode — so the absolute branch,
+  * its even-byte padding, and the mode switch back are exercised on
+  * every image, not just in the spec. Delta escapes (0,2) are NOT
+  * emitted: they leave skipped pixels undefined, which no
+  * deterministic oracle should accept.
+  */
+object BmpRleCodec {
+
+  private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** RLE8-encode one top-down raster of palette indices (0..255) and
+    * wrap it as a complete 8-bit paletted BMP (grayscale palette:
+    * entry i = (i, i, i), so a decoded RGB's blue channel IS the
+    * index). `absRow` is the top-down row whose first 4 pixels use
+    * absolute mode (ignored when the image is narrower than 4).
+    */
+  def encode(w: Int, h: Int, px: Array[Int], absRow: Int): Array[Byte] = {
+    require(px.length == w * h, s"raster is ${px.length} px, header says ${w * h}")
+    val rle = new java.io.ByteArrayOutputStream()
+    var y = h - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      if (y == absRow && w >= 4) {
+        // absolute-mode segment: 0x00, count, count raw indices,
+        // padded to an even byte count
+        rle.write(0); rle.write(4)
+        var i = 0
+        while (i < 4) { rle.write(px(y * w + x + i) & 0xff); i += 1 }
+        // 4 index bytes are already word-aligned; no pad byte
+        x = 4
+      }
+      while (x < w) {
+        val v = px(y * w + x) & 0xff
+        var run = 1
+        while (x + run < w && run < 255 && (px(y * w + x + run) & 0xff) == v) run += 1
+        rle.write(run); rle.write(v)
+        x += run
+      }
+      rle.write(0); rle.write(if (y == 0) 1 else 0) // EOL, or EOB on the last row
+      y -= 1
+    }
+    val data = rle.toByteArray
+    val paletteBytes = 256 * 4
+    val offBits = 14 + 40 + paletteBytes
+    val buf = java.nio.ByteBuffer.allocate(offBits + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(offBits + data.length) // bfSize
+      .putShort(0).putShort(0)
+      .putInt(offBits)               // bfOffBits
+    buf.putInt(40)                   // biSize
+      .putInt(w).putInt(h)           // positive height = bottom-up
+      .putShort(1)                   // biPlanes
+      .putShort(8)                   // biBitCount
+      .putInt(1)                     // biCompression = BI_RLE8
+      .putInt(data.length)           // biSizeImage
+      .putInt(2835).putInt(2835)     // 72 dpi
+      .putInt(256).putInt(0)         // biClrUsed, biClrImportant
+    var i = 0
+    while (i < 256) { // BGRX palette, gray: blue == green == red == index
+      buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+      i += 1
+    }
+    buf.put(data)
+    buf.array()
+  }
+
+  /** Parse the BMP container, RLE8-walk the opcode stream into a
+    * top-down raster, and fail loudly on any inconsistency: a run
+    * overrunning its row, a missing EOL/EOB, trailing bytes after
+    * EOB, or an absolute count below the spec's minimum of 3.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      "not a BMP payload")
+    val offBits = buf.getInt(10)
+    val w = buf.getInt(18); val h = buf.getInt(22)
+    require(w > 0 && h > 0, s"unsupported BMP geometry ${w}x$h")
+    require(buf.getShort(28) == 8, "BI_RLE8 requires biBitCount = 8")
+    require(buf.getInt(30) == 1, "biCompression is not BI_RLE8")
+    val out = Array.fill(w * h)(-1) // -1 = unpainted; full coverage asserted below
+    var p = offBits
+    var x = 0; var y = h - 1 // decode bottom-up, store top-down
+    var ended = false
+    def u(i: Int): Int = payload(i) & 0xff
+    while (!ended) {
+      require(p + 1 < payload.length, s"RLE stream truncated at byte $p")
+      val b0 = u(p); val b1 = u(p + 1); p += 2
+      if (b0 > 0) { // encoded run
+        require(x + b0 <= w, s"run of $b0 overruns row $y at x=$x")
+        var i = 0
+        while (i < b0) { out(y * w + x) = b1; x += 1; i += 1 }
+      } else b1 match {
+        case 0 => // end of line
+          require(x == w, s"EOL at x=$x before row $y was fully painted")
+          x = 0; y -= 1
+        case 1 => // end of bitmap (replaces the final row's EOL)
+          require(x == w && y == 0,
+            s"EOB before the raster was fully painted (x=$x, y=$y)")
+          ended = true
+        case 2 => throw new IllegalArgumentException(
+          "delta escape (0,2) leaves pixels undefined — this encoder never emits it")
+        case n => // absolute mode
+          require(n >= 3, s"absolute count $n below the spec minimum of 3")
+          require(x + n <= w, s"absolute run of $n overruns row $y at x=$x")
+          var i = 0
+          while (i < n) { out(y * w + x) = u(p + i); x += 1; i += 1 }
+          p += n + (n & 1) // pad to a 16-bit boundary
+      }
+    }
+    require(p == payload.length, s"${payload.length - p} trailing bytes after EOB")
+    require(!out.contains(-1), "EOB accepted with unpainted pixels")
+    (w, h, out)
+  }
+
+  /** m29 kernel: decode with our walker, then cross-check EVERY pixel
+    * against the JDK's independent BMPImageReader RLE8 decode.
+    */
+  def decodeChecked(payload: Array[Byte], mediaId: Long): (Int, Int, Array[Int]) = {
+    noDiskCache
+    val (w, h, px) = decode(payload)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null && img.getWidth == w && img.getHeight == h,
+      s"media_id=$mediaId: ImageIO dimension mismatch")
+    // RASTER samples, not getRGB: the JDK reader recognizes the gray
+    // palette and hands back TYPE_BYTE_GRAY, whose getRGB applies a
+    // gray-colorspace conversion (index 1 reads as 13); the raster
+    // sample is the decoded byte itself — the palette index.
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      val ref = raster.getSample(p % w, p / w, 0)
+      require(ref == px(p),
+        s"media_id=$mediaId: pixel $p is $ref per ImageIO, ${px(p)} per BmpRleCodec")
+      p += 1
+    }
+    (w, h, px)
+  }
+}

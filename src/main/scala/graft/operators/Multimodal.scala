@@ -2067,11 +2067,88 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** 4×4-tile raster with genuine runs (RLE8's bread and butter),
+    * 16-entry index range, geometry varied by id.
+    */
+  private def bmpRlePixels(id: Long): (Int, Int, Array[Int]) = {
+    val w = 16 + (id % 4).toInt * 8
+    val h = 8 + (id % 3).toInt * 4
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((x >> 2) + (y >> 2) * 3 + id) % 16).toInt
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** BMP BI_RLE8 — the third real SEQUENTIAL codec of the tier (m20
+    * ADPCM's predictor state machine, m22 LZW's growing dictionary,
+    * and now the RLE opcode walk where one mis-read byte pair
+    * desynchronizes every pixel after it): each doc's tiled raster is
+    * RLE8-encoded bottom-up — maximal encoded-mode runs plus one
+    * designated row driven through ABSOLUTE mode with its 16-bit
+    * padding, so both opcode families and the mode switch are
+    * exercised per image — wrapped as a complete 8-bit paletted BMP,
+    * re-decoded by [[graft.multimodal.BmpRleCodec]]'s fail-loud
+    * walker (row overruns, missing EOL/EOB, trailing bytes, sub-3
+    * absolute counts all throw), and cross-checked PER PIXEL against
+    * the JDK BMPImageReader's independent RLE8 implementation. The
+    * oracle predicts the raster algebraically (the m22 contract), so
+    * a symmetric encoder/decoder bug cannot survive ImageIO and an
+    * asymmetric one cannot survive the hash. The encoder must also
+    * genuinely compress (stream < raster bytes — runs are why RLE
+    * exists). Per-partition synth+decode, zero shuffle.
+    */
+  val m29BmpRle = Q(
+    "m29_bmp_rle8",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id % 4) * 8 AS w,
+      |    8 + (doc_id % 3) * 4 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(0, w * h),
+      |      p -> ((p % w) // 4 + ((p // w) // 4) * 3 + doc_id) % 16) AS px
+      |  FROM s
+      |)
+      |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(w * h AS BIGINT) AS n_px,
+      |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+      |  md5(array_to_string(px, ',')) AS px_md5
+      |FROM px ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.BmpRleCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = bmpRlePixels(id)
+        val payload = BmpRleCodec.encode(w, h, px, (id % h).toInt)
+        // the run structure must have actually compressed the raster
+        require(payload.length - (14 + 40 + 1024) < w * h,
+          s"media_id=$id: RLE stream did not compress ${w * h} px")
+        val (dw, dh, decoded) = BmpRleCodec.decodeChecked(payload, id)
+        require(dw == w && dh == h, s"media_id=$id: geometry round-trip mismatch")
+        (id, w.toLong, h.toLong, (w * h).toLong,
+          decoded.foldLeft(0L)(_ + _), decoded.mkString(","))
+      })
+      .toDF("media_id", "w", "h", "n_px", "px_sum", "px_csv")
+      .select(col("media_id"), col("w"), col("h"), col("n_px"),
+        col("px_sum"), md5(col("px_csv")).as("px_md5"))
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
-      m25Inflate, m26Deflate, m27JpegEntropy, m28Png)
+      m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle)
 }

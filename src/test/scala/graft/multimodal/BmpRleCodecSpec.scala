@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BI_RLE8's failure modes are SEQUENTIAL — one wrong byte pair
+  * desynchronizes every opcode after it — so the walker must fail
+  * loudly, never return a plausible-but-shifted raster. The oracle
+  * only sees healthy streams; the malformed ones are pinned here.
+  */
+class BmpRleCodecSpec extends AnyFunSuite {
+
+  private val W = 16; private val H = 8
+  private def raster: Array[Int] =
+    Array.tabulate(W * H)(p => ((p % W) / 4 + ((p / W) / 4) * 3) % 16)
+  private def healthy: Array[Byte] = BmpRleCodec.encode(W, H, raster, 2)
+  private val offBits = 14 + 40 + 1024
+
+  test("encode → decode round-trips the raster exactly (both opcode modes)") {
+    val (w, h, px) = BmpRleCodec.decode(healthy)
+    assert((w, h) == (W, H) && px.toSeq == raster.toSeq)
+  }
+
+  test("the designated row genuinely exercises ABSOLUTE mode") {
+    // raster row 2 is stored third-from-last (bottom-up); its segment
+    // must start with the absolute opcode 0x00 0x04
+    val data = healthy.drop(offBits)
+    assert(data.grouped(2).exists(p => p(0) == 0 && p(1) == 4),
+      "no absolute-mode opcode in the stream")
+  }
+
+  test("a corrupted run count fails loudly, never a shifted raster") {
+    val bad = healthy.clone()
+    bad(offBits) = (bad(offBits) + 3).toByte // first run now overruns its row
+    val e = intercept[IllegalArgumentException](BmpRleCodec.decode(bad))
+    assert(e.getMessage.contains("overruns") || e.getMessage.contains("EOL"),
+      e.getMessage)
+  }
+
+  test("truncation before EOB fails loudly") {
+    intercept[IllegalArgumentException](
+      BmpRleCodec.decode(healthy.dropRight(4)))
+  }
+
+  test("trailing bytes after EOB fail loudly") {
+    intercept[IllegalArgumentException](
+      BmpRleCodec.decode(healthy ++ Array[Byte](7, 7)))
+  }
+
+  test("the JDK cross-check accepts the healthy stream") {
+    val (w, h, px) = BmpRleCodec.decodeChecked(healthy, mediaId = -1L)
+    assert((w, h) == (W, H) && px.toSeq == raster.toSeq)
+  }
+}
