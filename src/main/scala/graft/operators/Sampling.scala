@@ -535,8 +535,68 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling without replacement with the EXACT
+    * Efraimidis-Spirakis distribution (Inf. Proc. Letters 2006) —
+    * closing the gap p07's doc concedes: p07's `u div w` integer
+    * analog preserves only a weighted PREFERENCE order, not A-ES's
+    * inclusion law, because the true key `u^(1/w)` needs libm `pow`
+    * (not bit-portable across engines). The identity that removes the
+    * transcendental: for integer weight w, `max(u_1..u_w)` of w iid
+    * uniforms has CDF `x^w` — the SAME law as `u^(1/w)` — so the
+    * per-row priority is the max of w independent deterministic
+    * 48-bit uniforms `u_j = int(md5(doc_id':'j)[0:12 hex])`, pure
+    * hash-and-compare integer work, and the top-k by (priority DESC,
+    * doc_id) is a faithful A-ES draw: item i wins the first slot with
+    * probability w_i/Σw, then the law recurses on the remainder —
+    * the exact without-replacement semantics (Algorithm A of the
+    * paper, derandomized by the house md5 uniforms).
+    *
+    * Weight = `least(greatest(n_chars div 800, 1), 8)` — a bounded
+    * integer length tier, so the explode factor is ≤ 8 hashes/row.
+    * Scale shape: per-row ≤ 8 md5s then one TakeOrderedAndProject
+    * (per-partition top-k, driver merges k rows) — no shuffle, no
+    * sort of the corpus; at 100 TB the same plan streams map-side.
+    * Both engines stage the weight in its own CTE/column first (the
+    * SKILL.md lambda-inlining trap: a weight expression inlined into
+    * the sequence bound would re-derive per element position).
+    * WeightedReservoirSpec pins the calibration p07 cannot have: on
+    * two equal-count weight tiers {1, 8}, the 8-tier's top-k
+    * inclusion rate is ~8x the 1-tier's.
+    */
+  val p11WeightedReservoir = Q(
+    "p11_weighted_reservoir",
+    """WITH w AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(least(greatest(n_chars // 800, 1), 8) AS INT) AS weight
+      |  FROM documents
+      |), pri AS (
+      |  SELECT doc_id, lang, n_chars, weight,
+      |    list_aggregate(list_transform(generate_series(1, weight),
+      |      j -> CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+      |             CAST(j AS VARCHAR))), 1, 12)) AS BIGINT)), 'max') AS priority
+      |  FROM w
+      |), top AS (
+      |  SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 20
+      |)
+      |SELECT doc_id, lang, n_chars, weight, priority FROM top
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("CAST(least(greatest(n_chars div 800, 1), 8) AS INT)").as("weight"))
+      .withColumn("priority", expr(
+        "array_max(transform(sequence(1, weight), " +
+          "j -> CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+          "CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT)))"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"), col("priority"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
       p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
-      p08TemperatureMixture, p09DsirSelect, p10LeakageSafeSplit)
+      p08TemperatureMixture, p09DsirSelect, p10LeakageSafeSplit,
+      p11WeightedReservoir)
 }

@@ -337,9 +337,11 @@ object StreamReplay {
     * seen-key set, and because the row IS the key, whichever arrival
     * wins the race produces the same output row, so the append-mode
     * replay equals batch DISTINCT deterministically. (Keeping
-    * non-key columns would make "first seen" arrival-order-dependent
-    * — that variant is the watermarked dropDuplicatesWithinWatermark
-    * in StreamingSpec, which no batch oracle can express.)
+    * non-key columns would make "first seen" arrival-order-dependent.)
+    * State here is UNBOUNDED — the production TTL variant
+    * (`dropDuplicatesWithinWatermark`) is q85, whose day-bucketed key
+    * construction makes even the bounded-state operator batch-
+    * expressible.
     */
   val q74StreamDedupReplay = Q(
     "q74_stream_dedup_replay",
@@ -913,7 +915,22 @@ object StreamReplay {
     joinReplayChunked(s, d, nChunks, "fullOuter")
 
   private def joinReplayChunked(s: org.apache.spark.sql.SparkSession,
-      d: String, nChunks: Int, joinType: String): org.apache.spark.sql.DataFrame = {
+      d: String, nChunks: Int, joinType: String): org.apache.spark.sql.DataFrame =
+    fileSinkReplay(s, watermarkedJoinOf(orderedEventsChunkStream(s, d, nChunks),
+      joinType), s"chunked_$joinType")
+
+  /** The production-geometry source the chunked replays share: an
+    * ingest-time time-ordered copy of events (range-partitioned +
+    * sorted by ts — the order a live stream has by construction;
+    * built once per run, outside the timing the same way q68's shred
+    * is), part-file mtimes staggered so the file source's
+    * (mtime, path) ordering replays chunks in event-time order, and
+    * `maxFilesPerTrigger 1` bounding each microbatch to one
+    * ts-range-disjoint chunk — so the watermark advances between
+    * triggers and no row is ever late to it.
+    */
+  private[graft] def orderedEventsChunkStream(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
     val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
@@ -936,10 +953,9 @@ object StreamReplay {
       f.setLastModified(t0 + (i + 1) * 2000L): Unit
     }
     val schema = s.read.parquet(orderedDir).schema
-    val src = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(orderedDir)
-    fileSinkReplay(s, watermarkedJoinOf(src, joinType), s"chunked_$joinType")
   }
 
   /** Watermarked stream-stream FULL OUTER join — completing the
@@ -1000,9 +1016,79 @@ object StreamReplay {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   } }
 
+  /** The dedup kernel q85 and its chunked variant share: day-bucketed
+    * keys under a 1-day watermark TTL. The key INCLUDES the event-time
+    * day (`unix_micros(ts) div 86 400 000 000` — integer µs division,
+    * the house calendar-free bucketing), which is what makes the
+    * bounded-state operator's output batch-expressible — see q85's
+    * doc for the argument. Output is the key-only projection (the q74
+    * discipline): the emitted row is fully determined by the key, so
+    * whichever arrival wins the in-batch race produces the same row.
+    */
+  private[graft] def watermarkedDayDedup(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    src.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+
+  /** Streaming dedup with BOUNDED state — `dropDuplicatesWithinWatermark`,
+    * the production TTL knob q74's unbounded `dropDuplicates` leaves
+    * off (q74's seen-key state grows with the corpus forever; this
+    * operator's is evicted at `watermark > first_seen_ts + delay` and
+    * holds only the open horizon). The operator's contract is weaker
+    * than DISTINCT — only duplicates within the delay of each other
+    * are GUARANTEED dropped; a key re-arriving after eviction
+    * re-emits — which is why q74's doc long held that no batch oracle
+    * can express it. The KEY CONSTRUCTION closes that gap: the dedup
+    * key includes the event-time DAY bucket and the delay is 1 day,
+    * so any two same-key records are < 24 h ≤ delay apart in event
+    * time — re-emission would need a same-key record arriving with
+    * event time past the eviction point `first_ts + 1 day`, and a
+    * same-day record never is. Late-row discard (the other
+    * nondeterminism channel) is structural in both verified
+    * geometries: the single-batch AvailableNow replay runs entirely
+    * under the initial watermark, and the chunked production geometry
+    * replays ts-range-disjoint chunks in event-time order, so no
+    * record ever trails the watermark. Therefore emitted ==
+    * DISTINCT (user_id, event_type, day) — an exact batch oracle for
+    * a bounded-state streaming operator. StreamChunkedReplaySpec pins
+    * chunked == single-batch AND that the chunked run's dedup state
+    * actually evicts (max live state rows < total distinct keys,
+    * removed > 0) — the bounded-state claim as a measured fact, not
+    * an API promise.
+    *
+    * Scale notes: state is hash-partitioned by key across executors
+    * (q78's too-big-to-broadcast shape); the watermark bounds live
+    * state to the open ~2-day horizon regardless of corpus size —
+    * the property that lets a crawl-dedup stream run for months.
+    */
+  val q85StreamDedupTtlReplay = Q(
+    "q85_stream_dedup_ttl_replay",
+    """SELECT DISTINCT user_id, event_type,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |FROM events
+      |ORDER BY user_id, event_type, day""".stripMargin
+  ) { (s, d) =>
+    fileSinkReplay(s, watermarkedDayDedup(eventsStream(s, d)), "q85")
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  /** [[orderedEventsChunkStream]]'s geometry for q85 — the watermark
+    * advances between chunk triggers, so day-keys behind the horizon
+    * EVICT mid-run (the spec reads the state-operator metrics to
+    * prove it) while the output stays set-identical to the
+    * single-batch replay.
+    */
+  private[graft] def dedupTtlReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    fileSinkReplay(s, watermarkedDayDedup(orderedEventsChunkStream(s, d, nChunks)),
+      "chunked_dedupttl")
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
-    q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay)
+    q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
+    q85StreamDedupTtlReplay)
 }
