@@ -1,0 +1,31 @@
+package graft
+
+/** Prints DppProbe's scan-metrics table for one or more sf dirs — the
+  * SCALE.md datum for the dynamic-partition-pruning proof
+  * (ScaleProbe's JSON records only sec/rows; the files/rows-scanned
+  * CONTENT is the point here). Usage: DppProbeRun <label=dir> [...].
+  */
+object DppProbeRun {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { a =>
+      val Array(label, dir) = a.split("=", 2)
+      val out = java.nio.file.Files.createTempDirectory("graft_dpp_run_")
+      val rows = graft.sources.DppProbe.probe(spark, dir, out.toString).collect()
+      rows.foreach { r =>
+        println(s"DPPPROBE $label mode=${r.getString(0)} result_rows=${r.getLong(1)} " +
+          s"files_read=${r.getLong(2)} rows_scanned=${r.getLong(3)} dpp_in_plan=${r.getInt(4)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -262,7 +262,18 @@ object ScaleProbe {
     "q83_stream_semi_join_replay",
     // q84: watermarked FULL OUTER stream-stream join — q82's state
     // shape on BOTH sides (each buffers its open 12 h windows)
-    "q84_stream_full_outer_join_replay")
+    "q84_stream_full_outer_join_replay",
+    // q85: TTL-bounded streaming dedup — q74's curve with the state
+    // held to the open day horizon instead of growing with the corpus
+    "q85_stream_dedup_ttl_replay",
+    // p11: per-row ≤8 md5s + TakeOrderedAndProject — expected ≈linear
+    // scan term, no shuffle
+    "p11_weighted_reservoir",
+    // s22: within-cell self-join (quadratic per cell, bounded by the
+    // occupancy knob) + edge-sized window and mutual join — expected
+    // ≈quadratic-in-occupancy at FIXED 8 cells (the knob stays put
+    // here; production scales cells ∝ n, the d06/d11 rule)
+    "s22_knn_graph")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
@@ -332,7 +343,25 @@ object ScaleProbe {
     // two-sided buffers hold open windows only, evicted per chunk
     "q84_wide_chunked" -> (() =>
       graft.operators.StreamReplay.fullOuterJoinReplayChunked(s, dir, nChunks = 24)
-        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))),
+    // q85 in the same production geometry — dedup state evicts at the
+    // 1-day TTL per chunk, so live state is the open day horizon
+    "q85_wide_chunked" -> (() =>
+      graft.operators.StreamReplay.dedupTtlReplayChunked(s, dir, nChunks = 24)
+        .orderBy(col("user_id"), col("event_type"), col("day"))),
+    // s22 at the production knob — trained cells at k ∝ n (the d11
+    // wide pairing: k64 at sf1, k256 at sf10) keep per-cell occupancy
+    // flat, so candidates are occupancy × n — linear in the corpus
+    "s22_wide_k64" -> (() => graft.operators.Similarity.knnGraphParam(s, dir, k = 64)),
+    "s22_wide_k256" -> (() => graft.operators.Similarity.knnGraphParam(s, dir, k = 256)),
+    // DPP at scale: writes the day-partitioned copy + dim table, runs
+    // the join DPP-on and DPP-off — the datum is the 2-row metrics
+    // frame (files/rows scanned each way), the timing is write+probe
+    "dpp_probe" -> (() => {
+      val outRoot = java.nio.file.Files
+        .createTempDirectory("graft_dpp_probe_").toString
+      graft.sources.DppProbe.probe(s, dir, outRoot)
+    }))
 
   /** d07's cluster collapse over a width-parameterized d06 edge set. */
   private def wideClusters(s: SparkSession, dir: String,

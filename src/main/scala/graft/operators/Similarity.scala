@@ -1727,9 +1727,137 @@ object Similarity {
       .orderBy(col("query_id"), col("k"))
   }
 
+  /** CORPUS kNN GRAPH + mutual-kNN edges — the corpus→corpus
+    * construction (every vector is a query) where s01-s21 are
+    * query→corpus searches: the kNN graph is the substrate of
+    * graph-based dedup/clustering (d07's label propagation runs over
+    * exactly such an edge set), kNN-graph-based ANN indexes
+    * (HNSW/NN-Descent build from it), and SemDeDup-style curation at
+    * corpus granularity. Candidates come from s03's IVF cells — each
+    * vector's top-3 by exact cosine among its OWN cell's members —
+    * and each directed edge carries the MUTUAL flag (reverse edge
+    * also in the graph): mutual-kNN is the classic noise-robust
+    * subgraph clustering keeps.
+    *
+    * Scale shape: the within-cell self-join is the honest big-big
+    * form — BOTH sides corpus-sized, so no broadcast: ONE cell-keyed
+    * shuffle co-partitions them and the per-cell quadratic is bounded
+    * by the documented occupancy knob (cells ∝ n / target-occupancy,
+    * SCALE.md's bits ∝ log n rule; production uses s04's trained
+    * centroids at k ∝ n — [[knnGraphParam]] is that configuration,
+    * ScaleProbe's s22_wide_k64/k256). The candidate pairs are
+    * consumed by q57's MERGEABLE top-k aggregator IN THE JOIN'S OWN
+    * STAGE — a row_number window here would shuffle and sort the
+    * full within-cell pair set (occupancy × n rows — the d11 lesson
+    * says that is the term that kills the decade), while
+    * TopKByValue keeps ≤3 (cos, dst) pairs per src per partition, so
+    * only edge-sized data ever crosses a shuffle. Downstream is all
+    * edge-sized (3n rows): the posexplode and one edges⋈edges
+    * equi-join for the mutual flag. KnnGraphSpec pins mutual
+    * symmetry, cell containment, per-vector completeness, and the
+    * no-Window/ObjectHashAggregate plan.
+    */
+  val s22KnnGraph = Q(
+    "s22_knn_graph",
+    { s"""WITH $sqlCtrCells, scored AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id, a.cell,
+         |         CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |              ELSE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS cos_sim
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |), edges AS (
+         |  SELECT src_id, dst_id, cell, cos_sim,
+         |         row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS k
+         |  FROM scored
+         |  QUALIFY k <= 3
+         |)
+         |SELECT e.src_id, e.dst_id, e.cell, e.cos_sim, e.k,
+         |       CASE WHEN r.src_id IS NOT NULL THEN 1 ELSE 0 END AS mutual
+         |FROM edges e LEFT JOIN edges r ON e.src_id = r.dst_id AND e.dst_id = r.src_id
+         |ORDER BY e.src_id, e.k""".stripMargin }
+  ) { (s, d) =>
+    val cells = centroidDots(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
+      .cache() // assignment subtree feeds both join sides — compute once
+    knnGraphFrom(cells)
+  }
+
+  /** s22's graph construction over any (vec_id, embedding, nrm, cell)
+    * assignment frame — shared by the registered query (s03's 8
+    * seeded cells) and [[knnGraphParam]] (trained cells at k ∝ n).
+    */
+  private def knnGraphFrom(cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = knnScored(cells)
+    // the edge set feeds both sides of the mutual join — the eager
+    // checkpoint cuts the self-join recompute (and is why the spec's
+    // plan pin inspects [[knnEdges]], whose aggregate this
+    // materializes away)
+    val edges = knnEdges(scored).localCheckpoint()
+    val rev = edges.select(col("src_id").as("r_src"), col("dst_id").as("r_dst"))
+    edges.join(rev, col("src_id") === col("r_dst") && col("dst_id") === col("r_src"), "left")
+      .select(col("src_id"), col("dst_id"), col("cell"), col("cos_sim"), col("k"),
+        when(col("r_src").isNotNull, 1).otherwise(0).as("mutual"))
+      .orderBy(col("src_id"), col("k"))
+  }
+
+  /** The within-cell candidate self-join with exact cosine — one
+    * cell-keyed shuffle co-partitioning the corpus against itself.
+    */
+  private def knnScored(cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = cells.select(col("vec_id").as("src_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("cell"))
+    val b = cells.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("cell").as("b_cell"))
+    a.join(b, col("cell") === col("b_cell") && col("dst_id") =!= col("src_id"))
+      .select(col("src_id"), col("dst_id"), col("cell"),
+        when(col("a_nrm") * col("b_nrm") === 0, 0.0)
+          .otherwise(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+          .as("cos_sim"))
+  }
+
+  /** q57's mergeable-summary plan over the scored candidate pairs:
+    * partial top-3 per src INSIDE the join stage, ≤3 (cos, dst)
+    * pairs per src per partition across the shuffle — never the full
+    * within-cell pair set (tie-break (cos DESC, dst ASC) = the
+    * oracle window's; q57 proved the two plans row-identical).
+    * KnnGraphSpec pins this plan (ObjectHashAggregate, no Window).
+    */
+  private[graft] def knnEdges(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val topk = udaf(graft.functions.TopKByValue(3))
+    scored
+      .groupBy(col("src_id"), col("cell"))
+      .agg(topk(col("cos_sim"), col("dst_id")).as("top"))
+      .select(col("src_id"), col("cell"), posexplode(col("top")).as(Seq("k0", "p")))
+      .select(col("src_id"), col("p._2").as("dst_id"), col("cell"),
+        col("p._1").as("cos_sim"), (col("k0") + 1).cast("int").as("k"))
+  }
+
+  /** The scored within-cell candidate pairs of the REGISTERED s22
+    * (s03's seeded cells) — the spec's plan-pin entry point.
+    */
+  private[graft] def knnScoredProbe(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cells = centroidDots(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
+    knnScored(cells)
+  }
+
+  /** s22 at the PRODUCTION knob — trained k-means cells
+    * ([[AnnKmeans.trainedFinParam]], the d11/s04 machinery with the
+    * k-independent ArgmaxDot assignment) at k ∝ corpus size, keeping
+    * per-cell occupancy (and so pairs-per-vector) constant across
+    * decades: the total candidate count is occupancy × n — LINEAR in
+    * the corpus. Probe-only (ScaleProbe s22_wide_k64 at sf1,
+    * s22_wide_k256 at sf10), like d11's wide twins: the oracle
+    * corpus is too small for wide cells to rank nontrivially.
+    */
+  private[graft] def knnGraphParam(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame =
+    knnGraphFrom(AnnKmeans.trainedFinParam(s, d, k)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
     s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank, s19RrfFusion,
-    s20Int4Pack, s21FilteredAnn)
+    s20Int4Pack, s21FilteredAnn, s22KnnGraph)
 }
