@@ -273,7 +273,10 @@ object ScaleProbe {
     // occupancy knob) + edge-sized window and mutual join — expected
     // ≈quadratic-in-occupancy at FIXED 8 cells (the knob stays put
     // here; production scales cells ∝ n, the d06/d11 rule)
-    "s22_knn_graph")
+    "s22_knn_graph",
+    // p12: five corpus-linear scans with literal centers (≤5 dots
+    // per row, no join) — expected ≈linear
+    "p12_kcenter_coreset")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

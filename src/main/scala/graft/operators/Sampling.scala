@@ -594,9 +594,109 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** The k-center greedy oracle, unrolled (the s18 discipline): c1 is
+    * the lowest-vec_id seed, each d_r carries the running min-distance
+    * via an incremental `least` chain (the same left-fold order the
+    * Spark side reduces in, so every double is bit-identical), each
+    * c_{r+1} is the (mind DESC, vec_id) argmax with already-selected
+    * rows excluded by the chain's own <> filters.
+    */
+  private def kcenterOracle(k: Int): String = {
+    import graft.functions.TextVec.{sqlDot, sqlNorm}
+    def dist(e: String, c: String) =
+      s"CASE WHEN $e.nrm * $c.nrm = 0 THEN 1.0 ELSE 1.0 - " +
+        s"${sqlDot(s"$e.embedding", s"$c.embedding")} / ($e.nrm * $c.nrm) END"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+       |), c1 AS (
+       |  SELECT vec_id, embedding, nrm FROM e ORDER BY vec_id LIMIT 1
+       |), d1 AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, ${dist("e", "c1")} AS mind
+       |  FROM e, c1 WHERE e.vec_id <> c1.vec_id
+       |)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= s""", c$r AS (
+         |  SELECT vec_id, embedding, nrm, mind FROM d${r - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1
+         |)""".stripMargin
+      if (r < k) sb ++= s""", d$r AS (
+         |  SELECT d.vec_id, d.embedding, d.nrm,
+         |         least(d.mind, ${dist("d", s"c$r")}) AS mind
+         |  FROM d${r - 1} d, c$r WHERE d.vec_id <> c$r.vec_id
+         |)""".stripMargin
+    }
+    sb ++= "\nSELECT 1 AS r, vec_id, CAST(0.0 AS DOUBLE) AS mind FROM c1"
+    for (r <- 2 to k) sb ++= s"\nUNION ALL SELECT $r AS r, vec_id, mind FROM c$r"
+    sb ++= "\nORDER BY r"
+    sb.toString
+  }
+
+  /** k-CENTER CORESET selection — Gonzalez's greedy farthest-point
+    * traversal (Theor. Comp. Sci. 1985, the classic 2-approximation
+    * to metric k-center): seed with the lowest vec_id, then k−1
+    * times pick the vector FARTHEST (cosine distance, max-min) from
+    * everything selected so far. This is the diversity-maximizing
+    * subset selection of coreset-based data pruning (the
+    * cluster-distance pruning of Sorscher et al. NeurIPS'22 and the
+    * active-learning "core-set" approach of Sener & Savarese
+    * ICLR'18 both build on exactly this traversal) — the complement
+    * of p11's weight-proportional draw: p11 samples TYPICAL mass,
+    * p12 extracts COVERAGE extremes, and each center's `mind` is the
+    * corpus coverage radius the selection achieved at that step
+    * (monotonically non-increasing — the 2-approx certificate).
+    *
+    * Scale shape: each of the k rounds is ONE corpus-linear scan —
+    * the selected centers inline as ARRAY LITERALS (s13's
+    * constant-folding discipline), so the per-row work is ≤k dots
+    * with no join at all — ending in a TakeOrdered(1); the only
+    * driver traffic is the k 1-row argmax results (the documented
+    * AnnKmeans model-sized class). k scans of the corpus at k=5;
+    * at 100 TB the same five scans, embarrassingly parallel.
+    * Distances recomputed per round from the literal centers are
+    * bit-identical to the oracle's incremental least chain because
+    * both fold the same doubles in the same left-to-right order.
+    */
+  val p12KcenterCoreset = Q(
+    "p12_kcenter_coreset",
+    kcenterOracle(5)
+  ) { (s, d) =>
+    import graft.functions.TextVec.{dot, norm}
+    val k = 5
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .cache()
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+    // (id, embedding, norm, selection radius)
+    var centers = seed.toList.map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), 0.0))
+    var r = 2
+    while (r <= k && centers.size == r - 1) {
+      val distCols = centers.map { case (_, emb, cn, _) =>
+        when(col("nrm") * lit(cn) === 0, 1.0)
+          .otherwise(lit(1.0) - dot(col("embedding"), typedlit(emb)) / (col("nrm") * lit(cn)))
+      }
+      val mind = distCols.reduce(least(_, _))
+      val selectedIds = centers.map(_._1)
+      val next = e.filter(!col("vec_id").isin(selectedIds: _*))
+        .select(col("vec_id"), col("embedding"), col("nrm"), mind.as("mind"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
+      if (next.nonEmpty)
+        centers = centers :+ ((next(0).getLong(0), next(0).getSeq[Float](1),
+          next(0).getDouble(2), next(0).getDouble(3)))
+      r += 1
+    }
+    import s.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, _, mind), i) => (i + 1, id, mind) }
+      .toDF("r", "vec_id", "mind")
+      .orderBy(col("r"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
       p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
       p08TemperatureMixture, p09DsirSelect, p10LeakageSafeSplit,
-      p11WeightedReservoir)
+      p11WeightedReservoir, p12KcenterCoreset)
 }
