@@ -167,6 +167,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
 
+  test("p11: the A-ES reservoir plans as top-k with zero joins") {
+    val p = plan("p11_weighted_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+    assert(!p.contains("Join"), s"p11 should be a pure per-row scan + top-k:\n$p")
+  }
+
   test("q44: unpivot is a map-side Expand feeding a two-phase aggregate") {
     val p = plan("q44_unpivot")
     assert(p.contains("Expand"), s"expected the native unpivot Expand in:\n$p")
