@@ -1,0 +1,32 @@
+package graft
+
+/** Prints SkewProbe's on/off comparison for one or more sf dirs — the
+  * SCALE.md datum for the AQE skew-join proof (the wall-clock effect
+  * and the skew=true marker are the point; ScaleProbe's JSON records
+  * only sec/rows). Usage: SkewProbeRun <label=dir> [...].
+  */
+object SkewProbeRun {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { a =>
+      val Array(label, dir) = a.split("=", 2)
+      val out = java.nio.file.Files.createTempDirectory("graft_skew_run_")
+      val advisory = sys.env.getOrElse("SPARK_GRAFT_SKEW_ADVISORY", "8k")
+      val rows = graft.operators.SkewProbe.probe(spark, dir, out.toString, advisory).collect()
+      rows.foreach { r =>
+        println(s"SKEWPROBE $label mode=${r.getString(0)} result_rows=${r.getLong(1)} " +
+          s"wall_ms=${r.getLong(2)} skew_in_plan=${r.getInt(3)}")
+      }
+    }
+    spark.stop()
+  }
+}
