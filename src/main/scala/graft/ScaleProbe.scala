@@ -276,7 +276,10 @@ object ScaleProbe {
     "s22_knn_graph",
     // p12: five corpus-linear scans with literal centers (≤5 dots
     // per row, no join) — expected ≈linear
-    "p12_kcenter_coreset")
+    "p12_kcenter_coreset",
+    // q86: update-mode agg + foreachBatch log + one compaction
+    // window — state is the key space, emission the changed keys
+    "q86_stream_update_agg_replay")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
@@ -356,6 +359,10 @@ object ScaleProbe {
     // wide pairing: k64 at sf1, k256 at sf10) keep per-cell occupancy
     // flat, so candidates are occupancy × n — linear in the corpus
     "s22_wide_k64" -> (() => graft.operators.Similarity.knnGraphParam(s, dir, k = 64)),
+    // q86 in the chunked production geometry — cross-trigger key
+    // updates make the batch_id compaction do real work
+    "q86_wide_chunked" -> (() =>
+      graft.operators.StreamReplay.updateAggReplayChunked(s, dir, nChunks = 24)),
     "s22_wide_k256" -> (() => graft.operators.Similarity.knnGraphParam(s, dir, k = 256)),
     // DPP at scale: writes the day-partitioned copy + dim table, runs
     // the join DPP-on and DPP-off — the datum is the 2-row metrics

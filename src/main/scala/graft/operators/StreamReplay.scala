@@ -1085,10 +1085,96 @@ object StreamReplay {
     fileSinkReplay(s, watermarkedDayDedup(orderedEventsChunkStream(s, d, nChunks)),
       "chunked_dedupttl")
 
+  /** The q86 kernel shared by both geometries: an UPDATE-mode
+    * per-(user, type) count whose per-trigger emissions land in an
+    * append-only parquet log via foreachBatch, stamped with the
+    * batch id, and are compacted last-write-wins afterwards (q39's
+    * CDC discipline — batch_id is the changelog order). The
+    * compaction is what makes the at-least-once foreachBatch
+    * contract effectively exactly-once: a retried batch re-appends
+    * the same (batch_id, key, value) rows and the row_number cut
+    * keeps one — the idempotent-merge pattern production foreachBatch
+    * sinks implement with MERGE INTO, spelled on plain parquet.
+    */
+  private[graft] def updateAggReplay(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    val base = java.nio.file.Files.createTempDirectory(root, s"graft_${name}_")
+    cleanupOnExit(base)
+    val out = base.resolve("out").toString
+    val agg = src.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val logSchema = StructType(agg.schema.fields :+ StructField("batch_id", LongType))
+    val query = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val log = s.read.schema(logSchema).parquet(out)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("n_events"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** UPDATE-mode streaming aggregate through an idempotent
+    * foreachBatch sink — completing the output-mode triad the replay
+    * tier exercises (append: q73-q85; complete: q71; THIS: update,
+    * the mode production counters actually run, because complete
+    * re-emits the world every trigger and append can't emit an
+    * unfinalized aggregate at all). Each trigger emits only the keys
+    * whose counts CHANGED; the sink appends them stamped with the
+    * batch id; last-write-wins compaction over the log reconstructs
+    * final state — and the oracle is the plain batch GROUP BY, so
+    * the hash gate proves emitted-updates ∘ compaction ≡ recompute
+    * (q56's incremental-maintenance obligation, proven on the LIVE
+    * emission path rather than the state-merge algebra). Arrival
+    * order cannot leak: whatever partial counts intermediate
+    * triggers emit, the LAST update per key equals its total (counts
+    * are monotone per key), in both the single-batch and the chunked
+    * time-ordered geometry (StreamChunkedReplaySpec pins chunked ==
+    * single-batch == oracle AND that some keys really are updated
+    * across several triggers, so the compaction is exercised, not
+    * vacuous).
+    *
+    * Scale notes: update-mode agg state is the key space (user ×
+    * type), hash-sharded across executors; the per-trigger emission
+    * is the CHANGED key set only — the delta a downstream MERGE
+    * wants; the compaction is one key-partitioned window over the
+    * log, q39's shape.
+    */
+  val q86StreamUpdateAggReplay = Q(
+    "q86_stream_update_agg_replay",
+    """SELECT user_id, event_type, count(*) AS n_events
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, d) =>
+    updateAggReplay(s, eventsStream(s, d), "q86")
+  }
+
+  /** [[orderedEventsChunkStream]]'s geometry for q86 — per-trigger
+    * update emissions with real cross-trigger key overlap, so the
+    * batch_id compaction genuinely picks the newest value.
+    */
+  private[graft] def updateAggReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    updateAggReplay(s, orderedEventsChunkStream(s, d, nChunks), "chunked_updagg")
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
-    q85StreamDedupTtlReplay)
+    q85StreamDedupTtlReplay, q86StreamUpdateAggReplay)
 }

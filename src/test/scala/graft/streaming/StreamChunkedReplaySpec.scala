@@ -88,6 +88,44 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
       s"state held all ${single.size} keys at once (max live $maxLive) — not bounded")
   }
 
+  test("chunked q86 update-mode agg equals single-batch; compaction is exercised") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(SparkEntry.queries("q86_stream_update_agg_replay")(spark, dir))
+    val chunked = rows(graft.operators.StreamReplay
+      .updateAggReplayChunked(spark, dir, nChunks = 6))
+    assert(chunked == single,
+      s"chunked update-agg diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no aggregated keys")
+
+    // the last-write-wins compaction must actually be exercised: in
+    // the chunked geometry some key must emit updates from more than
+    // one trigger (a user active in several ts-range chunks)
+    val src = graft.operators.StreamReplay.orderedEventsChunkStream(spark, dir, nChunks = 6)
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_q86_log_")
+    val out = base.resolve("out").toString
+    val agg = src.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val multi = spark.read.parquet(out)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(countDistinct(col("batch_id")).as("nb"))
+      .filter(col("nb") > 1)
+      .count()
+    assert(multi > 0,
+      "no key was updated across several triggers — the compaction path is vacuous")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
