@@ -128,6 +128,9 @@ object ScaleProbe {
     // oracle fold is per-source-vocab-sized — expected ≈linear in
     // the scan with a vocab-bounded fold tail
     "t22_distribution_drift",
+    // t26: per-partition codepoint classification — ≈linear, zero
+    // shuffle (the t14 shape)
+    "t26_script_mix",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // q46: two-phase HLL sketch agg + tiny-key join + sketch union —
     // bytes (not rows) cross the shuffle; expected ≈linear in the scan

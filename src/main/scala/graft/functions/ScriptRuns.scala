@@ -1,0 +1,92 @@
+package graft.functions
+
+/** Unicode SCRIPT classification for mixed-script (homoglyph)
+  * detection — the UTS #39 confusable signal, reduced to the part
+  * both engines can compute bit-identically: a fixed table of
+  * codepoint ranges → script class, applied per character. The ONE
+  * range table below generates BOTH spellings (the Scala classifier
+  * the Spark kernel runs and the SQL CASE the DuckDB oracle runs —
+  * the Morton/z-order discipline), so they cannot drift.
+  *
+  * Ranges are the letter blocks of the major scripts (public Unicode
+  * block data); everything else — digits, punctuation, symbols,
+  * unassigned — classifies 0 = non-letter and is ignored by the
+  * analysis. This is deliberately a UTS-39-LITE: production would
+  * load the full Scripts.txt property file; the detection algebra
+  * (per-token distinct-script count ≥ 2) is the same.
+  */
+object ScriptRuns {
+
+  /** (scriptId, name, [lo, hi] inclusive codepoint ranges). Latin
+    * excludes U+00D7 (×) and U+00F7 (÷), which sit inside Latin-1
+    * but are symbols.
+    */
+  val Scripts: Seq[(Int, String, Seq[(Int, Int)])] = Seq(
+    (1, "latin", Seq((0x41, 0x5a), (0x61, 0x7a), (0xc0, 0xd6), (0xd8, 0xf6),
+      (0xf8, 0x24f))),
+    (2, "greek", Seq((0x370, 0x3ff))),
+    (3, "cyrillic", Seq((0x400, 0x4ff))),
+    (4, "hebrew", Seq((0x590, 0x5ff))),
+    (5, "arabic", Seq((0x600, 0x6ff))),
+    (6, "devanagari", Seq((0x900, 0x97f))),
+    (7, "hiragana", Seq((0x3040, 0x309f))),
+    (8, "katakana", Seq((0x30a0, 0x30ff))),
+    (9, "hangul", Seq((0x1100, 0x11ff), (0xac00, 0xd7af))),
+    (10, "han", Seq((0x4e00, 0x9fff)))
+  )
+
+  val NameOf: Map[Int, String] = Scripts.map(s => s._1 -> s._2).toMap + (0 -> "none")
+
+  /** Script id of a codepoint; 0 = non-letter/other. */
+  def classify(cp: Int): Int =
+    Scripts.collectFirst {
+      case (id, _, ranges) if ranges.exists(r => cp >= r._1 && cp <= r._2) => id
+    }.getOrElse(0)
+
+  /** The identical classifier as a SQL CASE over a codepoint
+    * expression (DuckDB spelling).
+    */
+  def sqlCase(cpExpr: String): String = {
+    val whens = Scripts.map { case (id, _, ranges) =>
+      val cond = ranges
+        .map(r => s"($cpExpr >= ${r._1} AND $cpExpr <= ${r._2})")
+        .mkString(" OR ")
+      s"WHEN $cond THEN $id"
+    }.mkString(" ")
+    s"CASE $whens ELSE 0 END"
+  }
+
+  /** Per-document analysis the Spark side runs as a per-partition
+    * map (zero shuffle): tokens split on ' ' KEEPING empties (the
+    * house split semantics, = DuckDB string_split), letters
+    * classified per CODE POINT (surrogate-safe — astral characters
+    * classify 0 rather than corrupting the iteration).
+    *
+    * @return (mixedTokens, nScripts, domScriptName, domLetters,
+    *         totalLetters) — dominant ties break to the LOWEST
+    *         script id, the fixed engine-portable rule.
+    */
+  def analyze(text: String): (Long, Long, String, Long, Long) = {
+    val counts = new Array[Long](Scripts.length + 1)
+    var mixedTokens = 0L
+    text.split(" ", -1).foreach { tok =>
+      var mask = 0
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        val s = classify(cp)
+        if (s > 0) {
+          mask |= (1 << s)
+          counts(s) += 1
+        }
+        i += Character.charCount(cp)
+      }
+      if (java.lang.Integer.bitCount(mask) >= 2) mixedTokens += 1
+    }
+    val present = (1 to Scripts.length).filter(counts(_) > 0)
+    val total = present.map(counts(_)).sum
+    val dom = if (present.isEmpty) 0
+      else present.maxBy(s => (counts(s), -s.toLong))
+    (mixedTokens, present.size.toLong, NameOf(dom), if (dom == 0) 0L else counts(dom), total)
+  }
+}

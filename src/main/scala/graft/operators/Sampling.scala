@@ -688,6 +688,10 @@ object Sampling {
       r += 1
     }
     import s.implicits._
+    // the result is driver-local (k tiny rows); the corpus cache only
+    // served the selection rounds — release it so a library caller
+    // doesn't depend on Verify's between-query clearCache
+    e.unpersist(blocking = false)
     centers.zipWithIndex
       .map { case ((id, _, _, mind), i) => (i + 1, id, mind) }
       .toDF("r", "vec_id", "mind")

@@ -1792,6 +1792,10 @@ object Similarity {
     // plan pin inspects [[knnEdges]], whose aggregate this
     // materializes away)
     val edges = knnEdges(scored).localCheckpoint()
+    // the checkpoint just materialized everything downstream of the
+    // cell assignment — release the caller's cache so a library
+    // caller doesn't depend on Verify's between-query clearCache
+    cells.unpersist(blocking = false)
     val rev = edges.select(col("src_id").as("r_src"), col("dst_id").as("r_dst"))
     edges.join(rev, col("src_id") === col("r_dst") && col("dst_id") === col("r_src"), "left")
       .select(col("src_id"), col("dst_id"), col("cell"), col("cos_sim"), col("k"),

@@ -1543,11 +1543,110 @@ object TextAnalysis {
       .orderBy(col("lang"), col("bucket"), col("doc_id"))
   }
 
+  /** MIXED-SCRIPT / HOMOGLYPH detection (UTS #39's confusable
+    * signal, the script-spoofing filter multilingual curation runs
+    * next to t02's language ID and t21's NFC normalization): a token
+    * whose LETTERS span ≥ 2 Unicode scripts ("pаypal" with a
+    * Cyrillic а) is the classic phishing/SEO-spam fingerprint —
+    * invisible to eyeballs, byte-distinct to hashes, and absent
+    * from honest text in any single language. Per document: mixed
+    * token count, distinct letter-script count, and the dominant
+    * script with its letter counts.
+    *
+    * The synthetic corpus is pure ASCII, so — t09's injected-PII
+    * discipline — deterministic confusables are injected IN BOTH
+    * ENGINES by the same string algebra: docs ≡ 0 (mod 3) append a
+    * 12-char prefix with Latin→Cyrillic homoglyph `translate`
+    * (aeopcx → аеорсх: MIXED tokens, the spoof), docs ≡ 0 (mod 5)
+    * append a pure-Cyrillic token (foreign but single-script — must
+    * NOT flag as mixed, only widen script diversity; pinned in
+    * ScriptMixSpec). Classification is
+    * [[graft.functions.ScriptRuns]]'s single range table emitting
+    * both the Scala classifier and the SQL CASE (the Morton
+    * discipline), letters iterated per CODE POINT (surrogate-safe).
+    *
+    * Scale shape: injection + analysis is a pure per-partition map
+    * over documents — zero shuffle, the t14/m-tier shape; all
+    * outputs are integers + a script name, so the hash gate is
+    * arithmetic-free.
+    */
+  val t26ScriptMix = Q(
+    "t26_script_mix",
+    { import graft.functions.ScriptRuns
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' ' || translate(substr(text, 1, 12), 'aeopcx', 'аеорсх')
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' данные' ELSE '' END AS t
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM inj
+         |), cls AS (
+         |  SELECT doc_id, tk,
+         |    list_transform(range(1, length(tk) + 1),
+         |      i -> ${ScriptRuns.sqlCase("unicode(substr(tk, CAST(i AS INT), 1))")}) AS scr
+         |  FROM tok
+         |), tokflag AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(list_distinct(list_filter(scr, x -> x > 0))) >= 2
+         |         THEN 1 ELSE 0 END AS mixed
+         |  FROM cls
+         |), perchar AS (
+         |  SELECT doc_id, unnest(scr) AS sc FROM cls
+         |), bysc AS (
+         |  SELECT doc_id, sc, count(*) AS n FROM perchar WHERE sc > 0
+         |  GROUP BY doc_id, sc
+         |), dom AS (
+         |  SELECT doc_id, sc, n,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, sc) AS rk,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_scripts,
+         |    CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS total_letters
+         |  FROM bysc
+         |), mx AS (
+         |  SELECT doc_id, CAST(sum(mixed) AS BIGINT) AS n_tokens_mixed FROM tokflag GROUP BY doc_id
+         |), named AS (
+         |  SELECT doc_id, n_scripts, total_letters, n AS dom_letters,
+         |    CASE sc ${ScriptRuns.Scripts.map(s => s"WHEN ${s._1} THEN '${s._2}'").mkString(" ")}
+         |    END AS dom_script
+         |  FROM dom WHERE rk = 1
+         |)
+         |SELECT i.doc_id,
+         |  CAST(coalesce(m.n_tokens_mixed, 0) AS BIGINT) AS n_tokens_mixed,
+         |  CAST(coalesce(d.n_scripts, 0) AS BIGINT) AS n_scripts,
+         |  coalesce(d.dom_script, 'none') AS dom_script,
+         |  CAST(coalesce(d.dom_letters, 0) AS BIGINT) AS dom_letters,
+         |  CAST(coalesce(d.total_letters, 0) AS BIGINT) AS total_letters
+         |FROM inj i
+         |LEFT JOIN mx m ON i.doc_id = m.doc_id
+         |LEFT JOIN named d ON i.doc_id = d.doc_id
+         |ORDER BY i.doc_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    val injected = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" "), translate(substring(col("text"), 1, 12),
+              "aeopcx", "аеорсх"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" данные")).otherwise(lit("")))
+          .as("t"))
+      .as[(Long, String)]
+    injected.mapPartitions(_.map { case (id, t) =>
+      val (mixed, nScripts, dom, domLetters, total) =
+        graft.functions.ScriptRuns.analyze(t)
+      (id, mixed, nScripts, dom, domLetters, total)
+    }).toDF("doc_id", "n_tokens_mixed", "n_scripts", "dom_script",
+      "dom_letters", "total_letters")
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
     t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize,
     t22DistributionDrift, t23ZipfOctaves, t24CcnetBuckets,
-    t25Attribution)
+    t25Attribution, t26ScriptMix)
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mixed-script kernel's edge semantics (t26's oracle covers the
+  * corpus path; these are the cases the injected fixture can't reach
+  * or reaches only incidentally).
+  */
+class ScriptRunsSpec extends AnyFunSuite {
+
+  test("single homoglyph swap makes a token mixed") {
+    // 'pаypal' with U+0430 CYRILLIC SMALL A in position 2
+    val (mixed, nScripts, dom, domLetters, total) = ScriptRuns.analyze("pаypal")
+    assert(mixed == 1L)
+    assert(nScripts == 2L)
+    assert(dom == "latin") // 5 latin letters vs 1 cyrillic
+    assert(domLetters == 5L && total == 6L)
+  }
+
+  test("a pure foreign-script token is NOT mixed but widens diversity") {
+    val (mixed, nScripts, dom, domLetters, _) = ScriptRuns.analyze("hello данные")
+    assert(mixed == 0L, "single-script tokens must not flag as mixed")
+    assert(nScripts == 2L)
+    assert(dom == "cyrillic" && domLetters == 6L) // данные (6) outweighs hello (5)
+  }
+
+  test("empty and letterless strings are all-zero with dom none") {
+    for (s <- Seq("", "   ", "123 456 !!")) {
+      val (mixed, nScripts, dom, domLetters, total) = ScriptRuns.analyze(s)
+      assert((mixed, nScripts, dom, domLetters, total) == (0L, 0L, "none", 0L, 0L), s"input '$s'")
+    }
+  }
+
+  test("astral codepoints iterate surrogate-safely and classify non-letter") {
+    // U+1F600 GRINNING FACE between latin letters: not a letter, no
+    // mixed flag, and the code-point loop must not split the pair
+    val (mixed, nScripts, dom, _, total) = ScriptRuns.analyze("ab😀cd")
+    assert(mixed == 0L && nScripts == 1L && dom == "latin" && total == 4L)
+  }
+
+  test("dominant ties break to the lowest script id") {
+    // 2 latin + 2 cyrillic letters: latin (id 1) wins the tie
+    val (_, _, dom, domLetters, total) = ScriptRuns.analyze("ab аб")
+    assert(dom == "latin" && domLetters == 2L && total == 4L)
+  }
+
+  test("symbols inside Latin-1 (× ÷) are not letters") {
+    val (_, nScripts, _, _, total) = ScriptRuns.analyze("a×b÷c")
+    assert(nScripts == 1L && total == 3L)
+  }
+
+  test("CJK mixing flags under the lite rule (documented divergence from full UTS 39)") {
+    // Han + Hiragana in one token — legitimate Japanese, flagged by
+    // the lite per-token rule; full UTS 39 whitelists the combo
+    val (mixed, _, _, _, _) = ScriptRuns.analyze("日本語の")
+    assert(mixed == 1L)
+  }
+}
