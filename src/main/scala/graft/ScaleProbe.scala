@@ -143,6 +143,9 @@ object ScaleProbe {
     // z-order layout: per-row interleave + one two-phase agg —
     // needs lineitem, so probe it across the DRIVER's sf dirs
     "q45_zorder_layout",
+    // q58: rank window (one status shuffle) + broadcast-bounds clip
+    // scan — needs orders, so probe across the DRIVER's sf dirs
+    "q58_winsorize",
     // the codec tier: per-partition synth + real byte-parser decode
     // (PPM/WAV/PNG, MP3 frames, GIF LZW, BMP) — pure per-row work,
     // expected ≈flat until the decode itself outweighs the floor

@@ -634,8 +634,90 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** WINSORIZED robust aggregation — the numeric data-cleaning
+    * staple (clip each group's values at its own p01/p99, then
+    * aggregate; the standard defense against fat-tailed columns
+    * where a handful of outliers own the mean — metric pipelines,
+    * feature normalization, anomaly-robust dashboards). The cuts are
+    * NEAREST-RANK percentiles spelled explicitly (value at
+    * row_number ceil(q·n), ties ordered by the unique key) rather
+    * than q27's interpolated `percentile`/`quantile_cont`:
+    * interpolation yields arbitrary-fraction doubles whose
+    * DECIMAL cast rounds at half-way cases — the exact round() trap
+    * the house rules ban — while nearest-rank cuts are ACTUAL data
+    * values (2-decimal money), so the winsorized exact-decimal sum
+    * stays bit-exact in both engines. Output per status: the cuts,
+    * clipped-row counts on each side, and raw vs winsorized means
+    * (each one IEEE division of an exact decimal sum by a count).
+    *
+    * Scale shape: two corpus passes — the rank window derives the
+    * 3-row bounds table (one status shuffle), which then BROADCASTS
+    * onto a fresh clip scan whose two-phase aggregate partials
+    * map-side (clipped rows never shuffle raw). At 100 TB the exact
+    * window is the one corpus-sort term; production swaps it for
+    * q29's sketch percentiles when ±ε cuts are acceptable — the
+    * clip-and-aggregate algebra is unchanged.
+    */
+  val q58Winsorize = Q(
+    "q58_winsorize",
+    """WITH ranked AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders
+      |), b AS (
+      |  SELECT o_orderstatus,
+      |    min(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+      |             THEN o_totalprice END) AS p_lo,
+      |    min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+      |             THEN o_totalprice END) AS p_hi
+      |  FROM ranked GROUP BY o_orderstatus
+      |)
+      |SELECT o.o_orderstatus,
+      |  b.p_lo, b.p_hi,
+      |  count(CASE WHEN o.o_totalprice < b.p_lo THEN 1 END) AS n_clip_lo,
+      |  count(CASE WHEN o.o_totalprice > b.p_hi THEN 1 END) AS n_clip_hi,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,
+      |  CAST(sum(CAST(least(greatest(o.o_totalprice, b.p_lo), b.p_hi) AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*) AS mean_winsor
+      |FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+      |GROUP BY o.o_orderstatus, b.p_lo, b.p_hi
+      |ORDER BY o.o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cw = Window.partitionBy(col("o_orderstatus"))
+    val ranked = orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+    val bounds = ranked.groupBy(col("o_orderstatus"))
+      .agg(
+        min(when(col("rn") ===
+          greatest(lit(1L), ceil(lit(0.01) * col("n")).cast("long")),
+          col("o_totalprice"))).as("p_lo"),
+        min(when(col("rn") === ceil(lit(0.99) * col("n")).cast("long"),
+          col("o_totalprice"))).as("p_hi"))
+    val clipped = least(greatest(col("o_totalprice"), col("p_lo")), col("p_hi"))
+    orders.join(broadcast(bounds), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"), col("p_lo"), col("p_hi"))
+      .agg(
+        count(when(col("o_totalprice") < col("p_lo"), 1)).as("n_clip_lo"),
+        count(when(col("o_totalprice") > col("p_hi"), 1)).as("n_clip_hi"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("mean_raw"),
+        (sum(clipped.cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("mean_winsor"))
+      .select(col("o_orderstatus"), col("p_lo"), col("p_hi"),
+        col("n_clip_lo"), col("n_clip_hi"), col("mean_raw"), col("mean_winsor"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
     q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect, q49CountMin,
-    q56IncrementalAgg)
+    q56IncrementalAgg, q58Winsorize)
 }
