@@ -276,9 +276,10 @@ object ScaleProbe {
     // scan term, no shuffle
     "p11_weighted_reservoir",
     // s22: within-cell self-join (quadratic per cell, bounded by the
-    // occupancy knob) + edge-sized window and mutual join — expected
-    // ≈quadratic-in-occupancy at FIXED 8 cells (the knob stays put
-    // here; production scales cells ∝ n, the d06/d11 rule)
+    // occupancy knob) + edge-sized aggregate and mutual join — the
+    // knob is DERIVED in-query since r11 (cells = max(8, ceil(n/256)),
+    // AnnKmeans.derivedK), so the registered spelling holds occupancy
+    // flat across decades — expected ≈linear
     "s22_knn_graph",
     // p12: five corpus-linear scans with literal centers (≤5 dots
     // per row, no join) — expected ≈linear

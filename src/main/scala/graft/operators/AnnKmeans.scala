@@ -74,11 +74,17 @@ object AnnKmeans {
     * probes it) and d11 (which dedups within its cells). MATERIALIZED
     * because both consumers reference `fin` on two join sides.
     */
-  private[operators] def sqlFinCtes: String = {
+  private[operators] def sqlFinCtes: String = sqlFinCtesK(K.toString)
+
+  /** [[sqlFinCtes]] with the cell count `kSql` as an arbitrary SQL
+    * expression — s22 passes [[sqlDerivedK]] so the ORACLE derives
+    * the knob from the corpus count exactly like the Spark side.
+    */
+  private[operators] def sqlFinCtesK(kSql: String): String = {
     val iters = (1 to Iters).map(k => s"${sqlAssign(k)}, ${sqlUpdate(k)}").mkString(",\n")
     s"""c0 AS (
        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-       |  FROM embeddings WHERE vec_id < $K
+       |  FROM embeddings WHERE vec_id < $kSql
        |),
        |$iters,
        |${sqlAssign(Iters + 1)},
@@ -86,6 +92,30 @@ object AnnKmeans {
        |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm, cell
        |  FROM a${Iters + 1}
        |)""".stripMargin
+  }
+
+  /** Target per-cell occupancy for the DERIVED cell-count knob:
+    * cells = max(8, ceil(n / 256)) keeps per-cell candidate work
+    * (occupancy × n total pairs) linear in the corpus — SCALE.md's
+    * `cells ∝ n` rule as code instead of prose. 256 sits at the knob
+    * pairing the decade probes measured (k64 at sf1's 20k vectors,
+    * k256·3 at sf10's 200k — both inside the flat-occupancy band);
+    * SemDeDup's k ≈ 11k on 100M docs is the published same-order
+    * configuration (occupancy ~9k — sketch-paper constants differ,
+    * linearity is what matters and holds for any fixed target).
+    */
+  private[graft] val TargetOccupancy = 256
+
+  /** The derived knob, DuckDB spelling — a scalar subquery over the
+    * same corpus count the Spark side uses.
+    */
+  private[operators] def sqlDerivedK: String =
+    s"(SELECT greatest($K, CAST(ceil(count(*) / $TargetOccupancy.0) AS BIGINT)) FROM embeddings)"
+
+  /** The derived knob, Spark side: one metadata-cheap count. */
+  private[graft] def derivedK(s: org.apache.spark.sql.SparkSession, d: String): Int = {
+    val n = Tables.embeddings(s, d).count()
+    math.max(K, math.ceil(n.toDouble / TargetOccupancy).toInt)
   }
 
   val s04AnnIvfKmeans = Q(

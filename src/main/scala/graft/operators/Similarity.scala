@@ -1742,10 +1742,13 @@ object Similarity {
     * Scale shape: the within-cell self-join is the honest big-big
     * form — BOTH sides corpus-sized, so no broadcast: ONE cell-keyed
     * shuffle co-partitions them and the per-cell quadratic is bounded
-    * by the documented occupancy knob (cells ∝ n / target-occupancy,
-    * SCALE.md's bits ∝ log n rule; production uses s04's trained
-    * centroids at k ∝ n — [[knnGraphParam]] is that configuration,
-    * ScaleProbe's s22_wide_k64/k256). The candidate pairs are
+    * by the occupancy knob, which since round 11 is DERIVED INSIDE
+    * THE QUERY: cells = max(8, ceil(n / 256)) from a corpus count
+    * ([[AnnKmeans.derivedK]] / [[AnnKmeans.sqlDerivedK]] — the same
+    * count in both spellings), over s04's trained k-means cells. The
+    * registered spelling IS the scale-safe configuration — no human
+    * sets k ([[knnGraphParam]] remains for fixed-knob decade
+    * pairings, ScaleProbe's s22_wide_k64/k256). The candidate pairs are
     * consumed by q57's MERGEABLE top-k aggregator IN THE JOIN'S OWN
     * STAGE — a row_number window here would shuffle and sort the
     * full within-cell pair set (occupancy × n rows — the d11 lesson
@@ -1759,11 +1762,11 @@ object Similarity {
     */
   val s22KnnGraph = Q(
     "s22_knn_graph",
-    { s"""WITH $sqlCtrCells, scored AS (
+    { s"""WITH ${AnnKmeans.sqlFinCtesK(AnnKmeans.sqlDerivedK)}, scored AS (
          |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id, a.cell,
          |         CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
          |              ELSE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS cos_sim
-         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  FROM fin a JOIN fin b ON a.cell = b.cell AND b.vec_id <> a.vec_id
          |), edges AS (
          |  SELECT src_id, dst_id, cell, cos_sim,
          |         row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS k
@@ -1775,10 +1778,8 @@ object Similarity {
          |FROM edges e LEFT JOIN edges r ON e.src_id = r.dst_id AND e.dst_id = r.src_id
          |ORDER BY e.src_id, e.k""".stripMargin }
   ) { (s, d) =>
-    val cells = centroidDots(s, d)
-      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
-      .cache() // assignment subtree feeds both join sides — compute once
-    knnGraphFrom(cells)
+    knnGraphFrom(AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
   }
 
   /** s22's graph construction over any (vec_id, embedding, nrm, cell)
@@ -1836,14 +1837,13 @@ object Similarity {
   }
 
   /** The scored within-cell candidate pairs of the REGISTERED s22
-    * (s03's seeded cells) — the spec's plan-pin entry point.
+    * (trained cells at the derived knob) — the spec's plan-pin entry
+    * point.
     */
   private[graft] def knnScoredProbe(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val cells = centroidDots(s, d)
-      .select(col("vec_id"), col("embedding"), col("nrm"), cellExpr.as("cell"))
-    knnScored(cells)
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    knnScored(AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
 
   /** s22 at the PRODUCTION knob — trained k-means cells
     * ([[AnnKmeans.trainedFinParam]], the d11/s04 machinery with the

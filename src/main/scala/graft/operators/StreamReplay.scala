@@ -20,10 +20,11 @@ import org.apache.spark.sql.types._
   * harness funneled the complete result through driver memory and was
   * the repo's only super-linear scale term on record (q77 15.3× at
   * sf10→sf100; q75's sf10 run needed a driver.maxResultSize bump) —
-  * the operators were scale-safe, the verification plan was not. Only
-  * q71's complete-mode aggregate keeps the memory sink: complete mode
-  * has no file sink, and its result is bounded by the (day ×
-  * event_type) key space, not the input size.
+  * the operators were scale-safe, the verification plan was not.
+  * Aggregates that previously needed complete mode (q71) now run in
+  * UPDATE mode through the idempotent foreachBatch merge sink
+  * ([[updateLogCompactReplay]]) — zero memory sinks remain: every
+  * replay's output lands on a real distributed sink.
   *
   * The presentation `orderBy` the oracle contract needs runs on the
   * read-back DISTRIBUTED frame (a range-partitioned sort, the same
@@ -210,6 +211,29 @@ object StreamReplay {
     }
   }
 
+  /** The q71 kernel both geometries share: the windowed (day ×
+    * event_type) count/decimal-sum, run in UPDATE mode through the
+    * idempotent foreachBatch merge sink. q71 originally used
+    * complete mode + the memory sink — the repo's LAST memory sink,
+    * defensible only because the result is key-space-bounded; q86's
+    * update-mode log-compact pattern expresses the same bounded
+    * aggregate against a real distributed sink (each trigger emits
+    * only the changed windows; the final emission per key IS its
+    * total because no later event touched it), so the memory sink is
+    * now retired repo-wide.
+    */
+  private[graft] def dayAggReplay(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val agg = src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    updateLogCompactReplay(s, agg, Seq("window_start", "event_type"), name)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   val q71StreamReplay = Q(
     "q71_stream_replay",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
@@ -219,25 +243,18 @@ object StreamReplay {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
-  ) { (s, d) => {
-    val stream = eventsStream(s, d)
-    val agg = stream
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
-    val sinkName = "graft_q71_replay"
-    scala.util.Try(s.catalog.dropTempView(sinkName))
-    val query = agg.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sinkName).orderBy(col("window_start"), col("event_type"))
-  } }
+  ) { (s, d) =>
+    dayAggReplay(s, eventsStream(s, d), "q71")
+  }
+
+  /** [[orderedEventsChunkStream]]'s geometry for q71 — windows
+    * straddling chunk boundaries re-emit across triggers, so the
+    * batch_id compaction is exercised on the decimal-sum aggregate
+    * too (StreamChunkedReplaySpec pins chunked == single-batch).
+    */
+  private[graft] def dayAggReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    dayAggReplay(s, orderedEventsChunkStream(s, d, nChunks), "chunked_dayagg")
 
   /** Sessionization: per-user session windows with an 8-hour
     * inactivity gap, via Spark's native `session_window` (the same
@@ -939,7 +956,8 @@ object StreamReplay {
     cleanupOnExit(ordered)
     val orderedDir = ordered.resolve("events").toString
     graft.Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"))
       .repartitionByRange(nChunks, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(orderedDir)
@@ -1096,8 +1114,22 @@ object StreamReplay {
     * keeps one — the idempotent-merge pattern production foreachBatch
     * sinks implement with MERGE INTO, spelled on plain parquet.
     */
-  private[graft] def updateAggReplay(s: org.apache.spark.sql.SparkSession,
-      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+  /** Runs an UPDATE-mode streaming aggregate through the idempotent
+    * foreachBatch merge sink and returns the compacted final state as
+    * a distributed frame: per-trigger changed-key emissions land in
+    * an append-only parquet log stamped with the batch id, and a
+    * last-write-wins window over `keys` ordered by batch_id desc
+    * reconstructs the final value per key. The at-least-once
+    * foreachBatch contract becomes effectively exactly-once because a
+    * retried batch re-appends the same (batch_id, key, value) rows
+    * and the row_number cut keeps one — the MERGE INTO pattern
+    * production foreachBatch sinks use, spelled on plain parquet.
+    * Shared by q86 (user × type counts) and q71 (day-window decimal
+    * sums) — the generic half of what was q86-only in round 10.
+    */
+  private[graft] def updateLogCompactReplay(s: org.apache.spark.sql.SparkSession,
+      agg: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      name: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
       .map(java.nio.file.Paths.get(_))
@@ -1106,8 +1138,6 @@ object StreamReplay {
     val base = java.nio.file.Files.createTempDirectory(root, s"graft_${name}_")
     cleanupOnExit(base)
     val out = base.resolve("out").toString
-    val agg = src.groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
     val logSchema = StructType(agg.schema.fields :+ StructField("batch_id", LongType))
     val query = agg.writeStream
       .outputMode("update")
@@ -1121,17 +1151,23 @@ object StreamReplay {
     query.awaitTermination()
     val log = s.read.schema(logSchema).parquet(out)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("event_type"))
+      .partitionBy(keys.map(col): _*)
       .orderBy(col("batch_id").desc)
     log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("n_events"))
+      .drop("rn", "batch_id")
+  }
+
+  private[graft] def updateAggReplay(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val agg = src.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    updateLogCompactReplay(s, agg, Seq("user_id", "event_type"), name)
       .orderBy(col("user_id"), col("event_type"))
   }
 
   /** UPDATE-mode streaming aggregate through an idempotent
-    * foreachBatch sink — completing the output-mode triad the replay
-    * tier exercises (append: q73-q85; complete: q71; THIS: update,
-    * the mode production counters actually run, because complete
+    * foreachBatch sink (append: q73-q85; update: q71 and THIS — the
+    * mode production counters actually run, because complete
     * re-emits the world every trigger and append can't emit an
     * unfinalized aggregate at all). Each trigger emits only the keys
     * whose counts CHANGED; the sink appends them stamped with the
@@ -1171,10 +1207,79 @@ object StreamReplay {
       d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
     updateAggReplay(s, orderedEventsChunkStream(s, d, nChunks), "chunked_updagg")
 
+  /** RANGE QUERIES OVER LIVE STREAMING STATE — the reference's own
+    * roadmap bridge from streaming to queries (README.md:110,
+    * "SELECT * FROM state WHERE v > 10 AND v < 20"), promoted from a
+    * StreamingSpec test to a REGISTERED oracle-checked query: q86's
+    * update-mode (user × type) count runs to completion, and the
+    * result is read NOT from the emissions but from the operator's
+    * OWN state store (`spark.read.format("statestore")` over the
+    * checkpoint — Spark's state reader, the batch view of live
+    * state), range-filtered 3 < n < 10. The oracle is exact because
+    * an unwatermarked update-mode aggregate's state IS the final
+    * aggregate per key once AvailableNow drains the input — so
+    * state-read ∘ range-filter ≡ batch GROUP BY ∘ HAVING, and the
+    * hash gate proves the state store holds bit-exact aggregates,
+    * not an approximation of them.
+    *
+    * Scale shape: the state store is hash-partitioned by key across
+    * executors (one store per shuffle partition); the reader exposes
+    * it as a distributed frame partitioned the same way, so the
+    * range filter runs store-local with zero extra shuffle before
+    * the presentation sort. At 100 TB this is how an ops console
+    * queries a live pipeline's counters without touching the stream.
+    */
+  val q87StatestoreRange = Q(
+    "q87_statestore_range",
+    """WITH g AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY user_id, event_type
+      |)
+      |SELECT user_id, event_type, n_events FROM g
+      |WHERE n_events > 3 AND n_events < 10
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, d) =>
+    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    val base = java.nio.file.Files.createTempDirectory(root, "graft_q87_")
+    cleanupOnExit(base)
+    val ckpt = base.resolve("ckpt").toString
+    val agg = eventsStream(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val query = agg.writeStream
+      .outputMode("update")
+      // emissions deliberately discarded — the artifact under test is
+      // the STATE the run leaves behind, not the update log (q86
+      // already gates the emission path). The noop write still runs
+      // EVERY partition: a foreachBatch that doesn't process the full
+      // frame leaves state stores uncommitted and fails the batch
+      // (STATE_STORE_COMMIT_VALIDATION_FAILED)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("noop").mode("overwrite").save()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // state rows expose key/value structs; the value carries the raw
+    // aggregation buffer, whose count field is named `count`
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n_events"))
+      .filter(col("n_events") > 3 && col("n_events") < 10)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
-    q85StreamDedupTtlReplay, q86StreamUpdateAggReplay)
+    q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange)
 }
+ 
+ 

@@ -369,7 +369,7 @@ object Windows {
       |                        ROWS UNBOUNDED PRECEDING) AS session_idx
       |  FROM lagged
       |)
-      |SELECT user_id, session_idx,
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |  CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(min(us) AS BIGINT) AS start_us,
       |  CAST(max(us) AS BIGINT) AS end_us,

@@ -25,13 +25,13 @@ class KnnGraphSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private case class Edge(src: Long, dst: Long, cell: Int, k: Int, mutual: Int)
+  private case class Edge(src: Long, dst: Long, cell: Long, k: Int, mutual: Int)
 
   private lazy val edges: Seq[Edge] = {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("s22_knn_graph")(spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4), r.getInt(5)))
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4), r.getInt(5)))
       .toSeq
   }
 

@@ -126,6 +126,19 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
       "no key was updated across several triggers — the compaction path is vacuous")
   }
 
+  test("chunked q71 update-mode day agg equals single-batch (memory sink retired)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(SparkEntry.queries("q71_stream_replay")(spark, dir))
+    val chunked = rows(graft.operators.StreamReplay
+      .dayAggReplayChunked(spark, dir, nChunks = 6))
+    assert(chunked == single,
+      s"chunked day-agg diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no day-window aggregates")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"

@@ -14,7 +14,36 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(v):
+# Integer values must carry their REPRESENTATION CLASS in the
+# canonical form: the driver's hash is type-tagged at int64
+# granularity, so a DuckDB HUGEINT (int128 — what an uncast windowed
+# integer sum types as) vs a Spark BIGINT fails the driver even when
+# every value is identical (q38 r10 bug — this preflight used to
+# canonicalize all integer widths to str(v) and was blind to exactly
+# that class). The granularity is calibrated to driver behavior on
+# record: INT-vs-BIGINT pairs pass (every row_number query — Spark
+# emits int32, DuckDB int64), HUGEINT-vs-BIGINT fails (q38), so all
+# int64-representable widths share one tag and the 128-bit family
+# gets its own. DBAPI `description` collapses everything numeric to
+# 'NUMBER', so types come from `con.sql(...).types`.
+_I64_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER"}
+
+def type_tag(duck_type):
+    t = str(duck_type).upper()
+    if t in _I64_TYPES:
+        return "i:"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint:"
+    if t == "UBIGINT":  # pandas uint64 — its own dtype driver-side
+        return "ubigint:"
+    if t.startswith("DECIMAL"):
+        # value repr carries the scale; tag the family so DECIMAL
+        # never silently matches an integer or double column
+        return "DECIMAL:"
+    return ""
+
+def canon(v, tag=""):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -28,11 +57,12 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
-    return str(v)
+    return tag + str(v)
 
-def rowset(cols, rows):
+def rowset(cols, types, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+    tags = [type_tag(t) for t in types]
+    return sorted(tuple(canon(r[i], tags[i]) for i in idx) for r in rows)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -58,8 +88,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output parquet")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
-        got_cols = [d[0] for d in got.description]
+        got = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
+        got_cols, got_types = list(got.columns), list(got.types)
         got_rows = got.fetchall()
         if name not in oracle:
             status = "ok" if len(got_rows) > 0 else "EMPTY"
@@ -70,8 +100,8 @@ def main(sf_dir, out_dir):
                 n_pass += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp.description]
+            exp = con.sql(oracle[name])
+            exp_cols, exp_types = list(exp.columns), list(exp.types)
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -81,7 +111,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} duckdb={sorted(exp_cols)}")
             n_fail += 1
             continue
-        g, e = rowset(got_cols, got_rows), rowset(exp_cols, exp_rows)
+        g = rowset(got_cols, got_types, got_rows)
+        e = rowset(exp_cols, exp_types, exp_rows)
         if g == e:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
