@@ -186,6 +186,10 @@ object ScaleProbe {
     // m29: per-row RLE8 encode + fail-loud walk + per-pixel ImageIO
     // cross-check — fixed work per doc, expected ≈flat + scan term
     "m29_bmp_rle8",
+    // m30: m28's chunk grammar at the palette tier (PLTE + index
+    // scanlines + ImageIO getRGB cross-check) — fixed work per doc,
+    // expected ≈flat + scan term
+    "m30_png_palette",
     // p09: corpus-linear bigram-bucket count + broadcast-model
     // scoring scan + TakeOrdered top-k — expected ≈linear in the two
     // scans, model fixed at 1024 buckets
@@ -286,7 +290,11 @@ object ScaleProbe {
     "p12_kcenter_coreset",
     // q86: update-mode agg + foreachBatch log + one compaction
     // window — state is the key space, emission the changed keys
-    "q86_stream_update_agg_replay")
+    "q86_stream_update_agg_replay",
+    // q87: q86's agg state read back via format("statestore") + a
+    // store-local range filter — state is the key space; the reader
+    // is one batch scan over the checkpoint, expected ≈q86's curve
+    "q87_statestore_range")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

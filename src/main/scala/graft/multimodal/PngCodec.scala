@@ -17,11 +17,14 @@ package graft.multimodal
   * the offending offset — a corrupt shard must never decode to
   * plausible pixels silently.
   *
-  * Scope: bit depth 8, color type 0 (grayscale), compression 0,
-  * filter method 0, no interlace — the minimal REAL profile that
-  * still exercises every filter predictor and the full chunk/CRC
-  * grammar. (Reference has no media surface; this is ⟨ns⟩-tier
-  * plumbing for the multimodal columns mandate.)
+  * Scope: bit depth 8, color types 0 (grayscale) and 3
+  * (palette-indexed, ISO 11.2.3 — PLTE exactly once, before IDAT,
+  * 1..256 RGB entries, every reconstructed index bounds-checked
+  * against the palette), compression 0, filter method 0, no
+  * interlace — the minimal REAL profiles that still exercise every
+  * filter predictor and the full chunk/CRC grammar. (Reference has
+  * no media surface; this is ⟨ns⟩-tier plumbing for the multimodal
+  * columns mandate.)
   */
 object PngCodec {
 
@@ -56,9 +59,12 @@ object PngCodec {
   final case class Decoded(
       width: Int,
       height: Int,
-      pixels: Array[Int], // row-major grayscale 0..255
+      pixels: Array[Int], // row-major: gray 0..255 (type 0) or palette index (type 3)
       filterCounts: Array[Int], // index = filter type 0..4
-      nChunks: Int)
+      nChunks: Int,
+      colorType: Int = 0,
+      palette: Array[Int] = Array.emptyIntArray, // 0xRRGGBB per entry (type 3 only)
+      rgb: Array[Int] = Array.emptyIntArray) // palette-resolved 0xRRGGBB (type 3 only)
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     // ISO 9.4: predictor is whichever of a (left), b (above),
@@ -119,6 +125,68 @@ object PngCodec {
     out.toByteArray
   }
 
+  /** Encode palette indices as a color-type-3 PNG: IHDR, PLTE (3
+    * bytes per 0xRRGGBB entry, ISO 11.2.3 position/size rules), IDAT
+    * over the filtered index scanlines — indices are 1 byte/px, so
+    * the five predictors apply to them exactly as to gray samples
+    * (same y % 5 filter cycling as [[encode]]).
+    */
+  def encodeIndexed(width: Int, height: Int, indices: Array[Int],
+      palette: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && indices.length == width * height,
+      s"bad geometry: ${width}x$height with ${indices.length} indices")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette must have 1..256 entries, got ${palette.length}")
+    indices.foreach(i => require(i >= 0 && i < palette.length,
+      s"index $i out of palette range 0..${palette.length - 1}"))
+    val raw = new Array[Byte](height * (width + 1))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      val rowOff = y * (width + 1)
+      raw(rowOff) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = indices(y * width + x)
+        val left = if (x > 0) indices(y * width + x - 1) else 0
+        val up = if (y > 0) indices((y - 1) * width + x) else 0
+        val ul = if (x > 0 && y > 0) indices((y - 1) * width + x - 1) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(rowOff + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val (idat, _) = DeflateEncoder.zlibCompress(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    val ihdr = new Array[Byte](13)
+    putBE32(ihdr, 0, width)
+    putBE32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 3 // color type: palette
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    val plte = new Array[Byte](3 * palette.length)
+    var p = 0
+    while (p < palette.length) {
+      plte(3 * p) = ((palette(p) >>> 16) & 0xff).toByte
+      plte(3 * p + 1) = ((palette(p) >>> 8) & 0xff).toByte
+      plte(3 * p + 2) = (palette(p) & 0xff).toByte
+      p += 1
+    }
+    writeChunk(out, "PLTE", plte)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   private def putBE32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
     b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
@@ -153,6 +221,8 @@ object PngCodec {
     var off = 8
     var width = -1
     var height = -1
+    var colorType = -1
+    var palette: Array[Int] = null
     var seenEnd = false
     var nChunks = 0
     val idat = new java.io.ByteArrayOutputStream()
@@ -176,12 +246,26 @@ object PngCodec {
           height = be32(png, off + 12)
           val (depth, color, comp, filt, interlace) =
             (png(off + 16), png(off + 17), png(off + 18), png(off + 19), png(off + 20))
-          require(depth == 8 && color == 0,
-            s"unsupported IHDR: depth=$depth color=$color (8-bit grayscale only)")
+          require(depth == 8 && (color == 0 || color == 3),
+            s"unsupported IHDR: depth=$depth color=$color (8-bit grayscale or palette only)")
+          colorType = color
           require(comp == 0 && filt == 0 && interlace == 0,
             s"unsupported IHDR: compression=$comp filter=$filt interlace=$interlace")
+        case "PLTE" =>
+          require(width > 0, "PLTE before IHDR")
+          require(palette == null, "duplicate PLTE")
+          require(idat.size == 0, "PLTE after IDAT")
+          require(colorType == 3, s"PLTE in color type $colorType (only palette uses it here)")
+          require(len % 3 == 0 && len >= 3 && len <= 768,
+            s"PLTE length $len not a multiple of 3 in 3..768")
+          palette = Array.tabulate(len / 3) { p =>
+            ((png(off + 8 + 3 * p) & 0xff) << 16) |
+              ((png(off + 9 + 3 * p) & 0xff) << 8) |
+              (png(off + 10 + 3 * p) & 0xff)
+          }
         case "IDAT" =>
           require(width > 0, "IDAT before IHDR")
+          require(colorType != 3 || palette != null, "palette PNG: IDAT before PLTE")
           idat.write(png, off + 8, len)
         case "IEND" =>
           require(len == 0, s"IEND with length $len")
@@ -192,6 +276,7 @@ object PngCodec {
     }
     require(seenEnd, "missing IEND")
     require(width > 0 && height > 0, "missing IHDR")
+    require(colorType != 3 || palette != null, "palette PNG missing PLTE")
     val (raw, _) = InflateCodec.inflateZlib(idat.toByteArray)
     require(raw.length == height * (width + 1),
       s"inflated ${raw.length} bytes, expected ${height * (width + 1)}")
@@ -221,6 +306,19 @@ object PngCodec {
       }
       y += 1
     }
-    Decoded(width, height, pixels, filterCounts, nChunks)
+    if (colorType == 3) {
+      // every reconstructed index must address the palette — an
+      // out-of-range index is a corrupt file, never a black pixel
+      val rgb = new Array[Int](pixels.length)
+      var i = 0
+      while (i < pixels.length) {
+        val idx = pixels(i)
+        require(idx < palette.length,
+          s"pixel $i: palette index $idx >= ${palette.length} entries")
+        rgb(i) = palette(idx)
+        i += 1
+      }
+      Decoded(width, height, pixels, filterCounts, nChunks, colorType, palette, rgb)
+    } else Decoded(width, height, pixels, filterCounts, nChunks)
   }
 }

@@ -2067,6 +2067,85 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** PALETTE (color-type-3) PNG write + read — m28's container
+    * grammar at the INDEXED tier (the GIF/BMP color model inside
+    * PNG): each document synthesizes a per-doc 16-entry RGB palette
+    * and a 16×16 index raster (both closed forms of doc_id, inlined
+    * into the oracle), [[graft.multimodal.PngCodec.encodeIndexed]]
+    * emits IHDR(color=3) + PLTE + filtered-index IDAT cycling all
+    * five ISO 9.2 predictors (indices are 1 byte/px, so the filter
+    * matrix applies to them exactly as to gray samples), and the
+    * decoder re-walks the chunk grammar — PLTE exactly once, before
+    * IDAT, length a multiple of 3, every reconstructed index
+    * bounds-checked against the entry count — then resolves indices
+    * through the palette. Gate: indices AND palette round-trip
+    * exactly (both md5-pinned algebraically in the oracle), all five
+    * filters ran, and the JDK's independent ImageIO reader resolves
+    * the very same bytes to identical RGB per pixel (`getRGB`
+    * through its own IndexColorModel — a palette-order or
+    * channel-order slip cannot survive it). Per-partition
+    * encode+decode+cross-check, zero shuffle (the m-tier shape).
+    */
+  val m30PngPalette = Q(
+    "m30_png_palette",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), i ->
+      |      ((doc_id * 11 + i * 23) % 256) * 65536
+      |      + ((doc_id * 7 + i * 5) % 256) * 256
+      |      + ((doc_id * 3 + i * 13) % 256)) AS pal,
+      |    list_transform(range(0, 256), k ->
+      |      (doc_id + (k // 16) * 3 + (k % 16)) % 16) AS idxs
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(256 AS BIGINT) AS n_px,
+      |  md5(array_to_string(idxs, ',')) AS idx_md5,
+      |  md5(array_to_string(pal, ',')) AS pal_md5,
+      |  CAST(1 AS INT) AS filters_ok,
+      |  CAST(1 AS INT) AS imageio_ok
+      |FROM f ORDER BY media_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.PngCodec
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pal = Array.tabulate(16) { i =>
+          (((id * 11 + i * 23) % 256).toInt << 16) |
+            (((id * 7 + i * 5) % 256).toInt << 8) |
+            ((id * 3 + i * 13) % 256).toInt
+        }
+        val idx = Array.tabulate(256)(k => ((id + (k / 16) * 3 + k % 16) % 16).toInt)
+        val png = PngCodec.encodeIndexed(16, 16, idx, pal)
+        val dec = PngCodec.decode(png)
+        require(dec.colorType == 3 && dec.width == 16 && dec.height == 16 &&
+          dec.pixels.sameElements(idx) && dec.palette.sameElements(pal),
+          s"media_id=$id: palette PNG round-trip diverged")
+        val filtersOk =
+          if (dec.filterCounts.sameElements(Array(4, 3, 3, 3, 3))) 1 else 0
+        // independent ground truth: the JDK resolves OUR bytes through
+        // its own IndexColorModel — compare final RGB, not indices
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null && img.getWidth == 16 && img.getHeight == 16,
+          s"media_id=$id: ImageIO rejected the synthesized palette PNG")
+        var ok = 1
+        var k = 0
+        while (k < 256 && ok == 1) {
+          if ((img.getRGB(k % 16, k / 16) & 0xffffff) != dec.rgb(k)) ok = 0
+          k += 1
+        }
+        (id, 256L, idx.mkString(","), pal.mkString(","), filtersOk, ok)
+      })
+      .toDF("media_id", "n_px", "idx_csv", "pal_csv", "filters_ok", "imageio_ok")
+      .select(col("media_id"), col("n_px"), md5(col("idx_csv")).as("idx_md5"),
+        md5(col("pal_csv")).as("pal_md5"),
+        col("filters_ok").cast("int").as("filters_ok"),
+        col("imageio_ok").cast("int").as("imageio_ok"))
+      .orderBy(col("media_id"))
+  }
+
   /** 4×4-tile raster with genuine runs (RLE8's bread and butter),
     * 16-entry index range, geometry varied by id.
     */
@@ -2150,5 +2229,6 @@ object Multimodal {
       m10Mp4Meta, m11FlacMeta, m12MkvMeta, m13TiffMeta, m14OggMeta,
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
-      m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle)
+      m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
+      m30PngPalette)
 }

@@ -70,6 +70,83 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def palOf(id: Long, n: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      (((id * 11 + i * 23) % 256).toInt << 16) |
+        (((id * 7 + i * 5) % 256).toInt << 8) |
+        ((id * 3 + i * 13) % 256).toInt
+    }
+
+  test("palette PNGs: indices + palette round-trip; RGB resolves; filters covered") {
+    for (id <- 0L until 20L) {
+      val pal = palOf(id, 16)
+      val idx = Array.tabulate(256)(k => ((id + (k / 16) * 3 + k % 16) % 16).toInt)
+      val dec = PngCodec.decode(PngCodec.encodeIndexed(16, 16, idx, pal))
+      assert(dec.colorType == 3 && dec.width == 16 && dec.height == 16)
+      assert(dec.pixels.toSeq == idx.toSeq, s"id=$id index mismatch")
+      assert(dec.palette.toSeq == pal.toSeq, s"id=$id palette mismatch")
+      assert(dec.rgb.toSeq == idx.map(pal).toSeq, s"id=$id rgb resolution")
+      assert(dec.filterCounts.toSeq == Seq(4, 3, 3, 3, 3),
+        s"id=$id filter coverage ${dec.filterCounts.toSeq}")
+    }
+  }
+
+  test("ImageIO resolves our palette PNGs to identical RGB") {
+    for (id <- 0L until 10L) {
+      val pal = palOf(id, 16)
+      val idx = Array.tabulate(256)(k => ((id * 5 + k * 7) % 16).toInt)
+      val png = PngCodec.encodeIndexed(16, 16, idx, pal)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16,
+        s"id=$id: ImageIO rejected our palette PNG")
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((img.getRGB(x, y) & 0xffffff) == pal(idx(y * 16 + x)),
+          s"id=$id px($x,$y)")
+    }
+  }
+
+  test("palette PNG failure paths: PLTE grammar + index bounds") {
+    val pal = palOf(1, 4) // 4 entries
+    val idx = Array.tabulate(64)(k => k % 4)
+    val png = PngCodec.encodeIndexed(8, 8, idx, pal)
+    // out-of-range index at encode time
+    assertThrows[IllegalArgumentException](
+      PngCodec.encodeIndexed(8, 8, Array.fill(64)(4), pal))
+    // palette size out of range
+    assertThrows[IllegalArgumentException](
+      PngCodec.encodeIndexed(8, 8, idx, Array.emptyIntArray))
+    assertThrows[IllegalArgumentException](
+      PngCodec.encodeIndexed(8, 8, idx, new Array[Int](257)))
+    // an index beyond the PLTE entry count must fail at DECODE time:
+    // re-encode with a bigger palette, then truncate PLTE to 3
+    // entries by rebuilding the file with a valid CRC
+    val bigger = PngCodec.encodeIndexed(8, 8, idx, palOf(1, 16))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bigger, 0, 8)
+    var off = 8
+    while (off < bigger.length) {
+      val len = ((bigger(off) & 0xff) << 24) | ((bigger(off + 1) & 0xff) << 16) |
+        ((bigger(off + 2) & 0xff) << 8) | (bigger(off + 3) & 0xff)
+      val typ = new String(bigger, off + 4, 4, "US-ASCII")
+      if (typ == "PLTE") {
+        val body = java.util.Arrays.copyOfRange(bigger, off + 8, off + 8 + 9)
+        val buf = new Array[Byte](8 + 9)
+        buf(0) = 0; buf(1) = 0; buf(2) = 0; buf(3) = 9
+        System.arraycopy(bigger, off + 4, buf, 4, 4)
+        System.arraycopy(body, 0, buf, 8, 9)
+        val crc = PngCodec.crc32(buf, 4, buf.length)
+        out.write(buf, 0, buf.length)
+        out.write(Array[Byte]((crc >>> 24).toByte, (crc >>> 16).toByte,
+          (crc >>> 8).toByte, crc.toByte), 0, 4)
+      } else out.write(bigger, off, 12 + len)
+      off += 12 + len
+    }
+    val truncated = out.toByteArray
+    val e = intercept[IllegalArgumentException](PngCodec.decode(truncated))
+    assert(e.getMessage.contains("palette index"), e.getMessage)
+    assert(PngCodec.decode(png).rgb.nonEmpty) // the untampered file still decodes
+  }
+
   test("CRC-32 agrees with java.util.zip.CRC32") {
     val rnd = new scala.util.Random(42)
     for (n <- Seq(0, 1, 7, 256, 4096)) {
