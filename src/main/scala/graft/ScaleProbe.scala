@@ -294,7 +294,15 @@ object ScaleProbe {
     // q87: q86's agg state read back via format("statestore") + a
     // store-local range filter — state is the key space; the reader
     // is one batch scan over the checkpoint, expected ≈q86's curve
-    "q87_statestore_range")
+    "q87_statestore_range",
+    // q88: session_window under a watermark, append mode — per-user
+    // merge state bounded by open sessions; expected ≈q72's curve +
+    // the file-sink term
+    "q88_stream_session_replay",
+    // s23: s22's graph build + ≤12 broadcast-frontier adjacency
+    // joins — expected ≈s22's curve (the walk adds edge-sized scans,
+    // never corpus shuffles)
+    "s23_graph_ann")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -1859,9 +1859,161 @@ object Similarity {
     knnGraphFrom(AnnKmeans.trainedFinParam(s, d, k)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
 
+  /** The number of unrolled greedy steps s23 runs — a CAP, not a
+    * truncation: the walk's cosine strictly increases on every move,
+    * so it reaches its local optimum in at most (path length) steps
+    * and the Spark side `require`s a fixpoint by step [[GraphAnnSteps]]
+    * (a non-converged walk fails loudly instead of returning a
+    * plausible mid-walk node). Within-cell top-3 graphs at the
+    * derived ~256 occupancy converge in a handful of steps.
+    */
+  private val GraphAnnSteps = 12
+
+  /** GRAPH-BASED ANN SEARCH — the HNSW/NSW-family search primitive
+    * run over the REGISTERED s22 graph (trained cells at the derived
+    * knob, q57-aggregated top-3 out-edges): each query enters its own
+    * IVF cell at the cell's minimum-id member (the coarse-quantizer +
+    * graph-refinement hybrid production vector stores run — IVF picks
+    * the region, the graph walk climbs it) and greedily moves to its
+    * best-scoring out-neighbor while that strictly improves the
+    * query-cosine, stopping at the local optimum. Every step is
+    * deterministic (strict improvement + (cos DESC, dst ASC)
+    * tie-break; strict increase also makes cycles impossible), so the
+    * DuckDB oracle replays the IDENTICAL walk as an unrolled CTE
+    * chain over the same edge set and the hash gate pins entry
+    * choice, every hop, and the stopping rule bit-exactly.
+    *
+    * Scale shape: the adjacency is edge-sized (3n rows, built once by
+    * s22's mergeable-aggregate plan and localCheckpoint-ed); each of
+    * the ≤[[GraphAnnSteps]] steps joins it against the BROADCAST
+    * query-frontier (query-batch-sized, never corpus-sized), so a
+    * step costs one adjacency scan and zero shuffles of corpus data —
+    * the Spark spelling of graph-ANN's O(degree × hops) per query,
+    * amortized over the query batch. (A serving deployment keeps the
+    * same adjacency in a point-lookup store; the WALK and its
+    * verification are what this query pins.) The walk state is
+    * re-checkpointed every few steps so the unrolled lineage stays
+    * flat (the s18 discipline).
+    */
+  val s23GraphAnn = Q(
+    "s23_graph_ann",
+    { val cos = (q: String, e: String, qn: String, en: String) =>
+        s"CASE WHEN $qn * $en = 0 THEN 0.0 ELSE ${sqlDot(q, e)} / ($qn * $en) END"
+      val steps = (1 to GraphAnnSteps).map { i =>
+        s"""w$i AS (
+           |  SELECT query_id, q_emb, q_nrm, cell, entry_id,
+           |    CASE WHEN cand IS NOT NULL AND cand > sc THEN dst_id ELSE node END AS node,
+           |    CASE WHEN cand IS NOT NULL AND cand > sc THEN cand ELSE sc END AS sc,
+           |    CASE WHEN cand IS NOT NULL AND cand > sc THEN moves + 1 ELSE moves END AS moves
+           |  FROM (
+           |    SELECT w.query_id, w.q_emb, w.q_nrm, w.cell, w.entry_id, w.node, w.sc,
+           |           w.moves, a.dst_id,
+           |           ${cos("w.q_emb", "a.dst_emb", "w.q_nrm", "a.dst_nrm")} AS cand
+           |    FROM w${i - 1} w LEFT JOIN adj a ON a.src_id = w.node
+           |  ) QUALIFY row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cand DESC NULLS LAST, dst_id) = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${AnnKmeans.sqlFinCtesK(AnnKmeans.sqlDerivedK)}, scored AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |         ${cos("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
+         |  FROM fin a JOIN fin b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |), edges AS (
+         |  SELECT src_id, dst_id,
+         |         row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS k
+         |  FROM scored
+         |  QUALIFY k <= 3
+         |), adj AS MATERIALIZED (
+         |  SELECT e.src_id, e.dst_id, f.embedding AS dst_emb, f.nrm AS dst_nrm
+         |  FROM edges e JOIN fin f ON f.vec_id = e.dst_id
+         |), qs AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cell
+         |  FROM fin WHERE vec_id >= 10 AND vec_id < 20
+         |), ent AS (
+         |  SELECT cell, min(vec_id) AS entry_id FROM fin GROUP BY cell
+         |), w0 AS (
+         |  SELECT q.query_id, q.q_emb, q.q_nrm, q.cell, ent.entry_id,
+         |         ent.entry_id AS node,
+         |         ${cos("q.q_emb", "f.embedding", "q.q_nrm", "f.nrm")} AS sc,
+         |         0 AS moves
+         |  FROM qs q JOIN ent ON ent.cell = q.cell
+         |  JOIN fin f ON f.vec_id = ent.entry_id
+         |),
+         |$steps
+         |SELECT query_id, cell, CAST(entry_id AS BIGINT) AS entry_id,
+         |  CAST(node AS BIGINT) AS best_id, sc AS cos_sim,
+         |  CAST(moves AS BIGINT) AS n_moves
+         |FROM w$GraphAnnSteps ORDER BY query_id""".stripMargin }
+  ) { (s, d) =>
+    val fin = AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val adj = knnEdges(knnScored(fin)).select(col("src_id"), col("dst_id"))
+      .join(fin.select(col("vec_id").as("dst_id"), col("embedding").as("dst_emb"),
+        col("nrm").as("dst_nrm")), Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"), col("dst_emb"), col("dst_nrm"))
+      .localCheckpoint()
+    // queries 10..19: vec_id < 10 overlaps the k-means seeds, which
+    // are their own cells' min-id ENTRY points — every walk would
+    // start at cos 1.0 and move zero steps (vacuous)
+    val queries = fin.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val entries = fin.groupBy(col("cell")).agg(min(col("vec_id")).as("entry_id"))
+      .join(fin.select(col("vec_id").as("entry_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm")), Seq("entry_id"))
+    def cosOf(qe: org.apache.spark.sql.Column, qn: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(qn * n === 0, 0.0).otherwise(dot(qe, e) / (qn * n))
+    var st = queries.join(entries, Seq("cell"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+        col("entry_id"), col("entry_id").as("node"),
+        cosOf(col("q_emb"), col("q_nrm"), col("e_emb"), col("e_nrm")).as("sc"),
+        lit(0L).as("moves"))
+      .localCheckpoint() // everything upstream of the walk materialized
+    fin.unpersist(blocking = false)
+    def step(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // inner join against the BROADCAST frontier scores each current
+      // node's ≤3 out-edges; the best candidate per query then
+      // left-joins back onto the (query-sized) state, so a node with
+      // no out-edges keeps its state — the small side is never the
+      // preserved side of an outer join against corpus data
+      val frontier = state.select(col("query_id").as("f_qid"), col("q_emb").as("f_qe"),
+        col("q_nrm").as("f_qn"), col("node").as("f_node"))
+      val best = adj.join(broadcast(frontier), col("src_id") === col("f_node"))
+        .withColumn("cand", cosOf(col("f_qe"), col("f_qn"), col("dst_emb"), col("dst_nrm")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("f_qid"))
+          .orderBy(col("cand").desc_nulls_last, col("dst_id"))))
+        .filter(col("rn") === 1)
+        .select(col("f_qid").as("query_id"), col("dst_id"), col("cand"))
+      val improving = col("cand").isNotNull && col("cand") > col("sc")
+      state.join(best, Seq("query_id"), "left")
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+          col("entry_id"),
+          when(improving, col("dst_id")).otherwise(col("node")).as("node"),
+          when(improving, col("cand")).otherwise(col("sc")).as("sc"),
+          when(improving, col("moves") + 1L).otherwise(col("moves")).as("moves"))
+    }
+    for (i <- 1 to GraphAnnSteps) {
+      st = step(st)
+      if (i % 4 == 0) st = st.localCheckpoint() // keep the unrolled lineage flat
+    }
+    // fixpoint gate: one more probe step must move nobody — a walk
+    // still improving past the cap fails loudly, never returns a
+    // plausible mid-walk node (the d07 convergence discipline; the
+    // frame is query-batch-sized, so this collect is model-sized)
+    val probe = step(st)
+    val moved = probe.join(st.select(col("query_id"), col("moves").as("m0")), Seq("query_id"))
+      .filter(col("moves") > col("m0")).count()
+    require(moved == 0, s"s23: $moved walks still improving after $GraphAnnSteps steps")
+    st.select(col("query_id"), col("cell"), col("entry_id").cast("long").as("entry_id"),
+      col("node").cast("long").as("best_id"), col("sc").as("cos_sim"),
+      col("moves").cast("long").as("n_moves"))
+      .orderBy(col("query_id"))
+  }
+
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,
     s06AnnMultiprobe, s07QuantizeInt8, s08DequantTopk, s09AnnPq, s10AnnIvfPq,
     s11NcmClassify, s12Bm25Retrieval, s13RandomProjection, s14PerceptronTrain,
     s15MipsTopk, s16MaxsimTopk, s17BinaryQuantize, s18MmrRerank, s19RrfFusion,
-    s20Int4Pack, s21FilteredAnn, s22KnnGraph)
+    s20Int4Pack, s21FilteredAnn, s22KnnGraph, s23GraphAnn)
 }

@@ -1274,12 +1274,72 @@ object StreamReplay {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** SESSION WINDOWS RUN LIVE — q72's `session_window` aggregate as
+    * an actual watermarked append-mode streaming job (q72 proves the
+    * operator batch-mode; THIS proves its streaming FINALIZATION
+    * semantics: a session is emitted exactly when the watermark
+    * passes its end and no future event can extend or merge it).
+    * With q81's 0-second-delay observation the emission rule is
+    * algebraic — the final watermark of an AvailableNow replay is
+    * max event time, so emitted sessions are EXACTLY the
+    * gaps-and-islands sessions with `session_end = last_ts + gap ≤
+    * max(ts)` — and the oracle spells q72's CTE plus that one
+    * predicate. The trailing open session per active user stays in
+    * state and OUT of the output, which is the semantic q72 cannot
+    * exercise.
+    *
+    * Scale notes: state is keyed by user — merges are per-key local,
+    * eviction at the watermark bounds live state to open sessions
+    * (the q85 curve); output goes through the file sink like every
+    * append replay.
+    */
+  val q88StreamSessionReplay = Q(
+    "q88_stream_session_replay",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), marked AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked
+      |), sessions AS (
+      |  SELECT user_id,
+      |         min(ts) AS session_start,
+      |         max(ts) + INTERVAL 8 HOUR AS session_end,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  FROM numbered
+      |  GROUP BY user_id, sess
+      |)
+      |SELECT user_id, session_start, session_end, n_events, sum_value
+      |FROM sessions
+      |WHERE session_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+    fileSinkReplay(s, agg, "q88")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
-    q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange)
+    q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
+    q88StreamSessionReplay)
 }
  
  

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s23's walk invariants beyond the oracle hash — each recomputed
+  * from the raw corpus, independent of the walk implementation:
+  *
+  *  - CELL containment: the returned node lives in the query's own
+  *    trained cell (the IVF + graph-refinement contract).
+  *  - SCORE correctness: cos_sim equals the brute-force cosine
+  *    between the query and the returned node, bit-for-bit.
+  *  - LOCAL OPTIMUM: no out-edge of the returned node in the s22
+  *    graph scores strictly higher — the stopping rule as a fact
+  *    about the edge set, not the walk's own claim.
+  *  - NON-VACUOUS: some walk moves ≥ 2 steps (the query set is
+  *    chosen off the k-means seeds so entries differ from queries).
+  */
+class GraphAnnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private case class R(query: Long, cell: Long, entry: Long, best: Long,
+      cos: Double, moves: Long)
+
+  private lazy val results: Seq[R] = {
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries("s23_graph_ann")(spark, dir).collect()
+      .map(r => R(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+  }
+
+  private lazy val cells: Map[Long, (Array[Float], Double, Long)] = {
+    spark.sparkContext.setLogLevel("WARN")
+    AnnKmeans.trainedFinParam(spark, dir, AnnKmeans.derivedK(spark, dir))
+      .select("vec_id", "embedding", "nrm", "cell").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Float](1).toArray, r.getDouble(2), r.getLong(3))))
+      .toMap
+  }
+
+  private lazy val edges: Seq[(Long, Long)] =
+    Similarity.knnEdges(Similarity.knnScoredProbe(spark, dir))
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** The house left-fold dot — same order as FloatVecDot/sqlDot. */
+  private def cos(a: Long, b: Long): Double = {
+    val (va, na, _) = cells(a); val (vb, nb, _) = cells(b)
+    if (na * nb == 0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < va.length) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+      s / (na * nb)
+    }
+  }
+
+  test("returned node lives in the query's own cell") {
+    assert(results.size == 10)
+    results.foreach { r =>
+      assert(cells(r.best)._3 == r.cell,
+        s"query ${r.query}: best ${r.best} in cell ${cells(r.best)._3}, query cell ${r.cell}")
+      assert(cells(r.query)._3 == r.cell, s"query ${r.query}: cell column drifted")
+    }
+  }
+
+  test("cos_sim is the brute-force cosine to the returned node, bit-for-bit") {
+    results.foreach { r =>
+      assert(r.cos == cos(r.query, r.best),
+        s"query ${r.query}: walk score ${r.cos} != brute ${cos(r.query, r.best)}")
+    }
+  }
+
+  test("the returned node is a local optimum of the edge set") {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    results.foreach { r =>
+      val better = adj.getOrElse(r.best, Seq.empty).filter(n => cos(r.query, n) > r.cos)
+      assert(better.isEmpty,
+        s"query ${r.query}: node ${r.best} has strictly better neighbors $better — walk stopped early")
+    }
+  }
+
+  test("walks are non-vacuous: some query moves at least twice") {
+    assert(results.exists(_.moves >= 2),
+      s"all walks ≤1 move: ${results.map(r => r.query -> r.moves)}")
+    // and the entry really is the cell's minimum member id
+    val minByCell = cells.toSeq.groupBy(_._2._3).view.mapValues(_.map(_._1).min).toMap
+    results.foreach(r => assert(r.entry == minByCell(r.cell),
+      s"query ${r.query}: entry ${r.entry} != cell min ${minByCell(r.cell)}"))
+  }
+}
