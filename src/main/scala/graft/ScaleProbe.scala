@@ -131,6 +131,12 @@ object ScaleProbe {
     // t26: per-partition codepoint classification — ≈linear, zero
     // shuffle (the t14 shape)
     "t26_script_mix",
+    // t27: per-row integer rule flags — ≈linear, zero shuffle (the
+    // t14 shape)
+    "t27_gopher_rules",
+    // p13: one per-source count + a domain-sized rank window —
+    // ≈linear in the scan, allocation work bounded by |sources|
+    "p13_apportionment",
     "q68_variant", // needs events.parquet in the scale dir (ScaleGen TABLES=events)
     // q46: two-phase HLL sketch agg + tiny-key join + sketch union —
     // bytes (not rows) cross the shuffle; expected ≈linear in the scan

@@ -698,9 +698,85 @@ object Sampling {
       .orderBy(col("r"))
   }
 
+  /** LARGEST-REMAINDER APPORTIONMENT (Hamilton's method) — the exact
+    * integer division of a FIXED sampling budget across domains that
+    * p04's floor quotas cannot give (floors systematically undershoot
+    * the budget; Hamilton hands the shortfall to the largest
+    * fractional remainders, so the final quotas sum to the budget
+    * EXACTLY — the property a "sample exactly B documents, weighted
+    * by domain size" pipeline stage needs). Everything is integer:
+    * base = (B·n_i) div N, remainder = (B·n_i) mod N, the deficit
+    * B − Σbase goes to the top-deficit remainders under a (remainder
+    * DESC, source ASC) total order — no float quota anywhere, so the
+    * allocation is bit-identical in both engines, and every row
+    * carries `budget_total` = Σ final over the whole allocation so
+    * the hash gate PROVES the exactness property, not just the
+    * per-row arithmetic.
+    *
+    * Scale shape: one two-phase count per source (domain-sized
+    * output), one broadcast 1-row total, and a rank window over the
+    * DOMAIN table (model-sized — never the corpus). The corpus is
+    * touched exactly once.
+    */
+  val p13Apportionment = Q(
+    "p13_apportionment",
+    """WITH src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source
+      |), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM src),
+      |q AS (
+      |  SELECT source, n_docs,
+      |         CAST((997 * n_docs) // n AS BIGINT) AS base_quota,
+      |         CAST((997 * n_docs) % n AS BIGINT) AS remainder
+      |  FROM src, tot
+      |), d AS (SELECT CAST(997 - sum(base_quota) AS BIGINT) AS deficit FROM q),
+      |ranked AS (
+      |  SELECT q.*, d.deficit,
+      |         row_number() OVER (ORDER BY remainder DESC, source) AS rk
+      |  FROM q, d
+      |), fin AS (
+      |  SELECT source, n_docs, base_quota, remainder,
+      |         CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |         base_quota + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS final_quota
+      |  FROM ranked
+      |)
+      |SELECT source, n_docs, base_quota, remainder, extra,
+      |       CAST(final_quota AS BIGINT) AS final_quota,
+      |       CAST(sum(final_quota) OVER () AS BIGINT) AS budget_total
+      |FROM fin ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    // 997 (prime) so (B*n_i) mod N is genuinely nonzero at every
+    // fixture size -- a round 1000 divided the oracle corpora evenly
+    // and the remainder-allocation path never ran (vacuous extra)
+    val B = 997L
+    val src = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum(col("n_docs")).as("n"))
+    val q = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr(s"($B * n_docs) DIV n").as("base_quota"),
+        (lit(B) * col("n_docs") % col("n")).as("remainder"))
+    val deficit = q.agg((lit(B) - sum(col("base_quota"))).as("deficit"))
+    // the rank window runs over the DOMAIN table (model-sized), so the
+    // single-partition window is bounded by the source count, never
+    // the corpus
+    val ranked = q.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("remainder").desc, col("source"))))
+    val fin = ranked.select(col("source"), col("n_docs"), col("base_quota"),
+      col("remainder"),
+      when(col("rk") <= col("deficit"), 1L).otherwise(0L).as("extra"),
+      (col("base_quota") +
+        when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("final_quota"))
+    fin.select(col("source"), col("n_docs"), col("base_quota"), col("remainder"),
+      col("extra"), col("final_quota"),
+      sum(col("final_quota")).over(Window.partitionBy()).as("budget_total"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
       p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
       p08TemperatureMixture, p09DsirSelect, p10LeakageSafeSplit,
-      p11WeightedReservoir, p12KcenterCoreset)
+      p11WeightedReservoir, p12KcenterCoreset, p13Apportionment)
 }

@@ -1642,11 +1642,83 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** GOPHER RULE FILTERING (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1) — the NAMED pre-training quality rule set (t03 scores a
+    * blended quality, t24 buckets by an LM signal; THIS is the
+    * published hard-threshold family nearly every later pipeline —
+    * MassiveText, RefinedWeb, Dolma, FineWeb — starts from): word
+    * count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    * containing an alphabetic character, ≥2 stop words, and a
+    * symbol-to-word ratio ≤ 0.1 ('#' and '…'-as-'...'). Every ratio
+    * threshold is spelled CROSS-MULTIPLIED so the verdicts are pure
+    * integer comparisons — bit-portable across engines with no
+    * float-division edge anywhere; each rule emits its own flag so
+    * downstream can ablate rules, and `keep` is their conjunction.
+    * Pure per-row projection: zero shuffle, fully codegen'd, the
+    * t14 scale shape.
+    */
+  val t27GopherRules = Q(
+    "t27_gopher_rules",
+    { val toks = "string_split(text, ' ')"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
+         |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words,
+         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+         |  CAST(CASE WHEN 3 * n_words <= n_chars_ns AND n_chars_ns <= 10 * n_words THEN 1 ELSE 0 END AS INT) AS r_meanlen,
+         |  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS INT) AS r_alpha,
+         |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+         |  CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS INT) AS r_symbol,
+         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |        AND 3 * n_words <= n_chars_ns AND n_chars_ns <= 10 * n_words
+         |        AND 5 * n_alpha >= 4 * n_words
+         |        AND n_stop >= 2
+         |        AND 10 * n_sym <= n_words THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val tk = tokens(col("text"))
+    val nWords = size(tk).cast("long")
+    val nCharsNs = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nAlpha = size(filter(tk, t => t.rlike("[a-z]"))).cast("long")
+    val stopwords = Seq("the", "a", "of", "to", "and")
+    val nStop = size(filter(tk, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    // literal (non-regex) replace mirrors DuckDB's replace() exactly;
+    // the '...' diff is always a multiple of 3, so the double division
+    // is exact and the final cast loses nothing
+    val nSym = (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))) +
+      (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+      .cast("long")
+    val rWc = col("n_words") >= 50L && col("n_words") <= 100000L
+    val rMl = lit(3L) * col("n_words") <= col("n_chars_ns") &&
+      col("n_chars_ns") <= lit(10L) * col("n_words")
+    val rAl = lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")
+    val rSt = col("n_stop") >= 2L
+    val rSy = lit(10L) * col("n_sym") <= col("n_words")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), nCharsNs.as("n_chars_ns"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop"), nSym.as("n_sym"))
+      .select(col("doc_id"), col("n_words"),
+        when(rWc, 1).otherwise(0).cast("int").as("r_wordcount"),
+        when(rMl, 1).otherwise(0).cast("int").as("r_meanlen"),
+        when(rAl, 1).otherwise(0).cast("int").as("r_alpha"),
+        when(rSt, 1).otherwise(0).cast("int").as("r_stop"),
+        when(rSy, 1).otherwise(0).cast("int").as("r_symbol"),
+        when(rWc && rMl && rAl && rSt && rSy, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(t01TokenStats, t02LangId, t03QualityScore, t04Fingerprint,
     t05BpeTokens, t06RepetitionFilter, t07Tfidf, t08Vocab, t09PiiScrub,
     t10Contamination, t11UnigramRarity, t12HeavyHitters, t13CorpusProfile,
     t14HtmlExtract, t15NgramPerplexity, t16BpeMerges, t17BpeEncode,
     t18MarkovGenerate, t19KneserNey, t20SynthNovelty, t21UnicodeNormalize,
     t22DistributionDrift, t23ZipfOctaves, t24CcnetBuckets,
-    t25Attribution, t26ScriptMix)
+    t25Attribution, t26ScriptMix, t27GopherRules)
 }
