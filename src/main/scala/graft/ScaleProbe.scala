@@ -305,6 +305,10 @@ object ScaleProbe {
     // merge state bounded by open sessions; expected ≈q72's curve +
     // the file-sink term
     "q88_stream_session_replay",
+    // q89: one (user,bucket) close shuffle over events + a spine
+    // bounded by users × hours — expected ≈linear in the scan with a
+    // clock-bounded (not volume-bounded) grid term
+    "q89_resample_ffill",
     // s23: s22's graph build + ≤12 broadcast-frontier adjacency
     // joins — expected ≈s22's curve (the walk adds edge-sized scans,
     // never corpus shuffles)

@@ -399,6 +399,83 @@ object Windows {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** TIME-SERIES RESAMPLE + GAP-FILL — the timeseries staple next to
+    * q38's sessionization (Flink windows / Timescale `time_bucket_gapfill`
+    * / QuestDB `SAMPLE BY ... FILL(PREV)`): each user's event stream
+    * resamples to an HOURLY grid — per-bucket "close" = the last
+    * event by (ts, event_id) — and empty buckets forward-fill from
+    * the previous bucket's value (`last(..., ignoreNulls)` over the
+    * user timeline ≡ DuckDB `last_value(x IGNORE NULLS)`), with a
+    * `filled` flag distinguishing carried values from observed ones.
+    * Bucket indexing is integer epoch-µs division (the house
+    * calendar-free rule) and the value column rides verbatim, so
+    * every row is bit-portable.
+    *
+    * Scale shape: the close pick pays one (user, bucket)-keyed
+    * shuffle over events; the spine ⋈ close join and the
+    * forward-fill window run under a user-keyed partitioning of the
+    * SPINE — which is bounded by users × the time span in hours, so
+    * it grows with the CLOCK, not the event count. That bound is
+    * what makes gap-fill tractable on a 100 TB event table: the
+    * per-user grid of a 30-day window is ≤720 rows regardless of
+    * event volume, and Catalyst broadcasts whichever join side is
+    * small at the given scale (the close side at oracle scale).
+    */
+  val q89ResampleFfill = Q(
+    "q89_resample_ffill",
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events WHERE user_id IS NOT NULL
+      |), b AS (
+      |  SELECT user_id, event_id, us, value, us // 3600000000 AS b FROM ev
+      |), close AS (
+      |  SELECT user_id, b, value FROM (
+      |    SELECT user_id, b, value,
+      |      row_number() OVER (PARTITION BY user_id, b
+      |                         ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM b
+      |  ) WHERE rn = 1
+      |), spine AS (
+      |  SELECT user_id, unnest(generate_series(min(b), max(b))) AS b
+      |  FROM b GROUP BY user_id
+      |), j AS (
+      |  SELECT s.user_id, s.b, c.value,
+      |         CASE WHEN c.b IS NULL THEN 1 ELSE 0 END AS filled
+      |  FROM spine s LEFT JOIN close c ON c.user_id = s.user_id AND c.b = s.b
+      |)
+      |SELECT user_id, CAST(b AS BIGINT) AS bucket_hour,
+      |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+      |                                       ROWS UNBOUNDED PRECEDING) AS value,
+      |  CAST(filled AS INT) AS filled
+      |FROM j ORDER BY user_id, bucket_hour""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("b", expr("us div 3600000000"))
+    val wClose = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val close = ev.withColumn("rn", row_number().over(wClose))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("b"), col("value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val joined = spine.join(close.withColumnRenamed("b", "cb")
+        .withColumnRenamed("user_id", "cuser"),
+        col("user_id") === col("cuser") && col("b") === col("cb"), "left")
+      .select(col("user_id"), col("b"), col("value"),
+        when(col("cb").isNull, 1).otherwise(0).cast("int").as("filled"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined.select(col("user_id"), col("b").cast("long").as("bucket_hour"),
+      last(col("value"), ignoreNulls = true).over(wFill).as("value"),
+      col("filled"))
+      .orderBy(col("user_id"), col("bucket_hour"))
+  }
+
   /** q33's SEMANTICS through a MERGEABLE-SUMMARY plan — the 100 TB
     * spelling of top-k-per-group: q33's window shuffles EVERY order
     * row to its priority's partition and sorts the whole group before
@@ -436,5 +513,6 @@ object Windows {
 
   def all: Seq[Q] = Seq(q30WindowRank, q31WindowLagLead, q32WindowRunning,
     q33TopkPerGroup, q34Ntile, q35WindowRangeFrame, q36FunnelPattern,
-    q37CohortRetention, q38GapsIslands, q40SortLimit, q57TopkMapside)
+    q37CohortRetention, q38GapsIslands, q40SortLimit, q57TopkMapside,
+    q89ResampleFfill)
 }
