@@ -1333,6 +1333,25 @@ object StreamReplay {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** [[orderedEventsChunkStream]]'s geometry for q88 — sessions
+    * spanning chunk boundaries are MERGED in state across triggers
+    * (the session-window analog of q82's cross-chunk matches) and
+    * emitted only when a later chunk's watermark passes their end;
+    * chunks are ts-range-disjoint so no row is ever late.
+    */
+  private[graft] def sessionReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+    val agg = orderedEventsChunkStream(s, d, nChunks)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+    fileSinkReplay(s, agg, "chunked_session")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,

@@ -88,6 +88,28 @@ class GraphAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("each walk step is a broadcast-frontier join, never a corpus shuffle join") {
+    // one representative step: adjacency ⋈ broadcast(frontier). The
+    // frontier is explicitly broadcast-hinted, so the plan must carry
+    // a BroadcastHashJoin and no SortMergeJoin for the step itself.
+    import org.apache.spark.sql.functions._
+    val fin = AnnKmeans.trainedFinParam(spark, dir, AnnKmeans.derivedK(spark, dir))
+    val adj = Similarity.knnEdges(Similarity.knnScoredProbe(spark, dir))
+      .select(col("src_id"), col("dst_id"))
+      .join(fin.select(col("vec_id").as("dst_id"), col("embedding").as("dst_emb"),
+        col("nrm").as("dst_nrm")), Seq("dst_id"))
+    val frontier = fin.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("f_qid"), col("embedding").as("f_qe"),
+        col("nrm").as("f_qn"), col("vec_id").as("f_node"))
+    val step = adj.join(broadcast(frontier), col("src_id") === col("f_node"))
+    val plan = step.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "step frontier join is not broadcast — the walk would shuffle corpus data per hop")
+    assert(!plan.split("\n").exists(l =>
+        l.contains("SortMergeJoin") && l.contains("f_node")),
+      "the frontier join fell back to SortMergeJoin")
+  }
+
   test("walks are non-vacuous: some query moves at least twice") {
     assert(results.exists(_.moves >= 2),
       s"all walks ≤1 move: ${results.map(r => r.query -> r.moves)}")

@@ -139,6 +139,19 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
     assert(single.nonEmpty, "fixture produced no day-window aggregates")
   }
 
+  test("chunked q88 session-window output equals the single-batch replay") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(SparkEntry.queries("q88_stream_session_replay")(spark, dir))
+    val chunked = rows(graft.operators.StreamReplay
+      .sessionReplayChunked(spark, dir, nChunks = 6))
+    assert(chunked == single,
+      s"chunked session replay diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no finalized sessions")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
