@@ -96,6 +96,9 @@ object ScaleProbe {
     // shard writer: one shard-keyed shuffle, then independent
     // per-shard tar builds — expected ≈linear, parallel in shards
     "c18_shard_pack",
+    // c23: two corpus writes (fragment + bin-packed rewrite) + one
+    // digest agg — expected ≈linear in corpus bytes
+    "c23_compact",
     // fuzzy decontam: corpus-linear signature pass, bench side
     // broadcast (no corpus shuffle), exact verify on band-collision
     // candidates only — expected ≈linear in the scan

@@ -1793,10 +1793,76 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** SMALL-FILE COMPACTION — the lakehouse maintenance operation
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files / Hudi clustering)
+    * that every long-running ingest pipeline needs: streaming and
+    * incremental writers (q73-q88's per-trigger file sets, c09's
+    * daily shards) leave a table shattered into files far below the
+    * scan-efficient size, and the fix is a content-preserving
+    * rewrite into ceil(bytes / target) bin-packed files. The query
+    * runs the WHOLE maintenance cycle on a real on-disk copy:
+    * fragment the documents table into 64 parquet files (the debt a
+    * month of micro-batches accrues), measure actual on-disk bytes,
+    * rewrite at a 128 MiB file target, `require` the rewrite really
+    * collapsed the file count, and emit per-source row counts + an
+    * order-free content digest (xor-fold of a 60-bit md5 prefix over
+    * doc_id:text — the d07 fingerprint idiom, overflow-free under
+    * ANSI) READ FROM THE COMPACTED COPY. The oracle computes the
+    * same digest from the ORIGINAL table, so the hash gate proves
+    * the maintenance op is bit-losslessly content-preserving — the
+    * only correctness property compaction has.
+    *
+    * Scale shape: both writes are one shuffle each (the rewrite's
+    * repartition IS the bin-pack); the digest is a two-phase agg.
+    * At 100 TB the same rewrite runs per partition/prefix so the
+    * unit of work stays bounded; file-count evidence is spec/probe
+    * territory (no oracle can see a directory listing).
+    */
+  val c23Compact = Q(
+    "c23_compact",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    val base = java.nio.file.Files.createTempDirectory(root, "graft_c23_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(): Unit
+      }
+      rm(base.toFile)
+    }))
+    val frag = base.resolve("frag").toString
+    val comp = base.resolve("compact").toString
+    Tables.documents(s, d).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def partFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val before = partFiles(frag)
+    val targetBytes = 128L * 1024 * 1024
+    val nOut = math.max(1L, (before.map(_.length).sum + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(frag).repartition(nOut)
+      .write.mode("overwrite").parquet(comp)
+    val after = partFiles(comp).length
+    require(after < before.length,
+      s"compaction did not collapse files: $after vs ${before.length}")
+    s.read.parquet(comp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
-    c21CdcChunking, c22SpanScrub)
+    c21CdcChunking, c22SpanScrub, c23Compact)
 }
