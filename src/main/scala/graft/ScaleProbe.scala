@@ -308,6 +308,10 @@ object ScaleProbe {
     // merge state bounded by open sessions; expected ≈q72's curve +
     // the file-sink term
     "q88_stream_session_replay",
+    // q90: stream-stream join state (open 12 h windows per user) +
+    // day-keyed agg state in ONE query — expected ≈q73's curve with
+    // the agg term bounded by the day key space
+    "q90_stream_join_agg_replay",
     // q89: one (user,bucket) close shuffle over events + a spine
     // bounded by users × hours — expected ≈linear in the scan with a
     // clock-bounded (not volume-bounded) grid term

@@ -1352,13 +1352,98 @@ object StreamReplay {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** MULTI-STATEFUL STREAMING PIPELINE — a watermarked stream-stream
+    * INNER join CHAINED INTO a windowed aggregation inside ONE
+    * streaming query (Spark's multiple-stateful-operator support,
+    * SPARK-40925 — before it, join→agg required two queries and an
+    * intermediate sink; q73-q88 each exercise a single stateful
+    * operator). The pipeline is the canonical attribution rollup:
+    * view→purchase conversions within 12 h (q73's join, watermarked
+    * on both sides) aggregated to daily revenue. Emission composes
+    * BOTH operators' watermark semantics: the join's output
+    * watermark is the MIN of its sides' (q82's two-sided
+    * observation), and the downstream day window finalizes when THAT
+    * passes its end — so with 0-second delays the emitted windows
+    * are exactly those with `window_end ≤ least(max view ts,
+    * max purchase ts)`, and the oracle spells the batch join + GROUP
+    * BY under that one predicate. The hash gate therefore pins the
+    * watermark PROPAGATION rule through the operator chain, which no
+    * single-operator replay can see.
+    *
+    * Scale shape: join state is user-keyed open 12 h windows (q73),
+    * agg state the bounded day × 1 key space (q71) — both evict at
+    * the watermark; one user shuffle + one window shuffle, the same
+    * two a batch plan pays.
+    */
+  val q90StreamJoinAggReplay = Q(
+    "q90_stream_join_agg_replay",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events
+      |), v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |mx AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) AS m),
+      |j AS (
+      |  SELECT p.ts AS pts, v.event_id AS view_id, p.event_id AS purchase_id,
+      |         p.value AS pvalue
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+      |)
+      |SELECT CAST(date_trunc('day', pts) AS TIMESTAMP) AS window_start,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(min(view_id) AS BIGINT) AS first_view,
+      |  CAST(max(purchase_id) AS BIGINT) AS last_purchase,
+      |  CAST(sum(CAST(pvalue AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM j, mx
+      |GROUP BY 1, mx.m
+      |HAVING window_start + INTERVAL 1 DAY <= mx.m
+      |ORDER BY window_start""".stripMargin
+  ) { (s, d) =>
+    joinAggReplay(s, eventsStream(s, d), "q90")
+  }
+
+  /** The q90 kernel both geometries share: watermarked view⋈purchase
+    * inner join chained into the daily revenue window, one query.
+    */
+  private[graft] def joinAggReplay(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    def side(t: String, p: String) =
+      src.filter(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").as(s"${p}_ts"), col("value").as(s"${p}_value"))
+        .withWatermark(s"${p}_ts", "0 seconds")
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+      col("view_user") === col("purchase_user")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
+    val agg = joined
+      .groupBy(window(col("purchase_ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("view_id")).as("first_view"),
+        max(col("purchase_id")).as("last_purchase"),
+        sum(Exact.d2(col("purchase_value"))).cast("double").as("revenue"))
+      .select(col("w.start").as("window_start"), col("n_pairs"),
+        col("first_view"), col("last_purchase"), col("revenue"))
+    fileSinkReplay(s, agg, name).orderBy(col("window_start"))
+  }
+
+  /** [[orderedEventsChunkStream]]'s geometry for q90 — BOTH stateful
+    * operators evict between triggers (join state drops closed 12 h
+    * windows, agg state finalizes closed days), the shape that keeps
+    * the pipeline bounded where the single-batch replay holds the
+    * whole history in join state.
+    */
+  private[graft] def joinAggReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    joinAggReplay(s, orderedEventsChunkStream(s, d, nChunks), "chunked_joinagg")
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
-    q88StreamSessionReplay)
+    q88StreamSessionReplay, q90StreamJoinAggReplay)
 }
  
  

@@ -152,6 +152,19 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
     assert(single.nonEmpty, "fixture produced no finalized sessions")
   }
 
+  test("chunked q90 join→agg multi-stateful pipeline equals the single-batch replay") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(SparkEntry.queries("q90_stream_join_agg_replay")(spark, dir))
+    val chunked = rows(graft.operators.StreamReplay
+      .joinAggReplayChunked(spark, dir, nChunks = 6))
+    assert(chunked == single,
+      s"chunked join→agg diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no finalized day windows")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
