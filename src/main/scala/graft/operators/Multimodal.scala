@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO defaults to a DISK-backed stream cache — one temp file
+    * per read, created and deleted inside the hot per-row loop. The
+    * codec objects (BmpRleCodec/GifLzwCodec/MediaPipeline) each
+    * carry this guard; the inline ImageIO.read cross-checks here
+    * (m27/m28/m30) need it too (review r11).
+    */
+  private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** The modality join: documents ⋈ embeddings on id, emitting one
     * typed multimodal row (text stats + vector stats + labels).
     * Equi join between co-partitionable tables — at scale both sides
@@ -1950,7 +1958,7 @@ object Multimodal {
     import graft.multimodal.JpegCodec
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it => noDiskCache; it.map { id =>
         val blocks = Array.tabulate(4) { b =>
           val blk = new Array[Int](64)
           blk(0) = (((id * 7 + b * 13) % 33) - 16).toInt
@@ -1988,7 +1996,7 @@ object Multimodal {
           deq.map(_(0).toLong).sum,
           deq.map(_.drop(1).count(_ != 0).toLong).sum,
           deq.flatten.mkString(","))
-      })
+      } }
       .toDF("media_id", "n_blocks", "dc_sum_deq", "n_nonzero_ac", "coeff_csv")
       .select(col("media_id"), col("n_blocks"), col("dc_sum_deq"),
         col("n_nonzero_ac"), md5(col("coeff_csv")).as("coeff_md5"))
@@ -2033,7 +2041,7 @@ object Multimodal {
     import graft.multimodal.PngCodec
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it => noDiskCache; it.map { id =>
         val px = Array.tabulate(256) { k =>
           val y = k / 16; val x = k % 16
           ((id * 31 + y * 17 + x * 7) % 256).toInt
@@ -2059,7 +2067,7 @@ object Multimodal {
           k += 1
         }
         (id, 256L, px.mkString(","), filtersOk, ok)
-      })
+      } }
       .toDF("media_id", "n_px", "px_csv", "filters_ok", "imageio_ok")
       .select(col("media_id"), col("n_px"), md5(col("px_csv")).as("px_md5"),
         col("filters_ok").cast("int").as("filters_ok"),
@@ -2110,7 +2118,7 @@ object Multimodal {
     import graft.multimodal.PngCodec
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it => noDiskCache; it.map { id =>
         val pal = Array.tabulate(16) { i =>
           (((id * 11 + i * 23) % 256).toInt << 16) |
             (((id * 7 + i * 5) % 256).toInt << 8) |
@@ -2137,7 +2145,7 @@ object Multimodal {
           k += 1
         }
         (id, 256L, idx.mkString(","), pal.mkString(","), filtersOk, ok)
-      })
+      } }
       .toDF("media_id", "n_px", "idx_csv", "pal_csv", "filters_ok", "imageio_ok")
       .select(col("media_id"), col("n_px"), md5(col("idx_csv")).as("idx_md5"),
         md5(col("pal_csv")).as("pal_md5"),

@@ -1778,8 +1778,10 @@ object Similarity {
          |FROM edges e LEFT JOIN edges r ON e.src_id = r.dst_id AND e.dst_id = r.src_id
          |ORDER BY e.src_id, e.k""".stripMargin }
   ) { (s, d) =>
-    knnGraphFrom(AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+    // pass the CACHED frame itself — a column-reordering select would
+    // defeat knnGraphFrom's unpersist (CacheManager's non-cascade
+    // sameResult match needs the exact cached plan; review r11)
+    knnGraphFrom(AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d)))
   }
 
   /** s22's graph construction over any (vec_id, embedding, nrm, cell)
@@ -1842,8 +1844,7 @@ object Similarity {
     */
   private[graft] def knnScoredProbe(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    knnScored(AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+    knnScored(AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d)))
 
   /** s22 at the PRODUCTION knob — trained k-means cells
     * ([[AnnKmeans.trainedFinParam]], the d11/s04 machinery with the
@@ -1856,8 +1857,7 @@ object Similarity {
     */
   private[graft] def knnGraphParam(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): org.apache.spark.sql.DataFrame =
-    knnGraphFrom(AnnKmeans.trainedFinParam(s, d, k)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+    knnGraphFrom(AnnKmeans.trainedFinParam(s, d, k))
 
   /** The number of unrolled greedy steps s23 runs — a CAP, not a
     * truncation: the walk's cosine strictly increases on every move,
@@ -1945,8 +1945,10 @@ object Similarity {
          |  CAST(moves AS BIGINT) AS n_moves
          |FROM w$GraphAnnSteps ORDER BY query_id""".stripMargin }
   ) { (s, d) =>
+    // no reordering select: fin IS the cached plan, so the unpersist
+    // below genuinely releases it (review r11 — a projection defeats
+    // CacheManager's sameResult match)
     val fin = AnnKmeans.trainedFinParam(s, d, AnnKmeans.derivedK(s, d))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val adj = knnEdges(knnScored(fin)).select(col("src_id"), col("dst_id"))
       .join(fin.select(col("vec_id").as("dst_id"), col("embedding").as("dst_emb"),
         col("nrm").as("dst_nrm")), Seq("dst_id"))

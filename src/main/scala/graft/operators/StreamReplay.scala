@@ -54,14 +54,24 @@ object StreamReplay {
     * this at a durable store path and keep the checkpoint for
     * restart; the plan is identical.
     */
-  private[graft] def fileSinkReplay(s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+  /** Per-run replay temp directory under java.io.tmpdir (or
+    * SPARK_GRAFT_REPLAY_DIR), removed on JVM exit — the ONE place
+    * that owns root resolution + the cleanup hook (review r11: three
+    * inline copies had accumulated).
+    */
+  private[graft] def tempReplayDir(name: String): java.nio.file.Path = {
     val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     java.nio.file.Files.createDirectories(root)
     val base = java.nio.file.Files.createTempDirectory(root, s"graft_${name}_")
     cleanupOnExit(base)
+    base
+  }
+
+  private[graft] def fileSinkReplay(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val base = tempReplayDir(name)
     val out = base.resolve("out").toString
     val query = df.writeStream
       .format("parquet")
@@ -948,13 +958,7 @@ object StreamReplay {
     */
   private[graft] def orderedEventsChunkStream(s: org.apache.spark.sql.SparkSession,
       d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
-    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-    java.nio.file.Files.createDirectories(root)
-    val ordered = java.nio.file.Files.createTempDirectory(root, "graft_q82ord_")
-    cleanupOnExit(ordered)
-    val orderedDir = ordered.resolve("events").toString
+    val orderedDir = tempReplayDir("q82ord").resolve("events").toString
     graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
         col("value"))
@@ -1131,12 +1135,7 @@ object StreamReplay {
       agg: org.apache.spark.sql.DataFrame, keys: Seq[String],
       name: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-    java.nio.file.Files.createDirectories(root)
-    val base = java.nio.file.Files.createTempDirectory(root, s"graft_${name}_")
-    cleanupOnExit(base)
+    val base = tempReplayDir(name)
     val out = base.resolve("out").toString
     val logSchema = StructType(agg.schema.fields :+ StructField("batch_id", LongType))
     val query = agg.writeStream
@@ -1239,13 +1238,7 @@ object StreamReplay {
       |WHERE n_events > 3 AND n_events < 10
       |ORDER BY user_id, event_type""".stripMargin
   ) { (s, d) =>
-    val root = sys.env.get("SPARK_GRAFT_REPLAY_DIR")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-    java.nio.file.Files.createDirectories(root)
-    val base = java.nio.file.Files.createTempDirectory(root, "graft_q87_")
-    cleanupOnExit(base)
-    val ckpt = base.resolve("ckpt").toString
+    val ckpt = tempReplayDir("q87").resolve("ckpt").toString
     val agg = eventsStream(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -1322,14 +1315,24 @@ object StreamReplay {
       |WHERE session_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
       |ORDER BY user_id, session_start""".stripMargin
   ) { (s, d) =>
-    val agg = eventsStream(s, d)
+    sessionReplay(s, eventsStream(s, d), "q88")
+  }
+
+  /** The q88 kernel both geometries share: the watermarked 8 h
+    * session-window aggregate through the file sink (the
+    * dayAggReplay/joinAggReplay discipline — one spelling, two
+    * geometries, so the chunked==single-batch pin can never drift).
+    */
+  private[graft] def sessionReplay(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val agg = src
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
       .agg(count(lit(1)).as("n_events"),
         sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
-    fileSinkReplay(s, agg, "q88")
+    fileSinkReplay(s, agg, name)
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -1340,17 +1343,8 @@ object StreamReplay {
     * chunks are ts-range-disjoint so no row is ever late.
     */
   private[graft] def sessionReplayChunked(s: org.apache.spark.sql.SparkSession,
-      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
-    val agg = orderedEventsChunkStream(s, d, nChunks)
-      .withWatermark("ts", "0 seconds")
-      .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
-    fileSinkReplay(s, agg, "chunked_session")
-      .orderBy(col("user_id"), col("session_start"))
-  }
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    sessionReplay(s, orderedEventsChunkStream(s, d, nChunks), "chunked_session")
 
   /** MULTI-STATEFUL STREAMING PIPELINE — a watermarked stream-stream
     * INNER join CHAINED INTO a windowed aggregation inside ONE
@@ -1445,5 +1439,3 @@ object StreamReplay {
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
     q88StreamSessionReplay, q90StreamJoinAggReplay)
 }
- 
- 

@@ -1664,7 +1664,7 @@ object TextAnalysis {
          |  SELECT doc_id,
          |    CAST(len($toks) AS BIGINT) AS n_words,
          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
-         |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
          |    CAST(len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop,
          |    CAST(length(text) - length(replace(text, '#', ''))
          |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
@@ -1686,7 +1686,7 @@ object TextAnalysis {
     val tk = tokens(col("text"))
     val nWords = size(tk).cast("long")
     val nCharsNs = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val nAlpha = size(filter(tk, t => t.rlike("[a-z]"))).cast("long")
+    val nAlpha = size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("long")
     val stopwords = Seq("the", "a", "of", "to", "and")
     val nStop = size(filter(tk, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
     // literal (non-regex) replace mirrors DuckDB's replace() exactly;

@@ -31,6 +31,14 @@ _I64_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
 
 def type_tag(duck_type):
     t = str(duck_type).upper()
+    # LIST columns carry their ELEMENT type's tag: a HUGEINT nested in
+    # a list is the same q38 class as a top-level one, and dropping
+    # the tag at the recursion boundary would re-open exactly the
+    # blind spot this tagging closed (review r11). Struct/map element
+    # types stay untagged (no oracle emits integer-ambiguous nesting
+    # there; revisit if one does).
+    if t.endswith("[]"):
+        return type_tag(t[:-2])
     if t in _I64_TYPES:
         return "i:"
     if t in ("HUGEINT", "UHUGEINT"):
@@ -54,7 +62,7 @@ def canon(v, tag=""):
             v = 0.0
         return f"f:{v:.17g}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        return "[" + ",".join(canon(x, tag) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
     return tag + str(v)
