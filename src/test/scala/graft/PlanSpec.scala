@@ -798,4 +798,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"doc-label join must stay an equi-join:\n$p")
   }
+
+  test("t27: the Gopher rule flags are a pure scan-side projection — zero shuffles") {
+    val p = plan("t27_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row rule flags must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row filter:\n$p")
+  }
+
+  test("p13: apportionment's rank window runs over the domain table, never the corpus") {
+    val p = plan("p13_apportionment")
+    // the corpus contributes exactly one two-phase count; the window
+    // and the deficit comparison run over the |sources|-row frame
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"per-source count is not two-phase:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total/deficit sides must broadcast:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1, s"rank window missing:\n$p")
+  }
+
+  test("q89: the gap-fill spine joins without a cartesian and fills in one user window") {
+    val p = plan("q89_resample_ffill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spine ⋈ close must stay an equi-join:\n$p")
+    // close pick: a (user, bucket) window; fill: a user window —
+    // both present, and nothing else window-shaped sneaks in
+    assert("Window".r.findAllIn(p).length >= 2, s"expected close+fill windows:\n$p")
+  }
+
+  test("c23: the compaction digest is a two-phase aggregate over the compacted scan") {
+    val p = plan("c23_compact")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"digest must aggregate:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the digest:\n$p")
+  }
 }
