@@ -404,6 +404,20 @@ object ScaleProbe {
     "q86_wide_chunked" -> (() =>
       graft.operators.StreamReplay.updateAggReplayChunked(s, dir, nChunks = 24)),
     "s22_wide_k256" -> (() => graft.operators.Similarity.knnGraphParam(s, dir, k = 256)),
+    // write-cost decomposition (round-11 verdict #3): the q88/q90
+    // stateful kernels with the file sink replaced by a count-only
+    // drain — pairing these timings with the registered replays at
+    // the same scale separates the state-merge term from the
+    // emitted-row sink write (q88's 4.43x second decade carried 4.7M
+    // sessions THROUGH the sink; this isolates what state cost)
+    "q88_drain_only" -> (() => graft.operators.StreamReplay.sessionReplayDrainOnly(s, dir)),
+    "q90_drain_only" -> (() => graft.operators.StreamReplay.joinAggReplayDrainOnly(s, dir)),
+    // c23 at the promised 100 TB shape: hive-partitioned fragment, one
+    // independent compaction cycle per source= prefix (Hadoop
+    // FileSystem listing, per-prefix collapse require, per-prefix
+    // digest vs the original slice) — the datum is the per-prefix
+    // stats frame with digest_ok all true
+    "c23_prefix_compact" -> (() => graft.operators.Curation.compactPerPrefix(s, dir)),
     // DPP at scale: writes the day-partitioned copy + dim table, runs
     // the join DPP-on and DPP-off — the datum is the 2-row metrics
     // frame (files/rows scanned each way), the timing is write+probe

@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * — followed by the same cell-probe top-3 search as s03. Every step
   * is expressible bit-identically in both engines:
   *
-  *  - assignment: argmax-by-dot — Spark scores the k inline-literal
-  *    centroids per row and takes the first array-max position (a
-  *    zero-shuffle projection; ties → lowest cid because the model
-  *    is cid-sorted), the oracle spells the same rule as
+  *  - assignment: argmax-by-dot — Spark scores the k centroids per
+  *    row in one [[graft.functions.ArgmaxDot]] kernel (a zero-shuffle
+  *    projection; ties → lowest cid because the model is cid-sorted),
+  *    the oracle spells the same rule as
   *    row_number() over (dot DESC, cid); dot = FloatDoubleVecDot ≡
   *    DuckDB list_reduce fold;
   *  - update: per-dimension means via SCALED-INTEGER sums —
@@ -28,12 +28,30 @@ import org.apache.spark.sql.functions._
   *    ROUNDS while Spark truncates — so the cast only ever sees an
   *    already-integral value).
   *
+  * TRAINING IS SAMPLE-BOUNDED (round-11 verdict #1): Lloyd's
+  * assignment costs n_train · k dots per iteration, and the derived
+  * knob sets k ∝ n — full-corpus training was therefore O(n²/256),
+  * quadratic in the corpus. Both engines now train on the
+  * DETERMINISTIC prefix sample `vec_id < min(64·k, 65536)` (64 rows
+  * per centroid, capped — the SemDeDup/FAISS discipline: a fixed
+  * per-cell sample suffices for centroid placement) and assign the
+  * FULL corpus exactly once, so training is O(Iters · min(64k, cap) · k)
+  * — once the cap binds, LINEAR in n (k ∝ n, S fixed) — and the
+  * one-time full assignment is the standard IVF n·k indexing pass.
+  * At the oracle scales the sample bound exceeds the corpus (S=512 ≥
+  * 500 rows), so registered results are unchanged; the SPELLING is
+  * the scale-safe one in both engines.
+  *
   * Scale: per-iteration work is one zero-shuffle assignment
-  * projection + one explode-aggregate (k×dim groups) — all
-  * shuffle-bounded by the corpus, no driver-side data; the driver
-  * holds only the k×dim model (the same contract as MLlib's KMeans).
-  * At 100 TB you train on a sample and assign the full corpus once;
-  * the assignment + probe here IS that full-corpus path.
+  * projection over the sample + one explode-aggregate (k×dim
+  * groups). The k×dim model travels as a plan LITERAL below
+  * [[LiteralModelMaxK]] (model-sized, the MLlib KMeans contract) and
+  * as a ONE-ROW BROADCAST FRAME above it ([[trainedFinBroadcast]] —
+  * the plan stays k-independent and the centroid update never
+  * touches the driver; ~40 MB of typedlit at k≈78k would bloat every
+  * plan and re-serialize per stage). The two paths are bit-identical
+  * (AnnKmeansSpec pins it): same ArgmaxDot kernel, same cid-sorted
+  * tie rule, same exact scaled-integer means.
   */
 object AnnKmeans {
 
@@ -41,13 +59,38 @@ object AnnKmeans {
   private val Iters = 3
   private val Scale = "1048576.0" // 2^20 — exact power-of-two scaling
 
-  private def sqlAssign(k: Int): String =
+  /** Training-sample rows per centroid (S = min(64·k, [[TrainCap]])). */
+  private[graft] val TrainPerCentroid = 64
+
+  /** Absolute training-sample bound — once this binds, per-iteration
+    * training cost is cap·k: linear in the corpus under the derived
+    * knob (k ∝ n).
+    */
+  private[graft] val TrainCap = 65536L
+
+  /** The deterministic training-sample bound: the first
+    * min(64·k, 65536) vec_ids. A prefix (not a hash-sample) so the
+    * DuckDB oracle spells it as the identical `vec_id < S` filter.
+    */
+  private[graft] def trainBound(k: Int): Long =
+    math.min(TrainPerCentroid.toLong * k, TrainCap)
+
+  /** Above this k the centroid model rides as a one-row broadcast
+    * frame instead of a `typedlit` plan literal, and the Lloyd update
+    * runs fully distributed (no per-iteration driver collect). 1024
+    * centroids × 64 dims ≈ 0.5 MB of literal — the comfortable
+    * ceiling for a plan constant; the derived knob crosses it at
+    * ~262k vectors.
+    */
+  private[graft] val LiteralModelMaxK = 1024
+
+  private def sqlAssign(k: Int, src: String): String =
     s"""a$k AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cid AS cell,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${sqlDot("e.embedding", "c.cent")} DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN c${k - 1} c
+       |    FROM $src e CROSS JOIN c${k - 1} c
        |  ) WHERE rn = 1
        |)""".stripMargin
 
@@ -81,13 +124,21 @@ object AnnKmeans {
     * the knob from the corpus count exactly like the Spark side.
     */
   private[operators] def sqlFinCtesK(kSql: String): String = {
-    val iters = (1 to Iters).map(k => s"${sqlAssign(k)}, ${sqlUpdate(k)}").mkString(",\n")
-    s"""c0 AS (
+    // training assignments (a1..aIters) score only the deterministic
+    // prefix sample; the FINAL assignment (a{Iters+1}) scores the full
+    // corpus once — the same split trainedFinParam runs
+    val iters = (1 to Iters)
+      .map(k => s"${sqlAssign(k, "trainset")}, ${sqlUpdate(k)}").mkString(",\n")
+    s"""trainset AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < least($TrainPerCentroid * ($kSql), $TrainCap)
+       |),
+       |c0 AS (
        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
        |  FROM embeddings WHERE vec_id < $kSql
        |),
        |$iters,
-       |${sqlAssign(Iters + 1)},
+       |${sqlAssign(Iters + 1, "embeddings")},
        |fin AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm, cell
        |  FROM a${Iters + 1}
@@ -167,13 +218,28 @@ object AnnKmeans {
     * k ≈ 11k on 100M docs). The oracle-registered s04/d11 pin k = 8,
     * right-sized for the 500-row oracle corpus; ScaleProbe's
     * d11_wide_k64 runs the production reconfiguration at sf1.
+    * Training is sample-bounded (see object Scaladoc); the model path
+    * switches from plan literal to one-row broadcast frame above
+    * [[LiteralModelMaxK]] — both paths are bit-identical
+    * (AnnKmeansSpec).
     */
   private[graft] def trainedFinParam(s: org.apache.spark.sql.SparkSession,
+      d: String, K: Int): DataFrame =
+    if (K <= LiteralModelMaxK) trainedFinLiteral(s, d, K)
+    else trainedFinBroadcast(s, d, K)
+
+  /** The literal-model path: the k×dim model lives on the driver (the
+    * MLlib KMeans contract) and rides into the assignment projection
+    * as a `typedlit` — corpus data never touches the driver.
+    */
+  private[graft] def trainedFinLiteral(s: org.apache.spark.sql.SparkSession,
       d: String, K: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
+    // deterministic prefix sample: Lloyd only ever scores these rows
+    val train = emb.filter(col("vec_id") < trainBound(K))
 
-    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    def assign(input: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
       // score against the k×dim driver-side model in ONE ArgmaxDot
       // kernel: assignment stays a pure zero-shuffle projection, and
       // the generated code is k-INDEPENDENT. Two prior shapes both
@@ -189,20 +255,18 @@ object AnnKmeans {
       // the same left fold, so scores — and the oracle hash — are
       // bit-identical.
       val cs = cents.sortBy(_._1)
-      emb.select(col("vec_id"), col("embedding"),
+      input.select(col("vec_id"), col("embedding"),
         graft.functions.ArgmaxDot(col("embedding"),
           typedlit(cs.map(_._2)), typedlit(cs.map(_._1))).as("cell"))
     }
 
-    // the k×dim model lives on the driver (the MLlib KMeans contract);
-    // corpus data never does
     var cents: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < K)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
       .map { case (id, v) => (id, v.map(_.toDouble)) }
 
     for (_ <- 1 to Iters) {
-      val means = assign(cents)
+      val means = assign(train, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), (col("pos") + 1).as("dim"))
         .agg((sum(floor(col("v").cast("double") * Scale.toDouble).cast("long")).cast("double")
@@ -214,7 +278,65 @@ object AnnKmeans {
       }
     }
 
-    assign(cents)
+    assign(emb, cents)
+      .withColumn("nrm", norm(col("embedding")))
+      .cache() // final assignment feeds every consumer's join sides
+  }
+
+  /** The broadcast-model path (k > [[LiteralModelMaxK]]): centroids
+    * stay a k-row FRAME end to end — the Lloyd update is the same
+    * explode-aggregate spelled distributed (exact scaled-integer
+    * means, COALESCE onto the previous centroid, rebuilt in dim
+    * order), and assignment crossJoins the corpus against the ONE-ROW
+    * cid-sorted model frame (a broadcast nested-loop join over a
+    * single build row ≡ a map), feeding the identical ArgmaxDot
+    * kernel. The plan carries no k-sized literal and no stage ever
+    * collects the model; each iteration's k-row centroid frame is
+    * localCheckpoint-ed so the 3-iteration lineage stays flat.
+    */
+  private[graft] def trainedFinBroadcast(s: org.apache.spark.sql.SparkSession,
+      d: String, K: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val train = emb.filter(col("vec_id") < trainBound(K))
+
+    // one row: (m_cents sorted by cid, m_cids) — ArgmaxDot's contract
+    def modelOf(centFrame: DataFrame): DataFrame =
+      centFrame
+        .agg(sort_array(collect_list(struct(col("cid"), col("cent")))).as("m"))
+        .select(transform(col("m"), x => x.getField("cent")).as("m_cents"),
+          transform(col("m"), x => x.getField("cid")).as("m_cids"))
+
+    def assign(input: DataFrame, centFrame: DataFrame): DataFrame =
+      input.crossJoin(broadcast(modelOf(centFrame)))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.ArgmaxDot(col("embedding"),
+            col("m_cents"), col("m_cids")).as("cell"))
+
+    // the distributed Lloyd update — the same algebra as the literal
+    // path's collect-and-rebuild, row-for-row: exact order-free means
+    // per (cell, dim), empty cells keep their previous centroid
+    def update(assigned: DataFrame, centFrame: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), (col("pos") + 1).as("mdim"))
+        .agg((sum(floor(col("v").cast("double") * Scale.toDouble).cast("long")).cast("double")
+          / count(lit(1)).cast("double") / Scale.toDouble).as("m"))
+      centFrame
+        .select(col("cid"), posexplode(col("cent")).as(Seq("p0", "prev")))
+        .select(col("cid"), (col("p0") + 1).as("dim"), col("prev"))
+        .join(means, col("cid") === col("cell") && col("dim") === col("mdim"), "left")
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"),
+          coalesce(col("m"), col("prev")).as("v")))), x => x.getField("v")).as("cent"))
+    }
+
+    var centFrame = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to Iters)
+      centFrame = update(assign(train, centFrame), centFrame).localCheckpoint()
+
+    assign(emb, centFrame)
       .withColumn("nrm", norm(col("embedding")))
       .cache() // final assignment feeds every consumer's join sides
   }

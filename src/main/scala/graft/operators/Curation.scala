@@ -1814,9 +1814,13 @@ object Curation {
     *
     * Scale shape: both writes are one shuffle each (the rewrite's
     * repartition IS the bin-pack); the digest is a two-phase agg.
-    * At 100 TB the same rewrite runs per partition/prefix so the
-    * unit of work stays bounded; file-count evidence is spec/probe
-    * territory (no oracle can see a directory listing).
+    * At 100 TB the same rewrite runs per partition/prefix —
+    * [[compactPrefix]] is that unit of work (Hadoop `FileSystem`
+    * listing, so the same code runs against hdfs://, s3a://, or
+    * file:// prefixes) and [[compactPerPrefix]] drives it across a
+    * hive-partitioned table's prefixes independently (probe +
+    * CompactionSpec); file-count evidence is spec/probe territory
+    * (no oracle can see a directory listing).
     */
   val c23Compact = Q(
     "c23_compact",
@@ -1829,29 +1833,91 @@ object Curation {
     val comp = base.resolve("compact").toString
     Tables.documents(s, d).repartition(64)
       .write.mode("overwrite").parquet(frag)
-    def partFiles(dir: String): Array[java.io.File] =
-      new java.io.File(dir).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-    val before = partFiles(frag)
-    val targetBytes = 128L * 1024 * 1024
-    val nOut = math.max(1L, (before.map(_.length).sum + targetBytes - 1) / targetBytes).toInt
-    s.read.parquet(frag).repartition(nOut)
-      .write.mode("overwrite").parquet(comp)
-    val after = partFiles(comp).length
-    // the collapse assertion applies only while the bin-pack target
-    // is genuinely below the fragment count — past ~8 GiB of corpus
-    // (64 x 128 MiB) the rewrite's job is packing, not count
-    // reduction, and nOut >= 64 is the CORRECT outcome (review r11:
-    // the unconditional require would crash exactly at scale)
-    if (nOut < before.length)
-      require(after < before.length,
-        s"compaction did not collapse files: $after vs ${before.length}")
+    compactPrefix(s, frag, comp)
     s.read.parquet(comp)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
           .as("content_xor"))
       .orderBy(col("source"))
+  }
+
+  /** ONE PREFIX's compaction cycle — the 100 TB unit of work: list
+    * the prefix's part files through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * of the path's OWN scheme (java.io.File only ever worked on the
+    * local demo, and its listFiles() returns null instead of an error
+    * — round-11 advice; FileSystem.listStatus throws a
+    * FileNotFoundException naming the path), bin-pack rewrite at
+    * `targetBytes` per file, and require the collapse exactly when
+    * the pack target is below the fragment count (past that, packing
+    * — not count reduction — is the correct outcome). Returns
+    * (filesBefore, binPackTarget, filesAfter).
+    */
+  private[graft] def compactPrefix(s: org.apache.spark.sql.SparkSession,
+      frag: String, comp: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+    val fragPath = new org.apache.hadoop.fs.Path(frag)
+    val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def partFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val before = partFiles(fragPath)
+    require(before.nonEmpty, s"c23: no part files under $frag")
+    // metadata-only sizing: the listing already carries the lengths
+    val nOut = math.max(1L,
+      (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(frag).repartition(nOut)
+      .write.mode("overwrite").parquet(comp)
+    val after = partFiles(new org.apache.hadoop.fs.Path(comp)).length
+    if (nOut < before.length)
+      require(after < before.length,
+        s"compaction did not collapse files under $frag: $after vs ${before.length}")
+    (before.length, nOut, after)
+  }
+
+  /** PER-PREFIX compaction over a hive-partitioned table — the shape
+    * the Scaladoc promises at 100 TB: fragment the documents table
+    * into `source=…` prefixes, compact EACH prefix independently
+    * ([[compactPrefix]] per directory, its own collapse `require`
+    * each), and prove per-prefix bit-losslessness by digesting every
+    * compacted prefix against the original table's same-source slice.
+    * Returns one row per prefix:
+    * (prefix, files_before, files_after, n_rows, digest_ok).
+    */
+  private[graft] def compactPerPrefix(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = StreamReplay.tempReplayDir("c23px")
+    val frag = base.resolve("frag").toString
+    val comp = base.resolve("compact").toString
+    val docs = Tables.documents(s, d)
+    docs.repartition(16)
+      .write.mode("overwrite").partitionBy("source").parquet(frag)
+    val fragPath = new org.apache.hadoop.fs.Path(frag)
+    val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prefixes = fs.listStatus(fragPath)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("source=")).sorted
+    require(prefixes.length >= 2,
+      s"per-prefix probe needs >=2 prefixes, got ${prefixes.toSeq}")
+    val digestCol = expr(
+      "bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
+    val origDigests = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), digestCol.as("content_xor"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = prefixes.map { p =>
+      val (nb, _, na) = compactPrefix(s, s"$frag/$p", s"$comp/$p")
+      val src = p.stripPrefix("source=")
+      val got = s.read.parquet(s"$comp/$p")
+        .agg(count(lit(1)).as("n_rows"), digestCol.as("content_xor"))
+        .head()
+      val ok = origDigests(src) == ((got.getLong(0), got.getLong(1)))
+      (p, nb, na, got.getLong(0), ok)
+    }
+    rows.toSeq
+      .toDF("prefix", "files_before", "files_after", "n_rows", "digest_ok")
+      .orderBy(col("prefix"))
   }
 
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,

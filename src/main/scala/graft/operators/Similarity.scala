@@ -1745,7 +1745,12 @@ object Similarity {
     * by the occupancy knob, which since round 11 is DERIVED INSIDE
     * THE QUERY: cells = max(8, ceil(n / 256)) from a corpus count
     * ([[AnnKmeans.derivedK]] / [[AnnKmeans.sqlDerivedK]] — the same
-    * count in both spellings), over s04's trained k-means cells. The
+    * count in both spellings), over s04's trained k-means cells.
+    * Since round 12 the k-means TRAINING under that derived knob is
+    * sample-bounded (vec_id < min(64·k, 65536) in both spellings —
+    * [[AnnKmeans.trainBound]]): full-corpus Lloyd at k ∝ n was an
+    * O(n²/256) indexing term; the sample cap makes training linear
+    * and leaves one full-corpus n·k assignment pass. The
     * registered spelling IS the scale-safe configuration — no human
     * sets k ([[knnGraphParam]] remains for fixed-knob decade
     * pairings, ScaleProbe's s22_wide_k64/k256). The candidate pairs are
@@ -1840,7 +1845,11 @@ object Similarity {
 
   /** The scored within-cell candidate pairs of the REGISTERED s22
     * (trained cells at the derived knob) — the spec's plan-pin entry
-    * point.
+    * point. CALLER CONTRACT: the trained assignment underneath is
+    * cached and this probe cannot release it (unlike the registered
+    * s22/s23, which unpersist after their checkpoint) — probe/spec
+    * callers must `spark.catalog.clearCache()` when done, or the
+    * cached copy lives until JVM exit (round-11 advice).
     */
   private[graft] def knnScoredProbe(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =

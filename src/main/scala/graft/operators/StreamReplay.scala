@@ -1324,16 +1324,58 @@ object StreamReplay {
     * geometries, so the chunked==single-batch pin can never drift).
     */
   private[graft] def sessionReplay(s: org.apache.spark.sql.SparkSession,
-      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
-    val agg = src
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame =
+    fileSinkReplay(s, sessionAggOf(src), name)
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** q88's watermarked session aggregate, sink-agnostic — shared by
+    * the registered file-sink replay and the count-only drain probe.
+    */
+  private def sessionAggOf(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    src
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
       .agg(count(lit(1)).as("n_events"),
         sum(Exact.d2(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
-    fileSinkReplay(s, agg, name)
-      .orderBy(col("user_id"), col("session_start"))
+
+  /** COUNT-ONLY terminal for a streaming frame — the write-cost
+    * decomposition instrument (round-11 verdict #3): the same
+    * stateful pipeline runs to completion, but each micro-batch is
+    * drained through a count (which processes EVERY partition, so
+    * state commits — the q87 discipline) instead of the parquet file
+    * sink. Probing drain vs file-sink at the same scale separates the
+    * STATE term (merge/join/agg cost, measured here) from the SINK
+    * term (the emitted-row write, the difference). Returns the total
+    * emitted rows.
+    */
+  private[graft] def drainCount(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, name: String): Long = {
+    val base = tempReplayDir(name)
+    val acc = s.sparkContext.longAccumulator(s"graft_drain_$name")
+    val query = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.add(batch.count())
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    acc.value
+  }
+
+  /** q88's kernel through the count-only drain — ScaleProbe pairs its
+    * timing with q88_stream_session_replay's at the same scale; the
+    * one-row result carries the emitted-session count so the decade
+    * table shows the output the sink would have written.
+    */
+  private[graft] def sessionReplayDrainOnly(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val n = drainCount(s, sessionAggOf(eventsStream(s, d)), "q88drain")
+    Seq(n).toDF("n_sessions")
   }
 
   /** [[orderedEventsChunkStream]]'s geometry for q88 — sessions
@@ -1400,7 +1442,13 @@ object StreamReplay {
     * inner join chained into the daily revenue window, one query.
     */
   private[graft] def joinAggReplay(s: org.apache.spark.sql.SparkSession,
-      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame =
+    fileSinkReplay(s, joinAggOf(src), name).orderBy(col("window_start"))
+
+  /** q90's join→agg pipeline, sink-agnostic (same split as
+    * [[sessionAggOf]] — the drain probe reuses it).
+    */
+  private def joinAggOf(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def side(t: String, p: String) =
       src.filter(col("event_type") === t)
         .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
@@ -1418,7 +1466,17 @@ object StreamReplay {
         sum(Exact.d2(col("purchase_value"))).cast("double").as("revenue"))
       .select(col("w.start").as("window_start"), col("n_pairs"),
         col("first_view"), col("last_purchase"), col("revenue"))
-    fileSinkReplay(s, agg, name).orderBy(col("window_start"))
+    agg
+  }
+
+  /** q90's kernel through the count-only drain (see
+    * [[sessionReplayDrainOnly]]).
+    */
+  private[graft] def joinAggReplayDrainOnly(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val n = drainCount(s, joinAggOf(eventsStream(s, d)), "q90drain")
+    Seq(n).toDF("n_windows")
   }
 
   /** [[orderedEventsChunkStream]]'s geometry for q90 — BOTH stateful

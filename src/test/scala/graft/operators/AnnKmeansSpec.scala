@@ -47,4 +47,41 @@ class AnnKmeansSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@3 = $mean, per-query = $recalls")
     spark.catalog.clearCache()
   }
+
+  test("training-sample bound: 64 rows per centroid, capped at 65536") {
+    assert(AnnKmeans.trainBound(8) === 512L)
+    assert(AnnKmeans.trainBound(1024) === 65536L)
+    assert(AnnKmeans.trainBound(100000) === 65536L) // cap binds: training linear in n under k ∝ n
+  }
+
+  test("literal and broadcast model paths are bit-identical under ACTIVE sampling") {
+    // sf0.1 has 2000 vectors; trainBound(16) = 1024 < 2000, so Lloyd
+    // genuinely trains on the prefix sample in both paths — a
+    // divergence in sample handling, tie rule, or mean algebra between
+    // the typedlit and broadcast-frame spellings fails here
+    val dir01 = "/root/testdata/sf0.1"
+    val lit = AnnKmeans.trainedFinLiteral(spark, dir01, 16)
+    val bc = AnnKmeans.trainedFinBroadcast(spark, dir01, 16)
+    val l = lit.select("vec_id", "cell", "nrm")
+    val b = bc.select("vec_id", "cell", "nrm")
+    assert(l.count() === 2000L)
+    assert(l.except(b).count() === 0L, "literal-path rows missing from broadcast path")
+    assert(b.except(l).count() === 0L, "broadcast-path rows missing from literal path")
+    lit.unpersist(blocking = false)
+    bc.unpersist(blocking = false)
+    spark.catalog.clearCache()
+  }
+
+  test("broadcast path carries no k-sized plan literal; model rides a broadcast join") {
+    val bc = AnnKmeans.trainedFinBroadcast(spark, "/root/testdata/sf0.001", 16)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "broadcast model path lost its one-row broadcast join")
+    // a typedlit model at k=16×64 dims would inline ~1024 doubles into
+    // the plan text; the broadcast spelling keeps the plan k-independent
+    assert(!plan.contains("argmax_dot([["),
+      "assignment inlined the centroid model as a plan literal")
+    bc.unpersist(blocking = false)
+    spark.catalog.clearCache()
+  }
 }

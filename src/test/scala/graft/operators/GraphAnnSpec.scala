@@ -17,7 +17,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - NON-VACUOUS: some walk moves ≥ 2 steps (the query set is
   *    chosen off the k-means seeds so entries differ from queries).
   */
-class GraphAnnSpec extends AnyFunSuite {
+class GraphAnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  // the trainedFinParam/knnScoredProbe calls below each register a
+  // cached k-means assignment; release them when the suite is done so
+  // repeated suite runs in one JVM don't accumulate cached copies
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

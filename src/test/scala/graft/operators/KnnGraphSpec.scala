@@ -16,7 +16,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *    min(3, |cell|-1) edges — nobody is silently dropped by the
   *    candidate join or the rank window.
   */
-class KnnGraphSpec extends AnyFunSuite {
+class KnnGraphSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  // knnScoredProbe registers a cached k-means assignment per call;
+  // release it when the suite is done (see the probe's Scaladoc)
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -276,6 +276,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(mid.toSeq == Seq((2L, 15.0)))
   }
 
+  test("q87 state-format pin: the agg buffer still exposes key(user_id,event_type)/value.count") {
+    // q87 reads `value.count` from the statestore reader — the field
+    // name of an INTERNAL aggregation buffer, not a public contract
+    // (round-11 verdict #4). Build the exact q86/q87-shaped checkpoint
+    // (streaming groupBy(user_id, event_type) + count in update mode)
+    // and pin the reader's key/value schema AND the buffer contents,
+    // so a Spark upgrade that renames or retypes the buffer fails
+    // here, in CI, instead of in the driver's correctness gate.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_q87pin").toString
+    val in = MemoryStream[EventRow](spark)
+    val agg = in.toDF()
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      // q87's commit discipline: drain every partition through noop
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 00:00:00", user = 1, typ = "click"),
+        ev(2, "2024-01-01 00:01:00", user = 1, typ = "click"),
+        ev(3, "2024-01-01 00:02:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    val key = state.schema("key").dataType.asInstanceOf[StructType]
+    val value = state.schema("value").dataType.asInstanceOf[StructType]
+    assert(key.fieldNames.toSeq == Seq("user_id", "event_type"),
+      s"statestore key layout drifted: ${key.fieldNames.toSeq} — update q87StatestoreRange")
+    assert(key("user_id").dataType == LongType)
+    assert(key("event_type").dataType == StringType)
+    assert(value.fieldNames.contains("count"),
+      s"agg buffer no longer exposes `count` (got ${value.fieldNames.toSeq}) — " +
+        "q87StatestoreRange reads value.count and must be updated with this Spark version")
+    assert(value("count").dataType == LongType,
+      s"agg buffer count retyped to ${value("count").dataType} — q87's BIGINT oracle cast breaks")
+    // and the buffer VALUES are the aggregates, not an internal encoding
+    val got = state.select(col("key.user_id"), col("key.event_type"), col("value.count"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "click", 2L), (2L, "view", 1L)),
+      s"state buffer contents drifted: $got")
+  }
+
   test("file source end-to-end: AvailableNow over the real events parquet") {
     import org.apache.spark.sql.functions.col
     // schema from the batch footer + the same typed ts normalization

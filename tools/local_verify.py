@@ -30,14 +30,22 @@ _I64_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
               "UTINYINT", "USMALLINT", "UINTEGER"}
 
 def type_tag(duck_type):
+    # LIST columns carry their ELEMENT type's tag and STRUCT columns a
+    # PER-FIELD tag dict: a HUGEINT nested in a list or struct is the
+    # same q38 class as a top-level one, and dropping the tag at either
+    # recursion boundary would re-open exactly the blind spot this
+    # tagging closed (list elements: review r11; struct fields:
+    # round-11 advice — the two branches are one line apart and there
+    # was no reason to close one and defer the other). Nested types are
+    # walked via DuckDBPyType.children, so arbitrarily deep
+    # list-of-struct-of-list nesting keeps its tags.
+    tid = getattr(duck_type, "id", None)
+    if tid == "list":
+        return type_tag(duck_type.children[0][1])
+    if tid == "struct":
+        return {name: type_tag(ch) for name, ch in duck_type.children}
     t = str(duck_type).upper()
-    # LIST columns carry their ELEMENT type's tag: a HUGEINT nested in
-    # a list is the same q38 class as a top-level one, and dropping
-    # the tag at the recursion boundary would re-open exactly the
-    # blind spot this tagging closed (review r11). Struct/map element
-    # types stay untagged (no oracle emits integer-ambiguous nesting
-    # there; revisit if one does).
-    if t.endswith("[]"):
+    if t.endswith("[]"):  # string fallback (recursive calls pass strings)
         return type_tag(t[:-2])
     if t in _I64_TYPES:
         return "i:"
@@ -64,8 +72,13 @@ def canon(v, tag=""):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x, tag) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
-    return tag + str(v)
+        # struct values: each field carries its OWN tag (a dict from
+        # type_tag); a non-dict tag means the type walker saw no struct
+        # here — fall back to untagged fields rather than mis-tagging
+        ft = tag if isinstance(tag, dict) else {}
+        return "{" + ",".join(f"{k}:{canon(x, ft.get(k, ''))}"
+                              for k, x in sorted(v.items())) + "}"
+    return (tag if isinstance(tag, str) else "") + str(v)
 
 def rowset(cols, types, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
