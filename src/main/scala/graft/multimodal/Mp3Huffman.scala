@@ -1,0 +1,275 @@
+package graft.multimodal
+
+import Mp3SideInfo.{BitReader, BitWriter, GranuleCh, Slen1, Slen2}
+
+/** REAL MPEG-1 Layer III HUFFMAN SPECTRAL DECODE — the step past
+  * [[Mp3SideInfo]]'s side-info/scalefactor parse into the coded
+  * samples themselves: big_values (x,y) pairs under the spec's pair
+  * code tables with per-region table_select, sign bits after every
+  * nonzero value, then the count1 (v,w,x,y) quadruple region under
+  * count1 table A or B, decoded until the granule-channel's
+  * part2_3_length boundary lands EXACTLY (ISO/IEC 11172-3 §2.4.2.7
+  * "Huffman code bits"; code tables transcribed from Table B.7 —
+  * tables 1 and 2 plus both count1 tables, the non-linbits subset;
+  * the ESC/linbits tables 16-31 and the requantization/IMDCT float
+  * bank stay out of scope). Region boundaries follow the standard
+  * long-block scalefactor-band edges for 44.1 kHz (Table B.8), which
+  * is why the m31 synth pins the header's sample-rate index to 0.
+  *
+  * The decode output is the QUANTIZED spectral integers — exact
+  * bit-level content, so the oracle can predict every decoded line,
+  * the per-granule bit accounting, and their corpus-wide sums in
+  * closed form; one mis-read bit anywhere desynchronizes the prefix
+  * decode and fails the exact part2_3_length landing `require`.
+  *
+  * Reference scope note: sanctum (main.zig:63-394) has no media
+  * surface — this is the mandated ⟨ns⟩ multimodal tier, built as
+  * zero-shuffle per-partition byte kernels.
+  */
+object Mp3Huffman {
+
+  /** A spectral pair code table: (|x|,|y|) → (hlen, hcod). */
+  final case class PairTable(id: Int, maxV: Int, codes: Map[(Int, Int), (Int, Int)])
+
+  /** Table B.7 table 1 (maxV 1, no linbits). */
+  val Table1: PairTable = PairTable(1, 1, Map(
+    (0, 0) -> (1, 0x1), (0, 1) -> (3, 0x1),
+    (1, 0) -> (2, 0x1), (1, 1) -> (3, 0x0)))
+
+  /** Table B.7 table 2 (maxV 2, no linbits). */
+  val Table2: PairTable = PairTable(2, 2, Map(
+    (0, 0) -> (1, 0x1), (0, 1) -> (3, 0x2), (0, 2) -> (6, 0x1),
+    (1, 0) -> (3, 0x3), (1, 1) -> (3, 0x1), (1, 2) -> (5, 0x1),
+    (2, 0) -> (5, 0x3), (2, 1) -> (5, 0x2), (2, 2) -> (6, 0x0)))
+
+  val PairTables: Map[Int, PairTable] = Map(1 -> Table1, 2 -> Table2)
+
+  /** count1 table A: quad value v·8+w·4+x·2+y → (hlen, hcod). */
+  val Count1A: Array[(Int, Int)] = Array(
+    (1, 0x1), (4, 0x5), (4, 0x4), (5, 0x5), (4, 0x6), (6, 0x5), (5, 0x4), (6, 0x4),
+    (4, 0x7), (5, 0x3), (5, 0x6), (6, 0x0), (5, 0x7), (6, 0x2), (6, 0x3), (6, 0x1))
+
+  /** count1 table B: every quad coded in 4 bits as its complement. */
+  val Count1B: Array[(Int, Int)] = Array.tabulate(16)(q => (4, ~q & 0xf))
+
+  /** Long-block scalefactor-band line boundaries at 44.1 kHz
+    * (Table B.8) — region0/region1 ends index into this.
+    */
+  val Band44k: Array[Int] = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52,
+    62, 74, 90, 110, 134, 162, 196, 238, 288, 342, 418, 576)
+
+  private def decodeMap(codes: Iterable[((Int, Int), (Int, Int))]): Map[(Int, Int), (Int, Int)] =
+    codes.map { case (sym, (len, code)) => (len, code) -> sym }.toMap
+
+  private val pairDecode: Map[Int, Map[(Int, Int), (Int, Int)]] =
+    PairTables.map { case (id, t) => id -> decodeMap(t.codes) }
+  private val c1Decode: Array[Map[(Int, Int), Int]] = Array(Count1A, Count1B).map(t =>
+    t.zipWithIndex.map { case ((len, code), q) => (len, code) -> q }.toMap)
+
+  private def readCode[S](r: BitReader, m: Map[(Int, Int), S], what: String,
+      mediaId: Long): S = {
+    var len = 0
+    var code = 0
+    while (len <= 6) {
+      code = (code << 1) | r.read(1)
+      len += 1
+      m.get((len, code)) match {
+        case Some(sym) => return sym
+        case None =>
+      }
+    }
+    throw new IllegalArgumentException(
+      s"media_id=$mediaId: no $what codeword within 6 bits (desynchronized stream)")
+  }
+
+  /** One granule-channel's decoded spectrum. */
+  final case class Spectrum(g: GranuleCh, scalefactors: Seq[Int],
+      bigLines: Array[Int], count1Lines: Array[Int], part3Bits: Int)
+
+  /** Decodes scalefactors + Huffman spectral data of every
+    * granule-channel in the frame at `off`, requiring each
+    * part2_3_length boundary to land exactly.
+    */
+  def decodeFrame(b: Array[Byte], off: Int, mediaId: Long): Seq[Seq[Spectrum]] = {
+    require(((b(off + 2) & 0xff) >> 2 & 0x3) == 0,
+      s"media_id=$mediaId: region decode needs the 44.1 kHz band table " +
+        s"(samplerate index ${(b(off + 2) & 0xff) >> 2 & 0x3})")
+    val (_, raw, r) = Mp3SideInfo.parseSideInfo(b, off, mediaId)
+    raw.map(_.map { g =>
+      require(!g.windowSwitching,
+        s"media_id=$mediaId: short-block spectra not in scope")
+      val start = r.bitPos
+      val sf = Mp3SideInfo.readScalefactors(r, g)
+      val part3Start = r.bitPos
+      val end = start + g.part23Length
+      // big_values region: (x,y) pairs, table chosen by the line's
+      // region (region0/1 end at scalefactor-band edges, Table B.8)
+      val bnd0 = Band44k(g.region0Count + 1)
+      val bnd1 = Band44k(g.region0Count + 1 + g.region1Count + 1)
+      val big = new Array[Int](2 * g.bigValues)
+      var i = 0
+      while (i < 2 * g.bigValues) {
+        val tsel = g.tableSelect(if (i < bnd0) 0 else if (i < bnd1) 1 else 2)
+        require(tsel != 0, s"media_id=$mediaId: table_select 0 inside big_values")
+        val table = pairDecode.getOrElse(tsel, throw new IllegalArgumentException(
+          s"media_id=$mediaId: pair table $tsel not implemented (linbits family)"))
+        val (x, y) = readCode(r, table, s"table-$tsel pair", mediaId)
+        big(i) = if (x != 0 && r.read(1) == 1) -x else x
+        big(i + 1) = if (y != 0 && r.read(1) == 1) -y else y
+        i += 2
+      }
+      // count1 region: quads until the part2_3_length boundary
+      val c1 = Array.newBuilder[Int]
+      var nC1 = 0
+      val c1Table = c1Decode(g.count1Table)
+      while (r.bitPos < end) {
+        val q = readCode(r, c1Table, s"count1-${g.count1Table} quad", mediaId)
+        var p = 3
+        while (p >= 0) {
+          val v = (q >> p) & 1
+          c1 += (if (v != 0 && r.read(1) == 1) -v else v)
+          p -= 1
+        }
+        nC1 += 4
+        require(2 * g.bigValues + nC1 <= 576,
+          s"media_id=$mediaId: decoded past 576 spectral lines")
+      }
+      require(r.bitPos == end,
+        s"media_id=$mediaId: part2_3 read ${r.bitPos - start} bits, " +
+          s"part2_3_length says ${g.part23Length}")
+      Spectrum(g, sf, big, c1.result(), r.bitPos - part3Start)
+    })
+  }
+
+  // ----- m31 synth: frames whose spectra are closed-form in doc_id -----
+
+  /** The m31 value schedule — one place both the encoder below and
+    * the DuckDB oracle's arithmetic derive from. All fields are
+    * functions of (docId, frame, granule, channel) only.
+    */
+  object Sched {
+    val BigPairs = 24       // big_values (pairs); 48 lines < Band44k edge math
+    val Count1Quads = 6     // count1 quads per granule-channel
+    val Region0Count = 3    // region0 ends at Band44k(4)  = 16 lines
+    val Region1Count = 3    // region1 ends at Band44k(8)  = 36 lines
+    def sc(d: Long, f: Int, gr: Int, ch: Int): Int = ((d + f * 5 + gr * 3 + ch) % 16).toInt
+    def gain(d: Long, f: Int, gr: Int, ch: Int): Int = ((d * 7 + f * 17 + gr * 13 + ch * 29) % 256).toInt
+    def tsel(d: Long, f: Int, gr: Int, ch: Int, region: Int): Int =
+      1 + ((d + f + gr + ch + region) % 2).toInt
+    def pairX(d: Long, f: Int, gr: Int, ch: Int, i: Int, maxV: Int): Int =
+      ((d + f + 2 * gr + 3 * ch + 3 * i) % (maxV + 1)).toInt
+    def pairY(d: Long, f: Int, gr: Int, ch: Int, i: Int, maxV: Int): Int =
+      ((d + f + 2 * gr + 3 * ch + 5 * i + 1) % (maxV + 1)).toInt
+    def signX(d: Long, i: Int): Int = ((d + i) % 2).toInt
+    def signY(d: Long, i: Int): Int = ((d + i + 1) % 2).toInt
+    def quad(d: Long, f: Int, gr: Int, ch: Int, j: Int): Int =
+      ((d + f + gr + ch + 7 * j) % 16).toInt
+    def quadSign(d: Long, j: Int, pos: Int): Int = ((d + j + pos) % 2).toInt
+    def count1Table(d: Long, ch: Int): Int = ((d + ch) % 2).toInt
+    def sfVal(d: Long, f: Int, gr: Int, ch: Int, b: Int, slen: Int): Int =
+      if (slen == 0) 0 else ((d + f + gr * 11 + ch * 7 + 3 * b) % (1 << slen)).toInt
+  }
+
+  /** part3 (Huffman) bit count of one granule-channel, closed form. */
+  def part3Bits(d: Long, f: Int, gr: Int, ch: Int): Int = {
+    import Sched._
+    var bits = 0
+    var i = 0
+    while (i < BigPairs) {
+      val region = if (2 * i < Band44k(Region0Count + 1)) 0
+        else if (2 * i < Band44k(Region0Count + 1 + Region1Count + 1)) 1 else 2
+      val t = PairTables(tsel(d, f, gr, ch, region))
+      val x = pairX(d, f, gr, ch, i, t.maxV)
+      val y = pairY(d, f, gr, ch, i, t.maxV)
+      bits += t.codes((x, y))._1 + (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      i += 1
+    }
+    val c1 = if (count1Table(d, ch) == 0) Count1A else Count1B
+    var j = 0
+    while (j < Count1Quads) {
+      val q = quad(d, f, gr, ch, j)
+      bits += c1(q)._1 + Integer.bitCount(q)
+      j += 1
+    }
+    bits
+  }
+
+  /** Builds the m31 payload for one document: `1 + docId mod 3`
+    * MPEG-1 Layer III frames at 44.1 kHz (417-byte frames), mono for
+    * even ids / stereo for odd, each granule-channel carrying the
+    * scheduled scalefactors + Huffman-coded big_values and count1
+    * regions, part2_3_length byte-exact over both parts.
+    */
+  def buildDoc(docId: Long): Array[Byte] = {
+    import Sched._
+    val mono = docId % 2 == 0
+    val nch = if (mono) 1 else 2
+    val frameLen = 417
+    val nf = (1 + docId % 3).toInt
+    val out = java.nio.ByteBuffer.allocate(nf * frameLen)
+    var f = 0
+    while (f < nf) {
+      out.put(0xff.toByte).put(0xfb.toByte)
+        .put(0x90.toByte) // bitrate idx 9, samplerate idx 0 (44.1 kHz)
+        .put((if (mono) 0xc0 else 0x00).toByte)
+      val w = new BitWriter
+      w.write(0, 9)                       // main_data_begin
+      w.write(0, if (mono) 5 else 3)      // private_bits
+      (0 until nch).foreach(_ => w.write(0, 4)) // scfsi
+      for (gr <- 0 until 2; ch <- 0 until nch) {
+        val s = sc(docId, f, gr, ch)
+        val part2 = 11 * Slen1(s) + 10 * Slen2(s)
+        w.write(part2 + part3Bits(docId, f, gr, ch), 12)
+        w.write(BigPairs, 9)              // big_values
+        w.write(gain(docId, f, gr, ch), 8)
+        w.write(s, 4)
+        w.write(0, 1)                     // window_switching off
+        (0 until 3).foreach(r => w.write(tsel(docId, f, gr, ch, r), 5))
+        w.write(Region0Count, 4)
+        w.write(Region1Count, 3)
+        w.write(((docId + f) % 2).toInt, 1)   // preflag
+        w.write(((docId + gr) % 2).toInt, 1)  // scalefac_scale
+        w.write(count1Table(docId, ch), 1)
+      }
+      for (gr <- 0 until 2; ch <- 0 until nch) {
+        val s = sc(docId, f, gr, ch)
+        (0 until 11).foreach(b => if (Slen1(s) > 0)
+          w.write(sfVal(docId, f, gr, ch, b, Slen1(s)), Slen1(s)))
+        (11 until 21).foreach(b => if (Slen2(s) > 0)
+          w.write(sfVal(docId, f, gr, ch, b, Slen2(s)), Slen2(s)))
+        var i = 0
+        while (i < BigPairs) {
+          val region = if (2 * i < Band44k(Region0Count + 1)) 0
+            else if (2 * i < Band44k(Region0Count + 1 + Region1Count + 1)) 1 else 2
+          val t = PairTables(tsel(docId, f, gr, ch, region))
+          val x = pairX(docId, f, gr, ch, i, t.maxV)
+          val y = pairY(docId, f, gr, ch, i, t.maxV)
+          val (len, code) = t.codes((x, y))
+          w.write(code, len)
+          if (x != 0) w.write(signX(docId, i), 1)
+          if (y != 0) w.write(signY(docId, i), 1)
+          i += 1
+        }
+        val c1 = if (count1Table(docId, ch) == 0) Count1A else Count1B
+        var j = 0
+        while (j < Count1Quads) {
+          val q = quad(docId, f, gr, ch, j)
+          val (len, code) = c1(q)
+          w.write(code, len)
+          var p = 3
+          while (p >= 0) {
+            if (((q >> p) & 1) != 0) w.write(quadSign(docId, j, 3 - p), 1)
+            p -= 1
+          }
+          j += 1
+        }
+      }
+      val body = w.toBytes
+      out.put(body)
+      var j = 4 + body.length
+      while (j < frameLen) { out.put(((docId + f * 13 + j) % 256).toByte); j += 1 }
+      f += 1
+    }
+    out.array()
+  }
+}

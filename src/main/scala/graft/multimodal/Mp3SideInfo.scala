@@ -96,6 +96,44 @@ object Mp3SideInfo {
     * — the m24 synth exercises the full non-reservoir structure.
     */
   def parseFrame(b: Array[Byte], off: Int, mediaId: Long): SideInfo = {
+    val (si, raw, r) = parseSideInfo(b, off, mediaId)
+    // Long-block scalefactors, in granule-major/channel-minor stream
+    // order, each granule-channel's slice exactly part2_3_length bits
+    // (the synth carries no Huffman data: big_values=0).
+    val granules = raw.map(_.map { g =>
+      require(!g.windowSwitching,
+        s"media_id=$mediaId: short-block scalefactors not in oracle scope")
+      require(g.bigValues == 0,
+        s"media_id=$mediaId: Huffman spectral data not in scope")
+      val startBit = r.bitPos
+      val sf = readScalefactors(r, g)
+      require(r.bitPos - startBit == g.part23Length,
+        s"media_id=$mediaId: part2 read ${r.bitPos - startBit} bits, " +
+          s"part2_3_length says ${g.part23Length}")
+      g.copy(scalefactors = sf)
+    })
+    si.copy(granules = granules)
+  }
+
+  /** Long-block scalefactor stream of one granule-channel: slen1
+    * bits for bands 0-10, slen2 for 11-20 (widths per Table B.6).
+    */
+  private[multimodal] def readScalefactors(r: BitReader, g: GranuleCh): Seq[Int] = {
+    val s1 = Slen1(g.scalefacCompress)
+    val s2 = Slen2(g.scalefacCompress)
+    Seq.tabulate(11)(_ => r.read(s1)) ++ Seq.tabulate(10)(_ => r.read(s2))
+  }
+
+  /** The SIDE-INFO walk alone (header checks + the 17/32-byte field
+    * parse with its boundary `require`), leaving the reader at the
+    * start of the main data — shared by [[parseFrame]] (m24's
+    * scalefactor-only frames) and [[Mp3Huffman]] (m31's frames with
+    * Huffman spectral data). Returns the parsed structure with empty
+    * per-granule scalefactors, the raw granule matrix, and the
+    * positioned reader.
+    */
+  private[multimodal] def parseSideInfo(b: Array[Byte], off: Int,
+      mediaId: Long): (SideInfo, Seq[Seq[GranuleCh]], BitReader) = {
     val h1 = b(off + 1) & 0xff
     require((b(off) & 0xff) == 0xff && (h1 & 0xe0) == 0xe0,
       s"media_id=$mediaId: no frame sync at $off")
@@ -141,24 +179,6 @@ object Mp3SideInfo {
     require(r.bitPos == (off + 4 + sideBytes) * 8,
       s"media_id=$mediaId: side-info walk ended at bit ${r.bitPos}, " +
         s"expected ${(off + 4 + sideBytes) * 8}")
-    // Long-block scalefactors, in granule-major/channel-minor stream
-    // order, each granule-channel's slice exactly part2_3_length bits
-    // (the synth carries no Huffman data: big_values=0).
-    val granules = raw.map(_.map { g =>
-      require(!g.windowSwitching,
-        s"media_id=$mediaId: short-block scalefactors not in oracle scope")
-      require(g.bigValues == 0,
-        s"media_id=$mediaId: Huffman spectral data not in scope")
-      val startBit = r.bitPos
-      val s1 = Slen1(g.scalefacCompress)
-      val s2 = Slen2(g.scalefacCompress)
-      val sf = Seq.tabulate(11)(_ => r.read(s1)) ++
-        Seq.tabulate(10)(_ => r.read(s2))
-      require(r.bitPos - startBit == g.part23Length,
-        s"media_id=$mediaId: part2 read ${r.bitPos - startBit} bits, " +
-          s"part2_3_length says ${g.part23Length}")
-      g.copy(scalefactors = sf)
-    })
-    SideInfo(channels, mainDataBegin, scfsi, granules)
+    (SideInfo(channels, mainDataBegin, scfsi, raw), raw, r)
   }
 }

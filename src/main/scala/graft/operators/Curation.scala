@@ -98,7 +98,30 @@ object Curation {
     * the split projection; c04 inserts the decontamination stage
     * first.
     */
-  private def sqlNearDupKeptCtes: String = {
+  private def sqlNearDupKeptCtes: String =
+    s"""q AS (
+         |  SELECT doc_id, lang, text, $sqlQuality AS quality FROM documents
+         |), keepers AS (
+         |  SELECT doc_id, lang, quality, text FROM (
+         |    SELECT doc_id, lang, quality, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM q WHERE quality >= 0.5
+         |  ) WHERE rn = 1
+         |), ${sqlNearDupComponentCtes(Seq("lang", "quality"))}""".stripMargin
+
+  /** The near-dup component-keeper CTE chain (identical-set collapse
+    * → MinHash bands → verified Jaccard ≥ 0.9 edges → label
+    * propagation → min-id component keeper), parameterized by the
+    * columns carried through — expects a prior CTE
+    * `keepers(doc_id, carry…, text)` and ends in
+    * `kept(doc_id, carry…)`. Shared by the c02/c04/c07 quality
+    * pipeline (carry = lang, quality) and c24's crawl pipeline
+    * (carry = source, text).
+    */
+  private def sqlNearDupComponentCtes(carry: Seq[String]): String = {
+    val cs = carry.mkString(", ")
+    val dcs = carry.map("d." + _).mkString(", ")
+    val kcs = carry.map("k." + _).mkString(", ")
     val ts = "list_sort(list_distinct(string_split(text, ' ')))"
     val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
     val bandsSql = (0 until 2).map(i =>
@@ -109,24 +132,16 @@ object Curation {
         s"FROM g JOIN l${i - 1} l ON g.dst = l.node_id GROUP BY g.src),\n  " +
         s"l$i AS (SELECT a.node_id, b.label FROM m$i a JOIN m$i b ON a.label = b.node_id)")
       .mkString(",\n  ")
-    s"""q AS (
-         |  SELECT doc_id, lang, text, $sqlQuality AS quality FROM documents
-         |), keepers AS (
-         |  SELECT doc_id, lang, quality, text FROM (
-         |    SELECT doc_id, lang, quality, text,
-         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |    FROM q WHERE quality >= 0.5
-         |  ) WHERE rn = 1
-         |), ksets AS (
-         |  SELECT doc_id, lang, quality, $ts AS ts FROM keepers
+    s"""ksets AS (
+         |  SELECT doc_id, $cs, $ts AS ts FROM keepers
          |), sets AS MATERIALIZED (
          |  SELECT md5(array_to_string(ts, ' ')) AS set_hash, min(doc_id) AS rep_id,
          |         any_value(ts) AS ts
          |  FROM ksets
          |  GROUP BY md5(array_to_string(ts, ' '))
          |), doc_reps AS (
-         |  SELECT k.doc_id, k.lang, k.quality, s.rep_id
-         |  FROM (SELECT doc_id, lang, quality, md5(array_to_string(ts, ' ')) AS set_hash
+         |  SELECT k.doc_id, $kcs, s.rep_id
+         |  FROM (SELECT doc_id, $cs, md5(array_to_string(ts, ' ')) AS set_hash
          |        FROM ksets) k
          |  JOIN sets s ON k.set_hash = s.set_hash
          |), sig AS (
@@ -155,7 +170,7 @@ object Curation {
          |labels AS (
          |  SELECT node_id AS rep_id, label FROM l$C02Rounds
          |), kept AS (
-         |  SELECT d.doc_id, d.lang, d.quality
+         |  SELECT d.doc_id, $dcs
          |  FROM doc_reps d LEFT JOIN labels l ON d.rep_id = l.rep_id
          |  WHERE d.doc_id = coalesce(l.label, d.rep_id)
          |)""".stripMargin
@@ -196,18 +211,27 @@ object Curation {
     * rebuilding the first two stages from scratch).
     */
   private def nearDupKeptFrom(keepers: DataFrame,
+      probeName: String): DataFrame =
+    nearDupComponentFrom(keepers, Seq("lang", "quality"), probeName)
+
+  /** Spark side of [[sqlNearDupComponentCtes]]: the component-keeper
+    * collapse over an exact-keeper frame `(doc_id, carry…, text)`,
+    * returning `(doc_id, carry…)` — one row per connected component
+    * of the verified Jaccard ≥ 0.9 graph, keeper = min doc_id.
+    */
+  private def nearDupComponentFrom(keepers: DataFrame, carry: Seq[String],
       probeName: String): DataFrame = {
     val ksets = keepers
-      .select(col("doc_id"), col("lang"), col("quality"),
-        array_sort(tokenSet(col("text"))).as("ts"))
+      .select(col("doc_id") +: carry.map(col) :+
+        array_sort(tokenSet(col("text"))).as("ts"): _*)
       .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
-      .cache() // quality HOFs + exact-dedup window feed BOTH sets and doc_reps
+      .cache() // upstream-stage work feeds BOTH sets and doc_reps
     val sets = ksets.groupBy(col("set_hash"))
       .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
       .cache() // feeds doc_reps AND the signature/band pipeline
-    val docReps = ksets.select(col("doc_id"), col("lang"), col("quality"), col("set_hash"))
+    val docReps = ksets.select(col("doc_id") +: carry.map(col) :+ col("set_hash"): _*)
       .join(sets.select(col("set_hash"), col("rep_id")), "set_hash")
-      .select(col("doc_id"), col("lang"), col("quality"), col("rep_id"))
+      .select(col("doc_id") +: carry.map(col) :+ col("rep_id"): _*)
     val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
     val sig = sets.select(
       col("rep_id") +: col("ts") +:
@@ -237,7 +261,7 @@ object Curation {
       .join(labels.select(col("vec_id").as("rep_id"), col("label")).alias("l"),
         col("d.rep_id") === col("l.rep_id"), "left")
       .filter(col("doc_id") === coalesce(col("label"), col("d.rep_id")))
-      .select(col("doc_id"), col("lang"), col("quality"))
+      .select(col("doc_id") +: carry.map(col): _*)
   }
 
   /** c01 + the near-dup collapse stage: quality-filter → exact-dedup
@@ -1920,10 +1944,174 @@ object Curation {
       .orderBy(col("prefix"))
   }
 
+  /** END-TO-END TRAINING-DATA PIPELINE — the full nightly run as ONE
+    * registered query: crawl ingest (c12's real WARC→HTTP→HTML byte
+    * path) → Gopher quality gate (t27's five integer rules) →
+    * exact dedup (d01's min-id keeper) → near-dup COMPONENT collapse
+    * (d03's banded LSH + d07's label propagation, the shared
+    * [[nearDupComponentFrom]] kernel) → Hamilton-apportioned sample
+    * of EXACTLY 199 docs across sources (p13's largest-remainder
+    * arithmetic, prime budget so the remainder path is never
+    * vacuous) → tar-shard pack of 8 docs/shard (c18's
+    * checksum-verifying round-trip). Every stage is individually
+    * green in the inventory; this query proves the SURFACES compose
+    * — column contracts across stages, cache hygiene, and the
+    * funnel's end state, hash-gated as the final shard manifest
+    * (per-shard byte-exact tar size, member-text md5, and the
+    * budget-exact `n_sampled` window total).
+    *
+    * Oracle note: the DuckDB spelling starts from `documents.text` —
+    * c12 proves the WARC→HTTP→HTML ingest is the byte-exact identity
+    * over this corpus, and the Spark side here REALLY runs that byte
+    * path, so a parse regression in any of the three parsers fails
+    * this hash too.
+    *
+    * Scale shape: ingest/gate are per-partition map work fused into
+    * the scan; exact dedup is the one content-hash shuffle; near-dup
+    * adds banded equi-joins (never cartesian); quota arithmetic is
+    * domain-sized with the quota table BROADCAST back onto the
+    * corpus; only the SAMPLE (budget-bounded, ≤199 rows) ever
+    * crosses a global window or a single partition, so the pack
+    * stage is constant-sized no matter the corpus.
+    */
+  val c24PipelineE2e = Q(
+    "c24_pipeline_e2e",
+    s"""WITH m AS (
+       |  ${TextAnalysis.sqlGopherMetricsCte("documents", " source, text,")}
+       |), keepers AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM m WHERE ${TextAnalysis.sqlGopherKeepCond}
+       |  ) WHERE rn = 1
+       |), ${sqlNearDupComponentCtes(Seq("source", "text"))},
+       |src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM kept GROUP BY source
+       |), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM src),
+       |qta AS (
+       |  SELECT source, n_docs,
+       |         CAST((199 * n_docs) // n AS BIGINT) AS base_quota,
+       |         CAST((199 * n_docs) % n AS BIGINT) AS remainder
+       |  FROM src, tot
+       |), dfc AS (SELECT CAST(199 - sum(base_quota) AS BIGINT) AS deficit FROM qta),
+       |quotas AS (
+       |  SELECT source,
+       |         base_quota + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS final_quota
+       |  FROM (SELECT qta.*, dfc.deficit,
+       |               row_number() OVER (ORDER BY remainder DESC, source) AS rk
+       |        FROM qta, dfc)
+       |), sampled AS (
+       |  SELECT r.doc_id, r.text
+       |  FROM (SELECT doc_id, source, text,
+       |               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |        FROM kept) r
+       |  JOIN quotas q ON r.source = q.source
+       |  WHERE r.rk <= q.final_quota
+       |), ordered AS (
+       |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS grk
+       |  FROM sampled
+       |), shards AS (
+       |  SELECT (grk - 1) // 8 AS shard_id, count(*) AS n_members,
+       |    CAST(1024 + sum(512 + ((strlen(text) + 511) // 512) * 512) AS BIGINT)
+       |      AS n_bytes,
+       |    md5(string_agg(text, chr(10) ORDER BY doc_id)) AS texts_md5,
+       |    CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+       |  FROM ordered GROUP BY 1
+       |)
+       |SELECT shard_id, n_members, n_bytes, texts_md5, total_chars,
+       |  CAST(sum(n_members) OVER () AS BIGINT) AS n_sampled
+       |FROM shards ORDER BY shard_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.{HtmlExtract, TarIngest, WarcIngest}
+    val B = 199L
+    // stage 1: crawl ingest — c12's WARC→HTTP→HTML byte path, run for
+    // real (the oracle starts from documents.text; c12 pins identity)
+    val ingested = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val uri = s"https://example.com/doc/$id"
+        val shard = WarcIngest.warcinfoRecord("software: graft-synth\r\n") ++
+          WarcIngest.responseRecord(uri,
+            WarcIngest.httpResponse(TextAnalysis.htmlOf(id, text)))
+        val resp = WarcIngest.parseRecords(shard)
+          .find(_.headers.get("warc-type").contains("response"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"doc_id=$id: shard has no response record"))
+        val http = WarcIngest.parseHttp(resp.payload)
+        val page = new String(http.body, java.nio.charset.StandardCharsets.UTF_8)
+        (id, src, HtmlExtract.extract(page).text)
+      }).toDF("doc_id", "source", "text")
+    // stage 2: Gopher gate (t27's shared metric + keep spellings)
+    val gated = ingested
+      .select(col("doc_id") +: col("source") +: col("text") +:
+        TextAnalysis.gopherMetricCols: _*)
+      .filter(TextAnalysis.gopherKeepCond)
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 3: exact dedup — min-id keeper per content hash
+    val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val keepers = gated.withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") === 1).drop("rn")
+    // stage 4: near-dup component keeper (the c02 kernel, carrying
+    // source for the quota stage and text for the pack stage)
+    val kept = nearDupComponentFrom(keepers, Seq("source", "text"),
+      "c24_pipeline_e2e")
+      .localCheckpoint() // feeds the quota counts AND the sample path
+    // stage 5: Hamilton apportionment of B docs over sources (p13's
+    // integer arithmetic; quota table is domain-sized → broadcast)
+    val src = kept.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum(col("n_docs")).as("n"))
+    val qta = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr(s"($B * n_docs) DIV n").as("base_quota"),
+        (lit(B) * col("n_docs") % col("n")).as("remainder"))
+    val deficit = qta.agg((lit(B) - sum(col("base_quota"))).as("deficit"))
+    val quotas = qta.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("remainder").desc, col("source"))))
+      .select(col("source"),
+        (col("base_quota") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("final_quota"))
+    val sampled = kept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("final_quota"))
+      .select(col("doc_id"), col("text"))
+    // stage 6: tar-shard pack (c18's checksum-verifying round-trip).
+    // The global rank window runs over the SAMPLE (≤199 rows), never
+    // the corpus — the single partition it implies is budget-sized.
+    sampled
+      .withColumn("grk", row_number().over(Window.orderBy(col("doc_id"))))
+      .select(expr("(grk - 1) div 8").as("shard_id"), col("doc_id"), col("text"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("members"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (shardId, members) =>
+        val tar = TarIngest.build(members.map { case (id, t) =>
+          (s"$id.txt", t.getBytes("UTF-8"))
+        })
+        val parsed = TarIngest.parse(tar) // checksum-verifying round-trip
+        require(parsed.length == members.length,
+          s"shard $shardId: wrote ${members.length} members, read back ${parsed.length}")
+        require(parsed.map(_.name) == members.map(mm => s"${mm._1}.txt"),
+          s"shard $shardId: member names did not round-trip")
+        val texts = parsed.map(mm => new String(mm.data, "UTF-8"))
+        (shardId, members.length.toLong, tar.length.toLong,
+          texts.mkString("\n"), parsed.map(_.data.length.toLong).sum)
+      }
+      .toDF("shard_id", "n_members", "n_bytes", "texts", "total_chars")
+      .select(col("shard_id"), col("n_members"), col("n_bytes"),
+        md5(col("texts")).as("texts_md5"), col("total_chars"),
+        sum(col("n_members")).over(Window.partitionBy()).as("n_sampled"))
+      .orderBy(col("shard_id"))
+  }
+
   def all: Seq[Q] = Seq(c01Curate, c02CurateNearDup, c03PackSequences,
     c04CurateDecontam, c05CurateMixture, c06CuratePack, c07CurationFunnel,
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
-    c21CdcChunking, c22SpanScrub, c23Compact)
+    c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e)
 }

@@ -2231,6 +2231,133 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** MPEG-1 Layer III HUFFMAN SPECTRAL DECODE under the oracle
+    * ([[graft.multimodal.Mp3Huffman]] — the step past m24's
+    * side-info/scalefactor parse into the coded samples: big_values
+    * (x,y) pairs under Table B.7 pair codes with per-region
+    * table_select and sign bits, then the count1 quadruple region
+    * under table A/B, each granule-channel `require`d to land
+    * EXACTLY on its part2_3_length boundary, so one mis-read bit
+    * anywhere fails loudly). The synth writes genuinely
+    * Huffman-coded frames whose every quantized spectral line is a
+    * closed-form function of doc_id; the oracle re-derives the
+    * decoded lines, the sign algebra, AND the per-granule Huffman
+    * bit accounting (code-length tables in SQL) arithmetically — the
+    * decode path and the prediction path share no code. Decoded
+    * output is the exact quantized integer spectrum (requantization
+    * to floats is IEEE-pow territory and stays out of the hash).
+    * Zero-shuffle per-partition synth+decode, the m-tier shape.
+    */
+  val m31Mp3Huffman = Q(
+    "m31_mp3_huffman",
+    { // the m31 value schedule, spelled arithmetically (mirrors
+      // Mp3Huffman.Sched — pair i's table is 1 or 2 by region parity,
+      // so maxV == tsel; count1 quads decompose q into bits by // and %)
+      val reg = "(CASE WHEN i < 8 THEN 0 WHEN i < 18 THEN 1 ELSE 2 END)"
+      val maxv = s"(1 + (doc_id + f + gr + ch + $reg) % 2)"
+      val px = s"((doc_id + f + 2*gr + 3*ch + 3*i) % ($maxv + 1))"
+      val py = s"((doc_id + f + 2*gr + 3*ch + 5*i + 1) % ($maxv + 1))"
+      val sx = "(1 - 2 * ((doc_id + i) % 2))"
+      val sy = "(1 - 2 * ((doc_id + i + 1) % 2))"
+      val hlenPair =
+        s"""CASE WHEN $maxv = 1
+           | THEN ([[1,3],[2,3]])[CAST($px AS INT) + 1][CAST($py AS INT) + 1]
+           | ELSE ([[1,3,6],[3,3,5],[5,5,6]])[CAST($px AS INT) + 1][CAST($py AS INT) + 1] END"""
+          .stripMargin.replace("\n", "")
+      val q = "((doc_id + f + gr + ch + 7*j) % 16)"
+      val qbit = (k: Int) => s"(($q // ${1 << (3 - k)}) % 2)"
+      val qsign = (k: Int) => s"(1 - 2 * ((doc_id + j + $k) % 2))"
+      val hlenQuad =
+        s"""CASE WHEN (doc_id + ch) % 2 = 0
+           | THEN ([1,4,4,5,4,6,5,6,4,5,5,6,5,6,6,6])[CAST($q AS INT) + 1]
+           | ELSE 4 END""".stripMargin.replace("\n", "")
+      // inner is a LIST per (f, gr, ch) → 4 nesting levels, 3 flattens
+      def sum3(inner: String) =
+        s"""list_sum(flatten(flatten(flatten(list_transform(range(0, nf), f ->
+           |      list_transform(range(0, 2), gr ->
+           |        list_transform(range(0, nch), ch ->
+           |          $inner)))))))""".stripMargin
+      // inner is a SCALAR per (f, gr, ch) → 3 levels, 2 flattens (m24's shape)
+      def sumScalar(inner: String) =
+        s"""list_sum(flatten(flatten(list_transform(range(0, nf), f ->
+           |      list_transform(range(0, 2), gr ->
+           |        list_transform(range(0, nch), ch ->
+           |          $inner))))))""".stripMargin
+      val pairs = (e: String) => s"list_transform(range(0, 24), i -> $e)"
+      val quads = (e: String) => s"list_transform(range(0, 6), j -> $e)"
+      s"""WITH s AS (
+         |  SELECT doc_id, 1 + doc_id % 3 AS nf, 1 + doc_id % 2 AS nch
+         |  FROM documents
+         |), agg AS (
+         |  SELECT doc_id, nf, nch,
+         |    ${sum3(pairs(s"$px + $py"))}
+         |    + ${sum3(quads((0 to 3).map(qbit).mkString(" + ")))} AS sum_abs,
+         |    ${sum3(pairs(s"CASE WHEN $px = 0 THEN 0 ELSE $px * $sx END" +
+                s" + CASE WHEN $py = 0 THEN 0 ELSE $py * $sy END"))}
+         |    + ${sum3(quads((0 to 3).map(k =>
+                s"CASE WHEN ${qbit(k)} = 0 THEN 0 ELSE ${qsign(k)} END").mkString(" + ")))}
+         |      AS sum_signed,
+         |    ${sum3(pairs(s"CASE WHEN $px > 0 THEN 1 ELSE 0 END" +
+                s" + CASE WHEN $py > 0 THEN 1 ELSE 0 END"))}
+         |    + ${sum3(quads((0 to 3).map(qbit).mkString(" + ")))} AS n_nonzero,
+         |    ${sum3(pairs(s"$hlenPair + CASE WHEN $px > 0 THEN 1 ELSE 0 END" +
+                s" + CASE WHEN $py > 0 THEN 1 ELSE 0 END"))}
+         |    + ${sum3(quads(s"$hlenQuad + " + (0 to 3).map(qbit).mkString(" + ")))}
+         |      AS sum_part3,
+         |    ${sumScalar(
+                s"""list_sum(list_transform(range(0, 11), b ->
+                   |            CASE WHEN ([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] = 0 THEN 0
+                   |            ELSE (doc_id + f + gr*11 + ch*7 + 3*b)
+                   |              % ([1,2,4,8,16])[([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] + 1] END))
+                   |        + list_sum(list_transform(range(11, 21), b ->
+                   |            CASE WHEN ([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] = 0 THEN 0
+                   |            ELSE (doc_id + f + gr*11 + ch*7 + 3*b)
+                   |              % ([1,2,4,8,16])[([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[CAST((doc_id + f*5 + gr*3 + ch) % 16 AS INT) + 1] + 1] END))
+                   |        """.stripMargin)} AS sf_sum
+         |  FROM s
+         |)
+         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(nch AS BIGINT) AS n_ch,
+         |  CAST(nf * 2 * nch * 72 AS BIGINT) AS n_lines,
+         |  CAST(n_nonzero AS BIGINT) AS n_nonzero,
+         |  CAST(sum_abs AS BIGINT) AS sum_abs,
+         |  CAST(sum_signed AS BIGINT) AS sum_signed,
+         |  CAST(sum_part3 AS BIGINT) AS sum_part3,
+         |  CAST(sf_sum AS BIGINT) AS sf_sum
+         |FROM agg ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Mp3Huffman
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = Mp3Huffman.buildDoc(id)
+        val frameLen = 417
+        val nf = payload.length / frameLen
+        var sumAbs = 0L; var sumSigned = 0L; var nz = 0L
+        var part3 = 0L; var sfSum = 0L; var nLines = 0L; var nCh = 0L
+        var f = 0
+        while (f < nf) {
+          val spec = Mp3Huffman.decodeFrame(payload, f * frameLen, id)
+          nCh = spec.head.length.toLong
+          spec.foreach(_.foreach { sp =>
+            sfSum += sp.scalefactors.sum
+            part3 += sp.part3Bits
+            (sp.bigLines.iterator ++ sp.count1Lines.iterator).foreach { v =>
+              nLines += 1
+              sumAbs += math.abs(v); sumSigned += v
+              if (v != 0) nz += 1
+            }
+          })
+          f += 1
+        }
+        (id, nf.toLong, nCh, nLines, nz, sumAbs, sumSigned, part3, sfSum)
+      })
+      .toDF("media_id", "n_frames", "n_ch", "n_lines", "n_nonzero",
+        "sum_abs", "sum_signed", "sum_part3", "sf_sum")
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
@@ -2238,5 +2365,5 @@ object Multimodal {
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
       m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
-      m30PngPalette)
+      m30PngPalette, m31Mp3Huffman)
 }

@@ -1657,18 +1657,68 @@ object TextAnalysis {
     * Pure per-row projection: zero shuffle, fully codegen'd, the
     * t14 scale shape.
     */
+  /** Gopher metric columns (Rae et al. 2021 §A1.1), shared between
+    * t27's per-rule ablation view and c24's pipeline gate — one
+    * SELECT body parameterized by the FROM table, so the two
+    * spellings can never drift. `extraCols` carries pipeline columns
+    * (c24 keeps source/text) through the metric projection.
+    */
+  private[operators] def sqlGopherMetricsCte(from: String,
+      extraCols: String = ""): String = {
+    val toks = "string_split(text, ' ')"
+    s"""SELECT doc_id,$extraCols
+       |    CAST(len($toks) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
+       |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
+       |  FROM $from""".stripMargin
+  }
+
+  /** The five-rule keep conjunction over [[sqlGopherMetricsCte]]'s
+    * column names — pure integer cross-multiplications, zero float
+    * division (bit-identical across engines by construction).
+    */
+  private[operators] val sqlGopherKeepCond: String =
+    """n_words >= 50 AND n_words <= 100000
+      |        AND 3 * n_words <= n_chars_ns AND n_chars_ns <= 10 * n_words
+      |        AND 5 * n_alpha >= 4 * n_words
+      |        AND n_stop >= 2
+      |        AND 10 * n_sym <= n_words""".stripMargin
+
+  /** Spark side of [[sqlGopherMetricsCte]]: the metric columns over a
+    * frame with a `text` column.
+    */
+  private[operators] def gopherMetricCols: Seq[org.apache.spark.sql.Column] = {
+    val tk = tokens(col("text"))
+    val stopwords = Seq("the", "a", "of", "to", "and")
+    // literal (non-regex) replace mirrors DuckDB's replace() exactly;
+    // the '...' diff is always a multiple of 3, so the double division
+    // is exact and the final cast loses nothing
+    Seq(
+      size(tk).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars_ns"),
+      size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+      size(filter(tk, t => t.isin(stopwords.map(lit(_)): _*))).cast("long").as("n_stop"),
+      (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))) +
+        (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+        .cast("long").as("n_sym"))
+  }
+
+  /** Spark side of [[sqlGopherKeepCond]], over the metric names. */
+  private[operators] def gopherKeepCond: org.apache.spark.sql.Column =
+    col("n_words") >= 50L && col("n_words") <= 100000L &&
+      lit(3L) * col("n_words") <= col("n_chars_ns") &&
+      col("n_chars_ns") <= lit(10L) * col("n_words") &&
+      lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+      col("n_stop") >= 2L &&
+      lit(10L) * col("n_sym") <= col("n_words")
+
   val t27GopherRules = Q(
     "t27_gopher_rules",
-    { val toks = "string_split(text, ' ')"
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    CAST(len($toks) AS BIGINT) AS n_words,
-         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
-         |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-         |    CAST(len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop,
-         |    CAST(length(text) - length(replace(text, '#', ''))
-         |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
-         |  FROM documents
+    { s"""WITH m AS (
+         |  ${sqlGopherMetricsCte("documents")}
          |)
          |SELECT doc_id, n_words,
          |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
@@ -1676,25 +1726,9 @@ object TextAnalysis {
          |  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS INT) AS r_alpha,
          |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
          |  CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS INT) AS r_symbol,
-         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
-         |        AND 3 * n_words <= n_chars_ns AND n_chars_ns <= 10 * n_words
-         |        AND 5 * n_alpha >= 4 * n_words
-         |        AND n_stop >= 2
-         |        AND 10 * n_sym <= n_words THEN 1 ELSE 0 END AS INT) AS keep
+         |  CAST(CASE WHEN $sqlGopherKeepCond THEN 1 ELSE 0 END AS INT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin }
   ) { (s, d) =>
-    val tk = tokens(col("text"))
-    val nWords = size(tk).cast("long")
-    val nCharsNs = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val nAlpha = size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("long")
-    val stopwords = Seq("the", "a", "of", "to", "and")
-    val nStop = size(filter(tk, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
-    // literal (non-regex) replace mirrors DuckDB's replace() exactly;
-    // the '...' diff is always a multiple of 3, so the double division
-    // is exact and the final cast loses nothing
-    val nSym = (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))) +
-      (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
-      .cast("long")
     val rWc = col("n_words") >= 50L && col("n_words") <= 100000L
     val rMl = lit(3L) * col("n_words") <= col("n_chars_ns") &&
       col("n_chars_ns") <= lit(10L) * col("n_words")
@@ -1702,15 +1736,14 @@ object TextAnalysis {
     val rSt = col("n_stop") >= 2L
     val rSy = lit(10L) * col("n_sym") <= col("n_words")
     Tables.documents(s, d)
-      .select(col("doc_id"), nWords.as("n_words"), nCharsNs.as("n_chars_ns"),
-        nAlpha.as("n_alpha"), nStop.as("n_stop"), nSym.as("n_sym"))
+      .select(col("doc_id") +: gopherMetricCols: _*)
       .select(col("doc_id"), col("n_words"),
         when(rWc, 1).otherwise(0).cast("int").as("r_wordcount"),
         when(rMl, 1).otherwise(0).cast("int").as("r_meanlen"),
         when(rAl, 1).otherwise(0).cast("int").as("r_alpha"),
         when(rSt, 1).otherwise(0).cast("int").as("r_stop"),
         when(rSy, 1).otherwise(0).cast("int").as("r_symbol"),
-        when(rWc && rMl && rAl && rSt && rSy, 1).otherwise(0).cast("int").as("keep"))
+        when(gopherKeepCond, 1).otherwise(0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -832,4 +832,28 @@ class PlanSpec extends AnyFunSuite {
       s"digest must aggregate:\n$p")
     assert(!p.contains("Join"), s"no join belongs in the digest:\n$p")
   }
+
+  test("c24: the end-to-end pipeline never goes cartesian and broadcasts the quota table") {
+    val p = plan("c24_pipeline_e2e")
+    assert(!p.contains("CartesianProduct"),
+      s"pipeline stages must compose through equi/broadcast joins:\n$p")
+    // the Hamilton quota table (domain-sized) and the 1-row
+    // total/deficit frames ride broadcast joins back onto the corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"quota/total joins must broadcast:\n$p")
+    // near-dup candidates come from the banded equi-self-join, and
+    // the only SortMergeJoin-eligible joins are equi-joins — a
+    // nested-loop fallback anywhere means a stage contract broke.
+    // Exactly three 1-row broadcast cross joins are expected: ×tot,
+    // ×deficit, and tot again through the deficit's own lineage.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 3, s"unexpected nested-loop joins ($bnlj — 1-row cross joins only):\n$p")
+  }
+
+  test("m31: the Huffman decode is a zero-shuffle per-partition kernel") {
+    val p = plan("m31_mp3_huffman")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row synth+decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row codec:\n$p")
+  }
 }

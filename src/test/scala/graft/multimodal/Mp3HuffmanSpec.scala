@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class Mp3HuffmanSpec extends AnyFunSuite {
+
+  private def allTables: Seq[(String, Iterable[(Int, Int)])] = Seq(
+    "pair table 1" -> Mp3Huffman.Table1.codes.values,
+    "pair table 2" -> Mp3Huffman.Table2.codes.values,
+    "count1 table A" -> Mp3Huffman.Count1A.toSeq,
+    "count1 table B" -> Mp3Huffman.Count1B.toSeq)
+
+  test("every code table is a COMPLETE prefix code (Kraft sum = 1, no prefix pairs)") {
+    for ((name, codes) <- allTables) {
+      val cs = codes.toSeq
+      // completeness: Σ 2^-len == 1 exactly (scaled to avoid floats)
+      val maxLen = cs.map(_._1).max
+      val kraft = cs.map { case (len, _) => 1L << (maxLen - len) }.sum
+      assert(kraft == (1L << maxLen), s"$name: Kraft sum ${kraft}/${1L << maxLen}")
+      // prefix-freeness: no code is a prefix of another
+      for (Seq((l1, c1), (l2, c2)) <- cs.combinations(2); if l1 <= l2)
+        assert(c1 != (c2 >> (l2 - l1)),
+          s"$name: ${c1.toBinaryString}/$l1 is a prefix of ${c2.toBinaryString}/$l2")
+      // injectivity: distinct (len, code) per symbol
+      assert(cs.distinct.size == cs.size, s"$name: duplicate codewords")
+    }
+  }
+
+  test("decode recovers the schedule: lines, signs, and bit accounting") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 7L, 12L, 101L)) {
+      import Mp3Huffman.Sched._
+      val payload = Mp3Huffman.buildDoc(docId)
+      val nf = payload.length / 417
+      assert(nf == (1 + docId % 3).toInt)
+      for (f <- 0 until nf) {
+        val spec = Mp3Huffman.decodeFrame(payload, f * 417, docId)
+        assert(spec.length == 2)
+        for (gr <- spec.indices; ch <- spec(gr).indices) {
+          val sp = spec(gr)(ch)
+          assert(sp.part3Bits == Mp3Huffman.part3Bits(docId, f, gr, ch))
+          assert(sp.bigLines.length == 2 * BigPairs)
+          assert(sp.count1Lines.length == 4 * Count1Quads)
+          // replay the schedule independently of the bitstream
+          var i = 0
+          while (i < BigPairs) {
+            val region = if (2 * i < Mp3Huffman.Band44k(Region0Count + 1)) 0
+              else if (2 * i < Mp3Huffman.Band44k(Region0Count + 1 + Region1Count + 1)) 1
+              else 2
+            val t = Mp3Huffman.PairTables(tsel(docId, f, gr, ch, region))
+            val x = pairX(docId, f, gr, ch, i, t.maxV)
+            val y = pairY(docId, f, gr, ch, i, t.maxV)
+            val ex = if (x != 0 && signX(docId, i) == 1) -x else x
+            val ey = if (y != 0 && signY(docId, i) == 1) -y else y
+            assert(sp.bigLines(2 * i) == ex, s"doc=$docId f=$f gr=$gr ch=$ch pair=$i x")
+            assert(sp.bigLines(2 * i + 1) == ey, s"doc=$docId f=$f gr=$gr ch=$ch pair=$i y")
+            i += 1
+          }
+          for (j <- 0 until Count1Quads; k <- 0 to 3) {
+            val q = quad(docId, f, gr, ch, j)
+            val bit = (q >> (3 - k)) & 1
+            val e = if (bit != 0 && quadSign(docId, j, k) == 1) -bit else bit
+            assert(sp.count1Lines(4 * j + k) == e,
+              s"doc=$docId f=$f gr=$gr ch=$ch quad=$j pos=$k")
+          }
+        }
+      }
+    }
+  }
+
+  test("a flipped main-data bit can never decode to the same spectrum") {
+    // a prefix decode can RE-SYNCHRONIZE after a flip (the stream is
+    // self-framing only at the part2_3_length boundary), so the
+    // contract is: every single-bit corruption inside the Huffman
+    // region either fails a boundary/codeword `require` or changes
+    // at least one decoded value/sign — it is never absorbed.
+    val clean = Mp3Huffman.buildDoc(5L)
+    val reference = Mp3Huffman.decodeFrame(clean, 0, 5L)
+    // stereo frame: side info ends at byte 36, granule0/ch0 part2 is
+    // 21 bits, so bytes 42..55 sit inside ch0's Huffman region
+    for (byteAt <- 42 to 55; bit <- Seq(0x80, 0x10, 0x01)) {
+      val corrupt = clean.clone()
+      corrupt(byteAt) = (corrupt(byteAt) ^ bit).toByte
+      val survived =
+        try {
+          val got = Mp3Huffman.decodeFrame(corrupt, 0, 5L)
+          got.flatten.zip(reference.flatten).forall { case (a, b) =>
+            a.bigLines.sameElements(b.bigLines) &&
+              a.count1Lines.sameElements(b.count1Lines) &&
+              a.scalefactors == b.scalefactors
+          }
+        } catch { case _: IllegalArgumentException => false }
+      assert(!survived, s"flip at byte $byteAt mask $bit was absorbed silently")
+    }
+  }
+
+  test("non-44.1 kHz frames are rejected (region table scope)") {
+    val payload = Mp3Huffman.buildDoc(4L)
+    payload(2) = (payload(2) | 0x04).toByte // samplerate idx 1 (48 kHz)
+    val e = intercept[IllegalArgumentException] {
+      Mp3Huffman.decodeFrame(payload, 0, 4L)
+    }
+    assert(e.getMessage.contains("44.1 kHz"))
+  }
+}
