@@ -206,9 +206,14 @@ object Bench {
     // Write the JSON to a file FIRST: the driver's round-2 stdout
     // tail-capture truncated the head of the (long) JSON line and
     // lost 17 queries' timings; the file copy is the loss-proof record.
+    // only the COMPLETE-inventory isolated sweep may claim the record
+    // file: a filtered BENCH_ONLY probe under any label lands in a
+    // scratch file (round 12 lost a record to a 5-query probe writing
+    // BENCH_ISOLATED.json before the sweep's copy was saved)
     val defaultOut =
       if (label == "driver-concurrent") "/root/repo/BENCH_LOCAL.json"
-      else "/root/repo/BENCH_ISOLATED.json"
+      else if (only.isEmpty) "/root/repo/BENCH_ISOLATED.json"
+      else "/root/repo/BENCH_PROBE.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>

@@ -319,7 +319,18 @@ object ScaleProbe {
     // s23: s22's graph build + ≤12 broadcast-frontier adjacency
     // joins — expected ≈s22's curve (the walk adds edge-sized scans,
     // never corpus shuffles)
-    "s23_graph_ann")
+    "s23_graph_ann",
+    // c24: the composed pipeline — ingest/gate map work + the c02
+    // near-dup machinery + domain-sized quotas; the pack stage is
+    // budget-bounded (≤199 rows) so its cost is CONSTANT across
+    // scales — expected ≈c02's curve
+    "c24_pipeline_e2e",
+    // c25: one partitioned write + 4 snapshot scans over live files;
+    // the log replay is metadata-sized — expected ≈linear in bytes
+    "c25_txlog_snapshot",
+    // m31: per-row synth + Huffman decode, zero shuffle — expected
+    // ≈linear like the rest of the m tier
+    "m31_mp3_huffman")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

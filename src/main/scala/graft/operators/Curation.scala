@@ -1944,6 +1944,117 @@ object Curation {
       .orderBy(col("prefix"))
   }
 
+  /** TRANSACTION-LOG SNAPSHOT READS WITH TIME TRAVEL — the table
+    * format underneath every 100 TB lakehouse corpus (Delta Lake,
+    * Armbrust et al. VLDB 2020; Iceberg): the table IS an ordered
+    * log of add/remove FILE actions, and reading version v means
+    * replaying commits 0..v into a live-file set and scanning those
+    * files. This query builds a real one — data files written as
+    * parquet (16 hive buckets + one compaction-style rewrite file),
+    * commits as JSON-lines action files under `_log/` — then reads
+    * EVERY version back through the log-replay path: list the log
+    * through the Hadoop FileSystem, `require` the commit sequence
+    * gapless, fold add/remove into the live set (add of a live path
+    * or remove of a dead one fails loudly), scan exactly the live
+    * files per version. The oracle predicts each version's content
+    * algebraically (live buckets are doc_id residues), so the hash
+    * gate proves log replay ∘ file scan ≡ the declarative predicate
+    * — including that v2's REMOVE actually removed (buckets 3,7
+    * gone) and v3's rewrite file restored bucket 3's exact content.
+    *
+    * Scale shape: the LOG is metadata (file actions, never data) —
+    * the one driver-side collect here is the same metadata-sized
+    * read every Delta client performs; each snapshot is one scan
+    * over its live files, and data never moves except through those
+    * scans. Commit layout: v0 adds buckets 0-7, v1 adds 8-15, v2
+    * removes 3 and 7, v3 adds the bucket-3 rewrite.
+    */
+  val c25TxlogSnapshot = Q(
+    "c25_txlog_snapshot",
+    """WITH v AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS version),
+      |live AS (
+      |  SELECT v.version, d.doc_id, d.text
+      |  FROM v JOIN documents d ON (
+      |    CASE CAST(v.version AS INT)
+      |      WHEN 0 THEN d.doc_id % 16 <= 7
+      |      WHEN 1 THEN TRUE
+      |      WHEN 2 THEN d.doc_id % 16 NOT IN (3, 7)
+      |      ELSE d.doc_id % 16 <> 7 END)
+      |)
+      |SELECT version, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM live GROUP BY version ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    val base = StreamReplay.tempReplayDir("c25")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 16).as("bucket"))
+    docs.write.mode("overwrite").partitionBy("bucket").parquet(files)
+    // the bucket-3 rewrite file: same content, new physical file —
+    // the compaction/OPTIMIZE pattern a log-structured table lives by
+    docs.filter(col("bucket") === 3).drop("bucket")
+      .write.mode("overwrite").parquet(s"$files/extra_b16")
+    val filesPath = new org.apache.hadoop.fs.Path(files)
+    val fs = filesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a bucket with no docs writes no directory (tiny fixtures) — log
+    // only what exists; the oracle's residue algebra agrees for free
+    // (an absent bucket contributes no rows either way)
+    val present = fs.listStatus(filesPath)
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    def existing(names: Seq[String]): Seq[(String, String)] =
+      names.filter(present).map(("add", _))
+    val commits: Seq[Seq[(String, String)]] = Seq(
+      existing((0 to 7).map(k => s"bucket=$k")),
+      existing((8 to 15).map(k => s"bucket=$k")),
+      Seq("bucket=3", "bucket=7").filter(present).map(("remove", _)),
+      Seq(("add", "extra_b16")))
+    commits.zipWithIndex.foreach { case (actions, v) =>
+      val json = actions.map { case (a, p) =>
+        s"""{"action":"$a","path":"$p"}"""
+      }.mkString("\n")
+      java.nio.file.Files.write(logDir.resolve(f"$v%08d.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // ---- reader: a Delta-shaped log replay over the written table ----
+    val logPath = new org.apache.hadoop.fs.Path(logDir.toString)
+    val commitNames = fs.listStatus(logPath).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).sorted
+    commitNames.zipWithIndex.foreach { case (n, i) =>
+      require(n == f"$i%08d.json", s"gap in the commit log at $n (expected #$i)")
+    }
+    // the log IS metadata — this collect reads file actions, not data
+    val actions = s.read.schema("action STRING, path STRING")
+      .json(logDir.toString)
+      .select(col("action"), col("path"),
+        regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("int").as("commit"))
+      .collect()
+      .map(r => (r.getInt(2), r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val digest = expr(
+      "bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
+    val snapshots = commitNames.indices.map { v =>
+      actions.filter(_._1 == v).foreach {
+        case (_, "add", p) =>
+          require(live.add(p), s"commit $v re-adds live file $p")
+        case (_, "remove", p) =>
+          require(live.remove(p), s"commit $v removes unknown file $p")
+        case (_, a, p) => sys.error(s"commit $v: unknown action $a on $p")
+      }
+      s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
+        .agg(count(lit(1)).as("n_docs"), digest.as("content_xor"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("content_xor"), col("sum_doc_id"))
+    }
+    snapshots.reduce(_ union _)
+      .filter(col("n_docs") > 0) // an empty version is absent in both spellings
+      .orderBy(col("version"))
+  }
+
   /** END-TO-END TRAINING-DATA PIPELINE — the full nightly run as ONE
     * registered query: crawl ingest (c12's real WARC→HTTP→HTML byte
     * path) → Gopher quality gate (t27's five integer rules) →
@@ -2113,5 +2224,6 @@ object Curation {
     c08ChunkOverlap, c09IncrementalIngest, c10ChunkDedup, c11CompressedIngest,
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
-    c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e)
+    c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e,
+    c25TxlogSnapshot)
 }

@@ -49,4 +49,23 @@ class CompactionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("graft_c23_definitely_missing_prefix"))
   }
+
+  test("c25: snapshot versions see exactly the log-replayed content (remove + rewrite)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("c25_txlog_snapshot")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byV = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // v1 sees all docs; v2 dropped residues 3 and 7; v3 restored 3
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(byV(1L)._1 == docs.length.toLong, "v1 must see the full corpus")
+    val expectedV2 = docs.count(id => id % 16 != 3 && id % 16 != 7).toLong
+    val expectedV3 = docs.count(_ % 16 != 7).toLong
+    assert(byV(2L)._1 == expectedV2, s"v2 live-doc count after the removes")
+    assert(byV(3L)._1 == expectedV3, s"v3 live-doc count after the rewrite re-add")
+    // the rewrite restored CONTENT, not just counts: v3's digest must
+    // differ from v2's (bucket 3 back) and from v1's (bucket 7 gone)
+    assert(byV(3L)._2 != byV(2L)._2 && byV(3L)._2 != byV(1L)._2)
+  }
 }
