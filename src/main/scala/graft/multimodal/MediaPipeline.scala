@@ -1058,7 +1058,7 @@ object MkvDecoder extends MediaDecoder {
   /** Length in bytes of the varint starting at `i` (position of the
     * highest set bit in the first byte).
     */
-  private def vintLen(b: Array[Byte], i: Int, mediaId: Long): Int = {
+  private[multimodal] def vintLen(b: Array[Byte], i: Int, mediaId: Long): Int = {
     val h = b(i) & 0xff
     require(h != 0, s"media_id=$mediaId: invalid EBML varint (zero lead byte) at $i")
     var mask = 0x80; var n = 1
@@ -1069,14 +1069,14 @@ object MkvDecoder extends MediaDecoder {
   /** EBML element ID at `i`: all bytes INCLUDING the marker bit (the
     * spec's class-encoded form, matching the published ID tables).
     */
-  private def readId(b: Array[Byte], i: Int, n: Int): Long = {
+  private[multimodal] def readId(b: Array[Byte], i: Int, n: Int): Long = {
     var v = 0L; var k = 0
     while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
     v
   }
 
   /** EBML data size at `i`: marker bit stripped. */
-  private def readSize(b: Array[Byte], i: Int, n: Int): Long = {
+  private[multimodal] def readSize(b: Array[Byte], i: Int, n: Int): Long = {
     var v = (b(i) & (0xff >>> n)).toLong
     var k = 1
     while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }

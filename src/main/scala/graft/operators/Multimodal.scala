@@ -2358,6 +2358,92 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** OPUS PACKET FRAMING INSIDE MKV under the oracle
+    * ([[graft.multimodal.OpusPacket]] — the MKV-audio leg of the
+    * codec-frame stub list, the structural layer above m12's
+    * container walk): the EBML tree is walked to the A_OPUS track's
+    * SimpleBlocks, and each block's payload parses as a REAL RFC
+    * 6716 §3 Opus packet — TOC config→duration (Table 2), stereo
+    * bit, ALL FOUR framing codes (one-frame, implied equal split,
+    * signaled first length, VBR count byte with the 255-chain
+    * padding), and the §3.2.1 one/two-byte length encoding, which
+    * the schedule deliberately walks across the 252 boundary. The
+    * spec's own consistency rules (R1/R3/R5, length overruns) are
+    * loud `require`s — and the oracle re-derives every packet's
+    * frame count, duration, lengths, padding and payload byte sums
+    * arithmetically, so a mis-walked EBML size or one mis-framed
+    * Opus byte fails the hash. SILK/CELT sample reconstruction stays
+    * out of scope (documented). Zero-shuffle per-partition
+    * synth+walk+parse, the m-tier shape.
+    */
+  val m32MkvOpus = Q(
+    "m32_mkv_opus",
+    { val c = "((doc_id + p) % 4)"
+      val conf = s"(CASE WHEN $c = 3 THEN 16 + (doc_id + 7*p) % 16" +
+        " ELSE (doc_id + 7*p) % 32 END)"
+      val dur = s"(CASE WHEN $conf < 12 THEN ([10000,20000,40000,60000])[CAST($conf % 4 AS INT) + 1]" +
+        s" WHEN $conf < 16 THEN ([10000,20000])[CAST($conf % 2 AS INT) + 1]" +
+        s" ELSE ([2500,5000,10000,20000])[CAST($conf % 4 AS INT) + 1] END)"
+      val nfp = s"(([1,2,2,3])[CAST($c AS INT) + 1])"
+      val lens = s"""(CASE CAST($c AS INT)
+         |      WHEN 0 THEN [20 + (doc_id + 3*p) % 30]
+         |      WHEN 1 THEN [15 + (doc_id + 3*p) % 20, 15 + (doc_id + 3*p) % 20]
+         |      WHEN 2 THEN [248 + (doc_id + 3*p) % 8, 12 + (doc_id + p) % 20]
+         |      ELSE [8 + (doc_id + p) % 15, 8 + (doc_id + p + 5) % 15,
+         |            8 + (doc_id + p + 10) % 15] END)""".stripMargin
+      s"""WITH pk AS (
+         |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS p FROM documents
+         |), per AS (
+         |  SELECT doc_id, p,
+         |    $conf AS conf, $nfp AS nf, $dur AS dur,
+         |    list_sum($lens) AS fb,
+         |    CASE WHEN $c = 3 THEN (doc_id + p) % 3 ELSE 0 END AS pad,
+         |    (doc_id + p) % 2 AS st,
+         |    list_sum(list_transform(range(0, len($lens)), f ->
+         |      list_sum(list_transform(
+         |        range(0, ($lens)[CAST(f AS INT) + 1]),
+         |        j -> (doc_id + 31*p + 17*f + j) % 256)))) AS payload
+         |  FROM pk
+         |)
+         |SELECT doc_id AS media_id,
+         |  CAST(count(*) AS BIGINT) AS n_packets,
+         |  CAST(sum(nf) AS BIGINT) AS n_frames,
+         |  CAST(sum(nf * dur) AS BIGINT) AS sum_dur_us,
+         |  CAST(sum(fb) AS BIGINT) AS sum_frame_bytes,
+         |  CAST(sum(pad) AS BIGINT) AS sum_padding,
+         |  CAST(sum(st) AS BIGINT) AS n_stereo,
+         |  CAST(sum(conf) AS BIGINT) AS sum_config,
+         |  CAST(sum(payload) AS BIGINT) AS sum_payload
+         |FROM per GROUP BY doc_id ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.OpusPacket
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = OpusPacket.buildDoc(id)
+        val pkts = OpusPacket.extractPackets(payload, id)
+          .map(OpusPacket.parse(_, id))
+        var nFrames = 0L; var sumDur = 0L; var fb = 0L; var pad = 0L
+        var stereo = 0L; var sumPayload = 0L; var sumConf = 0L
+        pkts.foreach { pk =>
+          nFrames += pk.frames.length
+          sumDur += pk.durUsTotal
+          fb += pk.frames.map(_.length.toLong).sum
+          pad += pk.padding
+          if (pk.stereo) stereo += 1
+          sumConf += pk.config
+          pk.frames.foreach(_.foreach(b => sumPayload += (b & 0xff)))
+        }
+        (id, pkts.length.toLong, nFrames, sumDur, fb, pad, stereo,
+          sumConf, sumPayload)
+      })
+      .toDF("media_id", "n_packets", "n_frames", "sum_dur_us",
+        "sum_frame_bytes", "sum_padding", "n_stereo", "sum_config",
+        "sum_payload")
+      .orderBy(col("media_id"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
@@ -2365,5 +2451,5 @@ object Multimodal {
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
       m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
-      m30PngPalette, m31Mp3Huffman)
+      m30PngPalette, m31Mp3Huffman, m32MkvOpus)
 }

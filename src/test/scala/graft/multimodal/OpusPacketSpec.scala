@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpusPacketSpec extends AnyFunSuite {
+
+  test("schedule round trip: every packet's framing fields come back through MKV + parse") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 11L, 257L)) {
+      import OpusPacket.Sched._
+      val mkv = OpusPacket.buildDoc(docId)
+      val raw = OpusPacket.extractPackets(mkv, docId)
+      assert(raw.length == nPackets(docId))
+      raw.zipWithIndex.foreach { case (bytes, p) =>
+        val pk = OpusPacket.parse(bytes, docId)
+        assert(pk.code == code(docId, p), s"doc=$docId p=$p code")
+        assert(pk.config == config(docId, p), s"doc=$docId p=$p config")
+        assert(pk.stereo == stereo(docId, p), s"doc=$docId p=$p stereo")
+        val lens = frameLens(docId, p)
+        assert(pk.frames.map(_.length) == lens, s"doc=$docId p=$p lens")
+        assert(pk.padding == (if (pk.code == 3) padding(docId, p) else 0))
+        for (f <- lens.indices; j <- 0 until lens(f))
+          assert((pk.frames(f)(j) & 0xff) == frameByte(docId, p, f, j),
+            s"doc=$docId p=$p frame=$f byte=$j")
+      }
+    }
+  }
+
+  test("all four framing codes and both frame-length encodings occur across the fixture ids") {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    var oneByte = false; var twoByte = false
+    for (docId <- 0L until 16L; p <- 0 until OpusPacket.Sched.nPackets(docId)) {
+      seen += OpusPacket.Sched.code(docId, p)
+      if (OpusPacket.Sched.code(docId, p) == 2) {
+        val l1 = OpusPacket.Sched.lenC2a(docId, p)
+        if (l1 < 252) oneByte = true else twoByte = true
+      }
+    }
+    assert(seen == Set(0, 1, 2, 3), s"codes seen: $seen")
+    assert(oneByte && twoByte,
+      "the code-2 first-frame schedule must cross the 252 two-byte boundary")
+  }
+
+  test("spec rules fail loudly: R1 empty, R3 odd split, R5 over 120ms, length overrun") {
+    intercept[IllegalArgumentException](OpusPacket.parse(Array.emptyByteArray, 9L))
+    // code 1 (toc&3 == 1) with 3 payload bytes: odd split
+    val odd = Array[Byte]((0 << 3 | 1).toByte, 1, 2, 3)
+    assert(intercept[IllegalArgumentException](OpusPacket.parse(odd, 9L))
+      .getMessage.contains("R3"))
+    // config 3 = SILK 60ms; code 3 with M=3 frames = 180ms > 120ms
+    val over = Array[Byte]((3 << 3 | 3).toByte, (0x80 | 3).toByte, 1, 1, 10, 20, 30)
+    assert(intercept[IllegalArgumentException](OpusPacket.parse(over, 9L))
+      .getMessage.contains("120ms"))
+    // code 2 whose signaled first length exceeds the packet
+    val overrun = Array[Byte]((16 << 3 | 2).toByte, 50, 1, 2)
+    assert(intercept[IllegalArgumentException](OpusPacket.parse(overrun, 9L))
+      .getMessage.contains("exceeds"))
+  }
+
+  test("a corrupted CodecID fails the MKV walk loudly") {
+    val mkv = OpusPacket.buildDoc(7L)
+    val at = indexOfAscii(mkv, "A_OPUS")
+    assert(at > 0)
+    mkv(at) = 'B'.toByte
+    val e = intercept[IllegalArgumentException](OpusPacket.extractPackets(mkv, 7L))
+    assert(e.getMessage.contains("A_OPUS"))
+  }
+
+  private def indexOfAscii(b: Array[Byte], s: String): Int = {
+    val pat = s.getBytes("US-ASCII")
+    (0 to b.length - pat.length).find(i => pat.indices.forall(k => b(i + k) == pat(k)))
+      .getOrElse(-1)
+  }
+}
