@@ -330,7 +330,9 @@ object ScaleProbe {
     "c25_txlog_snapshot",
     // m31: per-row synth + Huffman decode, zero shuffle — expected
     // ≈linear like the rest of the m tier
-    "m31_mp3_huffman")
+    "m31_mp3_huffman",
+    // m32: per-row EBML walk + Opus framing parse, zero shuffle
+    "m32_mkv_opus")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket
