@@ -774,9 +774,52 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** DETERMINISTIC GLOBAL TRAINING ORDER — the corpus shuffle every
+    * LLM run performs before packing: each doc's position in the
+    * epoch is its rank under a hash permutation
+    * (md5("seed42:" || doc_id), doc_id tiebreak), and consecutive
+    * 64-doc blocks become the data-loader shards. Reproducible under
+    * any cluster layout (hash-keyed, like every p-tier op — never
+    * rand()).
+    *
+    * THE SCALE LESSON IS THE SPELLING: `row_number() OVER (ORDER BY
+    * hash)` — the oracle's natural form — moves the entire corpus
+    * through ONE partition (the WindowExec trap p13 documents for
+    * domain tables is corpus-sized here). The distributed spelling
+    * is a range-partitioned SORT plus `zipWithIndex`, Spark's
+    * standard global-rank idiom: one extra count-only job learns the
+    * partition sizes, then every partition stamps its own offset
+    * range — no single-partition stage anywhere, no driver collect.
+    * PlanSpec pins the absence of a Window operator.
+    */
+  val p14TrainingOrder = Q(
+    "p14_training_order",
+    """SELECT doc_id,
+      |  row_number() OVER (
+      |    ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+      |  (row_number() OVER (
+      |    ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) // 64
+      |    AS shard
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ordered = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .as[(Long, String)]
+    ordered.rdd.zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1) }
+      .toDF("doc_id", "pos")
+      .select(col("doc_id"), col("pos"),
+        expr("(pos - 1) div 64").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(p01SampleUniform, p02SampleStratified, p03SplitAssign, p04DomainMixture,
       p05MixtureThreshold, p06SampleExactK, p07WeightedSample,
       p08TemperatureMixture, p09DsirSelect, p10LeakageSafeSplit,
-      p11WeightedReservoir, p12KcenterCoreset, p13Apportionment)
+      p11WeightedReservoir, p12KcenterCoreset, p13Apportionment,
+      p14TrainingOrder)
 }

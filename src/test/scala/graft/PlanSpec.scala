@@ -850,6 +850,15 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 3, s"unexpected nested-loop joins ($bnlj — 1-row cross joins only):\n$p")
   }
 
+  test("p14: global training order ranks WITHOUT a corpus-sized window") {
+    val p = plan("p14_training_order")
+    // the scale-safe global rank is range-sort + zipWithIndex — a
+    // row_number() over the global hash order would put the whole
+    // corpus through one WindowExec partition
+    assert(!p.contains("Window"), s"corpus-global rank must not use a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m31: the Huffman decode is a zero-shuffle per-partition kernel") {
     val p = plan("m31_mp3_huffman")
     assert(!p.contains("Exchange hashpartitioning"),
