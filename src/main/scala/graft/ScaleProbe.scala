@@ -328,6 +328,9 @@ object ScaleProbe {
     // c25: one partitioned write + 4 snapshot scans over live files;
     // the log replay is metadata-sized — expected ≈linear in bytes
     "c25_txlog_snapshot",
+    // c26: the same table, but each commit reads ONLY its delta
+    // files — expected ≈c25's write term + sub-table scan cost
+    "c26_txlog_incremental",
     // m31: per-row synth + Huffman decode, zero shuffle — expected
     // ≈linear like the rest of the m tier
     "m31_mp3_huffman",

@@ -1987,6 +1987,42 @@ object Curation {
       |FROM live GROUP BY version ORDER BY version""".stripMargin
   ) { (s, d) =>
     val base = StreamReplay.tempReplayDir("c25")
+    val (files, actions, nCommits) = txlogTable(s, d, "c25")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val snapshots = (0 until nCommits).map { v =>
+      actions.filter(_._1 == v).foreach {
+        case (_, "add", p) =>
+          require(live.add(p), s"commit $v re-adds live file $p")
+        case (_, "remove", p) =>
+          require(live.remove(p), s"commit $v removes unknown file $p")
+        case (_, a, p) => sys.error(s"commit $v: unknown action $a on $p")
+      }
+      s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
+        .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("content_xor"), col("sum_doc_id"))
+    }
+    snapshots.reduce(_ union _)
+      .filter(col("n_docs") > 0) // an empty version is absent in both spellings
+      .orderBy(col("version"))
+  }
+
+  /** The c23/c25 order-free content digest over (doc_id, text). */
+  private def txlogDigest: Column = expr(
+    "bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
+
+  /** Builds the c25/c26 log-structured table: 16 hive bucket files +
+    * the bucket-3 rewrite file, and the four-commit JSON-lines action
+    * log (v0 add 0-7, v1 add 8-15, v2 remove 3+7, v3 add the
+    * rewrite). Returns the files root, the VALIDATED (commit, action,
+    * path) list (gapless filenames `require`d), and the commit count.
+    * The one driver-side read here is the metadata-sized action log —
+    * the same read every Delta client performs.
+    */
+  private def txlogTable(s: SparkSession, d: String,
+      name: String): (String, Array[(Int, String, String)], Int) = {
+    val base = StreamReplay.tempReplayDir(name)
     val files = base.resolve("files").toString
     val logDir = base.resolve("_log")
     java.nio.file.Files.createDirectories(logDir)
@@ -2018,7 +2054,6 @@ object Curation {
       java.nio.file.Files.write(logDir.resolve(f"$v%08d.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    // ---- reader: a Delta-shaped log replay over the written table ----
     val logPath = new org.apache.hadoop.fs.Path(logDir.toString)
     val commitNames = fs.listStatus(logPath).map(_.getPath.getName)
       .filter(_.endsWith(".json")).sorted
@@ -2033,26 +2068,73 @@ object Curation {
       .collect()
       .map(r => (r.getInt(2), r.getString(0), r.getString(1)))
       .sortBy(_._1)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    val digest = expr(
-      "bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
-    val snapshots = commitNames.indices.map { v =>
-      actions.filter(_._1 == v).foreach {
-        case (_, "add", p) =>
-          require(live.add(p), s"commit $v re-adds live file $p")
-        case (_, "remove", p) =>
-          require(live.remove(p), s"commit $v removes unknown file $p")
-        case (_, a, p) => sys.error(s"commit $v: unknown action $a on $p")
-      }
-      s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
-        .agg(count(lit(1)).as("n_docs"), digest.as("content_xor"),
-          sum(col("doc_id")).as("sum_doc_id"))
-        .select(lit(v.toLong).as("version"), col("n_docs"),
-          col("content_xor"), col("sum_doc_id"))
+    (files, actions, commitNames.length)
+  }
+
+  /** INCREMENTAL PROCESSING OFF THE TRANSACTION LOG — the reason
+    * lakehouse tables keep a commit log at all: data files are
+    * IMMUTABLE, so commit v's added/removed FILE sets are exactly
+    * the table's row-level delta, and a nightly consumer reads ONLY
+    * those files — cost proportional to the change, never the table
+    * (Delta CDF / Iceberg incremental scan, the pattern every
+    * incremental pipeline stage builds on; c09's ingest gate is the
+    * consumer side, this is the table side). The query replays c25's
+    * log and emits, per commit, the added- and removed-doc counts
+    * and digests computed from JUST the delta files; the oracle
+    * re-derives them from the bucket residue algebra, so the hash
+    * gate proves delta-file reads ≡ the declarative row delta —
+    * including that v3's rewrite re-add surfaces bucket 3's exact
+    * content as an ADD while never rereading the other 14 live
+    * files.
+    */
+  val c26TxlogIncremental = Q(
+    "c26_txlog_incremental",
+    """WITH v AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS version),
+      |adds AS (
+      |  SELECT v.version, d.doc_id, d.text
+      |  FROM v JOIN documents d ON (
+      |    CASE CAST(v.version AS INT)
+      |      WHEN 0 THEN d.doc_id % 16 <= 7
+      |      WHEN 1 THEN d.doc_id % 16 >= 8
+      |      WHEN 2 THEN FALSE
+      |      ELSE d.doc_id % 16 = 3 END)
+      |), rems AS (
+      |  SELECT v.version, d.doc_id, d.text
+      |  FROM v JOIN documents d ON (
+      |    CASE CAST(v.version AS INT) WHEN 2 THEN d.doc_id % 16 IN (3, 7)
+      |      ELSE FALSE END)
+      |), a AS (
+      |  SELECT version, CAST(count(*) AS BIGINT) AS n_added,
+      |    bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS added_xor
+      |  FROM adds GROUP BY version
+      |), r AS (
+      |  SELECT version, CAST(count(*) AS BIGINT) AS n_removed,
+      |    bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS removed_xor
+      |  FROM rems GROUP BY version
+      |)
+      |SELECT v.version AS version, COALESCE(a.n_added, 0) AS n_added,
+      |       a.added_xor, COALESCE(r.n_removed, 0) AS n_removed, r.removed_xor
+      |FROM v LEFT JOIN a ON v.version = a.version
+      |       LEFT JOIN r ON v.version = r.version
+      |ORDER BY v.version""".stripMargin
+  ) { (s, d) =>
+    val (files, actions, nCommits) = txlogTable(s, d, "c26")
+    def deltaAgg(paths: Seq[String], v: Int, side: String) =
+      if (paths.isEmpty)
+        s.range(1).select(lit(v.toLong).as("version"),
+          lit(0L).as(s"n_$side"), lit(null).cast("long").as(s"${side}_xor"))
+      else
+        s.read.parquet(paths.map(p => s"$files/$p"): _*)
+          .agg(count(lit(1)).as(s"n_$side"), txlogDigest.as(s"${side}_xor"))
+          .select(lit(v.toLong).as("version"), col(s"n_$side"),
+            col(s"${side}_xor"))
+    val deltas = (0 until nCommits).map { v =>
+      val here = actions.filter(_._1 == v)
+      val added = here.collect { case (_, "add", p) => p }.toSeq
+      val removed = here.collect { case (_, "remove", p) => p }.toSeq
+      deltaAgg(added, v, "added").join(deltaAgg(removed, v, "removed"), "version")
     }
-    snapshots.reduce(_ union _)
-      .filter(col("n_docs") > 0) // an empty version is absent in both spellings
-      .orderBy(col("version"))
+    deltas.reduce(_ union _).orderBy(col("version"))
   }
 
   /** END-TO-END TRAINING-DATA PIPELINE — the full nightly run as ONE
@@ -2225,5 +2307,5 @@ object Curation {
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
     c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e,
-    c25TxlogSnapshot)
+    c25TxlogSnapshot, c26TxlogIncremental)
 }
