@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions.col
   *
   * Usage: ScaleProbe <label=dir> [<label=dir> …]
   * Output: one JSON object printed AND written to
-  * SPARK_GRAFT_SCALE_OUT (default /root/repo/SCALE_r04.json).
+  * SPARK_GRAFT_SCALE_OUT (default SCALE_PROBE_LAST.json — a scratch
+  * name, gitignored: the round-4 default of SCALE_r04.json silently
+  * overwrote that HISTORICAL record on every later probe run until
+  * round 12 caught it; commit probe output under an explicit
+  * SCALE_r{N}_*.json name instead).
   */
 object ScaleProbe {
 
@@ -570,7 +574,7 @@ object ScaleProbe {
       } else "{}"
     val json =
       s"""{"metric":"scale_probe","scales":$scalesJson,"sec_ratio_last_over_first":$ratios}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r04.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_PROBE_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[scale] could not write $out: ${e.getMessage}")
