@@ -716,8 +716,50 @@ object Aggregates {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** OBSERVED METRICS (`Dataset.observe` / CollectMetrics) — the
+    * pipeline-observability primitive: data-quality counters that
+    * ride the action a pipeline ALREADY runs instead of paying a
+    * second scan. The query attaches three metrics (row count, the
+    * exact-decimal quantity sum, a returned-flag counter) to a
+    * lineitem projection, drives it through a noop sink — the
+    * stand-in for the real write a production job performs — and
+    * emits the observed values, hash-gated against the oracle's
+    * plain aggregates. A one-row difference anywhere means the
+    * CollectMetrics path disagreed with the declarative aggregate,
+    * which is exactly the regression this query exists to catch.
+    *
+    * Scale shape: observe's metrics are map-side partials merged on
+    * the driver — ONE metric row per task crosses the wire, the scan
+    * is the write's own, and `Observation.get` is metric-sized. At
+    * 100 TB this is how row-count/invariant checks ship with every
+    * sink write for free.
+    */
+  val q91ObservedMetrics = Q(
+    "q91_observed_metrics",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum2("l_quantity")} AS sum_qty,
+       |  CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned
+       |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        Exact.sum2(col("l_quantity")).as("sum_qty"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+      .write.format("noop").mode("overwrite").save() // the pipeline's own action
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_qty").asInstanceOf[Double],
+      m("n_returned").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_returned")
+  }
+
   def all: Seq[Q] = Seq(q20AggStats, q21CountDistinct, q22ApproxDistinct,
     q23Rollup, q24Cube, q25GroupingSets, q26Pivot, q27Percentiles, q28FilteredAgg,
     q29ApproxPercentile, q44Unpivot, q46HllUnion, q48KmvIntersect, q49CountMin,
-    q56IncrementalAgg, q58Winsorize)
+    q56IncrementalAgg, q58Winsorize, q91ObservedMetrics)
 }
