@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only profiler for the curation near-dup kernel family
+  * (round-13 item 1): runs a handful of queries once each with a job
+  * listener attached and prints per-Spark-job wall time + call site,
+  * so the "where do c02/c04/c05/c06/c07/c24's ~6-8 s actually go"
+  * question is answered with a measurement instead of a guess.
+  *
+  * Usage: runMain graft.NearDupProfile [query ...]   (default c02)
+  */
+object NearDupProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROFILE_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // same warmup as Bench so codegen/JIT cost doesn't land on job 0
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(10).count()
+    Tables.documents(spark, sfDir).limit(64)
+      .selectExpr("array_sort(array_distinct(split(text, ' '))) AS ts")
+      .select(graft.functions.MinHashSigs(
+        org.apache.spark.sql.functions.col("ts"), 8).as("mh")).count()
+    spark.catalog.clearCache()
+
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.map(si => s"${si.name}").distinct.mkString(" | ")
+        starts.put(js.jobId, (System.nanoTime(), site,
+          js.stageInfos.map(_.numTasks).sum))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, site, nTasks) =>
+          lines.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  tasks=$nTasks%4d  $site")
+        }
+      }
+    })
+
+    // stagewise mode: rebuild c02's kernel chain step by step, timing
+    // each frame's materialization separately
+    if (sys.env.get("SPARK_GRAFT_PROFILE_STAGEWISE").contains("1")) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextVec.tokenSet
+      def timed[T](what: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"  stage ${(System.nanoTime() - t0) / 1e9}%7.3f s  $what")
+        r
+      }
+      for (rep <- 1 to 2) {
+        println(s"==== stagewise c02 kernel rep $rep ====")
+        val quality = timed("qualityDocs (scan+score+filter)") {
+          val q = Tables.documents(spark, sfDir)
+            .select(col("doc_id"), col("lang"), col("text"),
+              md5(col("text")).as("content_hash"),
+              graft.functions.QualityScore(graft.functions.TextVec.tokens(col("text"))).as("quality"))
+            .filter(col("quality") >= 0.5)
+          q.write.format("noop").mode("overwrite").save(); q
+        }
+        val keepers = timed("exactKeepers (window)") {
+          val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+          val k = quality.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          k.write.format("noop").mode("overwrite").save(); k
+        }
+        val ksets = timed("ksets cache") {
+          val f = keepers
+            .select(col("doc_id"), col("lang"), col("quality"),
+              array_sort(tokenSet(col("text"))).as("ts"))
+            .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
+            .cache()
+          f.count(); f
+        }
+        val sets = timed("sets cache (groupBy set_hash)") {
+          val f = ksets.groupBy(col("set_hash"))
+            .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
+            .cache()
+          f.count(); f
+        }
+        val sig = timed("sig cache (MinHashSigs)") {
+          val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
+          val f = sets.select(
+            col("rep_id") +: col("ts") +:
+              (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
+            .cache()
+          f.count(); f
+        }
+        timed("  bucket stats") {
+          val bandArr0 = array((0 until 2).map(i =>
+            md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+              col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+          val b0 = sig.select(col("rep_id"), posexplode(bandArr0).as(Seq("band", "h")))
+          val st = b0.groupBy(col("band"), col("h")).agg(count(lit(1)).as("k"))
+            .agg(sum(expr("k*(k-1) div 2")).as("candidates"), max(col("k")).as("max_bucket"),
+              count(lit(1)).as("n_buckets")).head()
+          println(s"    candidates=${st.getLong(0)} max_bucket=${st.getLong(1)} buckets=${st.getLong(2)}")
+          // what lives in the big buckets? length histogram per top bucket
+          val big = b0.groupBy(col("band"), col("h")).agg(count(lit(1)).as("k"))
+            .filter(col("k") > 100)
+          big.join(b0, Seq("band", "h"))
+            .join(sig.select(col("rep_id"), size(col("ts")).as("n")), "rep_id")
+            .groupBy(col("band"), col("h"), col("k"))
+            .agg(min(col("n")).as("min_len"), expr("percentile(n, 0.5)").as("med_len"),
+              max(col("n")).as("max_len"))
+            .orderBy(col("k").desc).limit(10).collect()
+            .foreach(r => println(s"    bucket k=${r.get(2)} len[${r.get(3)}, ${r.get(4)}, ${r.get(5)}]"))
+        }
+        val edges = timed("edges cache (band join + jaccard + distinct)") {
+          val bandArr = array((0 until 2).map(i =>
+            md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+              col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+          val bands = sig.select(col("rep_id"), col("ts"),
+            posexplode(bandArr).as(Seq("band", "h")))
+          val e = bands.alias("a")
+            .join(bands.alias("b"),
+              col("a.band") === col("b.band") && col("a.h") === col("b.h")
+                && col("a.rep_id") < col("b.rep_id"))
+            .filter(size(col("a.ts")) * 10 >= size(col("b.ts")) * 9
+              && size(col("b.ts")) * 10 >= size(col("a.ts")) * 9)
+            .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+              graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+            .filter(col("jaccard") >= 0.9)
+            .select(col("id_a"), col("id_b"))
+            .distinct()
+            .cache()
+          println(s"    edges = ${e.count()}")
+          e
+        }
+        val labels = timed("convergedLabels (12-round budget)") {
+          graft.operators.Dedup.convergedLabels(edges, 12, "profile")
+        }
+        timed("final keeper join + orderBy + noop") {
+          val docReps = ksets.select(col("doc_id"), col("lang"), col("quality"), col("set_hash"))
+            .join(sets.select(col("set_hash"), col("rep_id")), "set_hash")
+            .select(col("doc_id"), col("lang"), col("quality"), col("rep_id"))
+          docReps.alias("d")
+            .join(labels.select(col("vec_id").as("rep_id"), col("label")).alias("l"),
+              col("d.rep_id") === col("l.rep_id"), "left")
+            .filter(col("doc_id") === coalesce(col("label"), col("d.rep_id")))
+            .select(col("doc_id"), col("lang"), col("quality"))
+            .orderBy(col("doc_id"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      spark.stop()
+      return
+    }
+
+    val names = if (args.nonEmpty) args.toSeq else Seq("c02_curate_neardup")
+    for (name <- names; rep <- 1 to 2) {
+      lines.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener events drain
+      println(s"==== $name run $rep: total ${f"$wall%.3f"} s, jobs=${lines.size()} ====")
+      lines.forEach(l => println("  " + l))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

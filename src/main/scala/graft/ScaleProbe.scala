@@ -452,10 +452,9 @@ object ScaleProbe {
       bitsPerBand: Int, probeName: String): DataFrame = {
     val verified = graft.operators.Dedup
       .verifiedEmbeddingPairsParam(s, dir, nBands = 2, bitsPerBand = bitsPerBand).cache()
-    val rounds = graft.operators.Dedup.CcRounds
-    val (g, labelsRaw) = graft.operators.Dedup.propagateLabels(verified, rounds)
-    val labels = labelsRaw.localCheckpoint()
-    graft.operators.Dedup.assertConverged(g, labels, rounds, probeName)
+    val labels = graft.operators.Dedup
+      .convergedLabels(verified, graft.operators.Dedup.CcRounds, probeName)
+    verified.unpersist(blocking = false)
     val sizes = labels.groupBy(col("label"))
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_members"))
     labels.alias("l").join(sizes.alias("c"), col("l.label") === col("c.label"))

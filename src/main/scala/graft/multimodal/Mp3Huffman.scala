@@ -66,7 +66,9 @@ object Mp3Huffman {
   private val c1Decode: Array[Map[(Int, Int), Int]] = Array(Count1A, Count1B).map(t =>
     t.zipWithIndex.map { case ((len, code), q) => (len, code) -> q }.toMap)
 
-  private def readCode[S](r: BitReader, m: Map[(Int, Int), S], what: String,
+  // private[multimodal] so the known-answer tests can drive the REAL
+  // decode loop over literal spec bitstrings (round-12 verdict #1)
+  private[multimodal] def readCode[S](r: BitReader, m: Map[(Int, Int), S], what: String,
       mediaId: Long): S = {
     var len = 0
     var code = 0

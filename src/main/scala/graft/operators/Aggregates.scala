@@ -752,8 +752,10 @@ object Aggregates {
       .write.format("noop").mode("overwrite").save() // the pipeline's own action
     val m = obs.get
     import s.implicits._
+    // sum over zero rows observes NULL (count metrics observe 0) —
+    // fold it to 0.0 instead of NPEing on the unbox (round-12 advice)
     Seq((m("n_rows").asInstanceOf[Long],
-      m("sum_qty").asInstanceOf[Double],
+      Option(m("sum_qty")).fold(0d)(_.asInstanceOf[Double]),
       m("n_returned").asInstanceOf[Long]))
       .toDF("n_rows", "sum_qty", "n_returned")
   }

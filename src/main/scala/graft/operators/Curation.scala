@@ -218,6 +218,19 @@ object Curation {
     * collapse over an exact-keeper frame `(doc_id, carry…, text)`,
     * returning `(doc_id, carry…)` — one row per connected component
     * of the verified Jaccard ≥ 0.9 graph, keeper = min doc_id.
+    *
+    * Round-13 shape (the family's ~6 s shared constant, cut): the
+    * MinHash signatures live as extra columns on the `sets` frame
+    * (one cache + one materialization instead of the old sets/sig
+    * pair), and the keeper test inverts: instead of joining every doc
+    * to its rep (the old doc_reps set_hash join) and filtering
+    * doc_id = keeper(rep), it derives the KEPT-ID SET — for each
+    * distinct token set, coalesce(component label, rep_id); every
+    * such keeper id IS a doc_id (rep_id = min doc_id of its group,
+    * label = min rep_id of its component), and a doc survives iff its
+    * doc_id is in that set (its own group's keeper is then itself:
+    * labels are converged component minima). One tiny distinct + a
+    * semi-join on doc_id replaces two wide joins over the doc list.
     */
   private def nearDupComponentFrom(keepers: DataFrame, carry: Seq[String],
       probeName: String): DataFrame = {
@@ -225,26 +238,49 @@ object Curation {
       .select(col("doc_id") +: carry.map(col) :+
         array_sort(tokenSet(col("text"))).as("ts"): _*)
       .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
-      .cache() // upstream-stage work feeds BOTH sets and doc_reps
+      .cache() // upstream-stage work feeds BOTH sets and the semi-join
+    val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
     val sets = ksets.groupBy(col("set_hash"))
       .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
-      .cache() // feeds doc_reps AND the signature/band pipeline
-    val docReps = ksets.select(col("doc_id") +: carry.map(col) :+ col("set_hash"): _*)
-      .join(sets.select(col("set_hash"), col("rep_id")), "set_hash")
-      .select(col("doc_id") +: carry.map(col) :+ col("rep_id"): _*)
-    val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
-    val sig = sets.select(
-      col("rep_id") +: col("ts") +:
+      .select(col("rep_id") +: col("ts") +:
         (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
-      .cache() // both band-join sides — compute the kernel once
+      .cache() // keeper-id derivation AND both band-join sides
     val bandArr = array((0 until 2).map(i =>
       md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
         col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
-    val bands = sig.select(col("rep_id"), col("ts"),
+    // Length-bucketed band join (round-13 skew fix): short documents
+    // share 4-minhash band values easily — the sf0.1 corpus has a
+    // 1,387-set bucket putting ~10⁶ candidate pairs (of 2.0M total)
+    // on ONE join key/task. A verified pair must also pass the 0.9
+    // length-ratio prefilter, so adding floor(log_{10/9}(|ts|)) to
+    // the join key — with one side fanned to its {B−1, B, B+1}
+    // neighborhood, which covers every ratio-passing pair exactly
+    // once per band — shatters those buckets by length at a constant
+    // 3× fan-out on one (tiny) side. Candidates become a superset of
+    // ratio-passing same-band pairs; the unchanged post-join filters
+    // keep the verified edge set bit-identical to the oracle's.
+    // The double-precision bucket is safe at the 10/9 boundary for
+    // every |ts| ≤ 2^26 (NearDupBucketSpec proves it exhaustively);
+    // the guard fails loudly on a set past that bound (a single
+    // document with 67M DISTINCT tokens) instead of risking a
+    // dropped candidate.
+    def lenBucket(ts: Column): Column = {
+      val n = size(ts)
+      when(n <= lit(1 << 26),
+        floor(log(10.0 / 9.0, n.cast("double"))).cast("int"))
+        .otherwise(raise_error(concat(
+          lit("near-dup length bucket out of proven range: |ts|="),
+          n.cast("string"))).cast("int"))
+    }
+    val bands = sets.select(col("rep_id"), col("ts"),
       posexplode(bandArr).as(Seq("band", "h")))
+      .withColumn("lb", lenBucket(col("ts")))
+    val bandsFanned = bands
+      .withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
     val edges = bands.alias("a")
-      .join(bands.alias("b"),
+      .join(bandsFanned.alias("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h")
+          && col("a.lb") === col("b.lb")
           && col("a.rep_id") < col("b.rep_id"))
       .filter(size(col("a.ts")) * 10 >= size(col("b.ts")) * 9
         && size(col("b.ts")) * 10 >= size(col("a.ts")) * 9)
@@ -254,13 +290,12 @@ object Curation {
       .select(col("id_a"), col("id_b"))
       .distinct()
       .cache() // referenced 3× by the propagation graph
-    val (g, labelsRaw) = Dedup.propagateLabels(edges, C02Rounds)
-    val labels = labelsRaw.localCheckpoint()
-    Dedup.assertConverged(g, labels, C02Rounds, probeName)
-    docReps.alias("d")
-      .join(labels.select(col("vec_id").as("rep_id"), col("label")).alias("l"),
-        col("d.rep_id") === col("l.rep_id"), "left")
-      .filter(col("doc_id") === coalesce(col("label"), col("d.rep_id")))
+    val labels = Dedup.convergedLabels(edges, C02Rounds, probeName)
+    val keptIds = sets.select(col("rep_id")).alias("s")
+      .join(labels.alias("l"), col("s.rep_id") === col("l.vec_id"), "left")
+      .select(coalesce(col("l.label"), col("s.rep_id")).as("doc_id"))
+      .distinct()
+    ksets.join(keptIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id") +: carry.map(col): _*)
   }
 
@@ -512,10 +547,17 @@ object Curation {
       .filter(col("weight").isNotNull)
       .groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_total"))
-    val tot = src.agg(sum(col("weight")).as("tw"))
-    val cap = src.crossJoin(broadcast(tot))
-      .agg(min(expr("n_total * tw DIV weight")).as("dfinal"))
-    val quota = src.crossJoin(broadcast(tot)).crossJoin(broadcast(cap))
+    // tw/dfinal are corpus-wide scalars over the PER-SOURCE aggregate
+    // — a frame bounded by the source count (small by the src<N>
+    // contract), so two single-partition windows over it compute both
+    // in the quota projection itself. Round 12 spelled this as two
+    // scalar aggs crossJoined back through broadcasts: three extra
+    // eager broadcast jobs per query for ≤|sources| rows of math.
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quota = src
+      .withColumn("tw", sum(col("weight")).over(wAll))
+      .withColumn("dfinal", min(expr("n_total * tw DIV weight")).over(wAll))
       .select(col("source"), expr("(weight * dfinal) DIV tw").as("quota"))
     val wRank = Window.partitionBy(col("source"))
       .orderBy(substring(md5(col("doc_id").cast("string")), 1, 4), col("doc_id"))
@@ -1986,7 +2028,6 @@ object Curation {
       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
       |FROM live GROUP BY version ORDER BY version""".stripMargin
   ) { (s, d) =>
-    val base = StreamReplay.tempReplayDir("c25")
     val (files, actions, nCommits) = txlogTable(s, d, "c25")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val snapshots = (0 until nCommits).map { v =>

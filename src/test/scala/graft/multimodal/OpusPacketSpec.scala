@@ -40,6 +40,83 @@ class OpusPacketSpec extends AnyFunSuite {
       "the code-2 first-frame schedule must cross the 252 two-byte boundary")
   }
 
+  // ---- KNOWN-ANSWER TESTS (round-12 verdict #1) ----------------------
+  // Literal packets hand-assembled from RFC 6716 §3.1-§3.2 — written
+  // byte by byte from the spec text, never via buildPacket — so a
+  // framing-rule error shared by the synth and the parser cannot
+  // self-certify.
+
+  test("KAT: TOC byte fields and Table-2 frame durations on literal packets") {
+    // TOC = config<<3 | stereo<<2 | code. config 17 (CELT FB 5 ms),
+    // stereo, code 0 → 0x8C; one 2-byte frame.
+    val p = OpusPacket.parse(Array[Byte](0x8c.toByte, 0x11, 0x22), 1L)
+    assert(p.config === 17 && p.stereo && p.code === 0)
+    assert(p.frames.map(_.toSeq) === Seq(Seq[Byte](0x11, 0x22)))
+    assert(p.durUsTotal === 5000L) // Table 2: config 17 = 5 ms
+    // Table 2 duration spot checks against hand-read rows:
+    // config 0 SILK NB 10ms, 3 SILK NB 60ms, 11 SILK WB 60ms,
+    // 14 hybrid FB 10ms, 15 hybrid FB 20ms, 16 CELT NB 2.5ms,
+    // 19 CELT NB 20ms, 31 CELT FB 20ms
+    val expected = Map(0 -> 10000, 3 -> 60000, 11 -> 60000, 14 -> 10000,
+      15 -> 20000, 16 -> 2500, 19 -> 20000, 31 -> 20000)
+    expected.foreach { case (cfg, us) =>
+      assert(OpusPacket.durationUs(cfg) === us, s"config $cfg")
+    }
+  }
+
+  test("KAT: code-1 implicit equal split on a literal packet") {
+    // config 1 (SILK NB 20ms), mono, code 1; 4 payload bytes → 2+2
+    val p = OpusPacket.parse(Array[Byte](0x09, 1, 2, 3, 4), 2L)
+    assert(p.code === 1 && !p.stereo)
+    assert(p.frames.map(_.toSeq) === Seq(Seq[Byte](1, 2), Seq[Byte](3, 4)))
+  }
+
+  test("KAT: §3.2.1 one/two-byte frame lengths at the documented boundaries") {
+    // code 2, first length ONE byte = 251 (the largest 1-byte value):
+    // 251 bytes of 0x55 then a 2-byte second frame
+    val one = Array[Byte]((16 << 3 | 2).toByte, 251.toByte) ++
+      Array.fill[Byte](251)(0x55) ++ Array[Byte](9, 10)
+    val p1 = OpusPacket.parse(one, 3L)
+    assert(p1.frames.map(_.length) === Seq(251, 2))
+    // TWO-byte encoding: first byte 252, second byte 1 →
+    // length = 4·1 + 252 = 256 (the spec's own worked formula)
+    val two = Array[Byte]((16 << 3 | 2).toByte, 252.toByte, 1) ++
+      Array.fill[Byte](256)(0x66) ++ Array[Byte](7)
+    val p2 = OpusPacket.parse(two, 3L)
+    assert(p2.frames.map(_.length) === Seq(256, 1))
+    assert(p2.frames.head.forall(_ == 0x66))
+    // maximum representable: 252 + 4·255 = 1272... spec max is 1275 =
+    // 255 + 4·255; first byte 255, second 255
+    val max = Array[Byte]((16 << 3 | 2).toByte, 255.toByte, 255.toByte) ++
+      Array.fill[Byte](1275)(0x01) ++ Array[Byte](8)
+    assert(OpusPacket.parse(max, 3L).frames.map(_.length) === Seq(1275, 1))
+  }
+
+  test("KAT: code-3 VBR with padding on a literal packet") {
+    // config 16 (CELT 2.5ms), mono, code 3 → TOC 0x83.
+    // frame-count byte: v=1 (VBR), p=1 (padding), M=3 → 0xC3.
+    // padding length byte: 2 (→ 2 zero bytes at the tail).
+    // VBR lengths: first 3, second 1 (third implied).
+    // frames: [a b c] [d] [e f] + 2 padding zeros.
+    val pkt = Array[Byte](0x83.toByte, 0xc3.toByte, 2, 3, 1,
+      'a'.toByte, 'b'.toByte, 'c'.toByte, 'd'.toByte, 'e'.toByte, 'f'.toByte, 0, 0)
+    val p = OpusPacket.parse(pkt, 4L)
+    assert(p.code === 3 && p.config === 16 && !p.stereo)
+    assert(p.padding === 2)
+    assert(p.frames.map(_.toSeq.map(_.toChar.toString).mkString) ===
+      Seq("abc", "d", "ef"))
+    assert(p.durUsTotal === 7500L)
+  }
+
+  test("KAT: code-3 CBR divides the remainder equally (literal packet)") {
+    // config 18 (CELT 10ms), stereo, code 3 → TOC 0x97; fc byte:
+    // v=0, p=0, M=2 → 0x02; 6 payload bytes → two 3-byte frames
+    val pkt = Array[Byte](0x97.toByte, 0x02, 1, 2, 3, 4, 5, 6)
+    val p = OpusPacket.parse(pkt, 5L)
+    assert(p.code === 3 && p.stereo && p.padding === 0)
+    assert(p.frames.map(_.toSeq) === Seq(Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6)))
+  }
+
   test("spec rules fail loudly: R1 empty, R3 odd split, R5 over 120ms, length overrun") {
     intercept[IllegalArgumentException](OpusPacket.parse(Array.emptyByteArray, 9L))
     // code 1 (toc&3 == 1) with 3 payload bytes: odd split

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proof obligation for the round-13 length-bucketed band join in
+  * `Curation.nearDupComponentFrom`: the join key adds
+  * B(n) = floor(log_{10/9}(n)) over the distinct-token count, with
+  * one side fanned to {B−1, B, B+1}; a candidate pair is LOST iff two
+  * ratio-passing lengths (9·max ≤ 10·min) ever land in buckets more
+  * than 1 apart. In exact arithmetic that cannot happen (the log gap
+  * of a ≤10/9 ratio is ≤ 1 bucket width by construction) — but the
+  * engine computes B in double precision, so this spec EXHAUSTIVELY
+  * verifies the double-precision property for every length up to the
+  * runtime guard's 2^26 bound (the kernel raise_errors past it):
+  * monotonicity of B plus the adjacent-bucket property at the extreme
+  * partner ceil(9n/10) covers every valid pair.
+  */
+class NearDupBucketSpec extends AnyFunSuite {
+
+  test("length bucket: ratio-0.9 partners stay within adjacent buckets for all n <= 2^26") {
+    // the exact double formula Spark's log(10/9, n) evaluates
+    val logBase = math.log(10.0 / 9.0)
+    def b(n: Long): Long = math.floor(math.log(n.toDouble) / logBase).toLong
+    var prev = b(1L)
+    var n = 2L
+    val limit = 1L << 26
+    while (n <= limit) {
+      val bn = b(n)
+      assert(bn >= prev, s"bucket not monotone at n=$n")
+      val m = (9 * n + 9) / 10 // ceil(9n/10): the smallest ratio-passing partner
+      assert(bn - b(m) <= 1,
+        s"ratio-passing pair ($m, $n) spans buckets ${b(m)}..$bn — candidate would be lost")
+      prev = bn
+      n += 1
+    }
+  }
+}
