@@ -438,6 +438,17 @@ object ScaleProbe {
     // digest vs the original slice) — the datum is the per-prefix
     // stats frame with digest_ok all true
     "c23_prefix_compact" -> (() => graft.operators.Curation.compactPerPrefix(s, dir)),
+    // d16 build/probe decomposition: the standing index is the
+    // amortized nightly term (build_sec); the per-shard probe is what
+    // a daily run pays (probe_sec). The fixed-delta variant caps the
+    // shard at the sf0.1 BASE fixture's ids (ScaleGen replicas re-key
+    // upward, so this is exactly replica 0's shard at every factor):
+    // across sf1 → sf10 the corpus and index grow 10× while the shard
+    // is CONSTANT — probe_sec staying ~flat is the measured
+    // cost-∝-delta claim
+    "d16_probe_scaled_delta" -> (() => graft.operators.Dedup.d16ProbeStats(s, dir)),
+    "d16_probe_fixed_delta" -> (() =>
+      graft.operators.Dedup.d16ProbeStats(s, dir, deltaMaxDocId = Some(4999L))),
     // DPP at scale: writes the day-partitioned copy + dim table, runs
     // the join DPP-on and DPP-off — the datum is the 2-row metrics
     // frame (files/rows scanned each way), the timing is write+probe

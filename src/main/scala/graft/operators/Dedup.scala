@@ -1211,8 +1211,180 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
   }
 
+  // ----- d16: INCREMENTAL near-dup ingest --------------------------------
+
+  /** The c09 incoming-shard convention (sources src0/src1 arrive;
+    * everything else is the standing corpus).
+    */
+  private val IngestShard = Seq("src0", "src1")
+
+  /** Distinct-token-set groups of a document slice: one row per
+    * distinct sorted token set with its min-doc_id representative
+    * (d03's pre-collapse, factored for d16's two-sided use).
+    */
+  private def tokenSetGroups(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), array_sort(tokenSet(col("text"))).as("ts"))
+      .groupBy(md5(concat_ws(" ", col("ts"))).as("set_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
+
+  /** d03's 8-minhash → 2-band emission over [[tokenSetGroups]] rows:
+    * `(rep_id, ts, band, h)`.
+    */
+  private def bandEmission(sets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
+    val sig = sets.select(
+      col("rep_id") +: col("ts") +:
+        (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
+    val bandArr = array((0 until 2).map(i =>
+      md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+    sig.select(col("rep_id"), col("ts"), posexplode(bandArr).as(Seq("band", "h")))
+  }
+
+  /** Builds the STANDING band-signature index for d16: the corpus's
+    * [[bandEmission]] rows written as a partitioned parquet table
+    * (the c25-style persisted artifact a nightly pipeline maintains),
+    * hash-prefix-partitioned with the prefix length DERIVED from the
+    * corpus size (buckets ∝ corpus sets, the SCALE.md knob pattern) —
+    * so per-partition size stays roughly constant as the corpus
+    * grows, and a fixed-size delta's probe touches a corpus-
+    * independent number of bytes. Returns (path, prefixLen,
+    * corpusSets). The build is the amortized nightly term; the probe
+    * (d16's per-shard cost) is [[d16ProbeFrame]].
+    */
+  private[graft] def d16BuildIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int, Long) = {
+    val corpus = Tables.documents(s, d).filter(!col("source").isin(IngestShard: _*))
+    val csets = tokenSetGroups(corpus)
+    // one count over the corpus sets — index-BUILD phase (amortized),
+    // sizing the partition grid: ~512 sets per hash-prefix partition,
+    // prefix length in hex chars (16^k buckets), clamped to [1, 4]
+    val nSets = csets.count()
+    val prefixLen = math.min(4, math.max(1,
+      (math.log(math.max(1.0, nSets / 512.0)) / math.log(16.0)).ceil.toInt))
+    val path = graft.operators.StreamReplay.tempReplayDir("d16idx")
+      .resolve("band_index").toString
+    bandEmission(csets)
+      .withColumn("hp", substring(col("h"), 1, prefixLen))
+      .repartition(col("hp")) // one writer per partition, not tasks × partitions files
+      .write.partitionBy("hp").mode("overwrite").parquet(path)
+    (path, prefixLen, nSets)
+  }
+
+  /** The d16 PROBE: the incoming shard's band emission joined against
+    * the standing index — candidates are new×corpus, NEVER
+    * corpus×corpus. The delta's distinct hash prefixes (bounded by
+    * 16^prefixLen, metadata-sized) become a partition-column filter,
+    * so the index SCAN is pruned to the partitions the delta can
+    * possibly match — the listing-level skip that keeps per-shard
+    * cost tracking the delta, not the table (the c26 delta-read
+    * claim, applied to the dedup index). Join keys are (band, h);
+    * the tiny delta side broadcasts under AQE at shard≪corpus sizes,
+    * while a corpus-sized shard would degrade to one keyed shuffle of
+    * the PRUNED index slice — never all-pairs either way.
+    */
+  private[graft] def d16ProbeFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, indexPath: String, prefixLen: Int,
+      deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    // deltaMaxDocId: scale-probe hook — ScaleGen replicas re-key
+    // doc_id upward, so capping the shard at the BASE fixture's max
+    // id holds the delta FIXED while the corpus (and index) grow a
+    // decade: the geometry the cost-∝-delta claim is measured in
+    val delta = Tables.documents(s, d).filter(col("source").isin(IngestShard: _*))
+      .filter(deltaMaxDocId.map(col("doc_id") <= _).getOrElse(lit(true)))
+    val dbands = bandEmission(tokenSetGroups(delta))
+      .withColumn("hp", substring(col("h"), 1, prefixLen))
+      .cache() // feeds the prefix collect AND the probe join
+    val prefixes = dbands.select(col("hp")).distinct()
+      .collect().map(_.getString(0)).toSeq // ≤ 16^prefixLen values
+    val idx = s.read.parquet(indexPath)
+      // partition-pruned listing (empty shard → empty probe, guarded)
+      .filter(if (prefixes.isEmpty) lit(false) else col("hp").isin(prefixes: _*))
+    idx.alias("c")
+      .join(dbands.alias("n"),
+        col("c.band") === col("n.band") && col("c.h") === col("n.h"))
+      .select(col("n.rep_id").as("id_new"), col("c.rep_id").as("id_corpus"),
+        graft.functions.SortedArrayJaccard(col("n.ts"), col("c.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .distinct() // a pair can match in both bands
+  }
+
+  /** INCREMENTAL NEAR-DUP INGEST — the nightly-pipeline production
+    * shape for the d-tier (round-12 verdict item 2): c09/q78 gate
+    * EXACT duplicates incrementally via a state probe per content
+    * hash; this is the NEAR-dup analog. A standing band-signature
+    * index over the corpus persists between runs (built by
+    * [[d16BuildIndex]], re-built here per run because the harness is
+    * stateless — production appends the day's accepted bands
+    * instead), and each incoming shard joins ONLY ITS OWN bands
+    * against it: candidate pairs are new×corpus, never corpus×corpus,
+    * and the index scan itself is hash-prefix partition-pruned to the
+    * delta's reachable slice. Output: one row per verified
+    * (new set, corpus set) pair with Jaccard ≥ 0.9 — the shard's
+    * near-dup rejection list with provenance (WHICH corpus doc
+    * shadows each incoming doc). Within-shard new×new dedup is d03
+    * run on the shard alone; this query is the cross-corpus term that
+    * would otherwise re-run corpus×corpus nightly.
+    */
+  val d16IncrementalNearDup = Q(
+    "d16_incremental_neardup",
+    { val ts = "list_sort(list_distinct(string_split(text, ' ')))"
+      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+      def bands(sig: String) = (0 until 2).map(i =>
+        s"SELECT rep_id, ts, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM $sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH csets AS (
+         |  SELECT md5(array_to_string(ts, ' ')) AS set_hash,
+         |         min(doc_id) AS rep_id, any_value(ts) AS ts
+         |  FROM (SELECT doc_id, $ts AS ts FROM documents
+         |        WHERE source NOT IN ('src0', 'src1'))
+         |  GROUP BY md5(array_to_string(ts, ' '))
+         |), dsets AS (
+         |  SELECT md5(array_to_string(ts, ' ')) AS set_hash,
+         |         min(doc_id) AS rep_id, any_value(ts) AS ts
+         |  FROM (SELECT doc_id, $ts AS ts FROM documents
+         |        WHERE source IN ('src0', 'src1'))
+         |  GROUP BY md5(array_to_string(ts, ' '))
+         |), csig AS (SELECT rep_id, ts, $mhs FROM csets),
+         |dsig AS (SELECT rep_id, ts, $mhs FROM dsets),
+         |cbands AS (
+         |  ${bands("csig")}
+         |), dbands AS (
+         |  ${bands("dsig")}
+         |)
+         |SELECT DISTINCT n.rep_id AS id_new, c.rep_id AS id_corpus,
+         |       ${sqlJaccard("n.ts", "c.ts")} AS jaccard
+         |FROM dbands n JOIN cbands c ON n.band = c.band AND n.h = c.h
+         |WHERE ${sqlJaccard("n.ts", "c.ts")} >= 0.9
+         |ORDER BY id_new, id_corpus""".stripMargin }
+  ) { (s, d) =>
+    val (path, prefixLen, _) = d16BuildIndex(s, d)
+    d16ProbeFrame(s, d, path, prefixLen)
+      .orderBy(col("id_new"), col("id_corpus"))
+  }
+
+  /** d16's build/probe decomposition for the scale probe: index built
+    * over the corpus at scale (timed as the amortized nightly term),
+    * then the fixed-size shard probe timed separately — the datum a
+    * "cost ∝ delta, not corpus" claim needs. Returns a one-row stats
+    * frame.
+    */
+  private[graft] def d16ProbeStats(s: org.apache.spark.sql.SparkSession,
+      d: String, deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val t0 = System.nanoTime()
+    val (path, prefixLen, nSets) = d16BuildIndex(s, d)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nPairs = d16ProbeFrame(s, d, path, prefixLen, deltaMaxDocId).count()
+    val probeSec = (System.nanoTime() - t1) / 1e9
+    Seq((nSets, prefixLen, nPairs, buildSec, probeSec))
+      .toDF("corpus_sets", "prefix_len", "n_pairs", "build_sec", "probe_sec")
+  }
+
   def all: Seq[Q] = Seq(d01DedupExact, d02MinhashSignature, d03LshNearDup,
     d04SimhashNearDup, d05NgramJaccard, d06EmbeddingNearDup, d07DedupClusters,
     d08Containment, d09WinnowSpans, d10BloomMembership, d11SemanticDedup,
-    d12WeightedSimhash, d13EditDistance, d14FuzzyClusters, d15ExactSpans)
+    d12WeightedSimhash, d13EditDistance, d14FuzzyClusters, d15ExactSpans,
+    d16IncrementalNearDup)
 }

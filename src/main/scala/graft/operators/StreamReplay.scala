@@ -1479,6 +1479,93 @@ object StreamReplay {
     Seq(n).toDF("n_windows")
   }
 
+  /** EVENT-TIME TIMER EXPIRY — the inactivity-close callback
+    * (transformWithState + `registerTimer` + RocksDB,
+    * [[graft.streaming.SessionTimerProcessor]]): each user's open
+    * session sits in keyed state; a ≥ 8 h-later event closes it
+    * inline (`closed_by = 'gap'`), and the TRAILING session closes
+    * when the event-time watermark passes `last_seen + 8 h` — the
+    * timer callback, which q88's session_window cannot observe (the
+    * window operator owns eviction there; here the PROCESSOR owns
+    * it). The emission rule is algebraic under AvailableNow with
+    * 0-delay watermark: a trailing session emits iff
+    * `last_seen + 8 h ≤ max(ts)` at the watermark's ms granularity
+    * (Spark truncates event-time µs to ms in the watermark; the
+    * oracle spells the same `epoch_us(...) // 1000` truncation). The
+    * `closed_by` column makes the timer path itself hash-gated:
+    * exactly the per-user LAST emitted session carries 'timer'.
+    *
+    * Scale notes: state is one accumulator row per OPEN session,
+    * user-sharded on RocksDB; timers are per-key engine state,
+    * checkpoint-recovered (StreamingSpec pins stop → resume across an
+    * armed timer); the per-key sort is bounded by one key's
+    * single-batch rows.
+    */
+  val q92TimerSessionReplay = Q(
+    "q92_timer_session_replay",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), marked AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked
+      |), sessions AS (
+      |  SELECT user_id, sess,
+      |         min(ts) AS session_start,
+      |         max(ts) AS last_seen,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  FROM numbered GROUP BY user_id, sess
+      |), mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+      |labeled AS (
+      |  SELECT user_id, session_start, last_seen, n_events, sum_value,
+      |         lead(sess) OVER (PARTITION BY user_id ORDER BY session_start) IS NOT NULL AS has_next
+      |  FROM sessions
+      |)
+      |SELECT user_id, session_start, last_seen, n_events, sum_value,
+      |       CASE WHEN has_next THEN 'gap' ELSE 'timer' END AS closed_by
+      |FROM labeled, mx
+      |WHERE has_next
+      |   OR epoch_us(last_seen + INTERVAL 8 HOUR) // 1000 <= epoch_us(mx.m) // 1000
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    timerSessionReplay(s, eventsStream(s, d), "q92")
+  }
+
+  /** The q92 kernel both geometries share (single-batch replay and
+    * the chunked/stop-resume specs): watermarked events through the
+    * timer processor and the file sink.
+    */
+  private[graft] def timerSessionReplay(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val events = src
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.TimerEvent]
+    val sessions = graft.streaming.SessionTimerGate.sessions(events)
+    // transformWithState requires the RocksDB provider (column
+    // families); scope it to this replay, restoring the prior value
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      fileSinkReplay(s, sessions.toDF(), name)
+        .orderBy(col("user_id"), col("session_start"))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[orderedEventsChunkStream]]'s geometry for q90 — BOTH stateful
     * operators evict between triggers (join state drops closed 12 h
     * windows, agg state finalizes closed days), the shape that keeps
@@ -1489,11 +1576,26 @@ object StreamReplay {
       d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
     joinAggReplay(s, orderedEventsChunkStream(s, d, nChunks), "chunked_joinagg")
 
+  /** [[orderedEventsChunkStream]]'s geometry for q92 — sessions
+    * spanning chunk boundaries keep accumulating in ValueState, armed
+    * timers are re-armed as `last_seen` advances, and a mid-stream
+    * watermark can fire a key's timer BEFORE that user's next (≥ 8 h
+    * later) event arrives — so the SESSION ROWS are identical to the
+    * single-batch replay while `closed_by` may legitimately read
+    * 'timer' where the single batch (which sees the later event
+    * first) reads 'gap'. StreamChunkedReplaySpec pins the rows minus
+    * that label.
+    */
+  private[graft] def timerSessionReplayChunked(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame =
+    timerSessionReplay(s, orderedEventsChunkStream(s, d, nChunks),
+      "chunked_timer_session")
+
   def all: Seq[Q] = Seq(q71StreamReplay, q72Sessionize, q73StreamJoinReplay,
     q74StreamDedupReplay, q75StreamCastReplay, q76StreamStaticJoin,
     q77StreamChunkReplay, q78StreamIngestGate, q79StreamLmGate,
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
-    q88StreamSessionReplay, q90StreamJoinAggReplay)
+    q88StreamSessionReplay, q90StreamJoinAggReplay, q92TimerSessionReplay)
 }

@@ -1,0 +1,180 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One event at the inactivity gate (µs-precision event time rides
+  * the Timestamp; the processor converts once on entry).
+  */
+final case class TimerEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** One emitted session. `closed_by` says WHICH rule closed it: a
+  * later event ≥ 8 h after `last_seen` ("gap", emitted inline from
+  * input processing) or event-time TIMER expiry ("timer", emitted
+  * from `handleExpiredTimer` when the watermark passes
+  * `last_seen + 8 h`). Deterministic for the registered single-batch
+  * replay; under chunked geometries the label depends on WHEN the
+  * watermark crossed the boundary relative to the key's next event,
+  * so the chunked==single spec pins the session rows without it.
+  */
+final case class TimerSession(user_id: Long, session_start: java.sql.Timestamp,
+    last_seen: java.sql.Timestamp, n_events: Long, sum_value: Double,
+    closed_by: String)
+
+/** The open-session accumulator held in keyed state: start/last event
+  * time in epoch MICROSECONDS (the fixture's actual precision — ms
+  * math here would fold sub-ms gaps the oracle's INTERVAL arithmetic
+  * sees), the running count, the exact decimal sum in CENTS (long —
+  * the DECIMAL(12,2) sum as an integer, bit-exact vs the oracle's
+  * CAST chain), and the currently registered timer's ms (0 = none)
+  * so updates can delete it before re-arming.
+  */
+final case class OpenSession(startUs: Long, lastUs: Long, n: Long,
+    cents: Long, timerMs: Long)
+
+/** EVENT-TIME TIMER EXPIRY — the inactivity-close stateful processor
+  * production jobs build on durable keyed state (reference roadmap's
+  * keyed-state row, README.md:107-109; q78 exercises the state probe,
+  * q85/q88 exercise watermark eviction — this is the third leg: the
+  * TIMER callback). Each user's open session lives in ValueState; an
+  * event either extends it (gap < 8 h) or closes it inline ("gap");
+  * the trailing open session closes when the EVENT-TIME WATERMARK
+  * passes `last_seen + 8 h`, via a timer registered with
+  * `StatefulProcessorHandle.registerTimer` — the key closes exactly
+  * when the watermark passes the boundary, which is the algebraic
+  * emission rule the DuckDB oracle spells (q88's 0-delay observation
+  * pattern, at the watermark's ms granularity).
+  *
+  * Timer-rule portability: Spark's expiry comparison (strict vs
+  * non-strict against the watermark) is an implementation detail, so
+  * the timer is registered one ms EARLY (boundary − 1) and the
+  * handler re-checks the boundary itself: fired-at-or-past → emit +
+  * clear; fired early under a non-strict engine rule → re-arm at the
+  * exact boundary. Either engine rule yields exactly the oracle's
+  * emission set.
+  *
+  * Why this shape at 100 TB: state is one row per OPEN session (not
+  * per event — each batch's rows fold into the accumulator), sharded
+  * by user key across executors on RocksDB; timers are per-key state
+  * the engine checkpoint-recovers (StreamingSpec pins stop → resume
+  * across an armed timer). The per-key batch sort is bounded by one
+  * key's single-batch volume, not history.
+  */
+class SessionTimerProcessor
+    extends StatefulProcessor[Long, TimerEvent, TimerSession] {
+
+  import SessionTimerProcessor._
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open_session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TimerEvent],
+      timerValues: TimerValues): Iterator[TimerSession] = {
+    // batch rows arrive in arbitrary order; the session walk needs
+    // event-time order (bounded: one key's rows in ONE batch)
+    val sorted = rows.toArray.sortBy(e => epochUs(e.ts))
+    val out = Seq.newBuilder[TimerSession]
+    var cur = Option(open.get())
+    val prevTimer = cur.map(_.timerMs).getOrElse(0L)
+    for (e <- sorted) {
+      val t = epochUs(e.ts)
+      val c = cents(e.value)
+      cur match {
+        case Some(s) if t - s.lastUs >= TimeoutUs =>
+          out += emit(key, s, "gap")
+          cur = Some(OpenSession(t, t, 1L, c, 0L))
+        case Some(s) =>
+          cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1,
+            cents = s.cents + c))
+        case None =>
+          cur = Some(OpenSession(t, t, 1L, c, 0L))
+      }
+    }
+    cur.foreach { s =>
+      // arm one ms EARLY (see Scaladoc); delete the stale timer first
+      val tm = boundaryMs(s.lastUs) - 1
+      if (prevTimer != 0L && prevTimer != tm) getHandle.deleteTimer(prevTimer)
+      if (prevTimer != tm) getHandle.registerTimer(tm)
+      open.update(s.copy(timerMs = tm))
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TimerSession] = {
+    Option(open.get()) match {
+      case None => Iterator.empty // stale timer for an already-closed key
+      case Some(s) =>
+        val wm = timerValues.getCurrentWatermarkInMs()
+        if (wm >= boundaryMs(s.lastUs)) {
+          open.clear()
+          Iterator.single(emit(key, s, "timer"))
+        } else {
+          // fired one ms early (non-strict engine rule): re-arm at
+          // the exact boundary; if the watermark never reaches it the
+          // session correctly stays unemitted
+          val tm = boundaryMs(s.lastUs)
+          if (s.timerMs != tm) {
+            getHandle.registerTimer(tm)
+            open.update(s.copy(timerMs = tm))
+          }
+          Iterator.empty
+        }
+    }
+  }
+}
+
+object SessionTimerProcessor {
+  /** 8 h inactivity timeout, µs. */
+  val TimeoutUs: Long = 8L * 3600 * 1000 * 1000
+
+  /** The expiry boundary in WATERMARK ms: the watermark is
+    * ms-truncated event time (Spark divides the µs event time by
+    * 1000), so the session is emittable once
+    * floor((last + 8 h) / 1 ms) ≤ wm — the oracle spells the same
+    * ms-truncated comparison.
+    */
+  def boundaryMs(lastUs: Long): Long = (lastUs + TimeoutUs) / 1000
+
+  def epochUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** value → exact DECIMAL(12,2) cents, the same shortest-repr +
+    * HALF_UP rounding both engines' double→decimal casts apply.
+    */
+  def cents(v: Double): Long =
+    BigDecimal.decimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  def usToTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L))
+
+  private[streaming] def emit(key: Long, s: OpenSession,
+      closedBy: String): TimerSession =
+    TimerSession(key, usToTs(s.startUs), usToTs(s.lastUs), s.n,
+      s.cents / 100.0, closedBy)
+}
+
+object SessionTimerGate {
+
+  /** Wires the inactivity gate over a watermarked event stream with
+    * columns (user_id, ts, value). Requires the RocksDB provider
+    * (transformWithState needs column families).
+    */
+  def sessions(events: Dataset[TimerEvent]): Dataset[TimerSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor,
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}

@@ -165,6 +165,34 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
     assert(single.nonEmpty, "fixture produced no finalized day windows")
   }
 
+  test("chunked q92 timer-session rows equal the single-batch replay (modulo closed_by)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    // closed_by is an emission-PATH observable: in the chunked
+    // geometry a mid-stream watermark can fire a key's timer before
+    // that user's next (≥ 8 h later) event arrives, labeling 'timer'
+    // a session the single batch closes inline as 'gap'. The SESSION
+    // ROWS themselves (who, when, how many, how much) must be
+    // identical — that is the chunked==single pin; the label is
+    // pinned only where it is well-defined (the registered
+    // single-batch replay, hash-gated against the oracle).
+    val singleDf = SparkEntry.queries("q92_timer_session_replay")(spark, dir)
+    val single = rows(singleDf.drop("closed_by"))
+    val chunkedDf = graft.operators.StreamReplay
+      .timerSessionReplayChunked(spark, dir, nChunks = 6)
+    val chunked = rows(chunkedDf.drop("closed_by"))
+    assert(chunked == single,
+      s"chunked timer-session replay diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no closed sessions")
+    // the capability under test must actually fire in both geometries
+    assert(singleDf.filter(org.apache.spark.sql.functions.col("closed_by") === "timer")
+      .limit(1).count() == 1, "no timer-closed session in the single-batch replay")
+    assert(chunkedDf.filter(org.apache.spark.sql.functions.col("closed_by") === "timer")
+      .limit(1).count() == 1, "no timer-closed session in the chunked replay")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"

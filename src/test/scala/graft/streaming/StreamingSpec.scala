@@ -185,6 +185,101 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 timers: inline gap-close vs watermark-driven timer-close") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TimerEvent](spark)
+      val q = SessionTimerGate.sessions(
+        in.toDF().withWatermark("ts", "0 seconds").as[TimerEvent])
+        .writeStream.outputMode("append")
+        .format("memory").queryName("timer_out").start()
+      def emitted(): Set[(Long, String, String, Long, Double, String)] =
+        spark.table("timer_out")
+          .selectExpr("user_id", "cast(session_start as string)",
+            "cast(last_seen as string)", "n_events", "sum_value", "closed_by")
+          .as[(Long, String, String, Long, Double, String)].collect().toSet
+      try {
+        in.addData(
+          TimerEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+          TimerEvent(1L, ts("2024-01-01 00:05:00"), 2.0),
+          TimerEvent(2L, ts("2024-01-01 00:01:00"), 5.0))
+        q.processAllAvailable()
+        // watermark after batch 1 = 00:05; no boundary (8 h later) passed
+        assert(emitted().isEmpty, s"premature emission: ${emitted()}")
+        // user 1 re-appears ≥ 8 h later: the OLD session closes INLINE
+        // (gap rule) — and the same drain advances the watermark to
+        // 09:00, past user 2's boundary (00:01 + 8 h), so user 2's
+        // session closes by TIMER in the trailing no-data batch
+        in.addData(TimerEvent(1L, ts("2024-01-01 09:00:00"), 4.0))
+        q.processAllAvailable()
+        assert(emitted() === Set(
+          (1L, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 2L, 3.0, "gap"),
+          (2L, "2024-01-01 00:01:00", "2024-01-01 00:01:00", 1L, 5.0, "timer")))
+        // an unrelated user advances the watermark to 18:10 — past
+        // user 1's second session's boundary (09:00 + 8 h): TIMER
+        in.addData(TimerEvent(3L, ts("2024-01-01 18:10:00"), 7.0))
+        q.processAllAvailable()
+        assert(emitted() === Set(
+          (1L, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 2L, 3.0, "gap"),
+          (1L, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1L, 4.0, "timer"),
+          (2L, "2024-01-01 00:01:00", "2024-01-01 00:01:00", 1L, 5.0, "timer")))
+        // user 3's own session stays open (18:10 + 8 h > watermark)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("q92 timers survive stop + resume from the RocksDB checkpoint") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_timer_ckpt").toString
+      val in = MemoryStream[TimerEvent](spark)
+      val out = scala.collection.concurrent.TrieMap.empty[(Long, String), (Long, String)]
+      def start() = SessionTimerGate.sessions(
+        in.toDF().withWatermark("ts", "0 seconds").as[TimerEvent])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[TimerSession], _: Long) =>
+          batch.collect().foreach(s =>
+            out.put((s.user_id, s.session_start.toString), (s.n_events, s.closed_by)))
+        }
+        .start()
+      val q1 = start()
+      try {
+        // open session with an ARMED timer, then stop before it fires
+        in.addData(
+          TimerEvent(7L, ts("2024-01-01 00:00:00"), 1.0),
+          TimerEvent(7L, ts("2024-01-01 00:10:00"), 2.0))
+        q1.processAllAvailable()
+        assert(out.isEmpty, s"emitted before any boundary: ${out.toMap}")
+      } finally q1.stop()
+      // resume: a fresh query over the same checkpoint; the armed
+      // timer and the open-session state must both come back. A new
+      // user's event advances the watermark past 00:10 + 8 h.
+      val q2 = start()
+      try {
+        in.addData(TimerEvent(8L, ts("2024-01-01 20:00:00"), 9.0))
+        q2.processAllAvailable()
+        assert(out.toMap === Map(
+          (7L, "2024-01-01 00:00:00.0") -> ((2L, "timer"))),
+          s"timer did not survive the restart: ${out.toMap}")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream join matches purchases to preceding clicks within the bound") {
     import spark.implicits._
     val clicks = MemoryStream[EventRow](spark)
