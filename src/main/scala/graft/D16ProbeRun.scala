@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev runner for d16's build/probe decomposition (the cost-∝-delta
+  * decade datum): prints the full stats frame — corpus_sets,
+  * prefix_len, n_pairs, build_sec, probe_sec — per scale dir, for
+  * both the scaled-shard and fixed-shard (sf0.1 base ids) deltas.
+  *
+  * Usage: runMain graft.D16ProbeRun <label=dir> [<label=dir> ...]
+  */
+object D16ProbeRun {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: D16ProbeRun <label=dir> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (a <- args; Array(label, dir) = a.split("=", 2)) {
+      // warm run first at the smallest scale pays JIT/codegen once
+      for ((mode, cap) <- Seq("scaled_delta" -> None,
+          "fixed_delta" -> Some(4999L))) {
+        val row = graft.operators.Dedup.d16ProbeStats(spark, dir, cap).head()
+        println(s"[d16] $label $mode corpus_sets=${row.getLong(0)} " +
+          s"prefix_len=${row.getInt(1)} n_pairs=${row.getLong(2)} " +
+          f"build_sec=${row.getDouble(3)}%.3f probe_sec=${row.getDouble(4)}%.3f")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -335,10 +335,11 @@ object PngDecoder extends MediaDecoder {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
-  private[multimodal] final case class PngImage(
+  // private[graft]: m33's dHash query hashes the decoded raster
+  private[graft] final case class PngImage(
       w: Int, h: Int, colorType: Int, pixels: Array[Byte])
 
-  private[multimodal] def decodeImage(b: Array[Byte], mediaId: Long): PngImage = {
+  private[graft] def decodeImage(b: Array[Byte], mediaId: Long): PngImage = {
     require(isPng(b), s"media_id=$mediaId: not a PNG payload")
     var i = 8
     var w = -1; var h = -1; var colorType = -1

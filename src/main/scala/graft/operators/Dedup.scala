@@ -1297,9 +1297,23 @@ object Dedup {
       .cache() // feeds the prefix collect AND the probe join
     val prefixes = dbands.select(col("hp")).distinct()
       .collect().map(_.getString(0)).toSeq // ≤ 16^prefixLen values
-    val idx = s.read.parquet(indexPath)
-      // partition-pruned listing (empty shard → empty probe, guarded)
-      .filter(if (prefixes.isEmpty) lit(false) else col("hp").isin(prefixes: _*))
+    // Read ONLY the matching hp= subdirectories (basePath keeps the
+    // partition column): a plain read + isin filter would have the
+    // driver LIST every partition directory before pruning — O(total
+    // buckets) metadata work per probe, measured at seconds once the
+    // derived grid reaches 4096 dirs. Targeted paths make the
+    // metadata term ∝ delta prefixes too (the point-lookup shape a
+    // prefix-keyed object store serves directly). Prefixes without a
+    // corpus directory are skipped; an empty shard reads nothing.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val existing = prefixes
+      .map(p => s"$indexPath/hp=$p")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val idx =
+      if (existing.isEmpty)
+        s.read.parquet(indexPath).filter(lit(false))
+      else s.read.option("basePath", indexPath).parquet(existing: _*)
     idx.alias("c")
       .join(dbands.alias("n"),
         col("c.band") === col("n.band") && col("c.h") === col("n.h"))

@@ -2444,6 +2444,156 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** The m33 dHash bit schedule, shared by the PNG synth below and
+    * (re-spelled) the DuckDB oracle: group g = doc_id/4 carries a
+    * pseudo-random 64-bit base pattern; variant v = doc_id%4 flips
+    * the NESTED prefix of 3 distinct scheduled positions, so the 4
+    * variants of a group sit at pairwise Hamming |v1−v2| ∈ {1,2,3}
+    * (a genuine near-dup clique) while cross-group hashes differ in
+    * ~32 bits.
+    */
+  private def phashBits(id: Long): Array[Int] = {
+    val g = id / 4
+    val v = (id % 4).toInt
+    Array.tabulate(64) { i =>
+      val base = (((g * 37 + i * 11 + (g + i) % 7) % 3) % 2).toInt
+      var flip = 0
+      var j = 0
+      while (j < v) {
+        if ((g * 13 + j * 23) % 64 == i) flip ^= 1
+        j += 1
+      }
+      base ^ flip
+    }
+  }
+
+  /** A 9×8 grayscale-in-RGB PNG whose horizontal gradient REALIZES
+    * [[phashBits]]: row y starts at 128 and steps ±15 per scheduled
+    * bit, so dHash's `gray(x+1) > gray(x)` comparison over the
+    * DECODED raster recovers bit 8y+x exactly (values stay in
+    * [8, 248] — no clamping ambiguity). Per-row filter type cycles
+    * through all five PNG filters (the m04 discipline).
+    */
+  private def phashPngBytes(id: Long): Array[Byte] = {
+    val bits = phashBits(id)
+    val w = 9; val h = 8
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var gray = 128
+      var x = 0
+      while (x < w) {
+        if (x > 0) gray += (if (bits(8 * y + x - 1) == 1) 15 else -15)
+        val o = 3 * (y * w + x)
+        px(o) = gray.toByte; px(o + 1) = gray.toByte; px(o + 2) = gray.toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.PngSynth.encode(w, h, px, yy => ((id + yy) % 5).toInt)
+  }
+
+  /** PERCEPTUAL-HASH IMAGE DEDUP (m33 — the m↔d bridge the ⟨ns⟩
+    * mandate implies, round-12 verdict item 6): dHash (difference
+    * hash — the production image near-dup fingerprint: grayscale,
+    * downsample to 9×8, one bit per horizontal gradient sign)
+    * computed over REALLY DECODED rasters — each doc's synthetic PNG
+    * goes through the byte-exact [[graft.multimodal.PngDecoder]]
+    * (CRC checks, inflate, filter reconstruction), so the hash input
+    * is the decoder's output, not the synth's intent — then d04's
+    * Manku chunk banding over the 64-bit hash: identical hashes
+    * collapse to a representative, 4×16-bit chunks generate
+    * candidates by pigeonhole (Hamming ≤ 3 ⟹ some chunk equal),
+    * exact popcount verify. The synthetic corpus plants real
+    * near-dup cliques (4 variants per group at pairwise Hamming
+    * ≤ 3), and the oracle predicts every decoded bit closed-form —
+    * one flipped gradient anywhere in decode or hashing fails the
+    * hash gate.
+    *
+    * Scale shape: per-row synth+decode+hash (zero shuffle), one
+    * 16-bit-chunk equi-join for candidates — the image-corpus analog
+    * of d04, never all-pairs; at 100 TB the hash column is computed
+    * once at ingest and the chunk join is the only shuffle.
+    */
+  val m33PhashDedup = Q(
+    "m33_phash_dedup",
+    """WITH b AS (
+      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), i ->
+      |      (((g * 37 + i * 11 + (g + i) % 7) % 3) % 2
+      |       + CASE WHEN v >= 1 AND (g * 13) % 64 = i THEN 1 ELSE 0 END
+      |       + CASE WHEN v >= 2 AND (g * 13 + 23) % 64 = i THEN 1 ELSE 0 END
+      |       + CASE WHEN v >= 3 AND (g * 13 + 46) % 64 = i THEN 1 ELSE 0 END) % 2) AS bits
+      |  FROM b
+      |), ch AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 1] * (1 << k))) AS BIGINT) AS c0,
+      |    CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 17] * (1 << k))) AS BIGINT) AS c1,
+      |    CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 33] * (1 << k))) AS BIGINT) AS c2,
+      |    CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 49] * (1 << k))) AS BIGINT) AS c3
+      |  FROM h
+      |), groups AS (
+      |  SELECT c0, c1, c2, c3, min(doc_id) AS rep_id, count(*) AS n_docs
+      |  FROM ch GROUP BY c0, c1, c2, c3
+      |), chunks AS (
+      |  SELECT rep_id, n_docs, c0, c1, c2, c3, 0 AS chunk_idx, c0 AS chunk FROM groups
+      |  UNION ALL SELECT rep_id, n_docs, c0, c1, c2, c3, 1, c1 FROM groups
+      |  UNION ALL SELECT rep_id, n_docs, c0, c1, c2, c3, 2, c2 FROM groups
+      |  UNION ALL SELECT rep_id, n_docs, c0, c1, c2, c3, 3, c3 FROM groups
+      |)
+      |SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+      |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+      |  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+      |     + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+      |FROM chunks a JOIN chunks b
+      |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.rep_id < b.rep_id
+      |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+      |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.PngDecoder
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = PngDecoder.decodeImage(phashPngBytes(id), id)
+        require(img.w == 9 && img.h == 8 && img.colorType == 2,
+          s"media_id=$id: unexpected decoded shape ${img.w}x${img.h}/${img.colorType}")
+        val stride = 3 * img.w
+        def gray(x: Int, y: Int): Int = img.pixels(y * stride + 3 * x) & 0xff
+        val c = new Array[Long](4)
+        var i = 0
+        while (i < 64) {
+          val y = i / 8; val x = i % 8
+          if (gray(x + 1, y) > gray(x, y)) c(i / 16) |= 1L << (i % 16)
+          i += 1
+        }
+        (id, c(0), c(1), c(2), c(3))
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    val groups = hashed.groupBy(col("c0"), col("c1"), col("c2"), col("c3"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      .cache() // all four chunk-band emissions read it
+    val chunks = groups.select(col("rep_id"), col("n_docs"),
+      col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("chunk_idx", "chunk")))
+    val hamming = (0 until 4).map(i =>
+      expr(s"bit_count(a.c$i ^ b.c$i)")).reduce(_ + _)
+    chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk")
+          && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        col("a.n_docs").as("n_docs_a"), col("b.n_docs").as("n_docs_b"),
+        hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair can share more than one chunk
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] =
     Seq(m01MultimodalJoin, m02BinaryMeta, m03FrameSample, m04MediaDecode,
       m05MediaQuality, m06MediaDedup, m07Mp3Meta, m08GifMeta, m09BmpMeta,
@@ -2451,5 +2601,5 @@ object Multimodal {
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
       m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
-      m30PngPalette, m31Mp3Huffman, m32MkvOpus)
+      m30PngPalette, m31Mp3Huffman, m32MkvOpus, m33PhashDedup)
 }
