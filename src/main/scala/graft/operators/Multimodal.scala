@@ -2358,6 +2358,140 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** ISO 11172-3 Table B.6 pretab (the preflag emphasis added to the
+    * scalefactor of each long-block band, 22 bands).
+    */
+  private val Mp3Pretab: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+  /** MP3 REQUANTIZATION — the exactly-specified integer slice
+    * (round-12 verdict stretch #8): §2.4.3.4 reconstructs
+    * xr(i) = sign(is)·|is|^(4/3)·2^(E4(i)/4) with
+    * E4(i) = (global_gain − 210) − 2·(scalefac_scale + 1)·
+    * (scalefac(sfb(i)) + preflag·pretab(sfb(i))) — everything except
+    * the final |is|^(4/3)·2^(E4/4) float evaluation is INTEGER, so
+    * the per-line exponents E4 (the complete scalefactor/gain
+    * application, including the Table B.6 pretab and the Table B.8
+    * band mapping of every spectral line) go under the hash while
+    * the IEEE-pow step stays out (the m31 boundary, moved one full
+    * stage later). The Spark side derives E4 purely from DECODED
+    * data (m31's side info + scalefactors + line positions); the
+    * oracle re-derives it arithmetically from the schedule — a wrong
+    * band edge, dropped pretab, or mis-scaled scalefac_scale shifts
+    * sum_e4/sum_abs_e4 and fails the hash.
+    *
+    * Scale shape: identical to m31 — zero-shuffle per-partition
+    * synth+decode, cost rides with the rows.
+    */
+  val m34Mp3Requant = Q(
+    "m34_mp3_requant",
+    { val reg = "(CASE WHEN i < 8 THEN 0 WHEN i < 18 THEN 1 ELSE 2 END)"
+      val maxv = s"(1 + (doc_id + f + gr + ch + $reg) % 2)"
+      val px = s"((doc_id + f + 2*gr + 3*ch + 3*i) % ($maxv + 1))"
+      val py = s"((doc_id + f + 2*gr + 3*ch + 5*i + 1) % ($maxv + 1))"
+      val q = "((doc_id + f + gr + ch + 7*j) % 16)"
+      val qbit = (k: Int) => s"(($q // ${1 << (3 - k)}) % 2)"
+      // band of line l (Table B.8 44.1 kHz long-block edges; lines
+      // here stay < 74 so the first 12 interior edges suffice)
+      def band(l: String) =
+        s"len(list_filter([4,8,12,16,20,24,30,36,44,52,62,74], e -> e <= $l))"
+      val sc = "((doc_id + f*5 + gr*3 + ch) % 16)"
+      val slen1 = s"([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[CAST($sc AS INT) + 1]"
+      val slen2 = s"([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[CAST($sc AS INT) + 1]"
+      // scalefactor of band b under the m31 schedule (0 when slen=0)
+      def sf(b: String) =
+        s"""(CASE WHEN $b <= 10
+           | THEN CASE WHEN $slen1 = 0 THEN 0
+           |   ELSE (doc_id + f + gr*11 + ch*7 + 3*($b)) % ([1,2,4,8,16])[$slen1 + 1] END
+           | ELSE CASE WHEN $slen2 = 0 THEN 0
+           |   ELSE (doc_id + f + gr*11 + ch*7 + 3*($b)) % ([1,2,4,8,16])[$slen2 + 1] END
+           | END)""".stripMargin.replace("\n", "")
+      val pretab = (b: String) =>
+        s"([0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0])[CAST($b AS INT) + 1]"
+      val gg = "((doc_id*7 + f*17 + gr*13 + ch*29) % 256)"
+      val ss = "((doc_id + gr) % 2)"
+      val pre = "((doc_id + f) % 2)"
+      // E4 of band b: the complete integer exponent in quarter-log2 units
+      def e4(b: String) =
+        s"(($gg - 210) - 2*($ss + 1)*(${sf(b)} + $pre*${pretab(b)}))"
+      def sum3(inner: String) =
+        s"""list_sum(flatten(flatten(flatten(list_transform(range(0, nf), f ->
+           |      list_transform(range(0, 2), gr ->
+           |        list_transform(range(0, nch), ch ->
+           |          $inner)))))))""".stripMargin
+      val pairs = (e: String) => s"list_transform(range(0, 24), i -> $e)"
+      val quads = (e: String) => s"list_transform(range(0, 6), j -> $e)"
+      val e4x = e4(band("2*i"))
+      val e4y = e4(band("2*i + 1"))
+      def e4q(k: Int) = e4(band(s"48 + 4*j + $k"))
+      s"""WITH s AS (
+         |  SELECT doc_id, 1 + doc_id % 3 AS nf, 1 + doc_id % 2 AS nch
+         |  FROM documents
+         |), agg AS (
+         |  SELECT doc_id, nf, nch,
+         |    ${sum3(pairs(s"CASE WHEN $px > 0 THEN 1 ELSE 0 END" +
+                s" + CASE WHEN $py > 0 THEN 1 ELSE 0 END"))}
+         |    + ${sum3(quads((0 to 3).map(qbit).mkString(" + ")))} AS n_nonzero,
+         |    ${sum3(pairs(s"CASE WHEN $px > 0 THEN $e4x ELSE 0 END" +
+                s" + CASE WHEN $py > 0 THEN $e4y ELSE 0 END"))}
+         |    + ${sum3(quads((0 to 3).map(k =>
+                s"CASE WHEN ${qbit(k)} > 0 THEN ${e4q(k)} ELSE 0 END").mkString(" + ")))}
+         |      AS sum_e4,
+         |    ${sum3(pairs(s"CASE WHEN $px > 0 THEN $px * $e4x ELSE 0 END" +
+                s" + CASE WHEN $py > 0 THEN $py * $e4y ELSE 0 END"))}
+         |    + ${sum3(quads((0 to 3).map(k =>
+                s"CASE WHEN ${qbit(k)} > 0 THEN ${e4q(k)} ELSE 0 END").mkString(" + ")))}
+         |      AS sum_abs_e4
+         |  FROM s
+         |)
+         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(nch AS BIGINT) AS n_ch,
+         |  CAST(n_nonzero AS BIGINT) AS n_nonzero,
+         |  CAST(sum_e4 AS BIGINT) AS sum_e4,
+         |  CAST(sum_abs_e4 AS BIGINT) AS sum_abs_e4
+         |FROM agg ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Mp3Huffman
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = Mp3Huffman.buildDoc(id)
+        val frameLen = 417
+        val nf = payload.length / frameLen
+        var nz = 0L; var sumE4 = 0L; var sumAbsE4 = 0L; var nCh = 0L
+        var f = 0
+        while (f < nf) {
+          val spec = Mp3Huffman.decodeFrame(payload, f * frameLen, id)
+          nCh = spec.head.length.toLong
+          spec.foreach(_.foreach { sp =>
+            val g = sp.g
+            val lines = sp.bigLines ++ sp.count1Lines
+            var i = 0
+            while (i < lines.length) {
+              val v = lines(i)
+              if (v != 0) {
+                // Table B.8 band of line i (decoded-data-only walk)
+                var b = 0
+                while (Mp3Huffman.Band44k(b + 1) <= i) b += 1
+                val e4 = (g.globalGain - 210) -
+                  2 * (g.scalefacScale + 1) *
+                    (sp.scalefactors(b) + g.preflag * Mp3Pretab(b))
+                nz += 1
+                sumE4 += e4
+                sumAbsE4 += math.abs(v).toLong * e4
+              }
+              i += 1
+            }
+          })
+          f += 1
+        }
+        (id, nf.toLong, nCh, nz, sumE4, sumAbsE4)
+      })
+      .toDF("media_id", "n_frames", "n_ch", "n_nonzero", "sum_e4", "sum_abs_e4")
+      .orderBy(col("media_id"))
+  }
+
   /** OPUS PACKET FRAMING INSIDE MKV under the oracle
     * ([[graft.multimodal.OpusPacket]] — the MKV-audio leg of the
     * codec-frame stub list, the structural layer above m12's
@@ -2601,5 +2735,5 @@ object Multimodal {
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
       m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
-      m30PngPalette, m31Mp3Huffman, m32MkvOpus, m33PhashDedup)
+      m30PngPalette, m31Mp3Huffman, m32MkvOpus, m33PhashDedup, m34Mp3Requant)
 }
