@@ -18,7 +18,8 @@ object NearDupProfile {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROFILE_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_PROFILE_AQE", "true"))

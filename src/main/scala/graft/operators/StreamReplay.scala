@@ -73,14 +73,16 @@ object StreamReplay {
       df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
     val base = tempReplayDir(name)
     val out = base.resolve("out").toString
-    val query = df.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(s) {
+      val query = df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     s.read.schema(df.schema).parquet(out)
   }
 
@@ -125,9 +127,67 @@ object StreamReplay {
       table: String, schema: StructType): org.apache.spark.sql.DataFrame = {
     val path = new java.io.File(d, s"$table.parquet")
     require(path.exists(), s"streaming source: $path does not exist")
+    recordSourceBytes(s, path)
     if (path.isDirectory) s.readStream.schema(schema).parquet(path.toString)
     else s.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
+  /** Source-size handoff from the stream constructors to the replay
+    * starters (below): queries build their source then start through
+    * [[fileSinkReplay]]/[[drainCount]] in the same sequential call
+    * chain, so a session conf carries the byte size across.
+    */
+  private val SourceBytesKey = "graft.replay.source_bytes"
+
+  private def recordSourceBytes(s: org.apache.spark.sql.SparkSession,
+      f: java.io.File): Unit = {
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(_.length()).sum
+      else f.length()
+    s.conf.set(SourceBytesKey, bytes.toString)
+  }
+
+  /** STATE-PARTITION RIGHT-SIZING for the replay harness (round-13):
+    * a stateful micro-batch pays a fixed per-state-store term on
+    * every batch — and Spark SERIALIZES state-store provider loading
+    * on a per-executor lock, so the cost scales with partitions, not
+    * cores (measured on q83's two-store-pair join at local[32], sf0.1:
+    * 16.5 s at 32 shuffle partitions vs 5.0 s at 8 with cores FIXED;
+    * the stateless q77 is flat). AQE right-sizes batch shuffles at
+    * runtime but cannot touch streaming state partitioning (it is
+    * PINNED into the checkpoint at the first batch) — so the replay
+    * starters derive it from the SOURCE size instead: one state
+    * partition per 8 MB of source, saturating at the session's
+    * parallelism. At fixture scale this stops 100 k events from
+    * paying 32 serialized provider loads per operator per batch; at
+    * the decade probes and beyond it saturates to the old value, and
+    * a real deployment sizes state partitions to state, exactly this
+    * curve. Fresh checkpoints per replay make the derivation safe
+    * (nothing resumes across corpus sizes).
+    */
+  private def stateShufflePartitions(s: org.apache.spark.sql.SparkSession): Int = {
+    val bytes = s.conf.getOption(SourceBytesKey).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    val cap = s.sparkContext.defaultParallelism
+    math.max(1, math.min(cap, math.ceil(bytes / (8 << 20).toDouble).toInt))
+  }
+
+  /** Runs `body` (a streaming query start + awaitTermination) under
+    * the derived state-partition count, restoring the session's
+    * shuffle-partitions conf afterwards so batch queries and the
+    * NEXT replay see their own setting.
+    */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, stateShufflePartitions(s).toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
@@ -974,6 +1034,7 @@ object StreamReplay {
     parts.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(t0 + (i + 1) * 2000L): Unit
     }
+    recordSourceBytes(s, new java.io.File(orderedDir))
     val schema = s.read.parquet(orderedDir).schema
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -1138,16 +1199,18 @@ object StreamReplay {
     val base = tempReplayDir(name)
     val out = base.resolve("out").toString
     val logSchema = StructType(agg.schema.fields :+ StructField("batch_id", LongType))
-    val query = agg.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(s) {
+      val query = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     val log = s.read.schema(logSchema).parquet(out)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
@@ -1242,21 +1305,23 @@ object StreamReplay {
     val agg = eventsStream(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val query = agg.writeStream
-      .outputMode("update")
-      // emissions deliberately discarded — the artifact under test is
-      // the STATE the run leaves behind, not the update log (q86
-      // already gates the emission path). The noop write still runs
-      // EVERY partition: a foreachBatch that doesn't process the full
-      // frame leaves state stores uncommitted and fails the batch
-      // (STATE_STORE_COMMIT_VALIDATION_FAILED)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.write.format("noop").mode("overwrite").save()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(s) {
+      val query = agg.writeStream
+        .outputMode("update")
+        // emissions deliberately discarded — the artifact under test is
+        // the STATE the run leaves behind, not the update log (q86
+        // already gates the emission path). The noop write still runs
+        // EVERY partition: a foreachBatch that doesn't process the full
+        // frame leaves state stores uncommitted and fails the batch
+        // (STATE_STORE_COMMIT_VALIDATION_FAILED)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.format("noop").mode("overwrite").save()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     // state rows expose key/value structs; the value carries the raw
     // aggregation buffer, whose count field is named `count`
     s.read.format("statestore").load(ckpt)
@@ -1354,15 +1419,17 @@ object StreamReplay {
       df: org.apache.spark.sql.DataFrame, name: String): Long = {
     val base = tempReplayDir(name)
     val acc = s.sparkContext.longAccumulator(s"graft_drain_$name")
-    val query = df.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        acc.add(batch.count())
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(s) {
+      val query = df.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc.add(batch.count())
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     acc.value
   }
 
