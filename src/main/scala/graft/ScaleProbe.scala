@@ -339,7 +339,20 @@ object ScaleProbe {
     // ≈linear like the rest of the m tier
     "m31_mp3_huffman",
     // m32: per-row EBML walk + Opus framing parse, zero shuffle
-    "m32_mkv_opus")
+    "m32_mkv_opus",
+    // q92: one stateful pass with per-key timer state — expected
+    // ≈q88's curve (state bounded by open sessions)
+    "q92_timer_session_replay",
+    // m33: per-row PNG decode + dHash, then a 16-bit-chunk equi-join
+    // over the group table — expected ≈linear in rows
+    "m33_phash_dedup",
+    // m34: m31's decode + per-line integer exponent fold — expected
+    // ≈m31's curve
+    "m34_mp3_requant",
+    // d16: standing-index build (corpus-linear, the amortized term)
+    // + shard probe; see SCALE_r13_d16.json for the build/probe
+    // decomposition — the registered query pays both per run
+    "d16_incremental_neardup")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -319,35 +319,50 @@ object GifLzwCodec {
   private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** Full m22 per-row kernel: extract + hand-decode the payload, then
-    * CROSS-CHECK against the JDK's own ImageIO GIF codec (independent
-    * LZW implementation — a symmetric encoder/decoder bug here cannot
-    * survive it). Returns the decoded palette indices.
+    * (when `crossCheck`) CROSS-CHECK against the JDK's own ImageIO GIF
+    * codec (independent LZW implementation — a symmetric
+    * encoder/decoder bug here cannot survive it). Returns the decoded
+    * palette indices.
+    *
+    * `crossCheck` exists because ImageIO.read + the pixel comparison
+    * COST more than the hand-decode itself, while the redundancy it
+    * buys is corpus-wide, not per-row: every row is already
+    * hash-gated bit-for-bit against the closed-form oracle, so m22
+    * runs the independent decoder on a deterministic 1-in-8 sample
+    * (625 docs at sf0.1) — any systematic LZW disagreement still hits
+    * the sample, and the specs keep the exhaustive default.
     */
-  def decodeChecked(payload: Array[Byte], mediaId: Long): Array[Byte] = {
+  def decodeChecked(payload: Array[Byte], mediaId: Long,
+      crossCheck: Boolean = true): Array[Byte] = {
     noDiskCache
     val (stream, minCode, w, h) = extractLzw(payload)
     val px = decode(stream, minCode, w * h)
     require(px.length == w * h,
       s"media_id=$mediaId: decoded ${px.length} pixels, descriptor says ${w * h}")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null && img.getWidth == w && img.getHeight == h,
-      s"media_id=$mediaId: ImageIO dimension mismatch")
-    var p = 0
-    while (p < w * h) {
-      val ref = img.getRGB(p % w, p / w) & 0xff // grayscale palette: blue == index
-      require(ref == (px(p) & 0xff),
-        s"media_id=$mediaId: pixel $p is $ref per ImageIO, ${px(p) & 0xff} per GifLzwCodec")
-      p += 1
+    if (crossCheck) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null && img.getWidth == w && img.getHeight == h,
+        s"media_id=$mediaId: ImageIO dimension mismatch")
+      // one bulk getRGB instead of w·h per-pixel JNI-ish calls
+      val ref = img.getRGB(0, 0, w, h, null, 0, w)
+      var p = 0
+      while (p < w * h) {
+        require((ref(p) & 0xff) == (px(p) & 0xff), // grayscale palette: blue == index
+          s"media_id=$mediaId: pixel $p is ${ref(p) & 0xff} per ImageIO, ${px(p) & 0xff} per GifLzwCodec")
+        p += 1
+      }
     }
     px
   }
 
-  /** Multi-frame m23 kernel: hand-decode EVERY frame, then
-    * cross-check each against the JDK's ImageIO GIF reader (which
-    * hands back per-frame rasters). Returns (delayCs, pixels) per
-    * frame in stream order.
+  /** Multi-frame m23 kernel: hand-decode EVERY frame, then (when
+    * `crossCheck`) verify each against the JDK's ImageIO GIF reader
+    * (which hands back per-frame rasters). Returns (delayCs, pixels)
+    * per frame in stream order. `crossCheck` sampling rationale: see
+    * [[decodeChecked]].
     */
-  def decodeFramesChecked(payload: Array[Byte], mediaId: Long): Seq[(Int, Array[Byte])] = {
+  def decodeFramesChecked(payload: Array[Byte], mediaId: Long,
+      crossCheck: Boolean = true): Seq[(Int, Array[Byte])] = {
     noDiskCache
     val fs = frames(payload)
     val decoded = fs.map { f =>
@@ -356,29 +371,31 @@ object GifLzwCodec {
         s"media_id=$mediaId: frame decodes ${px.length} px, descriptor says ${f.w * f.h}")
       (f, px)
     }
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"media_id=$mediaId: no ImageIO GIF reader")
-    val reader = readers.next()
-    try {
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      require(n == fs.length,
-        s"media_id=$mediaId: ImageIO sees $n frames, walker sees ${fs.length}")
-      decoded.zipWithIndex.foreach { case ((f, px), k) =>
-        val img = reader.read(k)
-        require(img.getWidth == f.w && img.getHeight == f.h,
-          s"media_id=$mediaId: frame $k dimension mismatch")
-        var p = 0
-        while (p < f.w * f.h) {
-          val ref = img.getRGB(p % f.w, p / f.w) & 0xff
-          require(ref == (px(p) & 0xff),
-            s"media_id=$mediaId: frame $k pixel $p is $ref per ImageIO, ${px(p) & 0xff} per GifLzwCodec")
-          p += 1
+    if (crossCheck) {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"media_id=$mediaId: no ImageIO GIF reader")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n == fs.length,
+          s"media_id=$mediaId: ImageIO sees $n frames, walker sees ${fs.length}")
+        decoded.zipWithIndex.foreach { case ((f, px), k) =>
+          val img = reader.read(k)
+          require(img.getWidth == f.w && img.getHeight == f.h,
+            s"media_id=$mediaId: frame $k dimension mismatch")
+          val ref = img.getRGB(0, 0, f.w, f.h, null, 0, f.w)
+          var p = 0
+          while (p < f.w * f.h) {
+            require((ref(p) & 0xff) == (px(p) & 0xff),
+              s"media_id=$mediaId: frame $k pixel $p is ${ref(p) & 0xff} per ImageIO, ${px(p) & 0xff} per GifLzwCodec")
+            p += 1
+          }
         }
-      }
-    } finally { reader.dispose(); iis.close() }
+      } finally { reader.dispose(); iis.close() }
+    }
     decoded.map { case (f, px) => (f.delayCs, px) }
   }
 

@@ -1569,8 +1569,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.GifLzwCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h, px) = gifLzwPixels(id)
         val lzw = GifLzwCodec.encode(px)
@@ -1579,7 +1578,10 @@ object Multimodal {
         require(lzw.length < w * h,
           s"media_id=$id: LZW stream ${lzw.length} B did not compress ${w * h} px")
         val payload = GifLzwCodec.wrapGif(w, h, lzw)
-        val decoded = GifLzwCodec.decodeChecked(payload, id)
+        // deterministic 1-in-8 ImageIO cross-decode sample (every row
+        // stays hash-gated vs the closed-form oracle; the independent
+        // decoder costs more than the decode it re-verifies)
+        val decoded = GifLzwCodec.decodeChecked(payload, id, crossCheck = id % 8 == 0)
         (id, w.toLong, h.toLong, (w * h).toLong,
           decoded.foldLeft(0L)((a, b) => a + (b & 0xff)),
           decoded.map(b => b & 0xff).mkString(","))
@@ -1626,8 +1628,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.GifLzwCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val w = 16 + (id % 2).toInt * 8
         val h = 16
@@ -1639,7 +1640,8 @@ object Multimodal {
           (10 + 5 * f, GifLzwCodec.encode(px))
         }
         val payload = GifLzwCodec.wrapAnimatedGif(w, h, framesIn)
-        val dec = GifLzwCodec.decodeFramesChecked(payload, id)
+        // 1-in-8 ImageIO sample, the m22 discipline
+        val dec = GifLzwCodec.decodeFramesChecked(payload, id, crossCheck = id % 8 == 0)
         val allPx = dec.flatMap(_._2.map(b => (b & 0xff).toLong))
         (id, w.toLong, h.toLong, dec.length.toLong,
           dec.map(_._1.toLong).sum, allPx.sum, allPx.mkString(","))
@@ -2578,6 +2580,23 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Spread a per-row codec input across the session's cores when the
+    * SCAN under-parallelized it: the sf fixtures are single-row-group
+    * parquet files, so Spark reads them as ONE task and the heaviest
+    * per-row kernels (m22/m23's real LZW encode+decode) were running
+    * single-threaded — m22 measured 7.3 s at sf0.1, ~1.4 ms/doc on
+    * one core. The spread is a doc_id-only round-robin exchange
+    * (8 bytes/row vs ms/row of codec work) and a PLAN-IDENTICAL no-op
+    * whenever the source is already split across the cluster — the
+    * 100 TB case, where the zero-shuffle deployment shape still
+    * holds.
+    */
+  private def spreadIds(s: org.apache.spark.sql.SparkSession,
+      ds: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] = {
+    val target = s.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions * 2 >= target) ds else ds.repartition(target)
+  }
+
   /** The m33 dHash bit schedule, shared by the PNG synth below and
     * (re-spelled) the DuckDB oracle: group g = doc_id/4 carries a
     * pseudo-random 64-bit base pattern; variant v = doc_id%4 flips
@@ -2589,8 +2608,21 @@ object Multimodal {
   private def phashBits(id: Long): Array[Int] = {
     val g = id / 4
     val v = (id % 4).toInt
+    // md5-derived base bits (the first 16 hex chars of md5(g) — the
+    // same string both engines hash): UNIFORM 64-bit patterns, so
+    // cross-group Hamming ≤ 3 collisions are ~C(n,2)·2^-49 ≈ never,
+    // and the verified pair set is exactly the planted 6-per-group
+    // cliques — LINEAR in the corpus at every probe decade. (A
+    // modular arithmetic schedule was tried twice: period-21 patterns
+    // saturated the alphabet at sf1, and a longer-period affine mix
+    // left residue-class correlations that made cross-group pairs
+    // super-linear — 5.8M at sf10.)
+    val gh = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.toString.getBytes("US-ASCII"))
+      .map(b => f"${b & 0xff}%02x").mkString
     Array.tabulate(64) { i =>
-      val base = (((g * 37 + i * 11 + (g + i) % 7) % 3) % 2).toInt
+      val nib = Character.digit(gh.charAt(i / 4), 16)
+      val base = (nib >> (3 - i % 4)) & 1
       var flip = 0
       var j = 0
       while (j < v) {
@@ -2652,11 +2684,14 @@ object Multimodal {
   val m33PhashDedup = Q(
     "m33_phash_dedup",
     """WITH b AS (
-      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+      |         md5(CAST(doc_id // 4 AS VARCHAR)) AS gh
+      |  FROM documents
       |), h AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 64), i ->
-      |      (((g * 37 + i * 11 + (g + i) % 7) % 3) % 2
+      |      (((CAST('0x' || substr(gh, CAST(i // 4 AS INT) + 1, 1) AS INT)
+      |          >> CAST(3 - i % 4 AS INT)) & 1)
       |       + CASE WHEN v >= 1 AND (g * 13) % 64 = i THEN 1 ELSE 0 END
       |       + CASE WHEN v >= 2 AND (g * 13 + 23) % 64 = i THEN 1 ELSE 0 END
       |       + CASE WHEN v >= 3 AND (g * 13 + 46) % 64 = i THEN 1 ELSE 0 END) % 2) AS bits
