@@ -1374,7 +1374,15 @@ object Similarity {
           (lit(0.7) * col("rel") - lit(0.3) * col("pen")).as("score"))
         .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
         .drop("rn").withColumn("r", lit(r))
-      sel.unionByName(picked)
+      // EAGER checkpoint per selection round (the propagation-loop
+      // discipline): `sel` is referenced twice by the NEXT round (the
+      // penalty join and the anti join), so without materialization
+      // the plan doubles per round and rounds 1..r−1 re-execute
+      // inside round r — measured as per-round jobs growing 0.18 →
+      // 0.32 → 0.75 → 1.80 s plus ~6 s of driver re-analysis at
+      // sf0.1. The frame is queries × r rows; the checkpoint is a
+      // ≤50-row job.
+      sel.unionByName(picked).localCheckpoint(true)
     }
     sel5.select(col("query_id"), col("r"), col("cid").as("neighbor_id"),
         col("rel").as("cos_sim"), col("score").as("mmr_score"))
