@@ -140,7 +140,7 @@ object StreamReplay {
     */
   private val SourceBytesKey = "graft.replay.source_bytes"
 
-  private def recordSourceBytes(s: org.apache.spark.sql.SparkSession,
+  private[graft] def recordSourceBytes(s: org.apache.spark.sql.SparkSession,
       f: java.io.File): Unit = {
     val bytes =
       if (f.isDirectory)
@@ -167,7 +167,7 @@ object StreamReplay {
     * curve. Fresh checkpoints per replay make the derivation safe
     * (nothing resumes across corpus sizes).
     */
-  private def stateShufflePartitions(s: org.apache.spark.sql.SparkSession): Int = {
+  private[graft] def stateShufflePartitions(s: org.apache.spark.sql.SparkSession): Int = {
     val bytes = s.conf.getOption(SourceBytesKey).map(_.toLong)
       .getOrElse(Long.MaxValue)
     val cap = s.sparkContext.defaultParallelism
