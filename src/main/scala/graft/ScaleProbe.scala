@@ -352,7 +352,11 @@ object ScaleProbe {
     // d16: standing-index build (corpus-linear, the amortized term)
     // + shard probe; see SCALE_r13_d16.json for the build/probe
     // decomposition — the registered query pays both per run
-    "d16_incremental_neardup")
+    "d16_incremental_neardup",
+    // c27: table build (corpus write) + COW rewrite of the three
+    // affected buckets + one snapshot scan — expected ≈linear in
+    // table bytes with the rewrite ∝ touched partitions
+    "c27_txlog_merge")
 
   /** Wide variants: operators with their scale knobs turned to the
     * 10×-corpus-appropriate width (bits per band 2→5 keeps bucket

@@ -2053,6 +2053,92 @@ object Curation {
   private def txlogDigest: Column = expr(
     "bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || text), 1, 15), 16, 10) AS BIGINT))")
 
+  /** MERGE INTO the transaction-log table (copy-on-write) — the
+    * WRITE side that completes the lakehouse triangle (c25 time
+    * travel, c26 incremental reads, c23 compaction; THIS is Delta's
+    * MERGE / Iceberg's copy-on-write row-level change): a CDC-style
+    * changes feed (inserts keyed into bucket 1, updates of bucket 5,
+    * a full delete of bucket 9) applies to the standing table by
+    * REWRITING exactly the affected bucket files — immutable data
+    * files, so the merge is remove(old bucket files) + add(rewritten
+    * files) in one new commit — and the post-merge snapshot is read
+    * back through the same log-replay path c25 pins. The oracle
+    * spells the merged table declaratively (MERGE semantics as
+    * anti-join + projection + union), so the hash gate proves
+    * COW-rewrite ∘ commit ∘ log-replay ≡ the row-level MERGE — and
+    * since the digest covers every live bucket, it also proves the
+    * rewrite touched NOTHING outside the affected buckets.
+    *
+    * Scale shape: the rewrite scans and writes only the affected
+    * buckets (cost ∝ touched partitions, the COW contract); the
+    * commit is metadata; the final snapshot is one scan. Updates read
+    * the TABLE's own live files (a real MERGE joins its own table),
+    * inserts come from the external feed.
+    */
+  val c27TxlogMerge = Q(
+    "c27_txlog_merge",
+    """WITH live AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 7
+      |), merged AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 16 = 5 THEN 'upd:' || text ELSE text END AS text
+      |  FROM live WHERE doc_id % 16 <> 9
+      |  UNION ALL
+      |  SELECT doc_id + 16000000, 'ins:' || text
+      |  FROM documents WHERE doc_id % 16 = 1
+      |)
+      |SELECT doc_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val (files, actions, nCommits) = txlogTable(s, d, "c27")
+    // replay the existing log to the current live set (c25's fold)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 until nCommits).foreach { v =>
+      actions.filter(_._1 == v).foreach {
+        case (_, "add", p) => require(live.add(p), s"commit $v re-adds $p")
+        case (_, "remove", p) => require(live.remove(p), s"commit $v removes unknown $p")
+        case (_, a, p) => sys.error(s"commit $v: unknown action $a on $p")
+      }
+    }
+    val liveDf = s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
+      .select(col("doc_id"), col("text"))
+    // COW rewrite of the affected buckets ONLY:
+    //  bucket 1 <- its live rows + the inserts ((id + 16M) % 16 == 1)
+    //  bucket 5 <- its live rows with the update projection applied
+    //  bucket 9 <- fully deleted: no rewrite file at all
+    val inserts = Tables.documents(s, d)
+      .filter(col("doc_id") % 16 === 1)
+      .select((col("doc_id") + 16000000L).as("doc_id"),
+        concat(lit("ins:"), col("text")).as("text"))
+    liveDf.filter(col("doc_id") % 16 === 1).unionByName(inserts)
+      .write.mode("overwrite").parquet(s"$files/merge_b1")
+    liveDf.filter(col("doc_id") % 16 === 5)
+      .select(col("doc_id"), concat(lit("upd:"), col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$files/merge_b5")
+    // commit v4: remove the affected live bucket files, add the
+    // rewrites (an empty rewrite is a legal parquet dir; absent
+    // buckets in tiny fixtures simply have nothing to remove)
+    val removes = Seq("bucket=1", "bucket=5", "bucket=9").filter(live.contains)
+    val commitJson = (removes.map(p => s"""{"action":"remove","path":"$p"}""") ++
+      Seq("merge_b1", "merge_b5").map(p => s"""{"action":"add","path":"$p"}"""))
+      .mkString("\n")
+    val logDir = java.nio.file.Paths.get(files).getParent.resolve("_log")
+    java.nio.file.Files.write(logDir.resolve(f"$nCommits%08d.json"),
+      commitJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    removes.foreach(p => require(live.remove(p), s"merge removes unknown $p"))
+    Seq("merge_b1", "merge_b5").foreach(p =>
+      require(live.add(p), s"merge re-adds live $p"))
+    // the post-merge snapshot, read back from the committed files
+    s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
+      .select(col("doc_id"), col("text"))
+      .groupBy((col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("bucket"))
+  }
+
   /** Builds the c25/c26 log-structured table: 16 hive bucket files +
     * the bucket-3 rewrite file, and the four-commit JSON-lines action
     * log (v0 add 0-7, v1 add 8-15, v2 remove 3+7, v3 add the
@@ -2348,5 +2434,5 @@ object Curation {
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
     c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e,
-    c25TxlogSnapshot, c26TxlogIncremental)
+    c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge)
 }
