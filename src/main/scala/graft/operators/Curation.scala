@@ -265,7 +265,13 @@ object Curation {
     // document with 67M DISTINCT tokens) instead of risking a
     // dropped candidate.
     def lenBucket(ts: Column): Column = {
-      val n = size(ts)
+      // greatest(n, 1): log(·, 0) is NULL (not an error) under Spark,
+      // so an EMPTY token set would silently drop out of the band
+      // join instead of failing the fail-loud guard below. Empty sets
+      // collapse to one rep and so can never form a pair anyway, but
+      // bucket them explicitly at 0 rather than rely on that — the
+      // guard's intent is no silent row loss.
+      val n = greatest(size(ts), lit(1))
       when(n <= lit(1 << 26),
         floor(log(10.0 / 9.0, n.cast("double"))).cast("int"))
         .otherwise(raise_error(concat(
@@ -2264,6 +2270,255 @@ object Curation {
     deltas.reduce(_ union _).orderBy(col("version"))
   }
 
+  /** MERGE-ON-READ DELETION VECTORS — the other half of c27's
+    * copy-on-write (round-13 verdict item 3): a COW point delete
+    * rewrites whole bucket files; on a 100 TB table the affordable
+    * row-level change is a DELETE FILE per commit (Iceberg v2
+    * equality deletes / Delta deletion vectors) that the SCAN
+    * anti-joins away, with compaction absorbing accumulated deletes
+    * back into data files. Semantics under test, both hash-observable
+    * in the final per-bucket digest:
+    *
+    *  1. A delete file applies ONLY to data files committed BEFORE it
+    *     (Iceberg's sequence-number rule). Commit v7 inserts rows
+    *     whose keys COLLIDE with v4's delete keys — a naive global
+    *     anti-join would wrongly re-delete the resurrected keys; the
+    *     sequence-aware scan keeps them.
+    *  2. Compaction must APPLY the deletes it absorbs: v6 rewrites
+    *     bucket 2 (a v0 file) into a v6 file the old delete files no
+    *     longer cover — if the rewrite forgot to apply them, the
+    *     deleted rows would resurface at scan time and break the
+    *     digest.
+    *
+    * Scale shape: the delete COMMIT writes only the key list it was
+    * handed (a GDPR/CDC feed is delivered as keys — cost ∝ delta,
+    * never the table; the fixture synthesizes the feed from a
+    * predicate, which is the request-generation step, not the commit);
+    * the SCAN adds one broadcast anti-join (delete files are
+    * metadata-sized next to the table) with the sequence rule as a
+    * join-condition inequality; compaction cost ∝ the one rewritten
+    * bucket. Data files stay immutable throughout — only the log
+    * grows per delete, the property that makes row-level change O(1)
+    * on a 100 TB table.
+    */
+  val c28TxlogDeleteVectors = Q(
+    "c28_txlog_delete_vectors",
+    """WITH live AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 7
+      |), after_dv AS (
+      |  SELECT doc_id, text FROM live WHERE doc_id % 100 NOT IN (17, 42)
+      |), final AS (
+      |  SELECT doc_id, text FROM after_dv
+      |  UNION ALL
+      |  SELECT doc_id + 16000000 AS doc_id, 'ins:' || text AS text
+      |  FROM documents WHERE doc_id % 100 = 17
+      |)
+      |SELECT doc_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val (files, _, nCommits) = txlogTable(s, d, "c28")
+    val logDir = java.nio.file.Paths.get(files).getParent.resolve("_log")
+    def appendCommit(v: Int, actions: Seq[(String, String)]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%08d.json"),
+        actions.map { case (a, p) => s"""{"action":"$a","path":"$p"}""" }
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val docs = Tables.documents(s, d)
+    // v4/v5: equality-delete files — just the handed-in key lists
+    docs.filter(col("doc_id") % 100 === 17).select(col("doc_id").as("del_id"))
+      .write.mode("overwrite").parquet(s"$files/dv4")
+    appendCommit(nCommits, Seq(("dv", "dv4")))
+    docs.filter(col("doc_id") % 100 === 42).select(col("doc_id").as("del_id"))
+      .write.mode("overwrite").parquet(s"$files/dv5")
+    appendCommit(nCommits + 1, Seq(("dv", "dv5")))
+    // v6: compaction of bucket 2 — rewrite its live rows WITH the
+    // standing deletes applied; the new file's sequence number (6)
+    // puts it out of dv4/dv5's reach
+    val b2Present = new java.io.File(s"$files/bucket=2").exists()
+    val bucket2 = (if (b2Present) s.read.parquet(s"$files/bucket=2")
+      // a tiny-fixture bucket with no docs wrote no directory — the
+      // compaction of an empty bucket is an empty (schema-full) file
+      else s.range(0).select(col("id").as("doc_id"), lit("").as("text")))
+      .filter(col("doc_id") % 100 =!= 17 && col("doc_id") % 100 =!= 42)
+    bucket2.write.mode("overwrite").parquet(s"$files/compact_b2")
+    appendCommit(nCommits + 2,
+      (if (b2Present) Seq(("remove", "bucket=2")) else Nil) :+ (("add", "compact_b2")))
+    // v7: inserts whose doc_ids COLLIDE with dv4's keys mod 100 — the
+    // resurrected-key case the sequence rule exists for
+    docs.filter(col("doc_id") % 100 === 17)
+      .select((col("doc_id") + 16000000L).as("doc_id"),
+        concat(lit("ins:"), col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$files/ins_v7")
+    appendCommit(nCommits + 3, Seq(("add", "ins_v7")))
+    // replay the WHOLE log (base + the four appended commits) — the
+    // scan below is derived from the log alone, proving
+    // log-replay ∘ DV semantics ≡ the declarative row-level delete
+    val fs = new org.apache.hadoop.fs.Path(logDir.toString)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val commitNames = fs.listStatus(new org.apache.hadoop.fs.Path(logDir.toString))
+      .map(_.getPath.getName).filter(_.endsWith(".json")).sorted
+    commitNames.zipWithIndex.foreach { case (n, i) =>
+      require(n == f"$i%08d.json", s"gap in the commit log at $n (expected #$i)")
+    }
+    val replayed = s.read.schema("action STRING, path STRING")
+      .json(logDir.toString)
+      .select(col("action"), col("path"),
+        regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("int").as("commit"))
+      .collect().map(r => (r.getInt(2), r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    replayed.foreach {
+      case (v, "add", p) =>
+        require(live.put(p, v).isEmpty, s"commit $v re-adds live file $p")
+      case (v, "remove", p) =>
+        require(live.remove(p).nonEmpty, s"commit $v removes unknown file $p")
+      case (v, "dv", p) => dvs += ((p, v))
+      case (v, a, p) => sys.error(s"commit $v: unknown action $a on $p")
+    }
+    // the MOR scan: data files grouped by commit version (one scan
+    // per distinct version, each multi-path — a real table reads the
+    // version off file metadata), anti-joined against all delete
+    // files under the sequence rule dv_v > file_v. The delete side is
+    // metadata-sized, so the anti-join broadcasts.
+    val data = live.toSeq.groupBy(_._2).toSeq.map { case (v, paths) =>
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(paths.map(p => s"$files/${p._1}"): _*)
+        .withColumn("file_v", lit(v))
+    }.reduce(_ unionByName _)
+    val delFrame = dvs.map { case (p, v) =>
+      s.read.schema("del_id BIGINT").parquet(s"$files/$p")
+        .withColumn("dv_v", lit(v))
+    }.reduce(_ unionByName _)
+    data.join(broadcast(delFrame),
+        data("doc_id") === delFrame("del_id") && delFrame("dv_v") > data("file_v"),
+        "left_anti")
+      .groupBy((col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("bucket"))
+  }
+
+  /** SCHEMA EVOLUTION ACROSS TXLOG COMMITS (round-13 verdict item 4):
+    * every long-lived table eventually adds a column, and a
+    * log-structured table does it as METADATA — a schema action in
+    * the commit log, never a rewrite of existing files. Commit v2
+    * here widens (doc_id, text) with `lang STRING` and appends a file
+    * WRITTEN under the new schema; the snapshot read at v2 serves old
+    * and new files under ONE evolved schema (old rows null-filled),
+    * while a TIME-TRAVEL read at v0/v1 applies the schema AS OF that
+    * version — the digest formula is schema-dependent (it folds
+    * `lang` only where the schema has it), so serving a version under
+    * the wrong era's schema breaks the hash.
+    *
+    * Scale shape: evolution cost is one log entry regardless of table
+    * size (the Delta/Iceberg contract); the null-fill is a per-file
+    * projection fused into each scan, not a data rewrite; per-version
+    * aggregates scan each live set once.
+    */
+  val c29TxlogSchemaEvolution = Q(
+    "c29_txlog_schema_evolution",
+    """WITH v AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS version),
+      |rows_v AS (
+      |  SELECT v.version, d.doc_id, d.text, CAST(NULL AS VARCHAR) AS lang
+      |  FROM v JOIN documents d ON (CASE CAST(v.version AS INT)
+      |    WHEN 0 THEN d.doc_id % 16 <= 7 ELSE TRUE END)
+      |  UNION ALL
+      |  SELECT 2 AS version, doc_id + 32000000 AS doc_id,
+      |         'v2:' || text AS text,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+      |           ELSE 'de' END AS lang
+      |  FROM documents
+      |), dig AS (
+      |  SELECT version, doc_id,
+      |    CASE WHEN version = 2
+      |      THEN CAST(doc_id AS VARCHAR) || ':' || text || ':' || COALESCE(lang, 'null')
+      |      ELSE CAST(doc_id AS VARCHAR) || ':' || text END AS payload
+      |  FROM rows_v
+      |)
+      |SELECT version, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(payload), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM dig GROUP BY version ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.StructType
+    val base = StreamReplay.tempReplayDir("c29")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 16).as("bucket"))
+    docs.write.mode("overwrite").partitionBy("bucket").parquet(files)
+    val present = {
+      val fp = new org.apache.hadoop.fs.Path(files)
+      fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(fp).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    // the v2 file is WRITTEN under the evolved schema
+    val schemaV0 = "doc_id BIGINT, text STRING"
+    val schemaV2 = "doc_id BIGINT, text STRING, lang STRING"
+    Tables.documents(s, d)
+      .select((col("doc_id") + 32000000L).as("doc_id"),
+        concat(lit("v2:"), col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, "en").when(col("doc_id") % 3 === 1, "fr")
+          .otherwise("de").as("lang"))
+      .write.mode("overwrite").parquet(s"$files/v2_docs")
+    // commit log: schema actions carry the era's DDL; the evolution
+    // at v2 is one metadata line, no file rewrite
+    def entry(a: String, p: String) = s"""{"action":"$a","path":"$p"}"""
+    def schemaEntry(ddl: String) = s"""{"action":"schema","cols":"$ddl"}"""
+    val commits: Seq[Seq[String]] = Seq(
+      schemaEntry(schemaV0) +: (0 to 7).map(k => s"bucket=$k").filter(present)
+        .map(entry("add", _)),
+      (8 to 15).map(k => s"bucket=$k").filter(present).map(entry("add", _)),
+      Seq(schemaEntry(schemaV2), entry("add", "v2_docs")))
+    commits.zipWithIndex.foreach { case (lines, v) =>
+      java.nio.file.Files.write(logDir.resolve(f"$v%08d.json"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // replay: fold live files AND the schema era per version
+    val replayed = s.read.schema("action STRING, path STRING, cols STRING")
+      .json(logDir.toString)
+      .select(col("action"), col("path"), col("cols"),
+        regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("int").as("commit"))
+      .collect()
+      .map(r => (r.getInt(3), r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schema: StructType = null
+    val snapshots = (0 until commits.length).map { v =>
+      replayed.filter(_._1 == v).foreach {
+        case (_, "schema", _, Some(ddl)) => schema = StructType.fromDDL(ddl)
+        case (_, "add", Some(p), _) =>
+          require(live.add(p), s"commit $v re-adds live file $p")
+        case (_, "remove", Some(p), _) =>
+          require(live.remove(p), s"commit $v removes unknown file $p")
+        case (_, a, p, _) => sys.error(s"commit $v: unknown action $a on $p")
+      }
+      require(schema != null, s"commit $v read before any schema action")
+      val era = schema // capture: the fold mutates `schema` next round
+      // serve every live file under the era schema: physically absent
+      // columns are null-filled in the scan projection (never a
+      // rewrite); the digest folds exactly the era's columns
+      val aligned = live.toSeq.map { p =>
+        val df = s.read.parquet(s"$files/$p")
+        df.select(era.fields.toSeq.map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }.reduce(_ unionByName _)
+      val payload = concat_ws(":", era.fieldNames.toSeq.map(n =>
+        coalesce(col(n).cast("string"), lit("null"))): _*)
+      aligned.withColumn("payload_c29", payload)
+        .agg(count(lit(1)).as("n_docs"),
+          expr(s"bit_xor(CAST(conv(substr(md5(payload_c29), 1, 15), 16, 10) AS BIGINT))")
+            .as("content_xor"), sum(col("doc_id")).as("sum_doc_id"))
+        .select(lit(v.toLong).as("version"), col("n_docs"), col("content_xor"),
+          col("sum_doc_id"))
+    }
+    snapshots.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** END-TO-END TRAINING-DATA PIPELINE — the full nightly run as ONE
     * registered query: crawl ingest (c12's real WARC→HTTP→HTML byte
     * path) → Gopher quality gate (t27's five integer rules) →
@@ -2434,5 +2689,6 @@ object Curation {
     c12WarcIngest, c13DomainRank, c14ZipIngest, c15TarIngest, c16UrlCanonical,
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
     c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e,
-    c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge)
+    c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge,
+    c28TxlogDeleteVectors, c29TxlogSchemaEvolution)
 }

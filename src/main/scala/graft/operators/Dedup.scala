@@ -400,9 +400,10 @@ object Dedup {
     // executes 2x before the loop starts (the round-2 judge's one
     // measured hotspot).
     val verified = verifiedEmbeddingPairs(s, d).cache()
-    val labels = convergedLabels(verified, rounds, "d06_cluster_labels")
-    verified.unpersist(blocking = false)
-    labels
+    // finally: convergedLabels throws on budget exhaustion — don't
+    // leak the pair cache to a catching caller.
+    try convergedLabels(verified, rounds, "d06_cluster_labels")
+    finally verified.unpersist(blocking = false)
   }
 
   /** Hop+jump min-label propagation over an undirected edge set
@@ -454,6 +455,11 @@ object Dedup {
     var prevFp: (Any, Any, Long) = null
     var round = 0
     var converged = false
+    // try/finally so the budget-exhaustion throw below cannot leak
+    // the graph cache — a caller that catches and retries with a
+    // bigger budget would otherwise accumulate one cached sym per
+    // attempt.
+    try {
     while (round < rounds && !converged) {
       round += 1
       // EAGER localCheckpoint truncates lineage: the jump references
@@ -506,8 +512,8 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"$query: min-label propagation not converged after $rounds rounds; " +
         "raise the round budget for this corpus")
-    sym.unpersist(blocking = false)
     mPrev
+    } finally sym.unpersist(blocking = false)
   }
 
   /** The full d07 oracle CTE chain — embedding near-dup pairs,
@@ -1305,22 +1311,43 @@ object Dedup {
     // metadata term ∝ delta prefixes too (the point-lookup shape a
     // prefix-keyed object store serves directly). Prefixes without a
     // corpus directory are skipped; an empty shard reads nothing.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
+    // Metadata cost: ONE listStatus of the index root (dir count
+    // bounded by the 16^prefixLen grid) intersected with the delta's
+    // prefixes — a per-prefix exists() loop would be up to 16^4
+    // SERIAL round trips on an object store (~20 min at 20 ms each).
+    // The filesystem is resolved FROM THE INDEX PATH, not the
+    // default FS: when SPARK_GRAFT_REPLAY_DIR points at another
+    // scheme, a default-FS probe would see no directories and
+    // silently return an empty frame.
+    val indexRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = indexRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val corpusDirs = fs.listStatus(indexRoot).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("hp="))
+      .toSet
     val existing = prefixes
+      .filter(p => corpusDirs.contains(s"hp=$p"))
       .map(p => s"$indexPath/hp=$p")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val idx =
       if (existing.isEmpty)
         s.read.parquet(indexPath).filter(lit(false))
       else s.read.option("basePath", indexPath).parquet(existing: _*)
-    idx.alias("c")
+    // Materialize the probe result (pairs are output-sized) so the
+    // dbands cache can be released HERE — callers that loop probes
+    // (d16ProbeStats, the scale harness) would otherwise accumulate
+    // one cached delta band frame per probe, the exact leak the d14
+    // comment above warns about.
+    val result = idx.alias("c")
       .join(dbands.alias("n"),
         col("c.band") === col("n.band") && col("c.h") === col("n.h"))
       .select(col("n.rep_id").as("id_new"), col("c.rep_id").as("id_corpus"),
         graft.functions.SortedArrayJaccard(col("n.ts"), col("c.ts")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .distinct() // a pair can match in both bands
+      .localCheckpoint()
+    dbands.unpersist(blocking = false)
+    result
   }
 
   /** INCREMENTAL NEAR-DUP INGEST — the nightly-pipeline production

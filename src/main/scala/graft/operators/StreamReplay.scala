@@ -146,7 +146,14 @@ object StreamReplay {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).map(_.length()).sum
       else f.length()
-    s.conf.set(SourceBytesKey, bytes.toString)
+    // ACCUMULATE rather than overwrite: a stream-stream join replay
+    // constructs two sources before starting, and last-writer-wins
+    // would size its state partitions from only one input's bytes.
+    // The accumulator is cleared when the replay that consumes it
+    // finishes (withStatePartitions' finally), so a stale value from
+    // a prior query can never leak into the next derivation.
+    val prev = s.conf.getOption(SourceBytesKey).map(_.toLong).getOrElse(0L)
+    s.conf.set(SourceBytesKey, (prev + bytes).toString)
   }
 
   /** STATE-PARTITION RIGHT-SIZING for the replay harness (round-13):
@@ -184,9 +191,14 @@ object StreamReplay {
     val prev = s.conf.getOption(key)
     s.conf.set(key, stateShufflePartitions(s).toString)
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally {
+      // consume-and-clear the source-bytes accumulator: the NEXT
+      // replay's sources start from zero (see recordSourceBytes).
+      s.conf.unset(SourceBytesKey)
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   }
 
