@@ -1236,7 +1236,7 @@ object Dedup {
   /** d03's 8-minhash → 2-band emission over [[tokenSetGroups]] rows:
     * `(rep_id, ts, band, h)`.
     */
-  private def bandEmission(sets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def bandEmission(sets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
     val sig = sets.select(
       col("rep_id") +: col("ts") +:

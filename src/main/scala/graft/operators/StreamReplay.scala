@@ -1645,6 +1645,165 @@ object StreamReplay {
     }
   }
 
+  /** The doc_id-ordered shard copy the streaming near-dup gate
+    * replays: src0/src1 documents sorted by doc_id across nChunks
+    * range-partitioned files with staggered mtimes (the
+    * [[orderedEventsChunkStream]] discipline), so the file source's
+    * (mtime, path) admission order IS doc_id order and
+    * `maxFilesPerTrigger 1` replays the shard as nChunks arrival
+    * batches.
+    */
+  private[graft] def orderedShardDocStream(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+    val orderedDir = tempReplayDir("q93ord").resolve("docs").toString
+    graft.Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(nChunks, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(orderedDir)
+    val parts = new java.io.File(orderedDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = parts.map(_.lastModified()).max
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + (i + 1) * 2000L): Unit
+    }
+    recordSourceBytes(s, new java.io.File(orderedDir))
+    val schema = s.read.parquet(orderedDir).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(orderedDir)
+  }
+
+  /** STREAMING NEAR-DUP GATE — d16's incremental near-dup ingest run
+    * at ARRIVAL time (round-13 verdict item 2): the nightly-batch
+    * shape probes a whole shard against the standing band index; a
+    * production ingest FRONT-END gates each document as it arrives.
+    * Two halves, both fed by the same doc_id-ordered shard stream:
+    *
+    *  - CROSS-CORPUS: the arriving doc's band emissions stream-static
+    *    join d16's standing index (built once per run, the amortized
+    *    nightly artifact) on (band, h), with SortedArrayJaccard ≥ 0.9
+    *    verification in-stream — candidates are arrival×corpus only.
+    *  - WITHIN-STREAM: the same emissions keyed by (band, h) into
+    *    durable RocksDB state ([[graft.streaming.NearDupGateProcessor]])
+    *    — each doc probes only the stream docs that arrived BEFORE it
+    *    in its own buckets, the arrival-time mirror of d03's banded
+    *    self-join.
+    *
+    * The oracle spells both halves declaratively over the same
+    * corpus/shard split (per-doc on the shard side — every arrival
+    * gets its own verdict; set-grouped min-id reps on the corpus
+    * side, d16's index semantics), so the hash gate proves
+    * arrival-order gating ≡ the batch pair set. Chunk-count
+    * invariance (1 vs 5 triggers) is pinned by
+    * StreamChunkedReplaySpec.
+    *
+    * Scale shape: per-trigger cost is (trigger batch × bucket
+    * occupancy) for the state half and (trigger bands ⋈ index) for
+    * the static half — the index join is the batch d16 probe run per
+    * trigger, so a deployment pins the index's partition grid to keep
+    * each probe pruned (d16ProbeFrame's basePath discipline); state
+    * never holds the corpus, only the stream's own history (TTL is
+    * the production bound).
+    */
+  val q93StreamNearDupGate = Q(
+    "q93_stream_neardup_gate",
+    { import graft.functions.TextVec.{sqlMinhash, sqlJaccard}
+      val ts = "list_sort(list_distinct(string_split(text, ' ')))"
+      val mhs = (0 until 8).map(i => s"${sqlMinhash(i, "ts")} AS mh$i").mkString(",\n    ")
+      def bands(sig: String) = (0 until 2).map(i =>
+        s"SELECT rep_id, ts, $i AS band, md5(mh${4 * i} || mh${4 * i + 1} || mh${4 * i + 2} || mh${4 * i + 3}) AS h FROM $sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH csets AS (
+         |  SELECT md5(array_to_string(ts, ' ')) AS set_hash,
+         |         min(doc_id) AS rep_id, any_value(ts) AS ts
+         |  FROM (SELECT doc_id, $ts AS ts FROM documents
+         |        WHERE source NOT IN ('src0', 'src1'))
+         |  GROUP BY md5(array_to_string(ts, ' '))
+         |), ddocs AS (
+         |  SELECT doc_id AS rep_id, $ts AS ts FROM documents
+         |  WHERE source IN ('src0', 'src1')
+         |), csig AS (SELECT rep_id, ts, $mhs FROM csets),
+         |dsig AS (SELECT rep_id, ts, $mhs FROM ddocs),
+         |cbands AS (
+         |  ${bands("csig")}
+         |), dbands AS (
+         |  ${bands("dsig")}
+         |), cross_pairs AS (
+         |  SELECT DISTINCT n.rep_id AS id_new, c.rep_id AS id_match,
+         |         'corpus' AS kind, ${sqlJaccard("n.ts", "c.ts")} AS jaccard
+         |  FROM dbands n JOIN cbands c ON n.band = c.band AND n.h = c.h
+         |  WHERE ${sqlJaccard("n.ts", "c.ts")} >= 0.9
+         |), within_pairs AS (
+         |  SELECT DISTINCT b.rep_id AS id_new, a.rep_id AS id_match,
+         |         'stream' AS kind, ${sqlJaccard("a.ts", "b.ts")} AS jaccard
+         |  FROM dbands a JOIN dbands b
+         |    ON a.band = b.band AND a.h = b.h AND a.rep_id < b.rep_id
+         |  WHERE ${sqlJaccard("a.ts", "b.ts")} >= 0.9
+         |)
+         |SELECT id_new, id_match, kind, jaccard
+         |FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs)
+         |ORDER BY kind, id_new, id_match""".stripMargin }
+  ) { (s, d) =>
+    nearDupGateReplay(s, d, nChunks = 4)
+  }
+
+  /** The q93 kernel (shared with the chunk-invariance spec): standing
+    * index build, then the two streaming halves over a doc_id-ordered
+    * nChunks-trigger shard replay, then the batch-side presentation
+    * (pair-set distinct, declarative jaccard recompute for the state
+    * half — see NearDupGateProcessor's Scaladoc — and the stable
+    * sort).
+    */
+  private[graft] def nearDupGateReplay(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.TextVec.tokenSet
+    val (idxPath, _, _) = graft.operators.Dedup.d16BuildIndex(s, d)
+    val idx = s.read.parquet(idxPath)
+      .select(col("rep_id"), col("ts"), col("band"), col("h"))
+    def streamBands() = graft.operators.Dedup.bandEmission(
+      orderedShardDocStream(s, d, nChunks)
+        .select(col("doc_id").as("rep_id"), array_sort(tokenSet(col("text"))).as("ts")))
+    val cross = streamBands().alias("n")
+      .join(idx.alias("c"),
+        col("n.band") === col("c.band") && col("n.h") === col("c.h"))
+      .select(col("n.rep_id").as("id_new"), col("c.rep_id").as("id_match"),
+        graft.functions.SortedArrayJaccard(col("n.ts"), col("c.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+    val crossPairs = fileSinkReplay(s, cross, "q93cross")
+      .distinct() // a pair can match in both bands
+      .withColumn("kind", lit("corpus"))
+    val bandRows = streamBands()
+      .select(col("band"), col("h"), col("rep_id"), col("ts"))
+      .as[graft.streaming.BandRow]
+    val within = graft.streaming.NearDupGate.withinStreamPairs(bandRows)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val withinRaw =
+      try fileSinkReplay(s, within.toDF(), "q93within").distinct()
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    val shardSets = graft.Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), array_sort(tokenSet(col("text"))).as("ts"))
+    val withinPairs = withinRaw
+      .join(shardSets.alias("a"), col("id_new") === col("a.doc_id"))
+      .join(shardSets.alias("b"), col("id_match") === col("b.doc_id"))
+      .select(col("id_new"), col("id_match"),
+        graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+      .withColumn("kind", lit("stream"))
+    crossPairs.select(col("id_new"), col("id_match"), col("kind"), col("jaccard"))
+      .unionByName(withinPairs
+        .select(col("id_new"), col("id_match"), col("kind"), col("jaccard")))
+      .orderBy(col("kind"), col("id_new"), col("id_match"))
+  }
+
   /** [[orderedEventsChunkStream]]'s geometry for q90 — BOTH stateful
     * operators evict between triggers (join state drops closed 12 h
     * windows, agg state finalizes closed days), the shape that keeps
@@ -1676,5 +1835,6 @@ object StreamReplay {
     q80StreamUrlGate, q81StreamTopkReplay, q82StreamOuterJoinReplay,
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
-    q88StreamSessionReplay, q90StreamJoinAggReplay, q92TimerSessionReplay)
+    q88StreamSessionReplay, q90StreamJoinAggReplay, q92TimerSessionReplay,
+    q93StreamNearDupGate)
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues}
+
+/** One LSH band emission of an arriving document: the grouping key is
+  * (band, h) — see [[NearDupGate.withinStreamPairs]] — and the row
+  * carries the doc's sorted-distinct token set for the verify step.
+  */
+final case class BandRow(band: Int, h: String, rep_id: Long, ts: Seq[String])
+
+/** A verified within-stream near-dup: the LATER arrival probes the
+  * earlier one (id_new > id_match under doc_id-ordered arrival).
+  */
+final case class StreamNearDup(id_new: Long, id_match: Long)
+
+/** WITHIN-STREAM banded near-dup state (round-13 verdict item 2's
+  * second half): q78 gates EXACT duplicates by content-hash state;
+  * this is the NEAR-dup analog over the same durable-keyed-state
+  * substrate (reference roadmap README.md:107-109). Each (band, h)
+  * LSH bucket is a state key holding the token sets of every stream
+  * doc that has emitted into the bucket so far; an arriving doc
+  * probes ITS OWN buckets only — the arrival-time mirror of d03's
+  * banded equi-join, with the band join done by the shuffle's key
+  * hashing and the candidate set bounded by one bucket's occupancy.
+  *
+  * The gate DECISION is exact integer arithmetic (10·|∩| ≥ 9·|∪| with
+  * |∪| > 0, the same rational test `jaccard ≥ 0.9` spells — the
+  * nearest rational to 0.9 at any feasible |∪| is ≫ one double ulp
+  * away, so the integer and double tests agree; the emitted pair's
+  * jaccard COLUMN is recomputed declaratively batch-side via
+  * SortedArrayJaccard for bit-identity with the oracle). Intersection
+  * counts use a hash set, not a merge scan, so the Scala decision is
+  * independent of any byte-vs-UTF16 ordering subtlety.
+  *
+  * Why this shape at 100 TB: state is sharded by band hash across
+  * executors on RocksDB — the hottest bucket bounds a key's list, and
+  * the per-trigger cost is (arriving docs × their bucket occupancy),
+  * independent of corpus size (the standing corpus is the
+  * stream-static branch's index, not this state). A production gate
+  * bounds bucket occupancy with TTL (state TTL is one TTLConfig knob
+  * here) — the replay keeps TTL off so the complete run equals the
+  * batch oracle exactly.
+  */
+class NearDupGateProcessor
+    extends StatefulProcessor[String, BandRow, StreamNearDup] {
+
+  @transient private var seen: ListState[BandRow] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getListState[BandRow](
+      "seen", Encoders.product[BandRow], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[BandRow],
+      timerValues: TimerValues): Iterator[StreamNearDup] = {
+    // within a trigger the group's rows arrive in shuffle order; the
+    // stream replays doc_id-ordered files, so arrival order IS doc_id
+    // order — restore it (bounded: one bucket's single-batch rows)
+    val arrived = rows.toArray.sortBy(_.rep_id)
+    val prior = scala.collection.mutable.ArrayBuffer.empty[BandRow]
+    val it = seen.get()
+    while (it.hasNext) prior += it.next()
+    val out = Seq.newBuilder[StreamNearDup]
+    for (r <- arrived) {
+      val rSet = r.ts.toSet
+      for (p <- prior)
+        if (NearDupGateProcessor.passes(p.ts, rSet, r.ts.length))
+          out += StreamNearDup(r.rep_id, p.rep_id)
+      prior += r
+      seen.appendValue(r)
+    }
+    out.result().iterator
+  }
+}
+
+object NearDupGateProcessor {
+  /** 10·|∩| ≥ 9·|∪| with |∪| > 0 — the exact rational form of
+    * `jaccard ≥ 0.9` (jaccard(∅,∅) ≔ 0 rejects like the oracle).
+    */
+  private[streaming] def passes(a: Seq[String], bSet: Set[String],
+      bLen: Int): Boolean = {
+    var inter = 0
+    for (t <- a) if (bSet.contains(t)) inter += 1
+    val union = a.length + bLen - inter
+    union > 0 && 10L * inter >= 9L * union
+  }
+}
+
+object NearDupGate {
+
+  /** Wires the within-stream half of the gate: band emissions keyed
+    * by (band, h), candidate probes + exact verification in keyed
+    * state. Requires the RocksDB provider (transformWithState needs
+    * column families).
+    */
+  def withinStreamPairs(bands: Dataset[BandRow]): Dataset[StreamNearDup] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => s"${r.band}:${r.h}")
+      .transformWithState(
+        new NearDupGateProcessor,
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+}

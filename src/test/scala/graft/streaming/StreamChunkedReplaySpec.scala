@@ -193,6 +193,24 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
       .limit(1).count() == 1, "no timer-closed session in the chunked replay")
   }
 
+  test("q93 near-dup gate output is chunk-count invariant (1 vs 5 triggers)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    // the registered query replays 4 chunks; pin the two extremes:
+    // everything in ONE trigger (all within-stream pairs form inside
+    // a single batch's group iterator) vs 5 triggers (pairs form
+    // across state written by earlier triggers)
+    val single = rows(graft.operators.StreamReplay.nearDupGateReplay(spark, dir, nChunks = 1))
+    val chunked = rows(graft.operators.StreamReplay.nearDupGateReplay(spark, dir, nChunks = 5))
+    assert(chunked == single,
+      s"chunked near-dup gate diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    // both halves of the gate must actually fire in the fixture
+    assert(single.exists(_.contains("|corpus|")), "no cross-corpus pair in fixture")
+    assert(single.exists(_.contains("|stream|")), "no within-stream pair in fixture")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
