@@ -234,31 +234,48 @@ object AnnKmeans {
     */
   private[graft] def trainedFinLiteral(s: org.apache.spark.sql.SparkSession,
       d: String, K: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    assignLiteral(emb, trainedLiteralModel(s, d, K))
+      .withColumn("nrm", norm(col("embedding")))
+      .cache() // final assignment feeds every consumer's join sides
+  }
+
+  /** One zero-shuffle assignment projection against a driver-side
+    * k×dim model (shared by Lloyd iterations, the final corpus
+    * assignment, and s24's query-vector routing).
+    *
+    * Scores the k centroids per row in ONE ArgmaxDot kernel:
+    * assignment stays a pure zero-shuffle projection, and the
+    * generated code is k-INDEPENDENT. Two prior shapes both went
+    * superlinear: broadcast-crossJoin + row_number window shuffled
+    * the n×k scored rows WITH embeddings attached every Lloyd pass
+    * (~15 GB/iter at 200k × 256), and the k-inline-literal
+    * array(dot…) + array_position(array_max) emitted k unrolled dot
+    * loops whose code size grew with k (the round-5 decade probe
+    * measured d11_wide_k256 at 68× for 10× data from exactly this).
+    * Ties keep the window's (dot DESC, cid ASC) rule: ArgmaxDot keeps
+    * the FIRST max, and `cs` is sorted by cid, so the first max is
+    * the lowest cid; the per-cell dot is the same left fold, so
+    * scores — and the oracle hash — are bit-identical.
+    */
+  private def assignLiteral(input: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cs = cents.sortBy(_._1)
+    input.select(col("vec_id"), col("embedding"),
+      graft.functions.ArgmaxDot(col("embedding"),
+        typedlit(cs.map(_._2)), typedlit(cs.map(_._1))).as("cell"))
+  }
+
+  /** The literal-path Lloyd loop alone, returning the trained k×dim
+    * model (cid-sorted) — [[trainedFinLiteral]] assigns the corpus
+    * with it; s24 persists it as the serving-time routing artifact.
+    */
+  private[graft] def trainedLiteralModel(s: org.apache.spark.sql.SparkSession,
+      d: String, K: Int): Seq[(Long, Seq[Double])] = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     // deterministic prefix sample: Lloyd only ever scores these rows
     val train = emb.filter(col("vec_id") < trainBound(K))
-
-    def assign(input: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      // score against the k×dim driver-side model in ONE ArgmaxDot
-      // kernel: assignment stays a pure zero-shuffle projection, and
-      // the generated code is k-INDEPENDENT. Two prior shapes both
-      // went superlinear: broadcast-crossJoin + row_number window
-      // shuffled the n×k scored rows WITH embeddings attached every
-      // Lloyd pass (~15 GB/iter at 200k × 256), and the k-inline-
-      // literal array(dot…) + array_position(array_max) emitted k
-      // unrolled dot loops whose code size grew with k (the round-5
-      // decade probe measured d11_wide_k256 at 68× for 10× data from
-      // exactly this). Ties keep the window's (dot DESC, cid ASC)
-      // rule: ArgmaxDot keeps the FIRST max, and `cs` is sorted by
-      // cid, so the first max is the lowest cid; the per-cell dot is
-      // the same left fold, so scores — and the oracle hash — are
-      // bit-identical.
-      val cs = cents.sortBy(_._1)
-      input.select(col("vec_id"), col("embedding"),
-        graft.functions.ArgmaxDot(col("embedding"),
-          typedlit(cs.map(_._2)), typedlit(cs.map(_._1))).as("cell"))
-    }
 
     var cents: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < K)
       .select(col("vec_id"), col("embedding"))
@@ -266,7 +283,7 @@ object AnnKmeans {
       .map { case (id, v) => (id, v.map(_.toDouble)) }
 
     for (_ <- 1 to Iters) {
-      val means = assign(train, cents)
+      val means = assignLiteral(train, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), (col("pos") + 1).as("dim"))
         .agg((sum(floor(col("v").cast("double") * Scale.toDouble).cast("long")).cast("double")
@@ -277,10 +294,7 @@ object AnnKmeans {
         (cid, prev.indices.map(i => means.getOrElse((cid, i + 1), prev(i))).toVector)
       }
     }
-
-    assign(emb, cents)
-      .withColumn("nrm", norm(col("embedding")))
-      .cache() // final assignment feeds every consumer's join sides
+    cents
   }
 
   /** The broadcast-model path (k > [[LiteralModelMaxK]]): centroids
@@ -341,5 +355,108 @@ object AnnKmeans {
       .cache() // final assignment feeds every consumer's join sides
   }
 
-  def all: Seq[Q] = Seq(s04AnnIvfKmeans)
+  /** PERSISTED ANN INDEX — the d16 standing-artifact discipline
+    * applied to the IVF ladder (round-13 verdict item 6): s04
+    * re-trains k-means per invocation; a production ANN service
+    * trains NIGHTLY and serves every query from the persisted index.
+    * The BUILD phase ([[s24BuildIndex]], the amortized term) persists
+    * two artifacts: the trained k×dim centroid model (the routing
+    * table — model-sized, the MLlib KMeans contract) and the
+    * full-corpus assignment as a parquet table PARTITIONED BY CELL.
+    * The QUERY phase ([[s24Probe]]) routes each query vector to its
+    * cell via one zero-shuffle ArgmaxDot against the read-back model,
+    * then scans ONLY the probed cells' partitions (targeted `cell=`
+    * paths under basePath — d16ProbeFrame's listing discipline, so
+    * the metadata term is one listStatus and the data term is the
+    * probed cells' bytes, never the corpus).
+    *
+    * The oracle is s04's verbatim — the hash gate proves
+    * persist ∘ read-back ∘ partition-pruned probe ≡ the inline
+    * computation (model round-trips exactly: doubles through parquet;
+    * nrm recomputed from the same floats). Scale: query cost ∝
+    * (queries × their cells' occupancy); the build is the one-time
+    * n·k indexing pass; k is the derived ∝ n knob so occupancy — and
+    * per-query cost — stays flat as the corpus grows (s22 pins the
+    * knob's oracle form; the registered query pins k=8 for the
+    * 500-row oracle corpus).
+    */
+  val s24AnnPersistedIndex = Q(
+    "s24_ann_persisted_index",
+    s04AnnIvfKmeans.sql.get
+  ) { (s, d) =>
+    val (idxPath, centPath) = s24BuildIndex(s, d, K)
+    s24Probe(s, d, idxPath, centPath)
+  }
+
+  /** The amortized nightly build: train, assign, persist. Returns
+    * (index path, centroid-model path).
+    */
+  private[graft] def s24BuildIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): (String, String) = {
+    import s.implicits._
+    val base = StreamReplay.tempReplayDir("s24idx")
+    val idxPath = base.resolve("ivf").toString
+    val centPath = base.resolve("centroids").toString
+    val cents = trainedLiteralModel(s, d, k)
+    cents.toDF("cid", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(centPath)
+    assignLiteral(Tables.embeddings(s, d), cents)
+      .withColumn("nrm", norm(col("embedding")))
+      .repartition(col("cell")) // one writer per cell, not tasks × cells files
+      .write.partitionBy("cell").mode("overwrite").parquet(idxPath)
+    (idxPath, centPath)
+  }
+
+  /** The serving-time probe: route queries via the persisted model,
+    * scan only their cells' partitions, score + top-3 (s04's exact
+    * ranking rules).
+    */
+  private[graft] def s24Probe(s: org.apache.spark.sql.SparkSession,
+      d: String, idxPath: String, centPath: String,
+      queryMax: Long = 10): DataFrame = {
+    import s.implicits._
+    // the model read-back is model-sized (k×dim), the same category
+    // as the literal path's driver-side model
+    val cents = s.read.parquet(centPath)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val q = assignLiteral(
+        Tables.embeddings(s, d).filter(col("vec_id") < queryMax), cents)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+      .cache() // feeds the probed-cell collect AND the scoring join
+    // ≤ #queries cell ids — the routing decision, metadata-sized
+    val probed = q.select(col("q_cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val idxRoot = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(idxRoot).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("cell=") &&
+        probed.contains(n.stripPrefix("cell=").toLong))
+      .map(n => s"$idxPath/$n").toSeq.sorted
+    val idx =
+      if (existing.isEmpty) s.read.parquet(idxPath).filter(lit(false))
+      else s.read.option("basePath", idxPath).parquet(existing: _*)
+    val result = idx.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_cell").as("cell"),
+        when(col("q_nrm") * col("nrm") === 0, 0.0)
+          .otherwise(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val out = result.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"),
+        col("k"))
+      .orderBy(col("query_id"), col("k"))
+      .localCheckpoint() // materialize (output-sized) so the query
+      // cache can be released before returning
+    q.unpersist(blocking = false)
+    out
+  }
+
+  def all: Seq[Q] = Seq(s04AnnIvfKmeans, s24AnnPersistedIndex)
 }
