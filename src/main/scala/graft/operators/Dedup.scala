@@ -448,17 +448,48 @@ object Dedup {
     */
   private[graft] def convergedLabels(pairs: org.apache.spark.sql.DataFrame,
       rounds: Int, query: String): org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
+    // SHUFFLE-PARTITION RIGHT-SIZING for the propagation loop
+    // (round-14; the StreamReplay.stateShufflePartitions pattern
+    // applied to the iterative-batch kernel): each round is 4-5
+    // chained shuffle stages (jump self-join, hop join, union-groupBy,
+    // checkpoint, fingerprint) over a LABEL-SIZED frame, and under the
+    // session's 32 partitions every stage pays ~32 tasks of pure
+    // scheduling for kilobytes of data — measured ~5 s of a 26 k-edge
+    // c02 kernel, ~45% of the query, all overhead. Partitions derive
+    // from the measured graph size (one per 64 k symmetric edges,
+    // saturating at the session's parallelism — the count also warms
+    // the sym cache before round 1), so fixture-scale loops run
+    // 1-task stages while a 100 TB edge set keeps full parallelism.
+    // Shuffle partitioning never changes min-label results; the
+    // returned frame is already materialized, so downstream consumers
+    // plan under the caller's own setting.
+    val nSym = sym.count()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(partsKey)
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(nSym / 65536.0).toInt))
+    spark.conf.set(partsKey, parts.toString)
+    // at ONE partition there is nothing for AQE to adapt (no
+    // coalesce, no skew split) and its per-stage re-planning is pure
+    // driver latency on the loop's 4-5 tiny stages per round
+    // (measured ~0.5 s over a c02 kernel) — scope it off for the
+    // 1-partition regime only; bigger graphs keep AQE for the hop
+    // join's skew handling
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    if (parts == 1) spark.conf.set(aqeKey, "false")
     var mPrev: org.apache.spark.sql.DataFrame = null
     var prevFp: (Any, Any, Long) = null
     var round = 0
     var converged = false
     // try/finally so the budget-exhaustion throw below cannot leak
-    // the graph cache — a caller that catches and retries with a
-    // bigger budget would otherwise accumulate one cached sym per
-    // attempt.
+    // the graph cache (or the narrowed shuffle conf) — a caller that
+    // catches and retries with a bigger budget would otherwise
+    // accumulate one cached sym per attempt.
     try {
     while (round < rounds && !converged) {
       round += 1
@@ -513,7 +544,17 @@ object Dedup {
       s"$query: min-label propagation not converged after $rounds rounds; " +
         "raise the round budget for this corpus")
     mPrev
-    } finally sym.unpersist(blocking = false)
+    } finally {
+      prevParts match {
+        case Some(v) => spark.conf.set(partsKey, v)
+        case None => spark.conf.unset(partsKey)
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      sym.unpersist(blocking = false)
+    }
   }
 
   /** The full d07 oracle CTE chain — embedding near-dup pairs,
