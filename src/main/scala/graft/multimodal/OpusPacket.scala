@@ -158,16 +158,27 @@ object OpusPacket {
     }
   }
 
-  /** Builds packet p of the schedule. */
-  private[multimodal] def buildPacket(d: Long, p: Int): Array[Byte] = {
+  /** Builds packet p of the schedule (m32's formulaic frame bytes). */
+  private[multimodal] def buildPacket(d: Long, p: Int): Array[Byte] =
+    buildPacketWith(d, p, (f, l) =>
+      Array.tabulate(l)(j => Sched.frameByte(d, p, f, j).toByte))
+
+  /** Builds packet p of the schedule with caller-supplied frame
+    * payloads `fill(f, len)` (must return exactly `len` bytes) — the
+    * framing layer is byte-identical to [[buildPacket]]'s; m35 fills
+    * frames with range-coded symbol streams instead of the formula.
+    */
+  private[graft] def buildPacketWith(d: Long, p: Int,
+      fill: (Int, Int) => Array[Byte]): Array[Byte] = {
     import Sched._
     val out = new java.io.ByteArrayOutputStream()
     val c = code(d, p)
     out.write((config(d, p) << 3) | (if (stereo(d, p)) 4 else 0) | c)
     val lens = frameLens(d, p)
     def frames(): Unit = lens.zipWithIndex.foreach { case (l, f) =>
-      var j = 0
-      while (j < l) { out.write(frameByte(d, p, f, j)); j += 1 }
+      val b = fill(f, l)
+      require(b.length == l, s"frame fill returned ${b.length}B for $l B (d=$d p=$p f=$f)")
+      out.write(b, 0, b.length)
     }
     c match {
       case 0 | 1 => frames() // code 1: equal split is implied, no length byte

@@ -1,0 +1,204 @@
+package graft.multimodal
+
+/** The Opus RANGE CODER (RFC 6716 §4.1, the entropy layer under both
+  * SILK and CELT) — the round-13 stretch: the first exactly-specified
+  * slice of the codec's interior, extending m32's packet framing one
+  * level down. This is a faithful 32-bit implementation of the spec's
+  * coder (reference implementation entdec.c/entenc.c semantics):
+  *
+  *  - decoder init (§4.1.1): rng = 2^7, val = 127 − (b0 >> 1), then
+  *    renormalize;
+  *  - renormalization (§4.1.2.1): while rng ≤ 2^23, shift in one
+  *    octet SPANNING A BYTE BOUNDARY BY ONE BIT (sym = the next 8
+  *    bits of the (prev, next) byte pair shifted right 1 — the
+  *    EC_CODE_EXTRA = 7 convention) and fold its complement into val
+  *    masked to 31 bits;
+  *  - symbol decode (§4.1.2): fs = ft − min(val/(rng/ft) + 1, ft),
+  *    then the (fl, fh, ft) update val −= (rng/ft)(ft−fh),
+  *    rng = fl > 0 ? (rng/ft)(fh−fl) : rng − (rng/ft)(ft−fh);
+  *  - the "alternate" table form (§4.1.3.3's icdf convention used by
+  *    every SILK/CELT PDF): r = rng >> ftb (a SHIFT, not the general
+  *    divide) walked down the inverse-CDF until val ≥ r·icdf[k];
+  *  - encoder (§5.1): the exact mirror, with the carry-propagation
+  *    buffer (a pending byte + a run of 0xFF bytes that a carry flips
+  *    to 0x00) and the §5.1.5 finalization that emits the shortest
+  *    value inside [val, val + rng).
+  *
+  * Unsigned 32-bit arithmetic rides in Long (masked where the spec
+  * masks). KATs in OpusRangeSpec pin the DECODER on fixed byte
+  * strings hand-stepped from the spec's arithmetic, and the
+  * encode→decode roundtrip property ties the encoder to the pinned
+  * decoder — the m31 discipline (synth↔decoder circularity broken by
+  * literals derived from the published algorithm, not from the code
+  * under test).
+  */
+final class OpusRangeDecoder(buf: Array[Byte]) {
+  private var offs = 0
+  private def readByte(): Int =
+    if (offs < buf.length) { val b = buf(offs) & 0xff; offs += 1; b }
+    else 0 // §4.1.2.1: past the end the decoder reads zeros
+
+  private var rem = readByte()
+  private var rng: Long = 1L << 7
+  private var vlo: Long = 127L - (rem >> 1)
+  normalize()
+
+  private def normalize(): Unit =
+    while (rng <= (1L << 23)) {
+      val prev = rem
+      rem = readByte()
+      val sym = ((prev << 8) | rem) >> 1 // 8 bits straddling the boundary
+      vlo = ((vlo << 8) + (255 - (sym & 255))) & 0x7FFFFFFFL
+      rng <<= 8
+    }
+
+  private var ext: Long = 0L
+
+  /** §4.1.2 ec_decode: the cumulative frequency of the next symbol. */
+  def decode(ft: Int): Int = {
+    ext = rng / ft
+    val s = vlo / ext
+    (ft - math.min(s + 1, ft)).toInt
+  }
+
+  /** §4.1.2 update for the symbol whose CDF segment is [fl, fh). */
+  def update(fl: Int, fh: Int, ft: Int): Unit = {
+    val s = ext * (ft - fh)
+    vlo -= s
+    rng = if (fl > 0) ext * (fh - fl) else rng - s
+    normalize()
+  }
+
+  /** One uniform ft-ary symbol (decode + update fused). */
+  def decodeUniform(ft: Int): Int = {
+    val fs = decode(ft)
+    update(fs, fs + 1, ft)
+    fs
+  }
+
+  /** §4.1.3.3 table decode: `icdf(k) = ft − cdf(k+1)` with ft = 2^ftb,
+    * terminated by 0.
+    */
+  def decodeIcdf(icdf: Array[Int], ftb: Int): Int = {
+    val r = rng >> ftb
+    var t = rng
+    var s = rng
+    var ret = -1
+    while ({ t = s; ret += 1; s = r * icdf(ret); vlo < s }) ()
+    vlo -= s
+    rng = t - s
+    normalize()
+    ret
+  }
+}
+
+/** The mirror encoder (§5.1). */
+final class OpusRangeEncoder {
+  private val out = new java.io.ByteArrayOutputStream()
+  private var vlo: Long = 0L
+  private var rng: Long = 1L << 31
+  private var rem: Int = -1 // pending byte awaiting a possible carry
+  private var ext: Int = 0  // run of pending 0xFF bytes
+
+  private def carryOut(c: Int): Unit =
+    if (c != 255) {
+      val carry = c >> 8
+      if (rem >= 0) out.write((rem + carry) & 0xff)
+      if (ext > 0) {
+        val sym = (255 + carry) & 255
+        while (ext > 0) { out.write(sym); ext -= 1 }
+      }
+      rem = c & 255
+    } else ext += 1
+
+  private def normalize(): Unit =
+    while (rng <= (1L << 23)) {
+      carryOut((vlo >> 23).toInt) // up to 9 bits — the carry rides bit 8
+      vlo = (vlo << 8) & 0x7FFFFFFFL
+      rng <<= 8
+    }
+
+  /** §5.1.2 ec_encode for the symbol with CDF segment [fl, fh). */
+  def encode(fl: Int, fh: Int, ft: Int): Unit = {
+    val r = rng / ft
+    if (fl > 0) { vlo += rng - r * (ft - fl); rng = r * (fh - fl) }
+    else rng -= r * (ft - fh)
+    normalize()
+  }
+
+  def encodeUniform(s: Int, ft: Int): Unit = encode(s, s + 1, ft)
+
+  /** The icdf mirror of [[OpusRangeDecoder.decodeIcdf]]. */
+  def encodeIcdf(s: Int, icdf: Array[Int], ftb: Int): Unit = {
+    val r = rng >> ftb
+    if (s > 0) { vlo += rng - r * icdf(s - 1); rng = r * (icdf(s - 1) - icdf(s)) }
+    else rng -= r * icdf(s)
+    normalize()
+  }
+
+  /** §5.1.5 finalization: emit the shortest code value in
+    * [val, val + rng) and flush the carry buffer.
+    */
+  def done(): Array[Byte] = {
+    var l = 32 - (64 - java.lang.Long.numberOfLeadingZeros(rng)).toInt
+    var msk = 0x7FFFFFFFL >> l
+    var end = (vlo + msk) & ~msk & 0xFFFFFFFFL
+    if ((end | msk) >= vlo + rng) {
+      l += 1
+      msk >>= 1
+      end = (vlo + msk) & ~msk & 0xFFFFFFFFL
+    }
+    while (l > 0) {
+      carryOut((end >> 23).toInt)
+      end = (end << 8) & 0x7FFFFFFFL
+      l -= 8
+    }
+    if (rem >= 0 || ext > 0) carryOut(0)
+    out.toByteArray
+  }
+}
+
+object OpusRange {
+
+  /** The m35 icdf table: a 5-symbol alphabet over ft = 2^8 with
+    * probabilities {128, 64, 32, 16, 16}/256 — cdf [0, 128, 192, 224,
+    * 240, 256], icdf[k] = 256 − cdf[k+1], 0-terminated as §4.1.3.3
+    * requires. Code lengths 1/2/3/4/4 bits, so the two per-frame
+    * streams below are bounded by 8 bits/symbol-pair and always fit
+    * the m32 frame-length schedule (see [[symsPerStream]]).
+    */
+  val Icdf: Array[Int] = Array(128, 64, 32, 16, 0)
+  val IcdfFtb: Int = 8
+
+  /** Symbols per stream for a frame of `len` bytes: 4 bits/uniform-16
+    * symbol + ≤ 4 bits/icdf symbol + ≤ 17 finalization bits ≤
+    * 8·(len − 6) + 17 < 8·len − 24 bits — the encoder output always
+    * fits the scheduled frame with ≥ 3 bytes to spare (and the
+    * builder `require`s it loudly).
+    */
+  def symsPerStream(len: Int): Int = math.max(0, len - 6)
+
+  /** The closed-form symbol schedules the oracle mirrors. */
+  def uniformSym(d: Long, p: Int, f: Int, k: Int): Int =
+    ((d + 13 * p + 7 * f + 5 * k) % 16).toInt
+  def icdfSym(d: Long, p: Int, f: Int, k: Int): Int =
+    ((d + 11 * p + 3 * f + 7 * k) % 5).toInt
+
+  /** Range-encodes frame f's two symbol streams and zero-pads to the
+    * scheduled length (zero padding is read-identical to the
+    * decoder's past-the-end zeros, §4.1.2.1 — the padded frame
+    * decodes exactly like the unpadded buffer).
+    */
+  def frameBytes(d: Long, p: Int, f: Int, len: Int): Array[Byte] = {
+    val n = symsPerStream(len)
+    val enc = new OpusRangeEncoder
+    var k = 0
+    while (k < n) { enc.encodeUniform(uniformSym(d, p, f, k), 16); k += 1 }
+    k = 0
+    while (k < n) { enc.encodeIcdf(icdfSym(d, p, f, k), Icdf, IcdfFtb); k += 1 }
+    val coded = enc.done()
+    require(coded.length <= len,
+      s"range-coded frame ${coded.length}B exceeds scheduled $len B (d=$d p=$p f=$f)")
+    java.util.Arrays.copyOf(coded, len) // zero-padded to schedule
+  }
+}

@@ -2770,5 +2770,105 @@ object Multimodal {
       m15PdfMeta, m16WebpMeta, m17FlacPcm, m18UlawPcm, m19AlawPcm,
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
       m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
-      m30PngPalette, m31Mp3Huffman, m32MkvOpus, m33PhashDedup, m34Mp3Requant)
+      m30PngPalette, m31Mp3Huffman, m32MkvOpus, m33PhashDedup, m34Mp3Requant,
+      m35OpusRangeSymbols)
+
+  /** OPUS RANGE-DECODER SYMBOL STREAM (m35 — the round-13 stretch:
+    * RFC 6716 §4.1 over m32's framed packets): each frame of the m32
+    * packet schedule carries a REAL range-coded bitstream — a
+    * uniform-16 symbol stream followed by an icdf-table stream
+    * (§4.1.3.3's inverse-CDF convention, the form every SILK/CELT PDF
+    * uses), encoded by the §5.1 mirror encoder and zero-padded to the
+    * scheduled frame length (pad bytes read identically to the
+    * decoder's past-the-end zeros). The Spark side walks the actual
+    * packet framing ([[graft.multimodal.OpusPacket.parse]]) and
+    * RANGE-DECODES every frame ([[graft.multimodal.OpusRangeDecoder]]
+    * — init, straddled-byte renormalization, divide and shift-form
+    * updates, carry handling); the oracle predicts every decoded
+    * symbol closed-form, and the POSITION-WEIGHTED sums pin stream
+    * order, so one wrong renormalization bit or swapped CDF segment
+    * anywhere in ~10⁶ decoded symbols breaks the hash.
+    * Synth↔decoder circularity is broken by OpusRangeSpec's KATs:
+    * fixed byte strings hand-stepped from the spec's arithmetic pin
+    * the decoder alone; the encoder is tied to it by the roundtrip
+    * property.
+    *
+    * Scale shape: per-row synth+decode, zero shuffle (the m22
+    * spreadIds discipline against single-row-group fixture scans);
+    * at 100 TB this is the embarrassingly-parallel media-validation
+    * pass a crawl pipeline runs at ingest.
+    */
+  val m35OpusRangeSymbols = Q(
+    "m35_opus_range_symbols",
+    { val c = "((doc_id + p) % 4)"
+      val lens = s"""(CASE CAST($c AS INT)
+         |      WHEN 0 THEN [20 + (doc_id + 3*p) % 30]
+         |      WHEN 1 THEN [15 + (doc_id + 3*p) % 20, 15 + (doc_id + 3*p) % 20]
+         |      WHEN 2 THEN [248 + (doc_id + 3*p) % 8, 12 + (doc_id + p) % 20]
+         |      ELSE [8 + (doc_id + p) % 15, 8 + (doc_id + p + 5) % 15,
+         |            8 + (doc_id + p + 10) % 15] END)""".stripMargin
+      s"""WITH pk AS (
+         |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS p FROM documents
+         |), per AS (
+         |  SELECT doc_id, p, $lens AS lens FROM pk
+         |), fr AS (
+         |  SELECT doc_id, p, u.f AS f, greatest(lens[CAST(u.f AS INT) + 1] - 6, 0) AS n
+         |  FROM per, LATERAL (SELECT unnest(range(0, len(lens))) AS f) u
+         |), sums AS (
+         |  SELECT doc_id, p, f, n,
+         |    COALESCE(list_sum(list_transform(range(0, n),
+         |      k -> (doc_id + 13*p + 7*f + 5*k) % 16)), 0) AS su,
+         |    COALESCE(list_sum(list_transform(range(0, n),
+         |      k -> (k + 1) * ((doc_id + 13*p + 7*f + 5*k) % 16))), 0) AS wu,
+         |    COALESCE(list_sum(list_transform(range(0, n),
+         |      k -> (doc_id + 11*p + 3*f + 7*k) % 5)), 0) AS st,
+         |    COALESCE(list_sum(list_transform(range(0, n),
+         |      k -> (k + 1) * ((doc_id + 11*p + 3*f + 7*k) % 5))), 0) AS wt
+         |  FROM fr
+         |)
+         |SELECT doc_id AS media_id,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(2 * n) AS BIGINT) AS n_syms,
+         |  CAST(sum(su) AS BIGINT) AS sum_uniform,
+         |  CAST(sum(wu) AS BIGINT) AS wsum_uniform,
+         |  CAST(sum(st) AS BIGINT) AS sum_icdf,
+         |  CAST(sum(wt) AS BIGINT) AS wsum_icdf
+         |FROM sums GROUP BY doc_id ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{OpusPacket, OpusRange, OpusRangeDecoder}
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
+      .mapPartitions(_.map { id =>
+        var nFrames = 0L; var nSyms = 0L
+        var sumU = 0L; var wsumU = 0L; var sumT = 0L; var wsumT = 0L
+        var p = 0
+        val nPk = OpusPacket.Sched.nPackets(id)
+        while (p < nPk) {
+          val pkt = OpusPacket.buildPacketWith(id, p,
+            (f, l) => OpusRange.frameBytes(id, p, f, l))
+          val parsed = OpusPacket.parse(pkt, id)
+          parsed.frames.zipWithIndex.foreach { case (frame, f) =>
+            nFrames += 1
+            val n = OpusRange.symsPerStream(frame.length)
+            val dec = new OpusRangeDecoder(frame)
+            var k = 0
+            while (k < n) {
+              val sym = dec.decodeUniform(16)
+              sumU += sym; wsumU += (k + 1).toLong * sym; k += 1
+            }
+            k = 0
+            while (k < n) {
+              val sym = dec.decodeIcdf(OpusRange.Icdf, OpusRange.IcdfFtb)
+              sumT += sym; wsumT += (k + 1).toLong * sym; k += 1
+            }
+            nSyms += 2L * n
+          }
+          p += 1
+        }
+        (id, nFrames, nSyms, sumU, wsumU, sumT, wsumT)
+      })
+      .toDF("media_id", "n_frames", "n_syms", "sum_uniform", "wsum_uniform",
+        "sum_icdf", "wsum_icdf")
+      .orderBy(col("media_id"))
+  }
 }
