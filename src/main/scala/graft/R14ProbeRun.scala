@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev runner for the round-14 operators' decade decompositions —
+  * prints the full stats frames (the columns ScaleProbe's wall-time
+  * wrapper discards) as one JSON line per (query, scale):
+  *
+  *  - q93 streaming near-dup gate: index build (amortized) vs the
+  *    FIXED-shard gate replay across a growing corpus;
+  *  - c28 MOR deletes: table build vs the fixed-key point-delete
+  *    COMMIT vs the MOR scan;
+  *  - s24 persisted ANN: derived-k index build vs 10-query and
+  *    100-query serving probes.
+  *
+  * Usage: runMain graft.R14ProbeRun <label=dir> [<label=dir> ...]
+  */
+object R14ProbeRun {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: R14ProbeRun <label=dir> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def emit(label: String, what: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val row = df.head()
+      val fields = df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        row.get(i) match {
+          case d: Double => f""""$n":$d%.3f"""
+          case v => s""""$n":$v"""
+        }
+      }.mkString(",")
+      println(s"""{"probe":"$what","scale":"$label",$fields}""")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    for (a <- args; Array(label, dir) = a.split("=", 2)) {
+      emit(label, "q93_gate_fixed_shard", graft.operators.StreamReplay
+        .q93ProbeStats(spark, dir, nChunks = 4, deltaMaxDocId = Some(4999L)))
+      emit(label, "c28_delete_commit_fixed_keys",
+        graft.operators.Curation.c28ProbeStats(spark, dir, Some(4999L)))
+      emit(label, "s24_index_probe",
+        graft.operators.AnnKmeans.s24ProbeStats(spark, dir))
+    }
+    spark.stop()
+  }
+}

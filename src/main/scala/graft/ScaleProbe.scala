@@ -466,6 +466,22 @@ object ScaleProbe {
     "d16_probe_scaled_delta" -> (() => graft.operators.Dedup.d16ProbeStats(s, dir)),
     "d16_probe_fixed_delta" -> (() =>
       graft.operators.Dedup.d16ProbeStats(s, dir, deltaMaxDocId = Some(4999L))),
+    // q93 decomposition (round-14): index build amortized, then the
+    // streaming gate replaying the FIXED base-fixture shard across
+    // a growing corpus — replay_sec ~flat is per-trigger cost ∝
+    // trigger batch, not corpus
+    "q93_gate_fixed_shard" -> (() => graft.operators.StreamReplay
+      .q93ProbeStats(s, dir, nChunks = 4, deltaMaxDocId = Some(4999L))),
+    // c28 decomposition (round-14): point-delete COMMIT cost (fixed
+    // key list) vs the table build and the MOR scan — commit_sec
+    // ~flat across a 100× table is the row-level-change-is-O(delta)
+    // claim
+    "c28_delete_commit_fixed_keys" -> (() => graft.operators.Curation
+      .c28ProbeStats(s, dir, keyMaxDocId = Some(4999L))),
+    // s24 decomposition (round-14): nightly index build under the
+    // derived k ∝ n knob vs two serving probes — probe cost tracks
+    // the query count, flat across corpus decades
+    "s24_index_probe" -> (() => graft.operators.AnnKmeans.s24ProbeStats(s, dir)),
     // DPP at scale: writes the day-partitioned copy + dim table, runs
     // the join DPP-on and DPP-off — the datum is the 2-row metrics
     // frame (files/rows scanned each way), the timing is write+probe

@@ -458,5 +458,31 @@ object AnnKmeans {
     out
   }
 
+  /** s24's decade decomposition: the nightly index build under the
+    * DERIVED production knob (k ∝ corpus — timed as the amortized
+    * term) apart from two serving probes at different query-batch
+    * sizes. probe cost tracking the QUERY COUNT (probe100 ≈
+    * 10× probe10's marginal work, both ~flat across corpus decades
+    * under the occupancy-flat knob) is the measured
+    * query-cost-∝-queries claim.
+    */
+  private[graft] def s24ProbeStats(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val k = derivedK(s, d)
+    val t0 = System.nanoTime()
+    val (idxPath, centPath) = s24BuildIndex(s, d, k)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val n10 = s24Probe(s, d, idxPath, centPath, queryMax = 10).count()
+    val probe10Sec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val n100 = s24Probe(s, d, idxPath, centPath, queryMax = 100).count()
+    val probe100Sec = (System.nanoTime() - t2) / 1e9
+    Seq((k, n10, n100, buildSec, probe10Sec, probe100Sec))
+      .toDF("k", "rows_q10", "rows_q100", "build_sec", "probe10_sec",
+        "probe100_sec")
+  }
+
   def all: Seq[Q] = Seq(s04AnnIvfKmeans, s24AnnPersistedIndex)
 }

@@ -1654,10 +1654,12 @@ object StreamReplay {
     * batches.
     */
   private[graft] def orderedShardDocStream(s: org.apache.spark.sql.SparkSession,
-      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+      d: String, nChunks: Int,
+      deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val orderedDir = tempReplayDir("q93ord").resolve("docs").toString
     graft.Tables.documents(s, d)
       .filter(col("source").isin("src0", "src1"))
+      .filter(deltaMaxDocId.map(col("doc_id") <= _).getOrElse(lit(true)))
       .select(col("doc_id"), col("text"))
       .repartitionByRange(nChunks, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
@@ -1757,14 +1759,47 @@ object StreamReplay {
     * sort).
     */
   private[graft] def nearDupGateReplay(s: org.apache.spark.sql.SparkSession,
-      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+      d: String, nChunks: Int,
+      deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val (idxPath, _, _) = graft.operators.Dedup.d16BuildIndex(s, d)
+    nearDupGateReplayOn(s, d, nChunks, idxPath, deltaMaxDocId)
+  }
+
+  /** q93's decade decomposition: index build (the amortized nightly
+    * term) timed apart from the STREAMING GATE REPLAY of a FIXED
+    * shard (capped at the base fixture's ids — ScaleGen replicas
+    * re-key upward) — replay_sec staying ~flat while the corpus and
+    * index grow 10× is the per-trigger-cost-∝-trigger-batch claim,
+    * measured end to end (both gate halves, all triggers, sink
+    * included).
+    */
+  private[graft] def q93ProbeStats(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int,
+      deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val t0 = System.nanoTime()
+    val (idxPath, prefixLen, nSets) = graft.operators.Dedup.d16BuildIndex(s, d)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nPairs = nearDupGateReplayOn(s, d, nChunks, idxPath, deltaMaxDocId).count()
+    val replaySec = (System.nanoTime() - t1) / 1e9
+    Seq((nSets, prefixLen, nChunks, nPairs, buildSec, replaySec))
+      .toDF("corpus_sets", "prefix_len", "n_triggers", "n_pairs",
+        "build_sec", "replay_sec")
+  }
+
+  /** The gate's replay against an ALREADY-BUILT index — the scale
+    * probe times this separately from the amortized index build.
+    */
+  private[graft] def nearDupGateReplayOn(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int, idxPath: String,
+      deltaMaxDocId: Option[Long]): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.functions.TextVec.tokenSet
-    val (idxPath, _, _) = graft.operators.Dedup.d16BuildIndex(s, d)
     val idx = s.read.parquet(idxPath)
       .select(col("rep_id"), col("ts"), col("band"), col("h"))
     def streamBands() = graft.operators.Dedup.bandEmission(
-      orderedShardDocStream(s, d, nChunks)
+      orderedShardDocStream(s, d, nChunks, deltaMaxDocId)
         .select(col("doc_id").as("rep_id"), array_sort(tokenSet(col("text"))).as("ts")))
     val cross = streamBands().alias("n")
       .join(idx.alias("c"),
