@@ -2552,15 +2552,19 @@ object Curation {
       }
       require(schema != null, s"commit $v read before any schema action")
       val era = schema // capture: the fold mutates `schema` next round
-      // serve every live file under the era schema: physically absent
-      // columns are null-filled in the scan projection (never a
-      // rewrite); the digest folds exactly the era's columns
-      val aligned = live.toSeq.map { p =>
-        val df = s.read.parquet(s"$files/$p")
-        df.select(era.fields.toSeq.map(f =>
-          if (df.columns.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)): _*)
-      }.reduce(_ unionByName _)
+      // serve every live file under the era schema in ONE scan:
+      // mergeSchema unions the files' physical schemas (old files
+      // null-fill the evolved column in the scan, never a rewrite),
+      // and the projection then selects exactly the era's columns —
+      // a column the era lacks is dropped, one missing from every
+      // file is null-filled. One multi-path read per version, not a
+      // per-file union (17 scans/version measured ~3 s of pure
+      // planning at sf0.1).
+      val df = s.read.option("mergeSchema", "true")
+        .parquet(live.toSeq.map(p => s"$files/$p"): _*)
+      val aligned = df.select(era.fields.toSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
       val payload = concat_ws(":", era.fieldNames.toSeq.map(n =>
         coalesce(col(n).cast("string"), lit("null"))): _*)
       aligned.withColumn("payload_c29", payload)

@@ -1798,28 +1798,40 @@ object StreamReplay {
     import graft.functions.TextVec.tokenSet
     val idx = s.read.parquet(idxPath)
       .select(col("rep_id"), col("ts"), col("band"), col("h"))
-    def streamBands() = graft.operators.Dedup.bandEmission(
+    // ONE ordered copy, ONE streaming query: both gate halves fan out
+    // from the same band-emission node and union into one sink, so
+    // each trigger pays the micro-batch machinery once (the original
+    // two-replay shape paid two ordered-copy writes and two full
+    // AvailableNow replays — measured ~4 s of pure duplication at
+    // sf0.1). The within half's jaccard rides as NULL through the
+    // sink and is recomputed declaratively batch-side (see
+    // NearDupGateProcessor's Scaladoc for why).
+    val bands = graft.operators.Dedup.bandEmission(
       orderedShardDocStream(s, d, nChunks, deltaMaxDocId)
         .select(col("doc_id").as("rep_id"), array_sort(tokenSet(col("text"))).as("ts")))
-    val cross = streamBands().alias("n")
+    val cross = bands.alias("n")
       .join(idx.alias("c"),
         col("n.band") === col("c.band") && col("n.h") === col("c.h"))
       .select(col("n.rep_id").as("id_new"), col("c.rep_id").as("id_match"),
         graft.functions.SortedArrayJaccard(col("n.ts"), col("c.ts")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
-    val crossPairs = fileSinkReplay(s, cross, "q93cross")
-      .distinct() // a pair can match in both bands
       .withColumn("kind", lit("corpus"))
-    val bandRows = streamBands()
-      .select(col("band"), col("h"), col("rep_id"), col("ts"))
-      .as[graft.streaming.BandRow]
-    val within = graft.streaming.NearDupGate.withinStreamPairs(bandRows)
+    val within = graft.streaming.NearDupGate.withinStreamPairs(
+        bands.select(col("band"), col("h"), col("rep_id"), col("ts"))
+          .as[graft.streaming.BandRow])
+      .toDF()
+      .select(col("id_new"), col("id_match"),
+        lit(null).cast("double").as("jaccard"), lit("stream").as("kind"))
+    val unioned = cross
+      .select(col("id_new"), col("id_match"), col("jaccard"), col("kind"))
+      .unionByName(within)
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val withinRaw =
-      try fileSinkReplay(s, within.toDF(), "q93within").distinct()
+    val raw =
+      try fileSinkReplay(s, unioned, "q93")
+        .distinct() // a pair can match in both bands
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
@@ -1827,13 +1839,14 @@ object StreamReplay {
     val shardSets = graft.Tables.documents(s, d)
       .filter(col("source").isin("src0", "src1"))
       .select(col("doc_id"), array_sort(tokenSet(col("text"))).as("ts"))
-    val withinPairs = withinRaw
+    val withinPairs = raw.filter(col("kind") === "stream")
+      .select(col("id_new"), col("id_match"), col("kind"))
       .join(shardSets.alias("a"), col("id_new") === col("a.doc_id"))
       .join(shardSets.alias("b"), col("id_match") === col("b.doc_id"))
-      .select(col("id_new"), col("id_match"),
+      .select(col("id_new"), col("id_match"), col("kind"),
         graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
-      .withColumn("kind", lit("stream"))
-    crossPairs.select(col("id_new"), col("id_match"), col("kind"), col("jaccard"))
+    raw.filter(col("kind") === "corpus")
+      .select(col("id_new"), col("id_match"), col("kind"), col("jaccard"))
       .unionByName(withinPairs
         .select(col("id_new"), col("id_match"), col("kind"), col("jaccard")))
       .orderBy(col("kind"), col("id_new"), col("id_match"))
