@@ -1655,12 +1655,13 @@ object StreamReplay {
     */
   private[graft] def orderedShardDocStream(s: org.apache.spark.sql.SparkSession,
       d: String, nChunks: Int,
-      deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+      deltaMaxDocId: Option[Long] = None,
+      cols: Seq[String] = Seq("doc_id", "text")): org.apache.spark.sql.DataFrame = {
     val orderedDir = tempReplayDir("q93ord").resolve("docs").toString
     graft.Tables.documents(s, d)
       .filter(col("source").isin("src0", "src1"))
       .filter(deltaMaxDocId.map(col("doc_id") <= _).getOrElse(lit(true)))
-      .select(col("doc_id"), col("text"))
+      .select(cols.map(col): _*)
       .repartitionByRange(nChunks, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(orderedDir)
@@ -1763,6 +1764,135 @@ object StreamReplay {
       deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val (idxPath, _, _) = graft.operators.Dedup.d16BuildIndex(s, d)
     nearDupGateReplayOn(s, d, nChunks, idxPath, deltaMaxDocId)
+  }
+
+  /** STREAMING INGEST → TRANSACTION-LOG APPEND (q94) — the write side
+    * that closes the streaming↔lakehouse loop: q78 gates arrivals
+    * against durable state, c25-c29 replay a commit log; THIS is the
+    * production seam between them — the gate's ACCEPTED docs APPEND
+    * to the log-structured table, one immutable data file + one
+    * commit per micro-batch, written EXACTLY-ONCE via the batch-id
+    * idempotency rule every Delta/Iceberg streaming sink implements
+    * (foreachBatch redelivers a batch after a crash; a commit named
+    * by the batch id makes the redelivery a no-op — the
+    * "idempotent foreachBatch merge sink" pattern q71/q86 use,
+    * upgraded from overwrite-compaction to a REAL append log). The
+    * final table state is read back THROUGH LOG REPLAY (the c25
+    * fold), and the oracle spells the accepted set declaratively —
+    * so the hash gate proves gate ∘ per-trigger append ∘ commit ∘
+    * replay ≡ the batch filter, independent of trigger boundaries
+    * (StreamChunkedReplaySpec pins 1 vs 5 triggers; the
+    * idempotent-retry rule is pinned by re-invoking the sink body
+    * with an already-committed batch id).
+    *
+    * The gate rules are c09's verbatim (quality floor, exact corpus
+    * membership, winnow near-dup) with the corpus sides batch-
+    * precomputed and broadcast — the keyed-state membership probe is
+    * q78's capability; the capability HERE is the exactly-once
+    * append. Scale shape: per-trigger work is the arriving batch's
+    * gate projection + one data-file write; the commit is metadata;
+    * nothing ever rewrites — the table grows by immutable files
+    * exactly as a 100 TB ingest table does.
+    */
+  val q94StreamIngestTxlogAppend = Q(
+    "q94_stream_ingest_txlog_append",
+    s"""SELECT doc_id, source, quality
+       |FROM (${Curation.c09IncrementalIngest.sql.get})
+       |WHERE verdict = 'accepted'
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    streamIngestTxlogAppend(s, d, nChunks = 4)
+  }
+
+  /** The q94 sink body, exposed so the idempotency spec can re-invoke
+    * it with an already-committed batch id: write the batch as the
+    * commit's immutable data file, then the one-line commit — both
+    * keyed by the batch id, both skipped when the commit already
+    * exists (the redelivery case).
+    */
+  private[graft] def txAppendBatch(files: String, logDir: java.nio.file.Path)(
+      batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val commitFile = logDir.resolve(f"$id%08d.json")
+    if (!java.nio.file.Files.exists(commitFile)) {
+      // overwrite mode: a crash BETWEEN data write and commit write
+      // leaves an uncommitted file the replay never reads and the
+      // redelivered batch safely overwrites
+      batch.write.mode("overwrite").parquet(s"$files/add_$id")
+      java.nio.file.Files.write(commitFile,
+        s"""{"action":"add","path":"add_$id"}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    } else {
+      // redelivered batch: the commit exists, the append is a no-op —
+      // drain the frame (foreachBatch must process every partition)
+      batch.write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  private[graft] def streamIngestTxlogAppend(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextVec.{tokens, winnow16}
+    val shard = Seq("src0", "src1")
+    val docs = graft.Tables.documents(s, d)
+    val corp = docs.filter(!col("source").isin(shard: _*))
+    // batch-precomputed corpus sides (metadata of the standing
+    // corpus, broadcast onto the stream — q76/q78's split)
+    val corpHash = corp.select(md5(col("text")).as("h")).distinct()
+    val corpFps = corp
+      .select(explode(winnow16(tokens(col("text")))).as("fp")).distinct()
+    val ndDocIds = docs.filter(col("source").isin(shard: _*))
+      .filter(Curation.sparkQuality >= 0.5)
+      .select(col("doc_id"), explode(winnow16(tokens(col("text")))).as("fp"))
+      .join(corpFps, Seq("fp"))
+      .select(col("doc_id")).distinct()
+      .withColumn("nd_hit", lit(true))
+    val accepted = orderedShardDocStream(s, d, nChunks,
+        cols = Seq("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"),
+        Curation.sparkQuality.as("quality"), md5(col("text")).as("h_inc"))
+      .join(broadcast(corpHash), col("h_inc") === col("h"), "left")
+      .join(broadcast(ndDocIds), Seq("doc_id"), "left")
+      .filter(col("quality") >= 0.5 && col("h").isNull && col("nd_hit").isNull)
+      .select(col("doc_id"), col("source"), col("quality"))
+    val base = tempReplayDir("q94tx")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(files))
+    withStatePartitions(s) {
+      val query = accepted.writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          txAppendBatch(files, logDir)(b, id))
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    readTxAppendTable(s, files, logDir)
+  }
+
+  /** Log replay of the q94 table (the c25 fold): gapless commits
+    * `require`d, adds folded, live files read under the pinned
+    * schema.
+    */
+  private[graft] def readTxAppendTable(s: org.apache.spark.sql.SparkSession,
+      files: String, logDir: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
+    val logPath = new org.apache.hadoop.fs.Path(logDir.toString)
+    val fs = logPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val commitNames = fs.listStatus(logPath).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).sorted
+    commitNames.zipWithIndex.foreach { case (n, i) =>
+      require(n == f"$i%08d.json", s"gap in the commit log at $n (expected #$i)")
+    }
+    val live = s.read.schema("action STRING, path STRING")
+      .json(logDir.toString)
+      .collect()
+      .map { r => require(r.getString(0) == "add", s"unexpected action ${r.getString(0)}")
+        r.getString(1) }
+      .sorted
+    require(live.nonEmpty, "q94: no commits were written")
+    s.read.schema("doc_id BIGINT, source STRING, quality DOUBLE")
+      .parquet(live.toSeq.map(p => s"$files/$p"): _*)
+      .orderBy(col("doc_id"))
   }
 
   /** q93's decade decomposition: index build (the amortized nightly
@@ -1884,5 +2014,5 @@ object StreamReplay {
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
     q88StreamSessionReplay, q90StreamJoinAggReplay, q92TimerSessionReplay,
-    q93StreamNearDupGate)
+    q93StreamNearDupGate, q94StreamIngestTxlogAppend)
 }

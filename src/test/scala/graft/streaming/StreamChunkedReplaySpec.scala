@@ -211,6 +211,41 @@ class StreamChunkedReplaySpec extends AnyFunSuite {
     assert(single.exists(_.contains("|stream|")), "no within-stream pair in fixture")
   }
 
+  test("q94 txlog append is chunk-count invariant and the retry rule is idempotent") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val single = rows(graft.operators.StreamReplay.streamIngestTxlogAppend(spark, dir, nChunks = 1))
+    val chunked = rows(graft.operators.StreamReplay.streamIngestTxlogAppend(spark, dir, nChunks = 5))
+    assert(chunked == single,
+      s"chunked txlog append diverged: only-single=${(single -- chunked).take(3)} " +
+        s"only-chunked=${(chunked -- single).take(3)} " +
+        s"(sizes ${single.size} vs ${chunked.size})")
+    assert(single.nonEmpty, "fixture produced no accepted docs")
+
+    // the exactly-once rule as a measured fact: re-invoking the sink
+    // body with an ALREADY-COMMITTED batch id (the crash-redelivery
+    // case) must change neither the log nor the table
+    val base = java.nio.file.Files.createTempDirectory("graft_q94_retry_")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(files))
+    import spark.implicits._
+    val b0 = Seq((1L, "src0", 0.9), (2L, "src1", 0.8))
+      .toDF("doc_id", "source", "quality")
+    graft.operators.StreamReplay.txAppendBatch(files, logDir)(b0, 0L)
+    val after1 = rows(graft.operators.StreamReplay.readTxAppendTable(spark, files, logDir))
+    // redelivery: same id, DIFFERENT frame — must be a no-op
+    val b0retry = Seq((99L, "src0", 0.1)).toDF("doc_id", "source", "quality")
+    graft.operators.StreamReplay.txAppendBatch(files, logDir)(b0retry, 0L)
+    val after2 = rows(graft.operators.StreamReplay.readTxAppendTable(spark, files, logDir))
+    assert(after2 == after1, "redelivered batch changed the table")
+    // a genuinely new batch id still appends
+    graft.operators.StreamReplay.txAppendBatch(files, logDir)(b0retry, 1L)
+    val after3 = rows(graft.operators.StreamReplay.readTxAppendTable(spark, files, logDir))
+    assert(after3.size == after1.size + 1, "new commit did not append")
+  }
+
   test("chunked multi-batch q83 semi output equals the single-batch replay") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
