@@ -1332,7 +1332,8 @@ object Dedup {
     */
   private[graft] def d16ProbeFrame(s: org.apache.spark.sql.SparkSession,
       d: String, indexPath: String, prefixLen: Int,
-      deltaMaxDocId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+      deltaMaxDocId: Option[Long] = None,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
     // deltaMaxDocId: scale-probe hook — ScaleGen replicas re-key
     // doc_id upward, so capping the shard at the BASE fixture's max
     // id holds the delta FIXED while the corpus (and index) grow a
@@ -1374,21 +1375,26 @@ object Dedup {
       if (existing.isEmpty)
         s.read.parquet(indexPath).filter(lit(false))
       else s.read.option("basePath", indexPath).parquet(existing: _*)
-    // Materialize the probe result (pairs are output-sized) so the
-    // dbands cache can be released HERE — callers that loop probes
-    // (d16ProbeStats, the scale harness) would otherwise accumulate
-    // one cached delta band frame per probe, the exact leak the d14
-    // comment above warns about.
-    val result = idx.alias("c")
+    val scan = idx.alias("c")
       .join(dbands.alias("n"),
         col("c.band") === col("n.band") && col("c.h") === col("n.h"))
       .select(col("n.rep_id").as("id_new"), col("c.rep_id").as("id_corpus"),
         graft.functions.SortedArrayJaccard(col("n.ts"), col("c.ts")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .distinct() // a pair can match in both bands
-      .localCheckpoint()
-    dbands.unpersist(blocking = false)
-    result
+    if (!materialize) scan // spec-only path: keeps inputFiles
+      // inspectable to pin the partition pruning (caller clears the
+      // dbands cache via its harness hygiene)
+    else {
+      // Materialize the probe result (pairs are output-sized) so the
+      // dbands cache can be released HERE — callers that loop probes
+      // (d16ProbeStats, the scale harness) would otherwise accumulate
+      // one cached delta band frame per probe, the exact leak the d14
+      // comment above warns about.
+      val result = scan.localCheckpoint()
+      dbands.unpersist(blocking = false)
+      result
+    }
   }
 
   /** INCREMENTAL NEAR-DUP INGEST — the nightly-pipeline production

@@ -49,7 +49,10 @@ class StatePartitionKnobSpec extends AnyFunSuite {
     val allParts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("hp=")).map(_.getName).toSet
     assert(allParts.size > 1, s"index should be hash-prefix partitioned, saw $allParts")
-    val probe = Dedup.d16ProbeFrame(spark, d, path, prefixLen)
+    // materialize = false: the production path eagerly checkpoints the
+    // (output-sized) result to release the delta band cache, which
+    // empties inputFiles — the spec needs the raw scan to inspect it
+    val probe = Dedup.d16ProbeFrame(spark, d, path, prefixLen, materialize = false)
     // the files the probe's scan would touch, before any execution
     val touched = probe.inputFiles
       .flatMap(_.split("/").find(_.startsWith("hp="))).toSet
