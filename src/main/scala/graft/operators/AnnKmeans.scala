@@ -413,7 +413,7 @@ object AnnKmeans {
     */
   private[graft] def s24Probe(s: org.apache.spark.sql.SparkSession,
       d: String, idxPath: String, centPath: String,
-      queryMax: Long = 10): DataFrame = {
+      queryMax: Long = 10, materialize: Boolean = true): DataFrame = {
     import s.implicits._
     // the model read-back is model-sized (k×dim), the same category
     // as the literal path's driver-side model
@@ -447,15 +447,19 @@ object AnnKmeans {
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val out = result.withColumn("k", row_number().over(w))
+    val shaped = result.withColumn("k", row_number().over(w))
       .filter(col("k") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"),
         col("k"))
       .orderBy(col("query_id"), col("k"))
-      .localCheckpoint() // materialize (output-sized) so the query
-      // cache can be released before returning
-    q.unpersist(blocking = false)
-    out
+    if (!materialize) shaped // spec-only: keeps inputFiles inspectable
+      // to pin the cell-partition pruning (caller clears the cache)
+    else {
+      val out = shaped.localCheckpoint() // materialize (output-sized) so
+      // the query cache can be released before returning
+      q.unpersist(blocking = false)
+      out
+    }
   }
 
   /** s24's decade decomposition: the nightly index build under the

@@ -865,4 +865,47 @@ class PlanSpec extends AnyFunSuite {
       s"per-row synth+decode must not shuffle:\n$p")
     assert(!p.contains("Join"), s"no join belongs in a per-row codec:\n$p")
   }
+
+  test("m35: the range decode is a zero-shuffle per-partition kernel") {
+    val p = plan("m35_opus_range_symbols")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row synth+decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row codec:\n$p")
+  }
+
+  test("c28: the MOR scan applies deletes as one broadcast anti-join, never a cartesian") {
+    // the run writes the table + commits and returns the replayed
+    // scan — the plan pin is on that final scan
+    val p = plan("c28_txlog_delete_vectors")
+    assert(p.contains("LeftAnti"), s"no anti-join in the MOR scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (metadata-sized) delete side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c29: each version is served by ONE multi-path scan") {
+    val p = plan("c29_txlog_schema_evolution")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 3,
+      s"expected one scan per version (3), saw $scans — per-file unions crept back:\n$p")
+  }
+
+  test("s24: the serving probe scans only the probed cells' partitions") {
+    val (idxPath, centPath) = graft.operators.AnnKmeans.s24BuildIndex(spark, dir, 8)
+    val allCells = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(allCells.size > 3, s"index should be cell-partitioned, saw $allCells")
+    // 3 queries route to at most 3 of the 8 cells — materialize=false
+    // keeps inputFiles inspectable (the production path checkpoints)
+    val probe = graft.operators.AnnKmeans
+      .s24Probe(spark, dir, idxPath, centPath, queryMax = 3, materialize = false)
+    val touched = probe.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("cell="))).toSet
+    assert(touched.nonEmpty, "probe read no index partitions")
+    assert(touched.subsetOf(allCells))
+    assert(touched.size <= 3,
+      s"3 queries touched ${touched.size} cells (${touched}) — no pruning happened")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
