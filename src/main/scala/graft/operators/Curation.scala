@@ -2153,6 +2153,160 @@ object Curation {
     * The one driver-side read here is the metadata-sized action log —
     * the same read every Delta client performs.
     */
+  /** OPTIMISTIC CONCURRENCY over the transaction log (c30 — the ACID
+    * multi-writer pillar next to c25 time travel, c26 incremental,
+    * c27 COW, c28 MOR, c29 schema evolution; Delta's
+    * ConcurrentModificationException protocol / Iceberg's commit
+    * retry): two writers prepare transactions from the SAME snapshot,
+    * race one commit slot, and the loser RESOLVES — the commit
+    * primitive is an atomic create (write-temp + ATOMIC_MOVE without
+    * replace: the filesystem arbitrates exactly one winner per
+    * version), and the loser re-reads the commits it lost to,
+    * validates non-overlap (its removed files still live, its touched
+    * file set disjoint from the winners'), and retries at the next
+    * version. A TRUE conflict (both touch one file) must ABORT
+    * loudly, never last-writer-win — TxlogConcurrencySpec pins that
+    * branch; the registered query `require`s the race actually
+    * happened (writer B's first attempt MUST lose — deterministic,
+    * because A commits between B's snapshot and B's attempt).
+    *
+    * The oracle spells the merged end state declaratively, so the
+    * hash gate proves race ∘ conflict-resolution ∘ replay ≡ the
+    * serial application of both transactions — the serializability
+    * contract, at file granularity, that makes concurrent ingest +
+    * compaction safe on a shared 100 TB table. Commit cost is
+    * metadata (one atomic rename per attempt); validation reads only
+    * the lost commits' action lists.
+    */
+  val c30TxlogOptimisticConcurrency = Q(
+    "c30_txlog_concurrency",
+    """WITH live AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 7
+      |), merged AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 16 = 2 THEN 'a:' || text ELSE text END AS text
+      |  FROM live WHERE doc_id % 16 <> 9
+      |  UNION ALL
+      |  SELECT doc_id + 16000000 AS doc_id, 'b:' || text AS text
+      |  FROM documents WHERE doc_id % 16 = 9
+      |)
+      |SELECT doc_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val (files, actions, nCommits) = txlogTable(s, d, "c30")
+    val logDir = java.nio.file.Paths.get(files).getParent.resolve("_log")
+    // both writers snapshot the SAME stale version (the c25 fold)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 until nCommits).foreach { v =>
+      actions.filter(_._1 == v).foreach {
+        case (_, "add", p) => require(live.add(p), s"commit $v re-adds $p")
+        case (_, "remove", p) => require(live.remove(p), s"commit $v removes unknown $p")
+        case (_, a, p) => sys.error(s"commit $v: unknown action $a on $p")
+      }
+    }
+    val snapshot = live.toSet
+    val liveDf = s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
+      .select(col("doc_id"), col("text"))
+    // writer A prepares: update bucket 2 ('a:' prefix) — COW rewrite
+    liveDf.filter(col("doc_id") % 16 === 2)
+      .select(col("doc_id"), concat(lit("a:"), col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$files/wa_b2")
+    val txA = TxActions(
+      removes = Seq("bucket=2").filter(snapshot), adds = Seq("wa_b2"))
+    // writer B prepares FROM THE SAME SNAPSHOT: delete bucket 9,
+    // insert re-keyed 'b:' rows
+    Tables.documents(s, d).filter(col("doc_id") % 16 === 9)
+      .select((col("doc_id") + 16000000L).as("doc_id"),
+        concat(lit("b:"), col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$files/wb_ins")
+    val txB = TxActions(
+      removes = Seq("bucket=9").filter(snapshot), adds = Seq("wb_ins"))
+    // the race: A lands version nCommits first; B attempts the SAME
+    // version (it prepared against the stale snapshot), MUST lose,
+    // and resolves per the non-overlap rule
+    require(tryCommit(logDir, nCommits, txA), "writer A lost an empty slot")
+    require(!tryCommit(logDir, nCommits, txB),
+      "writer B won a slot writer A already committed — the atomic-create " +
+        "primitive is broken")
+    val committedAt = resolveAndRetry(s, logDir, nCommits, txB)
+    require(committedAt == nCommits + 1, s"B landed at $committedAt")
+    // final state, replayed from the log alone
+    txA.apply(live); txB.apply(live)
+    s.read.parquet(live.toSeq.map(p => s"$files/$p"): _*)
+      .select(col("doc_id"), col("text"))
+      .groupBy((col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("bucket"))
+  }
+
+  /** One prepared transaction: the file-granularity read/write set. */
+  private[graft] final case class TxActions(removes: Seq[String], adds: Seq[String]) {
+    def json: String =
+      (removes.map(p => s"""{"action":"remove","path":"$p"}""") ++
+        adds.map(p => s"""{"action":"add","path":"$p"}""")).mkString("\n")
+    def touched: Set[String] = removes.toSet ++ adds.toSet
+    def apply(live: scala.collection.mutable.LinkedHashSet[String]): Unit = {
+      removes.foreach(p => require(live.remove(p), s"tx removes unknown $p"))
+      adds.foreach(p => require(live.add(p), s"tx re-adds live $p"))
+    }
+  }
+
+  /** The atomic commit primitive: write the full content to a temp
+    * file, then PUBLISH it under the version name with link(2) —
+    * hard-linking fails with EEXIST atomically when the slot is
+    * taken, and the content is complete the instant the name appears
+    * (rename/ATOMIC_MOVE is the WRONG primitive here: POSIX rename
+    * silently REPLACES an existing target, i.e. last-writer-wins —
+    * exactly the bug this protocol exists to prevent; object stores
+    * expose the same contract as if-none-match/put-if-absent).
+    * Returns false when the slot was already taken.
+    */
+  private[graft] def tryCommit(logDir: java.nio.file.Path, version: Int,
+      tx: TxActions): Boolean = {
+    val tmp = java.nio.file.Files.createTempFile(logDir, s".tx$version-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      tx.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      java.nio.file.Files.createLink(logDir.resolve(f"$version%08d.json"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+  }
+
+  /** The loser's protocol: read every commit that landed since the
+    * transaction's snapshot version, REQUIRE non-overlap (removed
+    * files still live, no touched-file intersection — a true conflict
+    * aborts loudly rather than last-writer-wins), then retry the next
+    * slot; repeats if new writers keep landing. Returns the version
+    * the transaction finally committed at.
+    */
+  private[graft] def resolveAndRetry(s: SparkSession,
+      logDir: java.nio.file.Path, snapshotVersion: Int,
+      tx: TxActions): Int = {
+    var attempt = snapshotVersion
+    while (!tryCommit(logDir, attempt, tx)) {
+      // validate against the commit that took this slot
+      val winner = s.read.schema("action STRING, path STRING")
+        .json(logDir.resolve(f"$attempt%08d.json").toString)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val winnerTouched = winner.map(_._2).toSet
+      val winnerRemoved = winner.collect { case ("remove", p) => p }.toSet
+      val overlap = tx.touched.intersect(winnerTouched) ++
+        tx.removes.toSet.intersect(winnerRemoved)
+      if (overlap.nonEmpty) throw new IllegalStateException(
+        s"txlog conflict: commit #$attempt touched ${overlap.mkString(", ")} " +
+          "— transaction aborted (file-granularity serializability)")
+      attempt += 1
+    }
+    attempt
+  }
+
   private def txlogTable(s: SparkSession, d: String,
       name: String): (String, Array[(Int, String, String)], Int) = {
     val base = StreamReplay.tempReplayDir(name)
@@ -2748,5 +2902,6 @@ object Curation {
     c17RobotsFilter, c18ShardPack, c19FuzzyDecontam, c20CharsetSniff,
     c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e,
     c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge,
-    c28TxlogDeleteVectors, c29TxlogSchemaEvolution)
+    c28TxlogDeleteVectors, c29TxlogSchemaEvolution,
+    c30TxlogOptimisticConcurrency)
 }
