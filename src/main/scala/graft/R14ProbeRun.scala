@@ -35,6 +35,7 @@ object R14ProbeRun {
       val fields = df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
         row.get(i) match {
           case d: Double => f""""$n":$d%.3f"""
+          case str: String => s""""$n":"$str""""
           case v => s""""$n":$v"""
         }
       }.mkString(",")

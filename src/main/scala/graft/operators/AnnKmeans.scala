@@ -488,5 +488,157 @@ object AnnKmeans {
         "probe100_sec")
   }
 
-  def all: Seq[Q] = Seq(s04AnnIvfKmeans, s24AnnPersistedIndex)
+  /** INCREMENTAL ANN INDEX INGEST (s25 — the maintenance half s24
+    * left open: s24 is build+serve, but a production vector service
+    * also INGESTS — new embeddings arrive daily and a full index
+    * rebuild per batch is O(corpus) for an O(delta) change). The
+    * protocol, per the FAISS/Milvus segment discipline:
+    *
+    *  1. the nightly BASE build indexes the pre-delta corpus with
+    *     s24's trained model and persists model + `cell=` partitions;
+    *  2. a DELTA batch (the corpus tail) is assigned with the
+    *     PERSISTED model READ BACK from the index (never retrained —
+    *     retraining would silently re-route existing members), and
+    *     appended to ONLY the touched `cell=` partitions
+    *     (mode=append under partitionBy; the d16 delta discipline) —
+    *     ingest cost ∝ delta, never ∝ corpus. [[s25IngestDelta]]
+    *     `require`s untouched cell partitions kept their exact file
+    *     sets and no base file was rewritten (AnnIncrementalSpec
+    *     re-pins both from outside);
+    *  3. the DRIFT metric a production service schedules retrains
+    *     by: per cell, the mean member·centroid dot at build time vs
+    *     after ingest, in EXACT scaled-integer form (floor(dot·2^20)
+    *     summed as BIGINT — order-free, so an untouched cell's drift
+    *     is exactly 0, not epsilon), with the retrain flag at a
+    *     fixed threshold.
+    *
+    * The oracle is s04's full-rebuild verbatim, so the hash gate
+    * proves base-build ∘ fixed-model delta-assign ∘ partition-append
+    * ∘ partition-pruned probe ≡ the one-shot full index — the
+    * incremental path is bit-equivalent to the rebuild it replaces.
+    * (The model's training sample is the vec_id-prefix both
+    * spellings share — prefix samples are stable under tail appends
+    * once the corpus exceeds the cap, which is exactly why a
+    * snapshot-trained model stays serveable across ingests.)
+    *
+    * Scale: delta assignment is one zero-shuffle ArgmaxDot projection
+    * over the delta rows; the append writes ≤ min(|delta|, k) cell
+    * partitions; drift is a k-row broadcast-join aggregate; serving
+    * stays s24's pruned probe. The collects are model-sized (k×dim)
+    * or metadata-sized (≤k touched-cell ids, per-cell file listings).
+    */
+  val s25AnnIncrementalIngest = Q(
+    "s25_ann_incremental_ingest",
+    s04AnnIvfKmeans.sql.get
+  ) { (s, d) =>
+    val (idxPath, centPath, _) = s25IngestDelta(s, d)
+    s24Probe(s, d, idxPath, centPath)
+  }
+
+  /** s25's build + delta ingest, factored for the spec and the scale
+    * probe. `deltaN` fixes the delta's absolute row count (None → the
+    * corpus tail, ~10%). Returns (index path, model path, the drift
+    * frame: cell, n_build, n_after, drift, retrain).
+    */
+  private[graft] def s25IngestDelta(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int = K, deltaN: Option[Long] = None,
+      timings: Option[scala.collection.mutable.Map[String, Double]] = None)
+      : (String, String, DataFrame) = {
+    import s.implicits._
+    val base = StreamReplay.tempReplayDir("s25idx")
+    val idxPath = base.resolve("ivf").toString
+    val centPath = base.resolve("centroids").toString
+    val emb = Tables.embeddings(s, d)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) // one number
+    val cut = maxId + 1 - deltaN.getOrElse(math.max(1L, (maxId + 1) / 10))
+    require(cut > 0, s"delta ${deltaN} swallows the whole corpus")
+    val tBuild = System.nanoTime()
+    // ---- nightly base build (amortized): pre-delta corpus only ----
+    val cents = trainedLiteralModel(s, d, k)
+    cents.toDF("cid", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(centPath)
+    assignLiteral(emb.filter(col("vec_id") < cut), cents)
+      .withColumn("nrm", norm(col("embedding")))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(idxPath)
+    val centsDf = s.read.parquet(centPath) // the persisted model frame
+    def cellMeans(df: DataFrame): DataFrame = df
+      .join(broadcast(centsDf), col("cell") === col("cid"))
+      .select(col("cell"),
+        floor(graft.functions.FloatDoubleVecDot(col("embedding"), col("cent"))
+          * Scale.toDouble).cast("long").as("sd"))
+      .groupBy(col("cell"))
+      .agg(sum(col("sd")).as("ssum"), count(lit(1)).as("n"))
+    val buildMeans = cellMeans(s.read.parquet(idxPath))
+      .withColumnsRenamed(Map("ssum" -> "ssum_b", "n" -> "n_build"))
+      .localCheckpoint() // pre-ingest snapshot: must not re-read post-append
+    timings.foreach(_.put("build_sec", (System.nanoTime() - tBuild) / 1e9))
+    val tIngest = System.nanoTime()
+    // ---- delta ingest: fixed persisted model, append-only ----------
+    val idxRoot = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def cellFiles(): Map[String, Set[String]] =
+      fs.listStatus(idxRoot).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("cell="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).map(_.getPath.getName)
+            .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet)
+        .toMap
+    val before = cellFiles()
+    val modelRead = centsDf.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val delta = assignLiteral(emb.filter(col("vec_id") >= cut), modelRead)
+      .withColumn("nrm", norm(col("embedding")))
+    val deltaCells = delta.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).map(c => s"cell=$c").toSet // ≤ k ids
+    delta.repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(idxPath)
+    val after = cellFiles()
+    before.foreach { case (cell, fset) =>
+      require(fset.subsetOf(after(cell)),
+        s"ingest rewrote base files in $cell — append-only violated")
+      if (!deltaCells(cell)) require(after(cell) == fset,
+        s"ingest touched $cell, which received no delta rows")
+    }
+    deltaCells.foreach { cell =>
+      require(after(cell).size > before.getOrElse(cell, Set.empty).size,
+        s"delta cell $cell gained no files")
+    }
+    timings.foreach(_.put("ingest_sec", (System.nanoTime() - tIngest) / 1e9))
+    // ---- drift: build-time vs post-ingest per-cell mean dot --------
+    val afterMeans = cellMeans(s.read.parquet(idxPath))
+      .withColumnsRenamed(Map("ssum" -> "ssum_a", "n" -> "n_after"))
+    val drift = buildMeans.join(afterMeans, Seq("cell"), "full_outer")
+      .select(col("cell"), coalesce(col("n_build"), lit(0L)).as("n_build"),
+        col("n_after"),
+        (abs(col("ssum_a").cast("double") / col("n_after")
+          - coalesce(col("ssum_b").cast("double") / col("n_build"),
+              col("ssum_a").cast("double") / col("n_after")))
+          / Scale.toDouble).as("drift"))
+      .withColumn("retrain", col("drift") > lit(0.05))
+    (idxPath, centPath, drift)
+  }
+
+  /** s25's decade decomposition for the scale probe: base build
+    * (amortized), DELTA INGEST at a FIXED delta size (the flat line
+    * across corpus decades is the measured cost-∝-delta claim), and
+    * the post-ingest pruned probe.
+    */
+  private[graft] def s25ProbeStats(s: org.apache.spark.sql.SparkSession,
+      d: String, deltaRows: Long = 500L): DataFrame = {
+    import s.implicits._
+    val k = derivedK(s, d)
+    val t = scala.collection.mutable.Map.empty[String, Double]
+    val (idxPath, centPath, drift) =
+      s25IngestDelta(s, d, k, Some(deltaRows), Some(t))
+    val nDrift = drift.count()
+    val t1 = System.nanoTime()
+    val probed = s24Probe(s, d, idxPath, centPath, queryMax = 10).count()
+    val probeSec = (System.nanoTime() - t1) / 1e9
+    Seq((k, nDrift, probed, t("build_sec"), t("ingest_sec"), probeSec))
+      .toDF("k", "n_cells", "rows_q10", "build_sec", "ingest_sec",
+        "probe_sec")
+  }
+
+  def all: Seq[Q] = Seq(s04AnnIvfKmeans, s24AnnPersistedIndex,
+    s25AnnIncrementalIngest)
 }

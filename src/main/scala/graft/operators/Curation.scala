@@ -2159,9 +2159,11 @@ object Curation {
     * ConcurrentModificationException protocol / Iceberg's commit
     * retry): two writers prepare transactions from the SAME snapshot,
     * race one commit slot, and the loser RESOLVES — the commit
-    * primitive is an atomic create (write-temp + ATOMIC_MOVE without
-    * replace: the filesystem arbitrates exactly one winner per
-    * version), and the loser re-reads the commits it lost to,
+    * primitive is an atomic create (write-temp + hard-link publish,
+    * put-if-absent — see [[tryCommit]]; POSIX rename silently
+    * replaces, i.e. last-writer-wins, so the filesystem arbitrates
+    * exactly one winner per version only through link(2)'s EEXIST),
+    * and the loser re-reads the commits it lost to,
     * validates non-overlap (its removed files still live, its touched
     * file set disjoint from the winners'), and retries at the next
     * version. A TRUE conflict (both touch one file) must ABORT
@@ -2240,6 +2242,376 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
         sum(col("doc_id")).as("sum_doc_id"))
       .orderBy(col("bucket"))
+  }
+
+  /** TRANSACTION-LOG CHECKPOINTS + PER-FILE COLUMN STATS (c31 — the
+    * 100 TB scan lever on top of c25-c30; Delta's `_last_checkpoint`
+    * protocol, Armbrust et al. VLDB 2020 §3.2; Iceberg manifests):
+    * two independent O(commits)→O(1) cuts that every mature
+    * lakehouse makes, exercised here against a 26-commit log.
+    *
+    *  1. CHECKPOINTS: without them, EVERY snapshot read replays the
+    *     whole commit log from v0 — with a streaming writer landing
+    *     one commit per trigger (q94), that is driver work growing
+    *     without bound. The builder writes a checkpoint manifest
+    *     every `CkptInterval` commits (the fold's live set, WITH each
+    *     file's stats, materialized as JSON lines) plus a
+    *     `_last_checkpoint` pointer; the reader then constructs the
+    *     latest snapshot from ONE checkpoint + the commit tail — the
+    *     query `require`s the tail it replayed is shorter than the
+    *     interval, and that the checkpointed fold is IDENTICAL to a
+    *     full from-v0 replay (the equivalence the oracle also proves
+    *     end-to-end: the oracle is unchanged declarative algebra, so
+    *     hash-match means checkpointed replay ≡ full replay ≡ the
+    *     predicate).
+    *
+    *  2. PER-FILE MIN/MAX STATS → DATA SKIPPING: add actions carry
+    *     `(min_doc_id, max_doc_id, n_rows)`, so a point/range
+    *     predicate prunes files at the LOG level — before any footer
+    *     is opened, let alone scanned. The table is 24 doc_id-range
+    *     segments (+ one remove pair and one rewrite, so the live set
+    *     is a genuine fold, not a listing); the `doc_id BETWEEN`
+    *     predicate below selects segments 5-6 and the scan
+    *     `require`s (a) every SKIPPED file's stats interval truly
+    *     misses the predicate range, (b) something WAS skipped, and
+    *     (c) the scanned row count equals the stats-predicted count —
+    *     the stats are load-bearing, not decorative. PlanSpec pins
+    *     the scan's inputFiles to exactly the two surviving segments.
+    *
+    * Scale shape: checkpoint + tail + stats are all metadata-sized
+    * driver reads (the same reads every Delta client performs); the
+    * one data scan touches exactly the 2 of 23 live files the stats
+    * admit. Segment width derives from max(doc_id) (one-number
+    * collect), so the fixture is scale-free across SFs.
+    */
+  private[graft] val CkptInterval = 10
+  val c31TxlogCheckpointStats = Q(
+    "c31_txlog_checkpoint_stats",
+    """WITH w AS (
+      |  SELECT CAST(ceil((CAST(max(doc_id) AS DOUBLE) + 1) / 24.0) AS BIGINT) AS width
+      |  FROM documents
+      |), segd AS (
+      |  SELECT d.doc_id, d.text, d.doc_id // w.width AS seg
+      |  FROM documents d CROSS JOIN w
+      |)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM segd WHERE seg IN (5, 6)
+      |GROUP BY seg ORDER BY seg""".stripMargin
+  ) { (s, d) => c31Snapshot(s, d)._1 }
+
+  /** c31's builder + reader, factored so the scale probe can time the
+    * phases separately. Returns (the pruned-scan DataFrame, the
+    * number of tail commits the reader replayed past the checkpoint,
+    * the number of live files the stats skipped).
+    */
+  private[graft] def c31Snapshot(s: SparkSession, d: String,
+      extraCommits: Int = 0): (DataFrame, Int, Int) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val base = StreamReplay.tempReplayDir("c31")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // segment width from max(doc_id): a one-number collect (the same
+    // class as the commit-log metadata reads)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val nSegs = 24
+    val width = (maxId + nSegs) / nSegs // ceil((maxId+1)/24)
+    docs.withColumn("seg", floor(col("doc_id") / width.toDouble).cast("long"))
+      .write.mode("overwrite").partitionBy("seg").parquet(files)
+    // per-file stats in ONE metadata-sized agg (≤24 rows) — a real
+    // writer gets these free from the parquet footers it just wrote
+    val segStats = s.read.parquet(files)
+      // hive partition-column discovery types `seg` int32 — normalize
+      .groupBy(col("seg").cast("long").as("seg"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def addJson(path: String, st: (Long, Long, Long)): String =
+      s"""{"action":"add","path":"$path","min_doc_id":${st._1},"max_doc_id":${st._2},"n_rows":${st._3}}"""
+    // ---- the builder: one add-commit per PRESENT segment (a sparse
+    // corpus leaves range segments empty and partitionBy writes no
+    // dir — commits number gaplessly over what exists), then a
+    // remove pair, then the rewrite; checkpoint every CkptInterval.
+    val presentSegs = segStats.keys.toSeq.sorted
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
+    var ckptAt = -1
+    var nextV = 0
+    def writeCheckpoint(v: Int): Unit = {
+      val manifest = live.map { case (p, st) =>
+        s"""{"path":"$p","min_doc_id":${st._1},"max_doc_id":${st._2},"n_rows":${st._3}}"""
+      }.mkString("\n")
+      java.nio.file.Files.write(
+        logDir.resolve(f"$v%08d.checkpoint.json"), manifest.getBytes(utf8))
+      java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
+        s"""{"version":$v}""".getBytes(utf8))
+      ckptAt = v
+    }
+    def commit(json: String,
+        apply: scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)] => Unit): Int = {
+      val v = nextV
+      nextV += 1
+      java.nio.file.Files.write(logDir.resolve(f"$v%08d.json"), json.getBytes(utf8))
+      apply(live)
+      if ((v + 1) % CkptInterval == 0) writeCheckpoint(v)
+      v
+    }
+    presentSegs.foreach { k =>
+      val st = segStats(k)
+      commit(addJson(s"seg=$k", st), _.put(s"seg=$k", st): Unit): Unit
+    }
+    val toRemove = Seq(3L, 7L).filter(segStats.contains).map(k => s"seg=$k")
+    if (toRemove.nonEmpty)
+      commit(toRemove.map(p => s"""{"action":"remove","path":"$p"}""").mkString("\n"),
+        l => toRemove.foreach(p =>
+          require(l.remove(p).nonEmpty, s"remove commit: unknown $p"))): Unit
+    // the rewrite: seg 3's exact content in a new physical file (the
+    // OPTIMIZE pattern) — stats identical to the file it replaces
+    if (segStats.contains(3L)) {
+      s.read.parquet(s"$files/seg=3").write.mode("overwrite")
+        .parquet(s"$files/seg3_rw")
+      commit(addJson("seg3_rw", segStats(3L)),
+        l => require(l.put("seg3_rw", segStats(3L)).isEmpty, "rewrite re-adds")): Unit
+    }
+    // optional filler commits (scale probe: log-length sweep) — each
+    // a self-cancelling add+remove pair (log-only paths: the stats
+    // carry seg 0's range, so no scan under the probe predicate ever
+    // dereferences them), so the final live set is invariant
+    require(extraCommits % 2 == 0, "extraCommits must pair add+remove")
+    (0 until extraCommits).foreach { i =>
+      val churnStats = segStats(presentSegs.head)
+      if (i % 2 == 0) commit(addJson(s"churn_$i", churnStats),
+        l => require(l.put(s"churn_$i", churnStats).isEmpty, "churn re-adds")): Unit
+      else commit(s"""{"action":"remove","path":"churn_${i - 1}"}""",
+        l => require(l.remove(s"churn_${i - 1}").nonEmpty, "churn removes unknown")): Unit
+    }
+    // a short log may never cross a checkpoint boundary — close with
+    // one at the final commit (writer policy; the reader contract —
+    // one checkpoint + a shorter-than-interval tail — is unchanged)
+    if (ckptAt < 0) writeCheckpoint(nextV - 1)
+    val nCommits = nextV
+    // ---- the reader: ONE checkpoint + the tail, never v0 ----------
+    val fs = new org.apache.hadoop.fs.Path(logDir.toString)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // plain file read, not spark.read: Hadoop input formats treat a
+    // leading underscore as a hidden file (the pointer is a one-line
+    // driver-side read in Delta too)
+    val lastCkpt = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        logDir.resolve("_last_checkpoint")), utf8)
+      """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"malformed _last_checkpoint: $txt"))
+        .group(1).toInt
+    }
+    require(lastCkpt == ckptAt, s"_last_checkpoint $lastCkpt != builder $ckptAt")
+    val statsSchema = "path STRING, min_doc_id BIGINT, max_doc_id BIGINT, n_rows BIGINT"
+    val fromCkpt = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
+    s.read.schema(statsSchema)
+      .json(logDir.resolve(f"$lastCkpt%08d.checkpoint.json").toString)
+      .collect().foreach(r =>
+        fromCkpt.put(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))): Unit)
+    val tailNames = fs.listStatus(new org.apache.hadoop.fs.Path(logDir.toString))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.contains("checkpoint"))
+      .filter(_.stripSuffix(".json").toInt > lastCkpt)
+      .sorted
+    require(tailNames.length < CkptInterval &&
+      tailNames.length == nCommits - 1 - lastCkpt,
+      s"tail is ${tailNames.length} commits past ckpt v$lastCkpt (of $nCommits) " +
+        "— the reader must replay checkpoint + tail, not the whole log")
+    tailNames.foreach { n =>
+      val v = n.stripSuffix(".json").toInt
+      s.read.schema(s"action STRING, $statsSchema")
+        .json(logDir.resolve(n).toString).collect().foreach { r =>
+          (r.getString(0), r.getString(1)) match {
+            case ("add", p) => require(
+              fromCkpt.put(p, (r.getLong(2), r.getLong(3), r.getLong(4))).isEmpty,
+              s"tail commit $v re-adds live $p")
+            case ("remove", p) => require(fromCkpt.remove(p).nonEmpty,
+              s"tail commit $v removes unknown $p")
+            case (a, p) => sys.error(s"tail commit $v: unknown action $a on $p")
+          }
+        }
+    }
+    require(fromCkpt == live,
+      "checkpoint+tail fold diverged from the full from-v0 fold")
+    // ---- data skipping off the stats ------------------------------
+    val (lo, hi) = (5 * width, 7 * width - 1) // segments 5..6 (7 is dead)
+    val (scanFiles, skipped) = fromCkpt.toSeq.partition {
+      case (_, (mn, mx, _)) => mx >= lo && mn <= hi
+    }
+    require(skipped.nonEmpty && skipped.forall {
+      case (_, (mn, mx, _)) => mx < lo || mn > hi
+    }, "stats skipping: nothing skipped, or a skipped file overlaps the range")
+    val predicted = scanFiles.map(_._2._3).sum
+    val snap = (if (scanFiles.isEmpty)
+        // every live file pruned (a sparse corpus can leave segments
+        // 5-6 empty) — the stats-correct answer is the empty relation
+        s.range(0).select(col("id").as("doc_id"), lit("").as("text"))
+      else s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(scanFiles.map(p => s"$files/${p._1}"): _*))
+      .filter(col("doc_id").between(lo, hi))
+    require(snap.count() == predicted,
+      s"stats-predicted $predicted rows != scanned count — stats are stale")
+    val out = snap
+      .groupBy(floor(col("doc_id") / width.toDouble).cast("long").as("seg"))
+      .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("seg"))
+    (out, tailNames.length, skipped.length)
+  }
+
+  /** VACUUM / RETENTION GC over the transaction log (c32 — what
+    * makes the COW/MOR/compaction pillars AFFORDABLE: c23/c27/c28
+    * remove and rewrite files in the LOG, but nothing ever deleted
+    * the unreferenced data files from storage, so time travel worked
+    * because storage grew forever; Delta VACUUM / Iceberg
+    * expire_snapshots is the standard answer). The table here is
+    * c25's 4-commit log plus a v4 COW update of bucket 5, so two
+    * physically-present files (buckets 3 and 7) are referenced ONLY
+    * by pre-horizon versions. VACUUM with retention horizon v3:
+    *
+    *  1. computes the union of the live sets of every RETAINED
+    *     version (≥ 3) — pure log metadata, no data read;
+    *  2. physically deletes on-disk files outside that union
+    *     (`require`s storage actually shrank, and that every deleted
+    *     file is one the retained versions never reference);
+    *  3. records `min_readable_version` in a `_vacuum` marker, and
+    *     the time-travel read path `require`s the requested version
+    *     is inside the horizon BEFORE scanning — a pre-horizon read
+    *     fails LOUDLY with the horizon in the message, never with a
+    *     dangling FileNotFound halfway through a scan
+    *     (TxlogVacuumSpec pins that branch).
+    *
+    * The registered query reads BOTH retained versions back AFTER
+    * the physical deletion, so the hash gate proves GC deleted only
+    * unreferenced files — in-horizon time travel is bit-preserved.
+    * Note bucket=5's PRE-IMAGE survives vacuum although v4 rewrote
+    * it: v3 is retained and still references it (the subtlety that
+    * makes naive mark-and-sweep-by-latest-version wrong).
+    *
+    * Scale shape: the candidate set comes from one storage listing +
+    * a metadata fold (the same cost class as a Delta VACUUM driver);
+    * deletion is O(dead files); reads stay one scan per live set.
+    */
+  val c32TxlogVacuum = Q(
+    "c32_txlog_vacuum",
+    """WITH v AS (SELECT CAST(3 AS BIGINT) AS version UNION ALL SELECT 4),
+      |live AS (
+      |  SELECT v.version, d.doc_id,
+      |         CASE WHEN v.version = 4 AND d.doc_id % 16 = 5
+      |              THEN 'u5:' || d.text ELSE d.text END AS text
+      |  FROM v JOIN documents d ON d.doc_id % 16 <> 7
+      |)
+      |SELECT version, doc_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM live GROUP BY 1, 2 ORDER BY version, bucket""".stripMargin
+  ) { (s, d) =>
+    val (df, _, readVersion) = c32Run(s, d)
+    val _ = readVersion // the spec exercises the failure branch
+    df
+  }
+
+  /** c32's builder + vacuum + reader, factored so TxlogVacuumSpec can
+    * pin the pre-horizon failure branch and the exact GC set.
+    * Returns (the two-retained-versions result, the deleted file
+    * names, and the guarded time-travel reader).
+    */
+  private[graft] def c32Run(s: SparkSession, d: String)
+      : (DataFrame, Seq[String], Int => DataFrame) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val (files, _, nCommits0) = txlogTable(s, d, "c32")
+    val logDir = java.nio.file.Paths.get(files).getParent.resolve("_log")
+    val fs = new org.apache.hadoop.fs.Path(files)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def readLog(): Array[(Int, String, String)] = {
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(logDir.toString))
+        .map(_.getPath.getName).filter(_.endsWith(".json")).sorted
+      names.zipWithIndex.foreach { case (n, i) =>
+        require(n == f"$i%08d.json", s"gap in the commit log at $n (expected #$i)")
+      }
+      s.read.schema("action STRING, path STRING").json(logDir.toString)
+        .select(col("action"), col("path"),
+          regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("int").as("commit"))
+        .collect().map(r => (r.getInt(2), r.getString(0), r.getString(1)))
+        .sortBy(_._1)
+    }
+    def foldTo(actions: Array[(Int, String, String)], v: Int): Seq[String] = {
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      actions.filter(_._1 <= v).foreach {
+        case (cv, "add", p) => require(live.add(p), s"commit $cv re-adds $p")
+        case (cv, "remove", p) => require(live.remove(p), s"commit $cv removes unknown $p")
+        case (cv, a, p) => sys.error(s"commit $cv: unknown action $a on $p")
+      }
+      live.toSeq
+    }
+    // ---- v4: COW update of bucket 5 (new churn past the horizon) ---
+    val live3 = foldTo(readLog(), nCommits0 - 1)
+    val b5Present = live3.contains("bucket=5")
+    (if (b5Present) s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(s"$files/bucket=5")
+      else s.range(0).select(col("id").as("doc_id"), lit("").as("text")))
+      .select(col("doc_id"), concat(lit("u5:"), col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$files/b5_rw")
+    val v4Json = ((if (b5Present) Seq("""{"action":"remove","path":"bucket=5"}""")
+      else Nil) :+ """{"action":"add","path":"b5_rw"}""").mkString("\n")
+    java.nio.file.Files.write(logDir.resolve(f"$nCommits0%08d.json"),
+      v4Json.getBytes(utf8))
+    // ---- VACUUM, horizon = v3 --------------------------------------
+    val horizon = nCommits0 - 1 // retain v3 and v4
+    val actions = readLog()
+    val nVersions = actions.map(_._1).max + 1
+    val referenced = (horizon until nVersions)
+      .flatMap(v => foldTo(actions, v)).toSet
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(files))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val dead = onDisk.filterNot(referenced).sorted.toSeq
+    require(dead.nonEmpty, "vacuum found nothing to GC — fixture churn missing")
+    require(dead.forall(p => !referenced(p)), "GC would delete a referenced file")
+    dead.foreach { p =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$files/$p"), true),
+        s"vacuum failed to delete $p")
+    }
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(files))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).length
+    require(after == onDisk.length - dead.length && after < onDisk.length,
+      s"storage did not shrink: $after of ${onDisk.length} dirs remain")
+    java.nio.file.Files.write(logDir.resolve("_vacuum"),
+      s"""{"min_readable_version":$horizon,"deleted":${dead.length}}"""
+        .getBytes(utf8))
+    // ---- the guarded time-travel reader (post-vacuum) --------------
+    val readVersion: Int => DataFrame = { v =>
+      val minReadable = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          logDir.resolve("_vacuum")), utf8)
+        """"min_readable_version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .getOrElse(sys.error(s"malformed _vacuum marker: $txt"))
+          .group(1).toInt
+      }
+      if (v < minReadable) throw new IllegalStateException(
+        s"time travel to v$v is outside the vacuum retention horizon " +
+          s"(min readable version: v$minReadable) — the data files were GC'd")
+      val live = foldTo(readLog(), v)
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(live.map(p => s"$files/$p"): _*)
+        .groupBy((col("doc_id") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .select(lit(v.toLong).as("version"), col("bucket"), col("n_docs"),
+          col("content_xor"), col("sum_doc_id"))
+    }
+    val out = readVersion(horizon).unionByName(readVersion(nVersions - 1))
+      .orderBy(col("version"), col("bucket"))
+    (out, dead, readVersion)
   }
 
   /** One prepared transaction: the file-granularity read/write set. */
@@ -2903,5 +3275,6 @@ object Curation {
     c21CdcChunking, c22SpanScrub, c23Compact, c24PipelineE2e,
     c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge,
     c28TxlogDeleteVectors, c29TxlogSchemaEvolution,
-    c30TxlogOptimisticConcurrency)
+    c30TxlogOptimisticConcurrency, c31TxlogCheckpointStats,
+    c32TxlogVacuum)
 }

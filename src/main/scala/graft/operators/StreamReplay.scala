@@ -150,8 +150,12 @@ object StreamReplay {
     // constructs two sources before starting, and last-writer-wins
     // would size its state partitions from only one input's bytes.
     // The accumulator is cleared when the replay that consumes it
-    // finishes (withStatePartitions' finally), so a stale value from
-    // a prior query can never leak into the next derivation.
+    // finishes (withStatePartitions' finally). One window remains: a
+    // query that throws AFTER building a source but BEFORE entering
+    // withStatePartitions leaves its bytes behind, mildly inflating
+    // the NEXT replay's derived partition count — perf-only, and only
+    // on an already-failing path, so we accept it rather than thread
+    // a per-query token through every source constructor.
     val prev = s.conf.getOption(SourceBytesKey).map(_.toLong).getOrElse(0L)
     s.conf.set(SourceBytesKey, (prev + bytes).toString)
   }
@@ -1667,6 +1671,11 @@ object StreamReplay {
       .write.mode("overwrite").parquet(orderedDir)
     val parts = new java.io.File(orderedDir).listFiles()
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    require(parts.nonEmpty,
+      s"orderedShardDocStream: src0/src1 shard under $d" +
+        deltaMaxDocId.fold("")(m => s" with doc_id <= $m") +
+        " produced zero part files — empty shard or over-tight delta " +
+        "filter (fail-loud source guard, mirroring tableStream)")
     val t0 = parts.map(_.lastModified()).max
     parts.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(t0 + (i + 1) * 2000L): Unit

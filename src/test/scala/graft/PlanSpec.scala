@@ -890,6 +890,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected one scan per version (3), saw $scans — per-file unions crept back:\n$p")
   }
 
+  test("c31: stats skipping scans only the two admitted segments; the reader replays checkpoint+tail") {
+    val (out, tailReplayed, skipped) =
+      graft.operators.Curation.c31Snapshot(spark, dir)
+    // the reader must never replay from v0: 26 commits, checkpoint
+    // every 10 → exactly 6 tail commits past v19
+    assert(tailReplayed == 6, s"tail was $tailReplayed commits")
+    assert(tailReplayed < graft.operators.Curation.CkptInterval)
+    // 23 live files (24 segs − 2 removed + 1 rewrite); the doc_id
+    // range predicate admits exactly seg 5 and seg 6
+    assert(skipped == 21, s"stats skipped $skipped of 23 live files")
+    val touched = out.inputFiles
+      .flatMap(_.split("/").find(f => f.startsWith("seg"))).toSet
+    assert(touched == Set("seg=5", "seg=6"),
+      s"scan touched $touched — stats pruning regressed")
+  }
+
   test("s24: the serving probe scans only the probed cells' partitions") {
     val (idxPath, centPath) = graft.operators.AnnKmeans.s24BuildIndex(spark, dir, 8)
     val allCells = new java.io.File(idxPath).listFiles()
