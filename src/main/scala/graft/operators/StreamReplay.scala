@@ -1660,10 +1660,11 @@ object StreamReplay {
   private[graft] def orderedShardDocStream(s: org.apache.spark.sql.SparkSession,
       d: String, nChunks: Int,
       deltaMaxDocId: Option[Long] = None,
-      cols: Seq[String] = Seq("doc_id", "text")): org.apache.spark.sql.DataFrame = {
+      cols: Seq[String] = Seq("doc_id", "text"),
+      sources: Seq[String] = Seq("src0", "src1")): org.apache.spark.sql.DataFrame = {
     val orderedDir = tempReplayDir("q93ord").resolve("docs").toString
     graft.Tables.documents(s, d)
-      .filter(col("source").isin("src0", "src1"))
+      .filter(col("source").isin(sources: _*))
       .filter(deltaMaxDocId.map(col("doc_id") <= _).getOrElse(lit(true)))
       .select(cols.map(col): _*)
       .repartitionByRange(nChunks, col("doc_id"))
@@ -1672,7 +1673,7 @@ object StreamReplay {
     val parts = new java.io.File(orderedDir).listFiles()
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     require(parts.nonEmpty,
-      s"orderedShardDocStream: src0/src1 shard under $d" +
+      s"orderedShardDocStream: ${sources.mkString("/")} shard under $d" +
         deltaMaxDocId.fold("")(m => s" with doc_id <= $m") +
         " produced zero part files — empty shard or over-tight delta " +
         "filter (fail-loud source guard, mirroring tableStream)")
@@ -1837,8 +1838,18 @@ object StreamReplay {
     }
   }
 
-  private[graft] def streamIngestTxlogAppend(s: org.apache.spark.sql.SparkSession,
-      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+  /** q94's ingest gate as a streaming frame, parameterized by which
+    * shard source(s) the STREAM carries (q95 runs one writer per
+    * source). The gate's batch sides are always computed against the
+    * FULL shard set — the standing corpus excludes both arriving
+    * shards and the near-dup candidate list covers both, so a doc's
+    * verdict is identical whether one stream carries the whole shard
+    * (q94) or two writers split it (q95): the per-doc gate never
+    * depends on which writer a doc rides with.
+    */
+  private[graft] def gatedAcceptedStream(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int,
+      streamSources: Seq[String]): org.apache.spark.sql.DataFrame = {
     import graft.functions.TextVec.{tokens, winnow16}
     val shard = Seq("src0", "src1")
     val docs = graft.Tables.documents(s, d)
@@ -1854,14 +1865,19 @@ object StreamReplay {
       .join(corpFps, Seq("fp"))
       .select(col("doc_id")).distinct()
       .withColumn("nd_hit", lit(true))
-    val accepted = orderedShardDocStream(s, d, nChunks,
-        cols = Seq("doc_id", "source", "text"))
+    orderedShardDocStream(s, d, nChunks,
+        cols = Seq("doc_id", "source", "text"), sources = streamSources)
       .select(col("doc_id"), col("source"),
         Curation.sparkQuality.as("quality"), md5(col("text")).as("h_inc"))
       .join(broadcast(corpHash), col("h_inc") === col("h"), "left")
       .join(broadcast(ndDocIds), Seq("doc_id"), "left")
       .filter(col("quality") >= 0.5 && col("h").isNull && col("nd_hit").isNull)
       .select(col("doc_id"), col("source"), col("quality"))
+  }
+
+  private[graft] def streamIngestTxlogAppend(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): org.apache.spark.sql.DataFrame = {
+    val accepted = gatedAcceptedStream(s, d, nChunks, Seq("src0", "src1"))
     val base = tempReplayDir("q94tx")
     val files = base.resolve("files").toString
     val logDir = base.resolve("_log")
@@ -1902,6 +1918,92 @@ object StreamReplay {
     s.read.schema("doc_id BIGINT, source STRING, quality DOUBLE")
       .parquet(live.toSeq.map(p => s"$files/$p"): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** CONCURRENT STREAMING WRITERS UNDER OPTIMISTIC CONCURRENCY (q95
+    * — the composition proof for the two newest lakehouse pillars:
+    * q94 writes a txlog exactly-once from ONE stream; c30 arbitrates
+    * racing writers on a static table; production runs BOTH at once
+    * — think per-region ingest streams sharing one corpus table, or
+    * ingest racing compaction). Two AvailableNow streams — one per
+    * shard source, each running q94's full ingest gate — append to
+    * ONE transaction log through c30's protocol: every commit races
+    * the writer's optimistic next-slot via the atomic-create
+    * primitive, and a loser resolves (validates disjointness against
+    * every commit it lost to — appends always are) and retries at
+    * the next slot. Writer views advance only through their own
+    * commits and discovered losses, so whichever writer lands its
+    * first commit SECOND must lose slot 0 — at least one lost-slot
+    * retry happens in EVERY schedule, and the registered query
+    * `require`s it (ConcurrentWritersSpec re-pins it plus
+    * concurrent ≡ serial row-for-row).
+    *
+    * Exactly-once composes with OCC at the APP level (Delta's
+    * SetTransaction idempotence): commit slots are global, so a
+    * redelivered batch can't key on "my slot exists" — each writer
+    * tracks its own committed batch ids and drains redeliveries
+    * without re-committing.
+    *
+    * The oracle is q94's verbatim (the serial union), so the hash
+    * gate proves race ∘ resolve ∘ merged replay ≡ one writer doing
+    * all the work — serializability of concurrent stream appends at
+    * file granularity. Scale shape: per-trigger cost is the batch's
+    * gate work + one data file + one metadata commit; contention
+    * cost is one re-validate per lost slot (reads only the lost
+    * commits' action lists), independent of table size.
+    */
+  val q95ConcurrentTxlogWriters = Q(
+    "q95_concurrent_txlog_writers",
+    q94StreamIngestTxlogAppend.sql.get
+  ) { (s, d) => concurrentTxlogWriters(s, d, nChunks = 4)._1 }
+
+  /** q95's body, factored so ConcurrentWritersSpec can read the
+    * lost-slot count. Returns (the merged-table replay, slots lost
+    * across both writers).
+    */
+  private[graft] def concurrentTxlogWriters(s: org.apache.spark.sql.SparkSession,
+      d: String, nChunks: Int): (org.apache.spark.sql.DataFrame, Long) = {
+    val base = tempReplayDir("q95tx")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(files))
+    val lost = new java.util.concurrent.atomic.AtomicLong(0)
+    // one sink per writer: its own optimistic view, its own app-level
+    // batch-id set (exactly-once), the SHARED slot sequence
+    def writerSink(w: String): (org.apache.spark.sql.DataFrame, Long) => Unit = {
+      val view = new java.util.concurrent.atomic.AtomicInteger(0)
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      (batch, id) =>
+        if (!seen.add(id)) {
+          // redelivered batch: already committed under (writer, id) —
+          // drain (foreachBatch must process every partition)
+          batch.write.format("noop").mode("overwrite").save()
+        } else {
+          val path = s"${w}_add_$id"
+          batch.write.mode("overwrite").parquet(s"$files/$path")
+          val tx = Curation.TxActions(removes = Nil, adds = Seq(path))
+          val attempt = view.get()
+          val landed = Curation.resolveAndRetry(
+            batch.sparkSession, logDir, attempt, tx)
+          lost.addAndGet((landed - attempt).toLong)
+          view.set(landed + 1)
+        }
+    }
+    withStatePartitions(s) {
+      val queries = Seq("src0", "src1").map { src =>
+        gatedAcceptedStream(s, d, nChunks, Seq(src)).writeStream
+          .foreachBatch(writerSink(src))
+          .option("checkpointLocation", base.resolve(s"ckpt_$src").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      queries.foreach(_.awaitTermination())
+    }
+    require(lost.get() >= 1,
+      "the two writers never contended for a commit slot — the OCC path " +
+        "went unexercised (impossible: the second first-commit must lose v0)")
+    (readTxAppendTable(s, files, logDir), lost.get())
   }
 
   /** q93's decade decomposition: index build (the amortized nightly
@@ -2023,5 +2125,6 @@ object StreamReplay {
     q83StreamSemiJoinReplay, q84StreamFullOuterJoinReplay,
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
     q88StreamSessionReplay, q90StreamJoinAggReplay, q92TimerSessionReplay,
-    q93StreamNearDupGate, q94StreamIngestTxlogAppend)
+    q93StreamNearDupGate, q94StreamIngestTxlogAppend,
+    q95ConcurrentTxlogWriters)
 }
