@@ -42,6 +42,17 @@ class AnnIncrementalSpec extends AnyFunSuite {
       "per-cell growth does not sum to the delta size")
     // the merged index holds the full corpus exactly once
     assert(spark.read.parquet(idxPath).count() == n)
+    // the incremental sums (drift's n_after comes from build+delta
+    // arithmetic, never a rescan) agree with the merged index per cell
+    val actual = spark.read.parquet(idxPath)
+      .groupBy(org.apache.spark.sql.functions.col("cell").cast("long"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(actual(r.getLong(0)) == r.getLong(2),
+        s"cell ${r.getLong(0)}: incremental n_after ${r.getLong(2)} != " +
+          s"merged-index count ${actual(r.getLong(0))}")
+    }
   }
 
   test("the merged index serves the same top-k as a one-shot full build") {
