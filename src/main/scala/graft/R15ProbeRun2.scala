@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev runner for the second round-15 operator batch's decade
+  * decompositions — one JSON line per (probe, scale):
+  *
+  *  - c33 change feed: per-version feed cost next to that version's
+  *    touched-file count — the claim is cost ∝ the COMMIT's churn,
+  *    so the add-only v0 (8 buckets), the remove-only v2 (≤2
+  *    buckets), the diff-join v4 (≤3 buckets a side) and the
+  *    compaction v5 (2 files) should each track their own bytes,
+  *    never the table.
+  *  - q96 view maintenance: end-to-end streaming replay (6 triggers,
+  *    per-commit CDF + view merge) across corpus decades — the
+  *    fixture's churn is ∝ corpus by construction, so the honest
+  *    claim here is ~linear total with the per-trigger view merge a
+  *    constant (16-bucket view).
+  *  - s26 PQ: train_sec (sample-bounded — should stay ~flat),
+  *    encode_sec (one linear zero-shuffle pass, drained through a
+  *    noop sink so nothing collects), adc_sec (codes-only scoring +
+  *    top-10).
+  *  - m36: the zero-shuffle PVQ decode kernel, end to end.
+  *
+  * Usage: runMain graft.R15ProbeRun2 <label=dir> [<label=dir> ...]
+  */
+object R15ProbeRun2 {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: R15ProbeRun2 <label=dir> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def clean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    args.foreach { a =>
+      val Array(label, dir) = a.split("=", 2)
+
+      // ---- c33: per-version feed cost vs that version's churn ----
+      locally {
+        val (build, buildSec) = timed {
+          graft.operators.Curation.txlogTableWithChanges(spark, dir, "c33p")
+        }
+        val (files, perVersion) = build
+        val vCols = perVersion.zipWithIndex.map { case (tx, v) =>
+          val ((rows, touched), sec) = timed {
+            val feed = graft.operators.Curation.txlogChangeRows(spark, files, tx)
+            (feed.count(), tx.touched.size)
+          }
+          (v, rows, touched, sec)
+        }
+        val fields = vCols.map { case (v, rows, touched, sec) =>
+          f""""v${v}_sec":$sec%.3f,"v${v}_rows":$rows,"v${v}_files":$touched"""
+        }.mkString(",")
+        println(s"""{"probe":"c33_change_feed","scale":"$label",""" +
+          f""""build_sec":$buildSec%.3f,$fields}""")
+        clean()
+      }
+
+      // ---- q96: streaming CDF view maintenance, end to end --------
+      locally {
+        val (rows, sec) = timed {
+          graft.operators.StreamReplay.cdfViewMaintenance(spark, dir).count()
+        }
+        println(s"""{"probe":"q96_cdf_view_maintenance","scale":"$label",""" +
+          f""""result_rows":$rows,"total_sec":$sec%.3f}""")
+        clean()
+      }
+
+      // ---- s26: train / encode / ADC decomposition ----------------
+      locally {
+        val ((codes, cents), trainSec) = timed {
+          graft.operators.AnnKmeans.pqEncode(spark, dir)
+        }
+        val (_, encodeSec) = timed {
+          codes.write.format("noop").mode("overwrite").save()
+        }
+        val (topRows, adcSec) = timed {
+          graft.operators.AnnKmeans.pqAdcSearch(spark, dir, codes, cents).count()
+        }
+        println(s"""{"probe":"s26_pq_adc","scale":"$label",""" +
+          f""""train_sec":$trainSec%.3f,"encode_sec":$encodeSec%.3f,""" +
+          f""""adc_sec":$adcSec%.3f,"rows_top10":$topRows}""")
+        clean()
+      }
+
+      // ---- m36: the PVQ decode kernel ------------------------------
+      locally {
+        val (rows, sec) = timed {
+          SparkEntry.queries("m36_opus_pvq_pulses")(spark, dir).count()
+        }
+        println(s"""{"probe":"m36_opus_pvq","scale":"$label",""" +
+          f""""result_rows":$rows,"total_sec":$sec%.3f}""")
+        clean()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -90,6 +90,54 @@ final class OpusRangeDecoder(buf: Array[Byte]) {
     normalize()
     ret
   }
+
+  // ---- §4.1.4 raw bits (read from the END of the frame) ------------
+  private var endOffs = 0
+  private var endWindow = 0L
+  private var endAvail = 0
+
+  /** §4.1.4 ec_dec_bits: raw bits live at the END of the frame in
+    * reverse byte order — the first raw bit decoded is the LSB of the
+    * LAST byte — because the range coder owns the front and §4.1.4's
+    * whole point is that the two never meet. LSB-first window
+    * accumulation; past-the-front reads return zeros (mirroring the
+    * front reader's §4.1.2.1 convention).
+    */
+  def decodeBits(bits: Int): Int = {
+    require(bits >= 0 && bits <= 25, s"ec_dec_bits: $bits out of range")
+    while (endAvail < bits) {
+      val b =
+        if (endOffs < buf.length) buf(buf.length - 1 - endOffs) & 0xff else 0
+      endOffs += 1
+      endWindow |= b.toLong << endAvail
+      endAvail += 8
+    }
+    val ret = (endWindow & ((1L << bits) - 1)).toInt
+    endWindow >>>= bits
+    endAvail -= bits
+    ret
+  }
+
+  /** §4.1.5 ec_dec_uint: a uniformly distributed integer in [0, ft).
+    * ft − 1 needs ftb = ilog(ft − 1) bits; when that exceeds 8 the
+    * HIGH bits travel through the range coder (alphabet
+    * ((ft−1) >> (ftb−8)) + 1) and the LOW ftb−8 bits are raw bits
+    * from the frame end; a reassembled value ≥ ft is the spec's
+    * corruption signal and throws loudly.
+    */
+  def decodeUint(ft: Long): Long = {
+    require(ft > 1, s"ec_dec_uint: ft=$ft must exceed 1")
+    val ftm = ft - 1
+    val ftb = 64 - java.lang.Long.numberOfLeadingZeros(ftm)
+    if (ftb > 8) {
+      val low = (ftb - 8).toInt
+      val t = decodeUniform(((ftm >> low) + 1).toInt).toLong
+      val v = (t << low) | decodeBits(low).toLong
+      if (v <= ftm) v
+      else throw new IllegalStateException(
+        s"ec_dec_uint: decoded $v outside [0, $ft) — corrupt stream")
+    } else decodeUniform(ft.toInt).toLong
+  }
 }
 
 /** The mirror encoder (§5.1). */
@@ -156,6 +204,69 @@ final class OpusRangeEncoder {
     if (rem >= 0 || ext > 0) carryOut(0)
     out.toByteArray
   }
+
+  // ---- §5.1.4 raw bits (written to the END of the frame) -----------
+  private val endBytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+  private var endWindow = 0L
+  private var endAvail = 0
+
+  /** §5.1.4 ec_enc_bits — the mirror of
+    * [[OpusRangeDecoder.decodeBits]]: LSB-first into a window, full
+    * bytes flushed toward the frame END (endBytes(0) will be the
+    * frame's LAST byte).
+    */
+  def encodeBits(v: Int, bits: Int): Unit = {
+    require(bits >= 0 && bits <= 25 && (bits == 0 || (v >>> bits) == 0),
+      s"ec_enc_bits: $v does not fit $bits bits")
+    endWindow |= v.toLong << endAvail
+    endAvail += bits
+    while (endAvail >= 8) {
+      endBytes += (endWindow & 255L).toInt
+      endWindow >>>= 8
+      endAvail -= 8
+    }
+  }
+
+  /** §5.1.4 ec_enc_uint — the mirror of
+    * [[OpusRangeDecoder.decodeUint]]: high bits through the range
+    * coder, low ftb−8 bits as raw end bits.
+    */
+  def encodeUint(fl: Long, ft: Long): Unit = {
+    require(ft > 1 && fl >= 0 && fl < ft,
+      s"ec_enc_uint: fl=$fl outside [0, $ft)")
+    val ftm = ft - 1
+    val ftb = 64 - java.lang.Long.numberOfLeadingZeros(ftm)
+    if (ftb > 8) {
+      val low = (ftb - 8).toInt
+      encodeUniform((fl >> low).toInt, ((ftm >> low) + 1).toInt)
+      encodeBits((fl & ((1L << low) - 1)).toInt, low)
+    } else encodeUniform(fl.toInt, ft.toInt)
+  }
+
+  /** Finalizes BOTH streams into one `len`-byte frame: the §5.1.5
+    * range bytes at the front, zero fill between, the raw-bit bytes
+    * reversed at the end (so the decoder's end reader sees
+    * endBytes(0) at buf(len−1) — the §4.1.4 layout). Loud when the
+    * two streams would collide: real Opus guarantees non-overlap by
+    * construction (the encoder budgets `ec_tell` against the frame
+    * size); our deterministic schedules must too.
+    */
+  def doneInto(len: Int): Array[Byte] = {
+    if (endAvail > 0) { // flush the partial end byte
+      endBytes += (endWindow & 255L).toInt
+      endWindow = 0L
+      endAvail = 0
+    }
+    val front = done()
+    require(front.length + endBytes.length <= len,
+      s"range(${front.length} B) + raw(${endBytes.length} B) streams " +
+        s"overlap in a $len B frame")
+    val frame = java.util.Arrays.copyOf(front, len)
+    endBytes.zipWithIndex.foreach { case (b, i) =>
+      frame(len - 1 - i) = b.toByte
+    }
+    frame
+  }
 }
 
 object OpusRange {
@@ -200,5 +311,48 @@ object OpusRange {
     require(coded.length <= len,
       s"range-coded frame ${coded.length}B exceeds scheduled $len B (d=$d p=$p f=$f)")
     java.util.Arrays.copyOf(coded, len) // zero-padded to schedule
+  }
+
+  // ---- m36 PVQ schedules (closed-form, oracle-mirrored) ------------
+
+  /** Pulse-vector geometry per frame: N ∈ 4..8 slots, K ∈ 1..4
+    * pulses — V(N, K) spans both ec_dec_uint paths (V(4,1) = 8 stays
+    * inside one range symbol; V(8,4) = 2816 needs 12 bits and
+    * exercises the §4.1.4 raw-bit tail).
+    */
+  def pvqN(d: Long, p: Int, f: Int): Int = (4 + (d + p + f) % 5).toInt
+  def pvqK(d: Long, p: Int, f: Int): Int = (1 + (d + 2 * p + f) % 4).toInt
+
+  /** The deterministic pulse vector the oracle re-derives: position i
+    * carries ⌊K/N⌋ pulses plus one of the K mod N remainder pulses
+    * (rotated by (d+p+f) mod N so the remainder lands on different
+    * slots per frame), signed by the parity schedule. Σ|y_i| = K by
+    * construction.
+    */
+  def pulseVector(d: Long, p: Int, f: Int): Array[Int] = {
+    val n = pvqN(d, p, f)
+    val k = pvqK(d, p, f)
+    val rot = ((d + p + f) % n).toInt
+    Array.tabulate(n) { i =>
+      val m = k / n + (if ((i + rot) % n < k % n) 1 else 0)
+      if (m == 0) 0
+      else if ((d + 3 * i + p + f) % 2 == 0) m
+      else -m
+    }
+  }
+
+  /** m36 frame: two uniform symbols (the m35 schedule's k = 0, 1),
+    * then the frame's PVQ codeword index through ec_enc_uint (§5.1.4
+    * — high bits range-coded, low bits as §4.1.4 raw bits at the
+    * frame END), finalized into the scheduled length by doneInto
+    * (which `require`s the two streams never meet).
+    */
+  def frameBytes36(d: Long, p: Int, f: Int, len: Int): Array[Byte] = {
+    val enc = new OpusRangeEncoder
+    enc.encodeUniform(uniformSym(d, p, f, 0), 16)
+    enc.encodeUniform(uniformSym(d, p, f, 1), 16)
+    val y = pulseVector(d, p, f)
+    enc.encodeUint(Pvq.encode(y), Pvq.vCount(y.length, pvqK(d, p, f)))
+    enc.doneInto(len)
   }
 }

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+/** PVQ codeword enumeration (RFC 6716 §4.3.4.2 — CELT's spherical
+  * vector quantization; the combinatorics are Fischer's pyramid VQ,
+  * IEEE Trans. IT-32, 1986): a codeword is a vector y of N signed
+  * integers with Σ|y_i| = K, and the codebook size V(N, K) follows
+  * the spec's recurrence
+  *
+  *   V(N, K) = V(N−1, K) + V(N, K−1) + V(N−1, K−1),
+  *   V(N, 0) = 1,  V(0, K) = 0 for K > 0.
+  *
+  * The index ↔ vector bijection here enumerates, at each position
+  * with n slots and k pulses left: first the V(n−1, k) codewords
+  * with y_0 = 0, then for each magnitude m = 1..k the +m block
+  * before the −m block (V(n−1, k−m) each). OpusPvqSpec pins that
+  * ordering EXHAUSTIVELY (every index of several small codebooks
+  * decodes to a distinct valid vector and re-encodes to itself, and
+  * V is re-derived by brute-force enumeration); libopus's cwrs.c
+  * realizes an equivalent bijection with a different block order —
+  * bit-interop with real CELT streams would substitute its order
+  * into the same walk, while V, the §4.1.5 uint coder, and the
+  * frame layout are spec-shared as they stand.
+  */
+object Pvq {
+
+  /** Codebook sizes up to the fixture geometry — all < 2^63,
+    * precomputed once (V(16,16) ≈ 4.3e9 still fits comfortably).
+    */
+  private val MaxN = 16
+  private val MaxK = 16
+  private val V: Array[Array[Long]] = {
+    val t = Array.ofDim[Long](MaxN + 1, MaxK + 1)
+    t(0)(0) = 1
+    for (n <- 1 to MaxN) {
+      t(n)(0) = 1
+      for (k <- 1 to MaxK)
+        t(n)(k) = t(n - 1)(k) + t(n)(k - 1) + t(n - 1)(k - 1)
+    }
+    t
+  }
+
+  def vCount(n: Int, k: Int): Long = {
+    require(n >= 0 && n <= MaxN && k >= 0 && k <= MaxK,
+      s"V($n,$k) outside the precomputed table")
+    V(n)(k)
+  }
+
+  /** Index of pulse vector y in the (y.length, Σ|y_i|) codebook. */
+  def encode(y: Array[Int]): Long = {
+    var idx = 0L
+    var kk = 0
+    var j = 0
+    while (j < y.length) { kk += math.abs(y(j)); j += 1 }
+    require(kk <= MaxK, s"Σ|y| = $kk exceeds the table bound")
+    j = 0
+    while (j < y.length && kk > 0) {
+      val rem = y.length - j
+      val yj = y(j)
+      if (yj != 0) {
+        val a = math.abs(yj)
+        idx += vCount(rem - 1, kk) // skip the y_j = 0 block
+        var m = 1
+        while (m < a) { idx += 2 * vCount(rem - 1, kk - m); m += 1 }
+        if (yj < 0) idx += vCount(rem - 1, kk - a) // skip the +a block
+        kk -= a
+      }
+      j += 1
+    }
+    idx
+  }
+
+  /** Vector at `idx` in the (n, k) codebook. */
+  def decode(n: Int, k: Int, idx: Long): Array[Int] = {
+    require(idx >= 0 && idx < vCount(n, k),
+      s"index $idx outside V($n,$k) = ${vCount(n, k)}")
+    val y = new Array[Int](n)
+    var i = idx
+    var kk = k
+    var j = 0
+    while (j < n && kk > 0) {
+      val rem = n - j
+      val zero = vCount(rem - 1, kk)
+      if (i < zero) y(j) = 0
+      else {
+        i -= zero
+        var m = 1
+        var found = false
+        while (!found) {
+          val blk = vCount(rem - 1, kk - m)
+          if (i < blk) { y(j) = m; kk -= m; found = true }
+          else {
+            i -= blk
+            if (i < blk) { y(j) = -m; kk -= m; found = true }
+            else { i -= blk; m += 1 }
+          }
+        }
+      }
+      j += 1
+    }
+    require(kk == 0 && i == 0,
+      s"V($n,$k) walk did not consume index $idx (left $i, pulses $kk)")
+    y
+  }
+}

@@ -682,6 +682,223 @@ object AnnKmeans {
         "ingest_sec", "probe_sec")
   }
 
+  // ---- s26: product quantization + ADC ------------------------------
+
+  /** PQ geometry: 64-dim embeddings split into [[PqM]] subspaces of
+    * [[PqSubDim]] dims, [[PqK]] codewords per subspace. The oracle
+    * pins the algebra at 8×8×8 (right-sized for the 500-row corpus
+    * exactly like s04's k=8); production PQ runs M=8..64, K=256 — the
+    * same plan, bigger literals (the [[LiteralModelMaxK]] broadcast
+    * escape applies unchanged since the codebook is M·K·SubDim = one
+    * model).
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 8
+  private val PqIters = 2
+
+  private def sqlPqAssign(i: Int, src: String): String =
+    s"""pa$i AS (
+       |  SELECT vec_id, sub, sv, cell FROM (
+       |    SELECT t.vec_id, t.sub, t.sv, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |             ORDER BY ${sqlDot("t.sv", "c.cent")} DESC, c.cid) AS rn
+       |    FROM $src t JOIN pc${i - 1} c ON c.sub = t.sub
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  private def sqlPqUpdate(i: Int): String =
+    s"""px$i AS (
+       |  SELECT a.sub, a.cell, u.i AS dim, a.sv[u.i] AS v
+       |  FROM pa$i a, LATERAL (SELECT unnest(generate_series(1, len(a.sv))) AS i) u
+       |), pm$i AS (
+       |  SELECT sub, cell, dim,
+       |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) / $Scale AS m
+       |  FROM px$i GROUP BY sub, cell, dim
+       |), ps$i AS (
+       |  SELECT c.cid, c.sub, u.i AS dim, c.cent[u.i] AS prev
+       |  FROM pc${i - 1} c, LATERAL (SELECT unnest(generate_series(1, len(c.cent))) AS i) u
+       |), pc$i AS (
+       |  SELECT s.cid, s.sub, list(COALESCE(m.m, s.prev) ORDER BY s.dim) AS cent
+       |  FROM ps$i s LEFT JOIN pm$i m
+       |    ON m.sub = s.sub AND m.cell = s.cid AND m.dim = s.dim
+       |  GROUP BY s.cid, s.sub
+       |)""".stripMargin
+
+  /** TRAINED PRODUCT QUANTIZATION + ASYMMETRIC DISTANCE (s26 —
+    * Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011; the production FAISS codebook path the PQ
+    * tier still lacked: s09/s10's corner codebook is
+    * DATA-INDEPENDENT — 1 sign bit per dimension, recall gated at
+    * 0.36 — where real PQ TRAINS a k-means codebook per subspace and
+    * buys far tighter quantization error at the same code size):
+    * each 64-dim float vector (256 B) is encoded as [[PqM]]=8
+    * codeword ids (8 B here, 32× smaller — with K=256 the production
+    * 64× ratio), by running the house deterministic Lloyd k-means
+    * INDEPENDENTLY in each of the 8 subspaces (same fixed init =
+    * subvectors of vec_id 0..[[PqK]], same exact scaled-integer
+    * means, same dot/ties-to-lowest-cid assignment — all spelled
+    * bit-identically in the oracle). Search is ADC: the
+    * query stays EXACT, one 8×8 lookup table of
+    * `floor(dot(q_sub, codeword) · 2^20)` per query, and every
+    * corpus vector's approximate score is the BIGINT sum of its 8
+    * code lookups — exact integer arithmetic end to end, so the
+    * top-10 ranking (score DESC, vec_id) is engine-identical by
+    * construction, never by float luck.
+    *
+    * Scale shape: encoding is a zero-shuffle projection (8 ArgmaxDot
+    * kernels over slices in ONE select — the s04 discipline, and the
+    * reason codes for 100 TB of embeddings are one linear pass);
+    * training touches only the deterministic prefix sample; the
+    * codebook and the per-query LUTs are model-sized literals (the
+    * MLlib contract, documented collects); scoring reads ONLY the
+    * 8-byte codes — the table of 64-dim floats is never rescanned,
+    * which is the entire point: at 100 TB the codes fit in ~1.6 TB
+    * of executor memory where the raw vectors cannot.
+    */
+  val s26AnnPqAdc = Q(
+    "s26_ann_pq_adc",
+    { val iters = (1 to PqIters)
+        .map(i => s"${sqlPqAssign(i, "trainsub")},\n${sqlPqUpdate(i)}")
+        .mkString(",\n")
+      s"""WITH subv AS (
+         |  SELECT e.vec_id, s.sub,
+         |         list_transform(generate_series(1, $PqSubDim),
+         |           j -> e.embedding[s.sub * $PqSubDim + j]) AS sv
+         |  FROM embeddings e, LATERAL (SELECT unnest(range(0, $PqM)) AS sub) s
+         |), trainsub AS (
+         |  SELECT * FROM subv WHERE vec_id < ${TrainPerCentroid * PqK}
+         |), pc0 AS (
+         |  SELECT vec_id AS cid, sub, list_transform(sv, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM subv WHERE vec_id < $PqK
+         |),
+         |$iters,
+         |${sqlPqAssign(PqIters + 1, "subv")},
+         |codes AS (SELECT vec_id, sub, cell FROM pa${PqIters + 1}),
+         |qsub AS (SELECT vec_id, sub, sv FROM subv WHERE vec_id < 3),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         |         CAST(floor(${sqlDot("q.sv", "c.cent")} * $Scale) AS BIGINT) AS l
+         |  FROM qsub q JOIN pc$PqIters c ON c.sub = q.sub
+         |), scored AS (
+         |  SELECT l.query_id, k.vec_id, CAST(sum(l.l) AS BIGINT) AS score_scaled
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cell
+         |  WHERE k.vec_id <> l.query_id
+         |  GROUP BY l.query_id, k.vec_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id AS neighbor_id, score_scaled,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_scaled DESC, vec_id) AS k
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, score_scaled, k FROM ranked
+         |WHERE k <= 10
+         |ORDER BY query_id, k""".stripMargin }
+  ) { (s, d) =>
+    val (codes, cents) = pqEncode(s, d)
+    pqAdcSearch(s, d, codes, cents)
+  }
+
+  /** Trains the per-subspace codebooks (deterministic Lloyd, exact
+    * scaled-integer means — the [[trainedLiteralModel]] algebra run
+    * jointly across all [[PqM]] subspaces in one explode-aggregate
+    * per iteration) and returns (the corpus codes frame
+    * `vec_id, code_0..code_7` — a zero-shuffle projection — and the
+    * codebooks, `sub → cid-sorted (cid, centroid)`).
+    */
+  private[graft] def pqEncode(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, IndexedSeq[IndexedSeq[(Long, Seq[Double])]]) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+
+    def codeCols(cents: IndexedSeq[IndexedSeq[(Long, Seq[Double])]]): Seq[org.apache.spark.sql.Column] =
+      (0 until PqM).map { m =>
+        graft.functions.ArgmaxDot(
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+          typedlit(cents(m).map(_._2)), typedlit(cents(m).map(_._1)))
+          .as(s"code_$m")
+      }
+
+    // init: codeword j of subspace m = subvector m of embedding j
+    // (model-sized collect: PqK full vectors)
+    val seed = emb.filter(col("vec_id") < PqK)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    var cents: IndexedSeq[IndexedSeq[(Long, Seq[Double])]] =
+      (0 until PqM).map { m =>
+        seed.toIndexedSeq.map { case (id, v) =>
+          (id, v.slice(m * PqSubDim, (m + 1) * PqSubDim).map(_.toDouble).toSeq)
+        }
+      }
+
+    val train = emb.filter(col("vec_id") < trainBound(PqK))
+    val subOf = expr(s"pos div $PqSubDim")
+    for (_ <- 1 to PqIters) {
+      // one zero-shuffle assignment projection (8 kernels), one
+      // explode-aggregate over (sub, cell, dim) — the fused
+      // all-subspaces Lloyd step; collect is model-sized (≤ M·K·dim)
+      val assigned = train.select(
+        col("vec_id") +: col("embedding") +: codeCols(cents): _*)
+      val means = assigned
+        .select((0 until PqM).map(m => col(s"code_$m"))
+          :+ posexplode(col("embedding")).as(Seq("pos", "v")): _*)
+        .select(subOf.cast("int").as("sub"), (col("pos") % PqSubDim + 1).as("dim"),
+          col("v"),
+          element_at(array((0 until PqM).map(m => col(s"code_$m")): _*),
+            (subOf + 1).cast("int")).as("cell"))
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg((sum(floor(col("v").cast("double") * Scale.toDouble).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / Scale.toDouble)
+          .as("m"))
+        .as[(Int, Long, Int, Double)].collect()
+        .map { case (sub, c, dim, m) => (sub, c, dim) -> m }.toMap
+      cents = cents.zipWithIndex.map { case (book, m) =>
+        book.map { case (cid, prev) =>
+          (cid, prev.indices.map(i =>
+            means.getOrElse((m, cid, i + 1), prev(i))).toVector: Seq[Double])
+        }
+      }
+    }
+    (emb.select(col("vec_id") +: codeCols(cents): _*), cents)
+  }
+
+  /** ADC top-10 over the codes: per-query scaled-integer LUTs
+    * computed by the SAME FloatDoubleVecDot fold the oracle spells
+    * (on a query-count-sized frame, then collected — 3×8×8 longs),
+    * then one scan of the codes summing 8 lookups per row.
+    */
+  private[graft] def pqAdcSearch(s: org.apache.spark.sql.SparkSession,
+      d: String, codes: DataFrame,
+      cents: IndexedSeq[IndexedSeq[(Long, Seq[Double])]]): DataFrame = {
+    import s.implicits._
+    import graft.functions.FloatDoubleVecDot
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val lutCols = for (m <- 0 until PqM; j <- 0 until PqK) yield
+      floor(FloatDoubleVecDot(
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+        typedlit(cents(m)(j)._2)) * Scale.toDouble)
+        .cast("long").as(s"l_${m}_$j")
+    val lutRows = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id") +: lutCols: _*).collect()
+    val lutDf = lutRows.map { r =>
+      (r.getLong(0), (0 until PqM).map(m =>
+        (0 until PqK).map(j => r.getLong(1 + m * PqK + j))))
+    }.toSeq.toDF("query_id", "lut")
+    val score = (0 until PqM).map(m =>
+      element_at(element_at(col("lut"), m + 1),
+        (col(s"code_$m") + 1).cast("int"))).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        score.as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("neighbor_id"))
+    scored.withColumn("k", row_number().over(w))
+      .filter(col("k") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("score_scaled"), col("k"))
+      .orderBy(col("query_id"), col("k"))
+  }
+
   def all: Seq[Q] = Seq(s04AnnIvfKmeans, s24AnnPersistedIndex,
-    s25AnnIncrementalIngest)
+    s25AnnIncrementalIngest, s26AnnPqAdc)
 }

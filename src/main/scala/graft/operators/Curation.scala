@@ -2658,6 +2658,185 @@ object Curation {
     (out, dead, readVersion)
   }
 
+  /** CHANGE DATA FEED off the transaction log (c33 — the row-level
+    * read pillar completing the lakehouse set: c25 time travel reads
+    * versions, c26 incremental reads FILE deltas, THIS reads ROW
+    * deltas; Delta's Change Data Feed / Iceberg's changelog scan):
+    * for each commit, the rows removed in that version's removed
+    * files are diffed against the rows added in its added files —
+    * pre EXCEPT post (by key) = `delete`, post EXCEPT pre = `insert`,
+    * key in both with differing content = `update_preimage` +
+    * `update_postimage`, and key in both with IDENTICAL content
+    * emits NOTHING — so a pure compaction/OPTIMIZE rewrite (v5 here,
+    * which rewrites two live files into one) produces an EMPTY feed,
+    * the production contract that lets CDC consumers ignore
+    * housekeeping churn (the query `require`s it). The fixture is
+    * the c25/c26/c27 lineage: v0/v1 bulk adds, v2 deletes, v3 a
+    * re-add of deleted content (CDF correctly reports it as fresh
+    * inserts — the rows DID reappear), v4 the c27 COW MERGE (whose
+    * rewrite of bucket 1 alongside genuine inserts is exactly the
+    * case the pre/post diff exists for: the carried-over rows cancel,
+    * only the real inserts surface), v5 the no-op compaction.
+    *
+    * The oracle spells every version's expected row delta from the
+    * bucket residue algebra, so the hash gate proves
+    * touched-file diff ≡ the declarative row-level change history.
+    *
+    * Scale shape: each version reads ONLY its touched files — cost ∝
+    * churn, never table size (the same contract as c26, now at row
+    * granularity); the pre/post diff is one key-partitioned join of
+    * the touched rows (removed and added file sets of one commit are
+    * comparable sizes, so no broadcast asymmetry to exploit); a
+    * version with only adds or only removes skips the join entirely
+    * (Delta's add-only fast path — at 100 TB, append commits dominate
+    * and pay zero join).
+    */
+  val c33TxlogChangeFeed = Q(
+    "c33_txlog_change_feed",
+    """WITH chg AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, doc_id, text
+      |  FROM documents WHERE doc_id % 16 <= 7
+      |  UNION ALL
+      |  SELECT 1, 'insert', doc_id, text FROM documents WHERE doc_id % 16 >= 8
+      |  UNION ALL
+      |  SELECT 2, 'delete', doc_id, text FROM documents WHERE doc_id % 16 IN (3, 7)
+      |  UNION ALL
+      |  SELECT 3, 'insert', doc_id, text FROM documents WHERE doc_id % 16 = 3
+      |  UNION ALL
+      |  SELECT 4, 'delete', doc_id, text FROM documents WHERE doc_id % 16 = 9
+      |  UNION ALL
+      |  SELECT 4, 'update_preimage', doc_id, text FROM documents WHERE doc_id % 16 = 5
+      |  UNION ALL
+      |  SELECT 4, 'update_postimage', doc_id, 'upd:' || text FROM documents WHERE doc_id % 16 = 5
+      |  UNION ALL
+      |  SELECT 4, 'insert', doc_id + 16000000, 'ins:' || text FROM documents WHERE doc_id % 16 = 1
+      |)
+      |SELECT version, change_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS rows_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM chg GROUP BY version, change_type
+      |ORDER BY version, change_type""".stripMargin
+  ) { (s, d) =>
+    val (files, perVersion) = txlogTableWithChanges(s, d, "c33")
+    val feeds = perVersion.zipWithIndex.map { case (tx, v) =>
+      txlogChangeRows(s, files, tx).withColumn("version", lit(v.toLong))
+    }
+    // the pure-compaction commit must emit NOTHING — the CDF contract
+    // (an identical-content rewrite is not a change); isEmpty here is
+    // a metadata-cheap action over the two compacted files
+    require(feeds.last.isEmpty,
+      "c33: the pure-compaction commit emitted change rows")
+    feeds.reduce(_.unionByName(_))
+      .groupBy(col("version"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), txlogDigest.as("rows_xor"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
+  /** The c25/c26 four-commit table extended with v4 = the c27 COW
+    * MERGE (remove buckets 1/5/9, add the bucket-1 rewrite-plus-
+    * inserts and the bucket-5 update rewrite) and v5 = a pure
+    * compaction (two live files rewritten into one, identical rows)
+    * — the six-version lineage c33's change feed and q96's
+    * incremental view maintenance both read. Returns the files root
+    * and the per-version transaction list.
+    */
+  private[graft] def txlogTableWithChanges(s: SparkSession, d: String,
+      name: String): (String, IndexedSeq[TxActions]) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val (files, actions0, nCommits0) = txlogTable(s, d, name)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 until nCommits0).foreach { v =>
+      actions0.filter(_._1 == v).foreach {
+        case (_, "add", p) => require(live.add(p), s"commit $v re-adds $p")
+        case (_, "remove", p) => require(live.remove(p), s"commit $v removes unknown $p")
+        case (_, a, p) => sys.error(s"commit $v: unknown action $a on $p")
+      }
+    }
+    val logDir = java.nio.file.Paths.get(files).getParent.resolve("_log")
+    def readFiles(paths: Seq[String]): DataFrame =
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(paths.map(p => s"$files/$p"): _*)
+    val liveDf = readFiles(live.toSeq)
+    // v4: the c27 merge, verbatim (c27's Scaladoc carries the COW
+    // rationale; the projections must match its oracle algebra)
+    val inserts = Tables.documents(s, d).filter(col("doc_id") % 16 === 1)
+      .select((col("doc_id") + 16000000L).as("doc_id"),
+        concat(lit("ins:"), col("text")).as("text"))
+    liveDf.filter(col("doc_id") % 16 === 1).unionByName(inserts)
+      .write.mode("overwrite").parquet(s"$files/merge_b1")
+    liveDf.filter(col("doc_id") % 16 === 5)
+      .select(col("doc_id"), concat(lit("upd:"), col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$files/merge_b5")
+    val mergeTx = TxActions(
+      removes = Seq("bucket=1", "bucket=5", "bucket=9").filter(live.contains),
+      adds = Seq("merge_b1", "merge_b5"))
+    def commit(v: Int, tx: TxActions): Unit = {
+      java.nio.file.Files.write(logDir.resolve(f"$v%08d.json"),
+        tx.json.getBytes(utf8))
+      tx.removes.foreach(p => require(live.remove(p), s"v$v removes unknown $p"))
+      tx.adds.foreach(p => require(live.add(p), s"v$v re-adds $p"))
+    }
+    commit(nCommits0, mergeTx)
+    // v5: pure compaction — identical rows, new physical file
+    readFiles(Seq("extra_b16", "merge_b5"))
+      .write.mode("overwrite").parquet(s"$files/compact_35")
+    val compactTx = TxActions(removes = Seq("extra_b16", "merge_b5"),
+      adds = Seq("compact_35"))
+    commit(nCommits0 + 1, compactTx)
+    val perVersion = (0 until nCommits0).map { v =>
+      val acts = actions0.filter(_._1 == v)
+      TxActions(acts.filter(_._2 == "remove").map(_._3).toSeq,
+        acts.filter(_._2 == "add").map(_._3).toSeq)
+    } :+ mergeTx :+ compactTx
+    (files, perVersion.toIndexedSeq)
+  }
+
+  /** One version's row-level change feed, computed from its touched
+    * files ONLY: `(change_type, doc_id, text)` under the CDF
+    * classification (see [[c33TxlogChangeFeed]]). Add-only and
+    * remove-only commits skip the diff join entirely — the dominant
+    * append path pays one scan of the new files and no shuffle.
+    */
+  private[graft] def txlogChangeRows(s: SparkSession, files: String,
+      tx: TxActions): DataFrame = {
+    def read(paths: Seq[String]): DataFrame =
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(paths.map(p => s"$files/$p"): _*)
+    if (tx.removes.isEmpty && tx.adds.isEmpty)
+      s.range(0).select(lit("none").as("change_type"),
+        col("id").as("doc_id"), lit("").as("text"))
+    else if (tx.removes.isEmpty)
+      read(tx.adds).select(lit("insert").as("change_type"),
+        col("doc_id"), col("text"))
+    else if (tx.adds.isEmpty)
+      read(tx.removes).select(lit("delete").as("change_type"),
+        col("doc_id"), col("text"))
+    else {
+      val changeSchema = "array<struct<change_type:string,text:string>>"
+      read(tx.removes).select(col("doc_id"), col("text").as("pre_text"))
+        .join(read(tx.adds).select(col("doc_id"), col("text").as("post_text")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), explode(
+          when(col("post_text").isNull,
+            array(struct(lit("delete").as("change_type"),
+              col("pre_text").as("text"))))
+          .when(col("pre_text").isNull,
+            array(struct(lit("insert").as("change_type"),
+              col("post_text").as("text"))))
+          .when(col("pre_text") =!= col("post_text"),
+            array(struct(lit("update_preimage").as("change_type"),
+                col("pre_text").as("text")),
+              struct(lit("update_postimage").as("change_type"),
+                col("post_text").as("text"))))
+          // identical content: a rewrite, not a change — explode of
+          // the null array emits no rows and the row vanishes
+          .otherwise(lit(null).cast(changeSchema))).as("c"))
+        .select(col("c.change_type").as("change_type"), col("doc_id"),
+          col("c.text").as("text"))
+    }
+  }
+
   /** One prepared transaction: the file-granularity read/write set. */
   private[graft] final case class TxActions(removes: Seq[String], adds: Seq[String]) {
     def json: String =
@@ -3320,5 +3499,5 @@ object Curation {
     c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge,
     c28TxlogDeleteVectors, c29TxlogSchemaEvolution,
     c30TxlogOptimisticConcurrency, c31TxlogCheckpointStats,
-    c32TxlogVacuum)
+    c32TxlogVacuum, c33TxlogChangeFeed)
 }

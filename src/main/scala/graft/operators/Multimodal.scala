@@ -2771,7 +2771,7 @@ object Multimodal {
       m20AdpcmPcm, m21ExifMeta, m22GifLzw, m23GifAnim, m24Mp3SideInfo,
       m25Inflate, m26Deflate, m27JpegEntropy, m28Png, m29BmpRle,
       m30PngPalette, m31Mp3Huffman, m32MkvOpus, m33PhashDedup, m34Mp3Requant,
-      m35OpusRangeSymbols)
+      m35OpusRangeSymbols, m36OpusPvqPulses)
 
   /** OPUS RANGE-DECODER SYMBOL STREAM (m35 — the round-13 stretch:
     * RFC 6716 §4.1 over m32's framed packets): each frame of the m32
@@ -2869,6 +2869,109 @@ object Multimodal {
       })
       .toDF("media_id", "n_frames", "n_syms", "sum_uniform", "wsum_uniform",
         "sum_icdf", "wsum_icdf")
+      .orderBy(col("media_id"))
+  }
+
+  /** OPUS PVQ PULSE VECTORS (m36 — the next exactly-specified layer
+    * of RFC 6716 over m35's range decoder, the round-14 stretch:
+    * CELT codes each band's shape as a PVQ codeword, §4.3.4.2): each
+    * frame of the m32 packet schedule now carries two m35 uniform
+    * symbols followed by a PVQ codeword index coded with
+    * ec_enc_uint — which is the NEW §4.1.5/§4.1.4 machinery: indices
+    * wider than 8 bits split into range-coded high bits and RAW BITS
+    * READ FROM THE FRAME END (the two-streams-one-buffer layout real
+    * Opus frames use; [[graft.multimodal.OpusRangeEncoder.doneInto]]
+    * `require`s they never meet). The decode side runs the full
+    * ladder — packet parse → range decode → ec_dec_uint → CWRS index
+    * walk ([[graft.multimodal.Pvq]], V(N,K) per the spec's
+    * recurrence) — and aggregates the DECODED pulse vectors; the
+    * oracle re-derives the same sums from the closed-form pulse
+    * schedule, so the hash gate proves encode ∘ frame-layout ∘
+    * decode ≡ identity over every frame of the corpus. The N/K
+    * schedule spans both uint paths (V(4,1)=8 single-symbol,
+    * V(8,4)=2816 with a 4-bit raw tail). OpusPvqSpec pins V by
+    * brute-force enumeration, the index walk exhaustively, raw-bit
+    * KATs by hand, and uint corruption handling.
+    *
+    * Scale shape: zero-shuffle per-partition kernel over spread ids
+    * (the m31/m35 discipline) — decode is embarrassingly parallel
+    * and the aggregation is one map-side-combined groupBy.
+    */
+  val m36OpusPvqPulses = Q(
+    "m36_opus_pvq_pulses",
+    { val c = "((doc_id + p) % 4)"
+      val lens = s"""(CASE CAST($c AS INT)
+         |      WHEN 0 THEN [20 + (doc_id + 3*p) % 30]
+         |      WHEN 1 THEN [15 + (doc_id + 3*p) % 20, 15 + (doc_id + 3*p) % 20]
+         |      WHEN 2 THEN [248 + (doc_id + 3*p) % 8, 12 + (doc_id + p) % 20]
+         |      ELSE [8 + (doc_id + p) % 15, 8 + (doc_id + p + 5) % 15,
+         |            8 + (doc_id + p + 10) % 15] END)""".stripMargin
+      s"""WITH pk AS (
+         |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS p FROM documents
+         |), per AS (
+         |  SELECT doc_id, p, $lens AS lens FROM pk
+         |), fr AS (
+         |  SELECT doc_id, p, u.f AS f
+         |  FROM per, LATERAL (SELECT unnest(range(0, len(lens))) AS f) u
+         |), pv AS (
+         |  SELECT doc_id, p, f,
+         |    4 + (doc_id + p + f) % 5 AS n,
+         |    1 + (doc_id + 2*p + f) % 4 AS kk,
+         |    (doc_id + p + f) % (4 + (doc_id + p + f) % 5) AS rot
+         |  FROM fr
+         |), sums AS (
+         |  SELECT doc_id, p, f, n, kk,
+         |    ((doc_id + 13*p + 7*f) % 16) + ((doc_id + 13*p + 7*f + 5) % 16) AS su,
+         |    list_sum(list_transform(range(0, n), i ->
+         |      (CASE WHEN (doc_id + 3*i + p + f) % 2 = 0 THEN 1 ELSE -1 END)
+         |        * ((kk // n) + CASE WHEN (i + rot) % n < (kk % n) THEN 1 ELSE 0 END))) AS sy,
+         |    list_sum(list_transform(range(0, n), i ->
+         |      (i + 1) * (CASE WHEN (doc_id + 3*i + p + f) % 2 = 0 THEN 1 ELSE -1 END)
+         |        * ((kk // n) + CASE WHEN (i + rot) % n < (kk % n) THEN 1 ELSE 0 END))) AS wy
+         |  FROM pv
+         |)
+         |SELECT doc_id AS media_id,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(kk) AS BIGINT) AS n_pulses,
+         |  CAST(sum(su) AS BIGINT) AS sum_uniform,
+         |  CAST(sum(sy) AS BIGINT) AS sum_pulse,
+         |  CAST(sum(wy) AS BIGINT) AS wsum_pulse
+         |FROM sums GROUP BY doc_id ORDER BY media_id""".stripMargin }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{OpusPacket, OpusRange, OpusRangeDecoder, Pvq}
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
+      .mapPartitions(_.map { id =>
+        var nFrames = 0L; var nPulses = 0L; var sumU = 0L
+        var sumY = 0L; var wsumY = 0L
+        var p = 0
+        val nPk = OpusPacket.Sched.nPackets(id)
+        while (p < nPk) {
+          val pkt = OpusPacket.buildPacketWith(id, p,
+            (f, l) => OpusRange.frameBytes36(id, p, f, l))
+          val parsed = OpusPacket.parse(pkt, id)
+          parsed.frames.zipWithIndex.foreach { case (frame, f) =>
+            nFrames += 1
+            val n = OpusRange.pvqN(id, p, f)
+            val k = OpusRange.pvqK(id, p, f)
+            val dec = new OpusRangeDecoder(frame)
+            sumU += dec.decodeUniform(16)
+            sumU += dec.decodeUniform(16)
+            val y = Pvq.decode(n, k, dec.decodeUint(Pvq.vCount(n, k)))
+            var i = 0
+            while (i < y.length) {
+              nPulses += math.abs(y(i)) // Σ|y| ≡ K proves the walk
+              sumY += y(i)
+              wsumY += (i + 1).toLong * y(i)
+              i += 1
+            }
+          }
+          p += 1
+        }
+        (id, nFrames, nPulses, sumU, sumY, wsumY)
+      })
+      .toDF("media_id", "n_frames", "n_pulses", "sum_uniform",
+        "sum_pulse", "wsum_pulse")
       .orderBy(col("media_id"))
   }
 }

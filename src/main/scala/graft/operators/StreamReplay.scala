@@ -2006,6 +2006,143 @@ object StreamReplay {
     (readTxAppendTable(s, files, logDir), lost.get())
   }
 
+  /** STREAMING INCREMENTAL VIEW MAINTENANCE off the change feed (q96
+    * — the consumer c33 exists for; Delta CDF → MERGE-maintained
+    * materialized view, the pattern every warehouse's "streaming
+    * table → live dashboard" path runs): a stream TAILS the
+    * transaction log (file source over the commit dir, one commit
+    * per trigger, mtimes staggered in version order — the
+    * [[orderedEventsChunkStream]] discipline), computes each
+    * commit's row-level change feed from its TOUCHED FILES ONLY
+    * ([[Curation.txlogChangeRows]]), and folds the uniform delta
+    * algebra into a per-bucket materialized view:
+    * `n += Σ sign`, `sum_doc_id += Σ sign·doc_id`,
+    * `content_xor ^= xor(all change-row digests)` — sign is +1 for
+    * insert/update_postimage, −1 for delete/update_preimage, and
+    * xor needs no sign because it is its own inverse. The query
+    * emits the view AFTER EVERY version, and the oracle spells each
+    * version's expected view declaratively from the residue algebra
+    * — so the hash gate proves six consecutive incremental folds ≡
+    * six from-scratch aggregations, including that the v5 pure
+    * compaction leaves the view bit-identical.
+    *
+    * Scale shape: per trigger the work is the commit's touched-file
+    * scan + one view-sized merge — cost ∝ churn + view, never table
+    * (an MV over a 100 TB table refreshes from a 100 MB commit in
+    * commit time; the from-scratch alternative re-scans 100 TB). The
+    * per-commit action collect is metadata-sized (the same read
+    * every Delta client performs); the view itself never touches the
+    * driver.
+    */
+  val q96StreamCdfViewMaintenance = Q(
+    "q96_stream_cdf_view_maintenance",
+    """WITH v AS (SELECT CAST(unnest(generate_series(0, 5)) AS BIGINT) AS version),
+      |lv AS (
+      |  SELECT v.version, d.doc_id,
+      |         CASE WHEN v.version >= 4 AND d.doc_id % 16 = 5
+      |              THEN 'upd:' || d.text ELSE d.text END AS text
+      |  FROM v JOIN documents d ON (
+      |    CASE CAST(v.version AS INT)
+      |      WHEN 0 THEN d.doc_id % 16 <= 7
+      |      WHEN 1 THEN TRUE
+      |      WHEN 2 THEN d.doc_id % 16 NOT IN (3, 7)
+      |      WHEN 3 THEN d.doc_id % 16 <> 7
+      |      ELSE d.doc_id % 16 NOT IN (7, 9) END)
+      |  UNION ALL
+      |  SELECT v.version, d.doc_id + 16000000, 'ins:' || d.text
+      |  FROM v JOIN documents d ON v.version >= 4 AND d.doc_id % 16 = 1
+      |)
+      |SELECT version, doc_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM lv GROUP BY version, doc_id % 16
+      |ORDER BY version, bucket""".stripMargin
+  ) { (s, d) => cdfViewMaintenance(s, d) }
+
+  private[graft] def cdfViewMaintenance(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (files, _) = Curation.txlogTableWithChanges(s, d, "q96")
+    val base = java.nio.file.Paths.get(files).getParent
+    val logDir = base.resolve("_log")
+    val viewRoot = base.resolve("view").toString
+    val viewSchema = "bucket BIGINT, n_docs BIGINT, content_xor BIGINT, sum_doc_id BIGINT"
+    // stagger commit-file mtimes in version order: the file source
+    // admits files by (modification time, path) and same-ms writes
+    // would let listing order race the version order
+    val commits = new java.io.File(logDir.toString).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val t0 = commits.map(_.lastModified()).max
+    commits.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + (i + 1) * 2000L): Unit
+    }
+    val digestXor = expr("bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) " +
+      "|| ':' || text), 1, 15), 16, 10) AS BIGINT))")
+    val isPost = col("change_type").isin("insert", "update_postimage")
+    val src = s.readStream.schema("action STRING, path STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(logDir.toString)
+      .select(col("action"), col("path"),
+        regexp_extract(input_file_name(), "(\\d+)\\.json", 1)
+          .cast("int").as("version"))
+    val query = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // one commit per trigger (maxFilesPerTrigger=1, mtimes
+        // staggered), so the BATCH ID is the version — derived
+        // independently of the rows because a legitimate commit can
+        // be EMPTY (a tiny fixture's remove commit with nothing
+        // present) and its view snapshot must still materialize.
+        // The actions collect is metadata-sized, the same read every
+        // Delta client performs on a discovered commit.
+        val v = id.toInt
+        val acts = batch.select("version", "action", "path").collect()
+        acts.foreach(r => require(r.getInt(0) == v,
+          s"q96: batch $v carried commit v${r.getInt(0)} — " +
+            "the log tail is out of order"))
+        locally {
+          val tx = Curation.TxActions(
+            acts.filter(_.getString(1) == "remove").map(_.getString(2)).toSeq,
+            acts.filter(_.getString(1) == "add").map(_.getString(2)).toSeq)
+          val delta = Curation.txlogChangeRows(s, files, tx)
+            .groupBy((col("doc_id") % 16).as("bucket"))
+            .agg(sum(when(isPost, 1L).otherwise(-1L)).as("dn"),
+              digestXor.as("dxor"),
+              sum(when(isPost, col("doc_id")).otherwise(-col("doc_id")))
+                .as("dsum"))
+          val old =
+            if (v == 0)
+              s.range(0).select(col("id").as("bucket"), col("id").as("n_docs"),
+                col("id").as("content_xor"), col("id").as("sum_doc_id"))
+            else {
+              val prev = java.nio.file.Paths.get(viewRoot, s"v=${v - 1}")
+              require(java.nio.file.Files.exists(prev),
+                s"q96: commit v$v arrived before v${v - 1}'s view was " +
+                  "materialized — the log tail is out of order")
+              s.read.schema(viewSchema).parquet(prev.toString)
+            }
+          old.join(delta, Seq("bucket"), "full_outer")
+            .select(col("bucket"),
+              (coalesce(col("n_docs"), lit(0L))
+                + coalesce(col("dn"), lit(0L))).as("n_docs"),
+              // xor with the 0 identity ≡ bit_xor over surviving rows
+              coalesce(col("content_xor"), lit(0L))
+                .bitwiseXOR(coalesce(col("dxor"), lit(0L))).as("content_xor"),
+              (coalesce(col("sum_doc_id"), lit(0L))
+                + coalesce(col("dsum"), lit(0L))).as("sum_doc_id"))
+            .filter(col("n_docs") > 0) // an emptied bucket leaves the view
+            .write.mode("overwrite").parquet(s"$viewRoot/v=$v")
+        }
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.schema(viewSchema).option("basePath", viewRoot)
+      .parquet(s"$viewRoot/v=*")
+      .select(col("v").cast("long").as("version"), col("bucket"),
+        col("n_docs"), col("content_xor"), col("sum_doc_id"))
+      .orderBy(col("version"), col("bucket"))
+  }
+
   /** q93's decade decomposition: index build (the amortized nightly
     * term) timed apart from the STREAMING GATE REPLAY of a FIXED
     * shard (capped at the base fixture's ids — ScaleGen replicas
@@ -2126,5 +2263,5 @@ object StreamReplay {
     q85StreamDedupTtlReplay, q86StreamUpdateAggReplay, q87StatestoreRange,
     q88StreamSessionReplay, q90StreamJoinAggReplay, q92TimerSessionReplay,
     q93StreamNearDupGate, q94StreamIngestTxlogAppend,
-    q95ConcurrentTxlogWriters)
+    q95ConcurrentTxlogWriters, q96StreamCdfViewMaintenance)
 }

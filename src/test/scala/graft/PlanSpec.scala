@@ -873,6 +873,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in a per-row codec:\n$p")
   }
 
+  test("m36: the PVQ decode is a zero-shuffle per-partition kernel") {
+    val p = plan("m36_opus_pvq_pulses")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row synth+decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row codec:\n$p")
+  }
+
   test("c28: the MOR scan applies deletes as one broadcast anti-join, never a cartesian") {
     // the run writes the table + commits and returns the replayed
     // scan — the plan pin is on that final scan

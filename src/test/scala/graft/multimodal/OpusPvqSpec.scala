@@ -1,0 +1,138 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the m36 ladder: the PVQ codebook combinatorics (V re-derived
+  * by brute-force enumeration; the index walk pinned EXHAUSTIVELY —
+  * every index of several small codebooks decodes to a distinct
+  * valid vector and re-encodes to itself), the §4.1.4 raw-bit reader
+  * on hand-stepped literals, and the §4.1.5 uint coder on both of
+  * its paths plus its corruption branch — the OpusRangeSpec
+  * discipline one layer up.
+  */
+class OpusPvqSpec extends AnyFunSuite {
+
+  /** Brute-force V(n, k): enumerate every integer vector with
+    * Σ|y| = k by recursive descent — independent of the recurrence
+    * the implementation uses.
+    */
+  private def bruteVectors(n: Int, k: Int): Seq[List[Int]] =
+    if (n == 0) { if (k == 0) Seq(Nil) else Seq.empty }
+    else (-k to k).flatMap { v =>
+      bruteVectors(n - 1, k - math.abs(v)).map(v :: _)
+    }
+
+  test("V(n,k) recurrence matches brute-force enumeration") {
+    for (n <- 0 to 5; k <- 0 to 5)
+      assert(Pvq.vCount(n, k) == bruteVectors(n, k).count(_.map(math.abs).sum == k),
+        s"V($n,$k)")
+    // hand values: V(3,2) = 2·3·C(1,0)·… = 6 + 12 = 18; V(8,4) = 2816
+    assert(Pvq.vCount(3, 2) == 18)
+    assert(Pvq.vCount(8, 4) == 2816)
+    assert(Pvq.vCount(1, 3) == 2) // ±3 only
+    assert(Pvq.vCount(4, 0) == 1) // the zero vector
+  }
+
+  test("index walk is an exhaustive bijection on small codebooks") {
+    for ((n, k) <- Seq((2, 1), (3, 2), (4, 3), (5, 2), (8, 4))) {
+      val total = Pvq.vCount(n, k)
+      val seen = scala.collection.mutable.Set.empty[List[Int]]
+      var idx = 0L
+      while (idx < total) {
+        val y = Pvq.decode(n, k, idx)
+        assert(y.length == n && y.map(math.abs).sum == k,
+          s"V($n,$k) index $idx decoded invalid ${y.toList}")
+        assert(seen.add(y.toList), s"V($n,$k) index $idx repeated ${y.toList}")
+        assert(Pvq.encode(y) == idx,
+          s"V($n,$k): decode($idx) = ${y.toList} re-encodes to ${Pvq.encode(y)}")
+        idx += 1
+      }
+      assert(seen.size.toLong == total)
+    }
+  }
+
+  test("decode rejects an out-of-range index; encode rejects oversize K") {
+    intercept[IllegalArgumentException](Pvq.decode(3, 2, 18L))
+    intercept[IllegalArgumentException](Pvq.decode(3, 2, -1L))
+    intercept[IllegalArgumentException](Pvq.encode(Array.fill(4)(5)))
+  }
+
+  test("KAT: raw bits read LSB-first from the frame END") {
+    // Hand derivation (§4.1.4): the end reader takes buf(len−1)
+    // first and accumulates LSB-first. buf ends …, 0xC4, 0xB5:
+    //  decodeBits(4): window = 0xB5 → low 4 = 5; window left = 0xB (3 bits... 4 bits)
+    //  decodeBits(6): avail 4 < 6 → pull 0xC4: window = 0xB | (0xC4<<4)
+    //     = 0xC4B (binary 1100_0100_1011); low 6 = 0b001011 = 11
+    //  decodeBits(2): window now 0b110001 → low 2 = 0b01 = 1
+    val buf = Array(0x00, 0x00, 0xC4, 0xB5).map(_.toByte)
+    val dec = new OpusRangeDecoder(buf)
+    assert(dec.decodeBits(4) == 5)
+    assert(dec.decodeBits(6) == 11)
+    assert(dec.decodeBits(2) == 1)
+  }
+
+  test("encodeBits/decodeBits roundtrip through doneInto's end layout") {
+    val enc = new OpusRangeEncoder
+    enc.encodeUniform(7, 16) // a front stream must coexist
+    val fields = Seq((5, 4), (11, 6), (1, 2), (300, 9), (0, 3), (1, 1))
+    fields.foreach { case (v, b) => enc.encodeBits(v, b) }
+    val frame = enc.doneInto(16)
+    assert(frame.length == 16)
+    val dec = new OpusRangeDecoder(frame)
+    assert(dec.decodeUniform(16) == 7)
+    fields.foreach { case (v, b) =>
+      assert(dec.decodeBits(b) == v, s"field ($v, $b bits)")
+    }
+  }
+
+  test("uint roundtrip on both paths (ft <= 256 range-only; ft > 256 split)") {
+    val cases = Seq[(Long, Long)](
+      (0L, 2L), (1L, 2L), (7L, 8L), (255L, 256L), // pure range path
+      (256L, 257L), (0L, 2816L), (1234L, 2816L), (2815L, 2816L), // split
+      (99999L, 1000000L)) // 20-bit: 12 raw bits
+    val enc = new OpusRangeEncoder
+    cases.foreach { case (fl, ft) => enc.encodeUint(fl, ft) }
+    val frame = enc.doneInto(24)
+    val dec = new OpusRangeDecoder(frame)
+    cases.foreach { case (fl, ft) =>
+      assert(dec.decodeUint(ft) == fl, s"uint($fl of $ft)")
+    }
+  }
+
+  test("uint corruption (reassembled value >= ft) throws loudly") {
+    // all-0xFF raw tail + high range symbol: pick ft = 257 so the
+    // high symbol alphabet is 2 and the raw byte supplies 8 one-bits
+    // → candidate 511 > 256 must throw, not wrap
+    val buf = Array.fill[Byte](12)(0xFF.toByte)
+    val dec = new OpusRangeDecoder(buf)
+    intercept[IllegalStateException](dec.decodeUint(257L))
+  }
+
+  test("doneInto refuses overlapping front and end streams") {
+    val enc = new OpusRangeEncoder
+    for (k <- 0 until 8) enc.encodeUniform(k % 16, 16) // 4 front bytes
+    enc.encodeBits(0x3FF, 10) // 2 end bytes
+    intercept[IllegalArgumentException](enc.doneInto(5))
+  }
+
+  test("m36 frames roundtrip over the packet schedule for sample ids") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 251L, 499L)) {
+      val nPk = OpusPacket.Sched.nPackets(id)
+      for (p <- 0 until nPk) {
+        val pkt = OpusPacket.buildPacketWith(id, p,
+          (f, l) => OpusRange.frameBytes36(id, p, f, l))
+        OpusPacket.parse(pkt, id).frames.zipWithIndex.foreach { case (fr, f) =>
+          val n = OpusRange.pvqN(id, p, f)
+          val k = OpusRange.pvqK(id, p, f)
+          val dec = new OpusRangeDecoder(fr)
+          assert(dec.decodeUniform(16) == OpusRange.uniformSym(id, p, f, 0))
+          assert(dec.decodeUniform(16) == OpusRange.uniformSym(id, p, f, 1))
+          val y = Pvq.decode(n, k, dec.decodeUint(Pvq.vCount(n, k)))
+          assert(y.toSeq == OpusRange.pulseVector(id, p, f).toSeq,
+            s"id=$id p=$p f=$f")
+          assert(y.map(math.abs).sum == k)
+        }
+      }
+    }
+  }
+}
