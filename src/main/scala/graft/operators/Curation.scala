@@ -2733,6 +2733,182 @@ object Curation {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** OPTIMIZE ZORDER over the transaction log (c34 — the maintenance
+    * op that makes c31's stats skipping EARN its keep on
+    * multi-dimensional predicates; Databricks OPTIMIZE ZORDER BY /
+    * Iceberg rewrite with a z-order sort strategy): the table
+    * arrives as 8 ingest shards keyed by doc_id residue, so EVERY
+    * file spans the full doc_id range AND the full length range —
+    * per-file min/max stats are useless and a 2-D predicate
+    * (doc_id range ∧ byte-length range) must open every footer. The
+    * OPTIMIZE commit rewrites the live set clustered by the
+    * domain-scaled Morton key over (doc_id, octet_length) —
+    * [[ZorderLayout.zkeyScaled]], ONE range shuffle + per-partition
+    * sorted writes, the production shape — and logs each output file
+    * with TWO-column stats. The reader then prunes by
+    * rectangle-intersection BEFORE any footer opens, and the query
+    * `require`s the clustered layout strictly out-prunes the ingest
+    * layout (≥, strict when the clustered set is ≥ 8 files — tiny
+    * fixtures can produce too few files for strictness) and that the
+    * rewrite preserved the exact row count. The oracle computes the
+    * 2-D selection declaratively, so the hash gate proves
+    * z-rewrite ∘ commit ∘ stats-pruned scan ≡ the predicate — the
+    * pruning never loses a row.
+    *
+    * Scale shape: at 100 TB this is THE difference between a 2-D
+    * probe reading ~everything (ingest layout: every file's
+    * rectangle covers the query) and reading O(matched) files
+    * (clustered: rectangles tile the key plane); the OPTIMIZE cost
+    * is one range shuffle amortized over every later probe, and the
+    * stats fold is log metadata (the c31 discipline — prune from the
+    * LOG, never from footers).
+    */
+  val c34TxlogZorderOptimize = Q(
+    "c34_txlog_zorder_optimize",
+    // oracle spelling: DuckDB 1.0's octet_length only accepts
+    // BLOB/BIT — strlen(VARCHAR) is its byte-length (UTF-8 bytes,
+    // identical to Spark's octet_length over string)
+    """WITH b AS (
+      |  SELECT CAST(max(doc_id) AS BIGINT) AS max_id,
+      |         CAST(min(strlen(text)) AS BIGINT) AS mn,
+      |         CAST(max(strlen(text)) AS BIGINT) AS mx
+      |  FROM documents
+      |), sel AS (
+      |  SELECT d.doc_id, d.text, CAST(strlen(d.text) AS BIGINT) AS len
+      |  FROM documents d, b
+      |  WHERE d.doc_id >= b.max_id // 4 AND d.doc_id <= b.max_id // 2
+      |    AND strlen(d.text) >= b.mn + (b.mx - b.mn) // 4
+      |    AND strlen(d.text) <= b.mn + (b.mx - b.mn) // 2
+      |)
+      |SELECT len % 4 AS len_mod, CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT)) AS content_xor,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM sel GROUP BY 1 ORDER BY len_mod""".stripMargin
+  ) { (s, d) => c34Run(s, d)._1 }
+
+  /** c34's builder + optimizer + pruned reader, factored so
+    * TxlogZorderSpec can pin the pruning arithmetic. Returns
+    * (the pruned-scan result, files skipped under the INGEST layout,
+    * files skipped under the CLUSTERED layout, clustered file count).
+    */
+  private[graft] def c34Run(s: SparkSession, d: String)
+      : (DataFrame, Int, Int, Int) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val base = StreamReplay.tempReplayDir("c34")
+    val files = base.resolve("files").toString
+    val logDir = base.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      octet_length(col("text")).cast("long").as("len"))
+    // ---- ingest layout: 8 arrival shards, each spanning BOTH full
+    // ranges (the zone-map worst case) ------------------------------
+    docs.withColumn("chunk", col("doc_id") % 8)
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$files/ingest")
+    type St = (Long, Long, Long, Long, Long) // idLo, idHi, lenLo, lenHi, n
+    // per-file stats in one metadata-sized agg (a real writer reads
+    // these from the footers it just wrote)
+    val chunkStats: Seq[(String, St)] = s.read.parquet(s"$files/ingest")
+      .groupBy(col("chunk").cast("long").as("chunk"))
+      .agg(min(col("doc_id")).as("a"), max(col("doc_id")).as("b"),
+        min(col("len")).as("c"), max(col("len")).as("e"),
+        count(lit(1)).as("n"))
+      .collect().toSeq
+      .map(r => s"ingest/chunk=${r.getLong(0)}" ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .sortBy(_._1)
+    def addJson(path: String, st: St): String =
+      s"""{"action":"add","path":"$path","min_doc_id":${st._1},"max_doc_id":${st._2},""" +
+        s""""min_len":${st._3},"max_len":${st._4},"n_rows":${st._5}}"""
+    var nextV = 0
+    def commit(json: String): Unit = {
+      java.nio.file.Files.write(logDir.resolve(f"$nextV%08d.json"),
+        json.getBytes(utf8))
+      nextV += 1
+    }
+    chunkStats.foreach { case (p, st) => commit(addJson(p, st)) }
+    // ---- the OPTIMIZE commit: z-order rewrite ---------------------
+    // domain bounds: one metadata-class agg (the same class as c31's
+    // width derivation); they parameterize the scaled Morton key AND
+    // the probe predicate, in exact integer arithmetic both engines
+    // can spell
+    val bounds = docs.agg(max(col("doc_id")), min(col("len")), max(col("len"))).head()
+    val (maxId, mnLen, mxLen) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val live = s.read.schema("doc_id BIGINT, text STRING, len BIGINT")
+      .parquet(chunkStats.map(p => s"$files/${p._1}"): _*)
+    live.withColumn("zkey",
+        ZorderLayout.zkeyScaled(col("doc_id"), col("len"),
+          0L, maxId, mnLen, mxLen))
+      .repartitionByRange(16, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(s"$files/zopt")
+    val zStats: Seq[(String, St)] = s.read.parquet(s"$files/zopt")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("doc_id")).as("a"), max(col("doc_id")).as("b"),
+        min(col("len")).as("c"), max(col("len")).as("e"),
+        count(lit(1)).as("n"))
+      .collect().toSeq
+      .map { r =>
+        val f = r.getString(0)
+        val marker = "/zopt/"
+        val rel = "zopt/" + f.substring(f.indexOf(marker) + marker.length)
+        rel -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      }
+      .sortBy(_._1)
+    require(zStats.map(_._2._5).sum == chunkStats.map(_._2._5).sum,
+      "OPTIMIZE changed the table's row count")
+    commit((chunkStats.map(p => s"""{"action":"remove","path":"${p._1}"}""") ++
+      zStats.map { case (p, st) => addJson(p, st) }).mkString("\n"))
+    // ---- the reader: fold the log, prune by stats rectangles ------
+    val statsSchema = "action STRING, path STRING, min_doc_id BIGINT, " +
+      "max_doc_id BIGINT, min_len BIGINT, max_len BIGINT, n_rows BIGINT"
+    val folded = scala.collection.mutable.LinkedHashMap.empty[String, St]
+    (0 until nextV).foreach { v =>
+      s.read.schema(statsSchema)
+        .json(logDir.resolve(f"$v%08d.json").toString).collect().foreach { r =>
+          (r.getString(0), r.getString(1)) match {
+            case ("add", p) => require(folded.put(p,
+              (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+                r.getLong(6))).isEmpty, s"commit $v re-adds live $p")
+            case ("remove", p) => require(folded.remove(p).nonEmpty,
+              s"commit $v removes unknown $p")
+            case (a, p) => sys.error(s"commit $v: unknown action $a on $p")
+          }
+        }
+    }
+    val (idLo, idHi) = (maxId / 4, maxId / 2)
+    val (lenLo, lenHi) = (mnLen + (mxLen - mnLen) / 4, mnLen + (mxLen - mnLen) / 2)
+    def hits(st: St): Boolean =
+      st._2 >= idLo && st._1 <= idHi && st._4 >= lenLo && st._3 <= lenHi
+    val (scanFiles, skippedZ) = folded.toSeq.partition(p => hits(p._2))
+    require(skippedZ.forall(p => !hits(p._2)),
+      "stats skipping: a skipped file's rectangle intersects the probe")
+    val skippedIngest = chunkStats.count(p => !hits(p._2))
+    // the OPTIMIZE must buy pruning: strictly more skipped than the
+    // ingest layout once the clustered set is big enough to tile
+    if (folded.size >= 8)
+      require(skippedZ.length > skippedIngest,
+        s"z-order bought no pruning: ${skippedZ.length} skipped vs " +
+          s"$skippedIngest under the ingest layout")
+    else require(skippedZ.length >= skippedIngest,
+      "z-order lost pruning vs the ingest layout")
+    val snap = (if (scanFiles.isEmpty)
+        s.range(0).select(col("id").as("doc_id"), lit("").as("text"),
+          col("id").as("len"))
+      else s.read.schema("doc_id BIGINT, text STRING, len BIGINT")
+        .parquet(scanFiles.map(p => s"$files/${p._1}"): _*))
+      .filter(col("doc_id").between(idLo, idHi)
+        && col("len").between(lenLo, lenHi))
+    val out = snap
+      .groupBy((col("len") % 4).as("len_mod"))
+      .agg(count(lit(1)).as("n_docs"), txlogDigest.as("content_xor"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("len_mod"))
+    (out, skippedIngest, skippedZ.length, zStats.length)
+  }
+
   /** The c25/c26 four-commit table extended with v4 = the c27 COW
     * MERGE (remove buckets 1/5/9, add the bucket-1 rewrite-plus-
     * inserts and the bucket-5 update rewrite) and v5 = a pure
@@ -2740,8 +2916,31 @@ object Curation {
     * — the six-version lineage c33's change feed and q96's
     * incremental view maintenance both read. Returns the files root
     * and the per-version transaction list.
+    *
+    * MEMOIZED like [[nearDupKept]]'s manifest (one fixture build per
+    * (dir, source fingerprint) per process — c33, q96, and their
+    * probes all read the same immutable six-version table, exactly
+    * as both would read ONE production table; build cost accumulates
+    * in [[txlogChangesBuildSec]] and Bench reports it next to the
+    * per-query mins). Reuse is read-only: the commit mtime stagger
+    * q96's file source needs happens once, inside the build.
     */
+  private[graft] val txlogChangesBuildSec =
+    new java.util.concurrent.atomic.AtomicLong(0) // nanos, summed
+  private val txlogChangesArtifact = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, IndexedSeq[TxActions])]()
   private[graft] def txlogTableWithChanges(s: SparkSession, d: String,
+      name: String): (String, IndexedSeq[TxActions]) = {
+    val key = s"$d:${Tables.sourceFingerprint(new java.io.File(s"$d/documents.parquet"))}"
+    txlogChangesArtifact.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val built = txlogTableWithChangesBuild(s, d, name)
+      txlogChangesBuildSec.addAndGet(System.nanoTime() - t0): Unit
+      built
+    })
+  }
+
+  private def txlogTableWithChangesBuild(s: SparkSession, d: String,
       name: String): (String, IndexedSeq[TxActions]) = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val (files, actions0, nCommits0) = txlogTable(s, d, name)
@@ -2789,6 +2988,15 @@ object Curation {
       TxActions(acts.filter(_._2 == "remove").map(_._3).toSeq,
         acts.filter(_._2 == "add").map(_._3).toSeq)
     } :+ mergeTx :+ compactTx
+    // stagger commit mtimes in version order once, at build time:
+    // q96's file source admits files by (modification time, path),
+    // and same-ms writes would let listing order race version order
+    val commitFiles = new java.io.File(logDir.toString).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val t0 = commitFiles.map(_.lastModified()).max
+    commitFiles.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + (i + 1) * 2000L): Unit
+    }
     (files, perVersion.toIndexedSeq)
   }
 
@@ -3499,5 +3707,5 @@ object Curation {
     c25TxlogSnapshot, c26TxlogIncremental, c27TxlogMerge,
     c28TxlogDeleteVectors, c29TxlogSchemaEvolution,
     c30TxlogOptimisticConcurrency, c31TxlogCheckpointStats,
-    c32TxlogVacuum, c33TxlogChangeFeed)
+    c32TxlogVacuum, c33TxlogChangeFeed, c34TxlogZorderOptimize)
 }

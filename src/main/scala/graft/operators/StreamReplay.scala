@@ -2061,20 +2061,15 @@ object StreamReplay {
 
   private[graft] def cdfViewMaintenance(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // the fixture is the memoized shared table (commit mtimes already
+    // staggered at build); ckpt + view live in a FRESH per-run dir so
+    // every invocation replays the full stream — the memo amortizes
+    // only the table build, never the measured streaming work
     val (files, _) = Curation.txlogTableWithChanges(s, d, "q96")
-    val base = java.nio.file.Paths.get(files).getParent
-    val logDir = base.resolve("_log")
+    val logDir = java.nio.file.Paths.get(files).getParent.resolve("_log")
+    val base = tempReplayDir("q96run")
     val viewRoot = base.resolve("view").toString
     val viewSchema = "bucket BIGINT, n_docs BIGINT, content_xor BIGINT, sum_doc_id BIGINT"
-    // stagger commit-file mtimes in version order: the file source
-    // admits files by (modification time, path) and same-ms writes
-    // would let listing order race the version order
-    val commits = new java.io.File(logDir.toString).listFiles()
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-    val t0 = commits.map(_.lastModified()).max
-    commits.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + (i + 1) * 2000L): Unit
-    }
     val digestXor = expr("bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING) " +
       "|| ':' || text), 1, 15), 16, 10) AS BIGINT))")
     val isPost = col("change_type").isin("insert", "update_postimage")
