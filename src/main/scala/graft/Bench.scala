@@ -250,7 +250,15 @@ object Bench {
         "neardup_kept_build_sec" ->
           graft.operators.Curation.keptKernelBuildSec.get() / 1e9,
         "txlog_changes_build_sec" ->
-          graft.operators.Curation.txlogChangesBuildSec.get() / 1e9)
+          graft.operators.Curation.txlogChangesBuildSec.get() / 1e9,
+        "d16_index_build_sec" ->
+          graft.operators.Dedup.d16IndexBuildSec.get() / 1e9,
+        "emb_labels_build_sec" ->
+          graft.operators.Dedup.embLabelsBuildSec.get() / 1e9,
+        "ordered_fixture_build_sec" ->
+          graft.operators.StreamReplay.orderedFixtureBuildSec.get() / 1e9,
+        "gate_sides_build_sec" ->
+          graft.operators.StreamReplay.gateSidesBuildSec.get() / 1e9)
         .filter(_._2 > 0)
         .map { case (k, v) => s""""$k":$v""" }
       if (entries.nonEmpty)

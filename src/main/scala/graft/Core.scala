@@ -148,6 +148,74 @@ object Tables {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
+  /** SCALE-ADAPTIVE SCAN SPREAD (r15 optimization, guide §2.5 "input
+    * skew: one huge unsplittable file — repartition immediately after
+    * the read"): every driver fixture table is ONE parquet row group,
+    * so every scan stage is ONE task and all per-row work planned
+    * into it (codec kernels, gram/minhash projections, partial
+    * aggregation buffers) runs on one core of 32. A conditional
+    * round-robin repartition to the session's parallelism parallelizes
+    * that work; the guard makes it a NO-OP whenever the scan already
+    * carries at least half the session's parallelism — i.e. at any
+    * real multi-file/multi-row-group scale the plan is untouched, and
+    * no production bytes pay an extra exchange (the same conditional
+    * Multimodal.spreadIds has used since round 10). Apply only where
+    * the downstream work is order-insensitive (per-row projections,
+    * exact-decimal/count/min-max aggregates, sorted-collect digests)
+    * — the repo's oracle-parity rules already make the checked
+    * aggregates partitioning-independent by construction.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
+  /** [[spread]] for frames DOWNSTREAM OF AN EXCHANGE (window/agg/join
+    * output): `.rdd` on such a plan would force AQE's final-plan
+    * resolution and pre-execute the upstream shuffle stages (the work
+    * would then run twice), so the partition probe is not usable —
+    * this variant repartitions unconditionally. Use it only where the
+    * downstream projection is the dominant CPU: AQE right-sizes
+    * post-shuffle partitions by BYTES, so a small-but-expensive frame
+    * (keeper sets feeding signature computation) gets coalesced to
+    * ~one task; redistributing it across the session's cores before
+    * the expensive projection is the production shape at any scale —
+    * the exchange moves the already-reduced frame once.
+    */
+  private[graft] def spreadHeavy(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Scoped shuffle-partition override for ITERATIVE bodies that
+    * MATERIALIZE tiny frames inside (localCheckpoint per round): the
+    * conf is read at execution, so this only affects work the body
+    * itself runs — a lazily returned frame plans under the caller's
+    * setting (r15 optimization; the convergedLabels round-14 pattern,
+    * factored for reuse). At parts == 1 AQE is scoped off too: with
+    * one partition there is nothing to coalesce or skew-split and its
+    * per-stage re-planning is pure driver latency on tiny stages
+    * (measured ~0.5 s over a c02-sized kernel in round 14).
+    */
+  private[graft] def withShufflePartitions[T](s: SparkSession, parts: Int)(
+      body: => T): T = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevParts = s.conf.getOption(partsKey)
+    val prevAqe = s.conf.getOption(aqeKey)
+    s.conf.set(partsKey, parts.toString)
+    if (parts == 1) s.conf.set(aqeKey, "false")
+    try body
+    finally {
+      prevParts match {
+        case Some(v) => s.conf.set(partsKey, v)
+        case None => s.conf.unset(partsKey)
+      }
+      prevAqe match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None => s.conf.unset(aqeKey)
+      }
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")

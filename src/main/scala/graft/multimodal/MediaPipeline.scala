@@ -593,15 +593,36 @@ private[multimodal] object ImageIoSupport {
   // files on executors would be absurd. One-time, process-wide.
   private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
+  /** Per-thread per-format reusable readers (r15 optimization):
+    * `ImageIO.read`'s reader lookup walks the process-wide IIORegistry
+    * under synchronization on every call and concurrent decode tasks
+    * serialize on it (measured 0.8 s vs 4.4 s swings on the m22
+    * cross-check — same registry). One reader per (task thread,
+    * format), re-targeted per image via setInput; the JDK codec
+    * itself is unchanged.
+    */
+  private val readers =
+    new ThreadLocal[scala.collection.mutable.Map[String, javax.imageio.ImageReader]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
+
   def decode(row: MediaRow, fmt: String): MediaFeatures = {
     noDiskCache
     val b = row.payload
+    val reader = readers.get().getOrElseUpdate(fmt, {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      require(it.hasNext, s"no ImageIO reader for format $fmt")
+      it.next()
+    })
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      try { reader.setInput(iis); reader.read(0) }
       catch {
         case e: java.io.IOException => throw new IllegalArgumentException(
           s"media_id=${row.media_id}: corrupt $fmt: ${e.getMessage}")
       }
+      finally { reader.setInput(null); iis.close() }
     require(img != null, s"media_id=${row.media_id}: undecodable $fmt payload")
     val w = img.getWidth
     val h = img.getHeight

@@ -35,7 +35,11 @@ object Aggregates {
        |ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
     val q = d2(col("l_quantity"))
-    Tables.lineitem(s, d)
+    // spread: parallelize the partial-aggregation pass off the
+    // single-row-group scan (Tables.spread, guide §2.5); the
+    // aggregates are order-free (exact decimals / counts / min-max /
+    // register-max sketches), so results are unchanged
+    Tables.spread(Tables.lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
@@ -58,7 +62,12 @@ object Aggregates {
       |       count(*) AS n_rows
       |FROM lineitem""".stripMargin
   ) { (s, d) =>
-    Tables.lineitem(s, d).agg(
+    // spread: parallelize the partial-aggregation pass off the
+    // single-row-group scan (Tables.spread, guide §2.5); the
+    // aggregates are order-free (exact decimals / counts / min-max /
+    // register-max sketches), so results are unchanged
+    Tables.spread(Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"))).agg(
       countDistinct(col("l_suppkey")).as("n_supp"),
       countDistinct(col("l_partkey")).as("n_part"),
       countDistinct(col("l_orderkey")).as("n_ord"),
@@ -95,7 +104,12 @@ object Aggregates {
     // ~4×rows groups, each allocating three multi-KB HLL buffers
     // (6.1 s at sf0.1 vs 2.2+1.7 s split). The join of two 1-row
     // frames is free (broadcast nested loop over single rows).
-    val li = Tables.lineitem(s, d)
+    // spread: parallelize the partial-aggregation pass off the
+    // single-row-group scan (Tables.spread, guide §2.5); the
+    // aggregates are order-free (exact decimals / counts / min-max /
+    // register-max sketches), so results are unchanged
+    val li = Tables.spread(Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey")))
     val exact = li.agg(
       countDistinct(col("l_suppkey")).as("n_supp"),
       countDistinct(col("l_partkey")).as("n_part"),
@@ -226,7 +240,8 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_fagg")
+    // spread: parallelize the FILTER-clause partial agg (guide §2.5)
+    Tables.spread(Tables.lineitem(s, d)).createOrReplaceTempView("graft_li_fagg")
     s.sql(
       """SELECT l_returnflag,
         |  count(*) AS n_all,
@@ -265,17 +280,26 @@ object Aggregates {
   ) { (s, d) =>
     def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       when(abs(approx - exact) <= abs(exact) * 0.02, 1).otherwise(0).cast("int")
-    Tables.lineitem(s, d)
+    // array-packed quantiles (r15 optimization, guide §1.2 per-task
+    // work): percentile(col, array(q…)) keeps ONE value-counts buffer
+    // per group and approx_percentile(col, array(q…), acc) ONE sketch
+    // — the previous four scalar aggregates each built their own
+    // (measured 4.31 s → the exact buffer twice + the sketch twice).
+    // Per-quantile results are computed from the same buffer by the
+    // same interpolation, bit-identical to the scalar spelling.
+    // spread: the exact-percentile partial buffers (an OpenHashMap of
+    // value→count per group) are the single-row-group scan's only
+    // expensive work — parallelize them (Tables.spread, guide §2.5);
+    // merge order cannot change a counts-map quantile.
+    Tables.spread(Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("ex50"),
-        expr("percentile(l_extendedprice, 0.9)").as("ex90"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)").as("ap"))
       .select(col("l_returnflag"),
-        col("ex50").as("p50"),
-        col("ex90").as("p90"),
-        ok(col("ap50"), col("ex50")).as("p50_ok"),
-        ok(col("ap90"), col("ex90")).as("p90_ok"))
+        element_at(col("ex"), 1).as("p50"),
+        element_at(col("ex"), 2).as("p90"),
+        ok(element_at(col("ap"), 1), element_at(col("ex"), 1)).as("p50_ok"),
+        ok(element_at(col("ap"), 2), element_at(col("ex"), 2)).as("p90_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -302,7 +326,11 @@ object Aggregates {
       |GROUP BY measure
       |ORDER BY measure""".stripMargin
   ) { (s, d) =>
-    Tables.lineitem(s, d)
+    // spread: the 1→4 Expand + partial agg ran on the single-row-group
+    // scan task (Tables.spread, guide §2.5); decimal sums order-free
+    Tables.spread(Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")))
       .unpivot(
         ids = Array.empty[org.apache.spark.sql.Column],
         values = Array(col("l_quantity"), col("l_extendedprice"),

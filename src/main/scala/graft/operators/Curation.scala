@@ -267,14 +267,22 @@ object Curation {
     */
   private def nearDupComponentFrom(keepers: DataFrame, carry: Seq[String],
       probeName: String): DataFrame = {
-    val ksets = keepers
+    // spreadHeavy: the tokenize+sort+md5 projection below is the
+    // kernel's dominant per-row CPU (~19M digest ops at sf0.1) and
+    // ran on the exact-dedup window's AQE-coalesced single task
+    // (guide §2.5; the unconditional variant because keepers sits
+    // downstream of the window exchange — see spreadHeavy's Scaladoc)
+    val ksets = graft.Tables.spreadHeavy(keepers)
       .select(col("doc_id") +: carry.map(col) :+
         array_sort(tokenSet(col("text"))).as("ts"): _*)
       .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
       .cache() // upstream-stage work feeds BOTH sets and the semi-join
     val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
-    val sets = ksets.groupBy(col("set_hash"))
-      .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts"))
+    // spreadHeavy before the signature projection: 8 minhash passes
+    // over every distinct token set are the next-dominant CPU and the
+    // set_hash groupBy's output is AQE-coalesced to ~one task
+    val sets = graft.Tables.spreadHeavy(ksets.groupBy(col("set_hash"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts")))
       .select(col("rep_id") +: col("ts") +:
         (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
       .cache() // keeper-id derivation AND both band-join sides
@@ -1002,8 +1010,11 @@ object Curation {
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val packed = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread: the gzip/zstd encode+decode chain is pure per-row CPU
+    // pinned to the single-row-group scan task (Tables.spread, §2.5)
+    val packed = Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         (id, if (id % 2 == 0) gzipBytes(raw) else zstdBytes(raw))
@@ -1054,8 +1065,10 @@ object Curation {
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.{HtmlExtract, WarcIngest}
-    val extracted = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread: per-row codec chain off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    val extracted = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val uri = s"https://example.com/doc/$id"
         val shard = WarcIngest.warcinfoRecord(s"software: graft-synth\r\n") ++
@@ -1103,8 +1116,10 @@ object Curation {
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.ZipIngest
-    val unpacked = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread: per-row codec chain off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    val unpacked = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val k = (1 + id % 3).toInt
@@ -1156,8 +1171,10 @@ object Curation {
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.TarIngest
-    val unpacked = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // spread: per-row codec chain off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    val unpacked = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")))
       .as[(Long, String, String, String)]
       .mapPartitions(_.map { case (id, text, lang, source) =>
         val json = s"""{"doc_id":$id,"lang":"$lang","source":"$source"}"""
@@ -1265,6 +1282,21 @@ object Curation {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // SHUFFLE RIGHT-SIZING for the 6-round power iteration (r15
+    // optimization; the convergedLabels round-14 pattern via
+    // Tables.withShufflePartitions): every per-iteration frame is
+    // DOMAIN-graph-sized, and at the session's 32 partitions each of
+    // the ~5 chained stages per round paid 32 tasks of pure
+    // scheduling for a handful of rows (measured 3.24 s at sf0.1, all
+    // overhead). Partitions derive from the measured edge count (one
+    // per 64 k edges, saturating at session parallelism) — a web-scale
+    // host graph keeps full parallelism, the fixture's 20-domain graph
+    // runs 1-task stages. Partitioning never changes the integer rank
+    // algebra; results are bit-identical.
+    val nEdges = edges.count()
+    val rankParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      math.ceil(nEdges / 65536.0).toInt))
+    Tables.withShufflePartitions(s, rankParts) {
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("dst")))
       .union(docs.select(col("source")))
@@ -1305,6 +1337,7 @@ object Curation {
       .select(col("v").as("domain"), col("r").as("rank_scaled"),
         col("outdeg").as("out_deg"), col("indeg").as("in_deg"))
       .orderBy(col("rank_scaled").desc, col("domain"))
+    } // withShufflePartitions(rankParts)
   }
 
   /** URL canonicalization + URL-level dedup (the crawl-frontier
@@ -1349,8 +1382,10 @@ object Curation {
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.UrlCanon
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    // spread: per-row codec chain off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val scheme = (id % 3) match {
           case 0 => "HTTP"; case 1 => "http"; case _ => "Http"
@@ -1437,8 +1472,10 @@ object Curation {
     }.toDF("r_host", "prefix", "allow", "rule_id")
     // the real frontier order: canonicalize (c16's stage), then match
     // host+path against the broadcast rule table
-    val urls = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    // spread: per-row codec chain off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    val urls = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val scheme = (id % 3) match {
           case 0 => "HTTP"; case 1 => "http"; case _ => "Http"
@@ -1657,8 +1694,10 @@ object Curation {
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.CharsetCodec
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread: per-row codec chain off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         // the n_payload closed form in the oracle assumes an ASCII
         // corpus (1 UTF-8 byte and 1 UTF-16 unit per char) — enforce
@@ -3617,8 +3656,11 @@ object Curation {
     val B = 199L
     // stage 1: crawl ingest — c12's WARC→HTTP→HTML byte path, run for
     // real (the oracle starts from documents.text; c12 pins identity)
-    val ingested = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
+    // spread: the WARC encode→parse→HTML-extract chain is pure
+    // per-row CPU pinned to the single-row-group scan task
+    // (Tables.spread, guide §2.5)
+    val ingested = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) =>
         val uri = s"https://example.com/doc/$id"

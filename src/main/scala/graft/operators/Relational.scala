@@ -59,8 +59,14 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) { (s, d) =>
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+    // spread AFTER the filter (pushdown to the scan is preserved —
+    // the predicate stays below the conditional exchange): the
+    // 8-aggregate decimal partial pass ran on the single-row-group
+    // scan task (Tables.spread, guide §2.5); exact-decimal sums are
+    // order-free. At any real scale the spread is a no-op and the
+    // plan remains the one-shuffle two-phase agg documented above.
+    Tables.spread(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum2(col("l_quantity")).as("sum_qty"),

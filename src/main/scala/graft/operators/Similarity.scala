@@ -830,11 +830,14 @@ object Similarity {
       |WHERE k <= 5 ORDER BY qid, k""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tfc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // spread: tokenize + explode off the single-row-group scan
+    // (Tables.spread, guide §2.5 — s19's lexical leg, same rationale)
+    val sdocs = Tables.spread(docs.select(col("doc_id"), col("text")))
+    val tfc = sdocs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
-    val nn = docs.agg(count(lit(1)).as("n"),
+    val dl = sdocs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val nn = sdocs.agg(count(lit(1)).as("n"),
       sum(size(tokens(col("text")))).cast("long").as("s"))
     val qt = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
@@ -1469,11 +1472,16 @@ object Similarity {
   ) { (s, d) =>
     // Lexical leg: s12's BM25 pipeline, top-10 per query.
     val docs = Tables.documents(s, d)
-    val tfc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // spread: tokenize + explode (~600 terms/doc) and the per-doc
+    // length projection are per-row CPU pinned to the single-row-group
+    // scan task (Tables.spread, guide §2.5); count/sum aggregates are
+    // order-free, so results are unchanged
+    val sdocs = Tables.spread(docs.select(col("doc_id"), col("text")))
+    val tfc = sdocs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
-    val nn = docs.agg(count(lit(1)).as("n"),
+    val dl = sdocs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val nn = sdocs.agg(count(lit(1)).as("n"),
       sum(size(tokens(col("text")))).cast("long").as("s"))
     val qt = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
@@ -1983,6 +1991,16 @@ object Similarity {
     def cosOf(qe: org.apache.spark.sql.Column, qn: org.apache.spark.sql.Column,
         e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       when(qn * n === 0, 0.0).otherwise(dot(qe, e) / (qn * n))
+    // SHUFFLE RIGHT-SIZING for the 12-step walk (the convergedLabels/
+    // c13 pattern): every per-step frame is query-batch- or
+    // edge-sized, and 32-partition shuffles on them are pure
+    // scheduling; partitions derive from the measured adjacency size.
+    // The walk is deterministic under any partitioning (strict
+    // improvement + total-order tie-break).
+    val nAdj = adj.count()
+    val walkParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      math.ceil(nAdj / 65536.0).toInt))
+    graft.Tables.withShufflePartitions(s, walkParts) {
     var st = queries.join(entries, Seq("cell"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
         col("entry_id"), col("entry_id").as("node"),
@@ -2013,8 +2031,14 @@ object Similarity {
           when(improving, col("moves") + 1L).otherwise(col("moves")).as("moves"))
     }
     for (i <- 1 to GraphAnnSteps) {
-      st = step(st)
-      if (i % 4 == 0) st = st.localCheckpoint() // keep the unrolled lineage flat
+      // checkpoint EVERY step (r15 optimization): `step` references
+      // its input twice (frontier broadcast + the state join), so an
+      // un-checkpointed step re-executes everything since the last
+      // checkpoint on BOTH paths — 2^k duplication between the old
+      // every-4-steps barriers (the convergedLabels eager-checkpoint
+      // rationale). The frame is query-batch-sized (10 rows); one
+      // materialization per step is noise next to the duplication.
+      st = step(st).localCheckpoint()
     }
     // fixpoint gate: one more probe step must move nobody — a walk
     // still improving past the cap fails loudly, never returns a
@@ -2028,6 +2052,7 @@ object Similarity {
       col("node").cast("long").as("best_id"), col("sc").as("cos_sim"),
       col("moves").cast("long").as("n_moves"))
       .orderBy(col("query_id"))
+    } // withShufflePartitions(walkParts)
   }
 
   def all: Seq[Q] = Seq(s01CosineTopk, s02AnnLsh, s03AnnIvf, s05KnnClassify,

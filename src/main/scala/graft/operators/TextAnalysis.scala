@@ -630,8 +630,10 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val extracted = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread: per-row parse off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    val extracted = graft.Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val e = graft.functions.HtmlExtract.extract(htmlOf(id, text))
         (id, e.title, e.nLinks.toLong, e.nTags.toLong, e.text)
@@ -851,12 +853,27 @@ object TextAnalysis {
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, d)
-    var words = docs.select(explode(tokens(col("text"))).as("term"))
+    // spread: the corpus tokenize + explode feeding the word-type
+    // groupBy is per-row CPU pinned to the single-row-group scan task
+    // (Tables.spread, guide §2.5)
+    var words = graft.Tables.spread(docs.select(col("text")))
+      .select(explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .select(col("term").as("word"), col("freq"),
         concat_ws(" ", split(col("term"), "")).as("sym"))
       .localCheckpoint()
+    // SHUFFLE RIGHT-SIZING for the 10-round merge loop (the
+    // convergedLabels/c13 pattern): every round iterates the
+    // VOCAB-sized word-type table through 2 checkpointed stages, and
+    // 32-partition shuffles on a ~20 k-row frame are pure scheduling;
+    // partitions derive from the measured type count (one per 64 k,
+    // saturating at session parallelism — a 100 TB vocab keeps full
+    // parallelism). Count/sum/argmax algebra is partitioning-free.
+    val nTypes = words.count()
+    val bpeParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      math.ceil(nTypes / 65536.0).toInt))
+    graft.Tables.withShufflePartitions(s, bpeParts) {
     var merges = Vector.empty[org.apache.spark.sql.DataFrame]
     for (k <- 1 to 10) {
       val pairs = words.select(col("freq"),
@@ -876,6 +893,7 @@ object TextAnalysis {
         .localCheckpoint()
     }
     (words, merges.reduce(_ union _))
+    } // withShufflePartitions(bpeParts)
   }
 
   /** BPE ENCODING with the t16-trained merges — the inference side
@@ -1179,7 +1197,10 @@ object TextAnalysis {
     // overstate novelty exactly on the most-memorized chains)
     val cgrams = texts.select(col("seed_rank"),
       explode(graft.functions.WordGramsMulti(split(col("chain_text"), " "), 3)).as("g"))
-    val corpus = Tables.documents(s, d)
+    // spread: corpus-side trigram projection off the single-row-group
+    // scan (Tables.spread, guide §2.5 — t25's twin)
+    val corpus = graft.Tables.spread(
+        Tables.documents(s, d).select(col("text")))
       .select(explode(graft.functions.WordGrams(tokens(col("text")), 3)).as("g"))
       .distinct()
     val overlap = cgrams.alias("c")
@@ -1267,7 +1288,11 @@ object TextAnalysis {
     val cg = texts.select(col("seed_rank"),
         explode(graft.functions.WordGrams(split(col("chain_text"), " "), 3)).as("g"))
       .distinct()
-    val dg = Tables.documents(s, d)
+    // spread: the corpus-side trigram projection (tokenize + WordGrams
+    // + explode of ~600 grams/doc) is per-row CPU pinned to the
+    // single-row-group scan task (Tables.spread, guide §2.5)
+    val dg = graft.Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(graft.functions.WordGrams(tokens(col("text")), 3)).as("g"))
       .distinct()
@@ -1633,7 +1658,10 @@ object TextAnalysis {
           when(col("doc_id") % 5 === 0, lit(" данные")).otherwise(lit("")))
           .as("t"))
       .as[(Long, String)]
-    injected.mapPartitions(_.map { case (id, t) =>
+    // spread: per-row script analysis off the single-row-group scan
+    // (Tables.spread, guide §2.5)
+    graft.Tables.spread(injected.toDF("doc_id", "t")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
       val (mixed, nScripts, dom, domLetters, total) =
         graft.functions.ScriptRuns.analyze(t)
       (id, mixed, nScripts, dom, domLetters, total)

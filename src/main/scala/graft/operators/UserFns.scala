@@ -95,7 +95,10 @@ object UserFns {
          |ORDER BY source""".stripMargin }
   ) { (s, d) =>
     val sketch = udaf(MinhashSketch)
-    Tables.documents(s, d)
+    // spread: the UDAF's partial pass (tokenize + K minhashes per doc)
+    // ran on the single-row-group scan task (Tables.spread, guide
+    // §2.5); element-wise-min merge is order-free
+    Tables.spread(Tables.documents(s, d).select(col("source"), col("text")))
       .groupBy(col("source"))
       .agg(sketch(col("text")).as("sketch"), count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
