@@ -1150,8 +1150,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.FlacFrameCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val payload = flacPcmBytes(id)
         val (rate, totalSamples, frameOff) = flacStreamInfo(payload)
@@ -1231,8 +1230,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.G711Codec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (rate, pcm) = G711Codec.decodeUlawWav(ulawWavBytes(id), id)
         (id, rate, pcm.length.toLong,
@@ -1306,8 +1304,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.G711Codec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (rate, pcm) = G711Codec.decodeG711Wav(alawWavBytes(id), id)
         (id, rate, pcm.length.toLong,
@@ -1409,8 +1406,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.AdpcmCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (rate, pcm) = AdpcmCodec.decodeImaWav(imaAdpcmWavBytes(id), id)
         (id, rate, pcm.length.toLong,
@@ -1494,8 +1490,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.ExifParser
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val payload = jpegExifBytes(id)
         val e = ExifParser.fromJpeg(payload, id)
@@ -1773,8 +1768,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.Mp3SideInfo
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val payload = mp3SideInfoBytes(id)
         val frameLen = Array(417, 384, 576)((id % 3).toInt)
@@ -1826,8 +1820,8 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.InflateCodec
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val level = if (id % 7 == 0) 0 else 6
@@ -1881,8 +1875,8 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.{DeflateEncoder, InflateCodec}
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val (z, stats) = DeflateEncoder.zlibCompress(raw)
@@ -1958,8 +1952,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.JpegCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions { it => noDiskCache; it.map { id =>
         val blocks = Array.tabulate(4) { b =>
           val blk = new Array[Int](64)
@@ -2041,8 +2034,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.PngCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions { it => noDiskCache; it.map { id =>
         val px = Array.tabulate(256) { k =>
           val y = k / 16; val x = k % 16
@@ -2118,8 +2110,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.PngCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions { it => noDiskCache; it.map { id =>
         val pal = Array.tabulate(16) { i =>
           (((id * 11 + i * 23) % 256).toInt << 16) |
@@ -2214,8 +2205,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.BmpRleCodec
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h, px) = bmpRlePixels(id)
         val payload = BmpRleCodec.encode(w, h, px, (id % h).toInt)
@@ -2455,8 +2445,7 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.multimodal.Mp3Huffman
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    spreadIds(s, Tables.documents(s, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val payload = Mp3Huffman.buildDoc(id)
         val frameLen = 417

@@ -1360,6 +1360,16 @@ object Similarity {
           .as("psim"))
     val wPick = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cid"))
+    // SHUFFLE RIGHT-SIZING for the 4 selection rounds (the
+    // convergedLabels/c13 pattern): every per-round frame is bounded
+    // by the query-batch × 12 shortlist, and 32-partition shuffles on
+    // it are pure scheduling; partitions derive from the measured
+    // shortlist size. Argmax selection is deterministic under any
+    // partitioning (score DESC, cid tie-break).
+    val mmrParts = math.max(1, math.min(
+      cand.sparkSession.sparkContext.defaultParallelism,
+      math.ceil(cand.count() / 65536.0).toInt))
+    graft.Tables.withShufflePartitions(cand.sparkSession, mmrParts) {
     val s1 = cand.select(col("query_id"), col("cid"), col("rel"),
         (lit(0.7) * col("rel")).as("score"))
       .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
@@ -1390,6 +1400,7 @@ object Similarity {
     sel5.select(col("query_id"), col("r"), col("cid").as("neighbor_id"),
         col("rel").as("cos_sim"), col("score").as("mmr_score"))
       .orderBy(col("query_id"), col("r"))
+    } // withShufflePartitions(mmrParts)
   }
 
   /** RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher SIGIR'09) —

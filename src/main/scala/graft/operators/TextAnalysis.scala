@@ -1015,17 +1015,37 @@ object TextAnalysis {
   private[operators] def markovChains(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
-    val bg = docs.select(
+    // spread: the bigram/token explodes feeding the model build are
+    // per-row CPU off the single-row-group scan (Tables.spread,
+    // guide §2.5); shared by t18/t20/t25
+    val sdocs = graft.Tables.spread(docs.select(col("text")))
+    val bg = sdocs.select(
       explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
       .select(substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
+    // SHUFFLE RIGHT-SIZING for the model build + 15 generation rounds
+    // (the convergedLabels/c13 pattern): every materialized frame is
+    // vocab- or frontier-sized, and 32-partition shuffles on them are
+    // pure scheduling. Partitions derive from the corpus's on-disk
+    // byte size (one per 8 MB, saturating at session parallelism —
+    // the stateShufflePartitions curve, job-free), so a 100 TB corpus
+    // keeps full parallelism while the fixture runs 1-task stages.
+    // Count/argmax algebra is partitioning-free.
+    val srcBytes = new java.io.File(s"$d/documents.parquet") match {
+      case f if f.isDirectory =>
+        Option(f.listFiles()).getOrElse(Array.empty).map(_.length()).sum
+      case f => f.length()
+    }
+    val mkParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      math.ceil(srcBytes / (8 << 20).toDouble).toInt))
+    graft.Tables.withShufflePartitions(s, mkParts) {
     val tc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))
     val trans = tc.withColumn("r", row_number().over(w))
       .filter(col("r") === 1).select(col("w1"), col("w2"))
       .localCheckpoint()
-    val freq = docs.select(explode(tokens(col("text"))).as("t"))
+    val freq = sdocs.select(explode(tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
     val seeds = freq.orderBy(col("f").desc, col("t")).limit(10)
       .select(col("t").as("seed"),
@@ -1045,6 +1065,7 @@ object TextAnalysis {
       chain = chain.union(frontier)
     }
     chain
+    } // withShufflePartitions(mkParts)
   }
 
   /** Interpolated Kneser-Ney bigram smoothing (Kneser & Ney ICASSP'95;
@@ -1107,7 +1128,9 @@ object TextAnalysis {
       |LIMIT 25""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val bg = docs.select(
+    // spread: the bigram explode off the single-row-group scan
+    // (Tables.spread, guide §2.5 — markovChains' twin)
+    val bg = graft.Tables.spread(docs.select(col("text"))).select(
       explode(graft.functions.WordGramsMulti(tokens(col("text")), 2)).as("g"))
     val cvw = bg.groupBy(col("g")).agg(count(lit(1)).as("c_vw"))
       .select(substring_index(col("g"), " ", 1).as("v"),
