@@ -166,8 +166,27 @@ object Tables {
     * aggregates partitioning-independent by construction.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+    // CODE-ENFORCED SCAN-ADJACENCY (r15 advice): the `.rdd` partition
+    // probe below is only safe on exchange-free plans — on a frame
+    // containing a shuffle boundary it would force AQE's final-plan
+    // resolution and PRE-EXECUTE the upstream stages (that work then
+    // runs twice). The safe-usage rule used to live in a Scaladoc
+    // comment; now the analyzed plan is inspected and any
+    // shuffle-inducing operator makes spread a no-op (return the
+    // frame unchanged — the conservative direction: never an extra
+    // exchange, never double execution). All current call sites are
+    // scan-adjacent projections/filters, so this changes no plan.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffleBound = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate |
+           _: Sort | _: Window | _: GlobalLimit | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (shuffleBound) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+    }
   }
 
   /** [[spread]] for frames DOWNSTREAM OF AN EXCHANGE (window/agg/join
@@ -197,6 +216,18 @@ object Tables {
     */
   private[graft] def withShufflePartitions[T](s: SparkSession, parts: Int)(
       body: => T): T = {
+    // SINGLE-THREADED SCOPE, loudly enforced (r15 verdict item 9):
+    // this mutates session-global conf non-reentrantly. A streaming
+    // query started OUTSIDE the body and still running would plan its
+    // next micro-batch under the temporarily narrowed setting — fail
+    // fast instead of silently interfering. (A stream started INSIDE
+    // the body — q96's foreachBatch replay — is the intended consumer
+    // of the scoped value and is awaited before the restore.)
+    require(s.streams.active.isEmpty,
+      "withShufflePartitions: the session has active streaming queries; " +
+        "the scoped shuffle-partition override would leak into their " +
+        "micro-batch planning. Run iterative bodies only with no " +
+        "concurrent streams on this session.")
     val partsKey = "spark.sql.shuffle.partitions"
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevParts = s.conf.getOption(partsKey)

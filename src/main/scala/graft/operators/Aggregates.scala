@@ -294,7 +294,13 @@ object Aggregates {
     Tables.spread(Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"),
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)").as("ap"))
+        // accuracy 10000 (r15 advice): the partial GK sketches now
+        // merge across the spread's 32 partitions, which loosens the
+        // sketch's effective rank error — 10× accuracy headroom keeps
+        // the oracle-pinned within-2% flags deterministic under any
+        // partitioning (the approx values feed ONLY the flags, so the
+        // emitted columns — exact percentiles + flags — are unchanged)
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("ap"))
       .select(col("l_returnflag"),
         element_at(col("ex"), 1).as("p50"),
         element_at(col("ex"), 2).as("p90"),

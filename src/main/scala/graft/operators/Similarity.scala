@@ -833,8 +833,15 @@ object Similarity {
     // spread: tokenize + explode off the single-row-group scan
     // (Tables.spread, guide §2.5 — s19's lexical leg, same rationale)
     val sdocs = Tables.spread(docs.select(col("doc_id"), col("text")))
+    // cache the (doc, term, tf) index: it feeds BOTH the df count and
+    // the candidate probe join, and without the cache the whole
+    // tokenize→explode→groupBy subtree (the query's dominant CPU)
+    // executed twice inside one run (r15 verdict item 6 — same-query
+    // reuse, the legitimate flavor; Bench/Verify clear caches between
+    // queries)
     val tfc = sdocs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
     val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = sdocs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
     val nn = sdocs.agg(count(lit(1)).as("n"),
@@ -1488,8 +1495,12 @@ object Similarity {
     // scan task (Tables.spread, guide §2.5); count/sum aggregates are
     // order-free, so results are unchanged
     val sdocs = Tables.spread(docs.select(col("doc_id"), col("text")))
+    // cache the (doc, term, tf) index — same-query reuse as s12: the
+    // df-count branch and the probe join otherwise each re-run the
+    // tokenize→explode→groupBy subtree (r15 verdict item 6)
     val tfc = sdocs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
     val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = sdocs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
     val nn = sdocs.agg(count(lit(1)).as("n"),

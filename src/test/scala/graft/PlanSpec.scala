@@ -402,8 +402,55 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(name)
       val keyed = "Exchange (?!RoundRobinPartitioning)".r.findAllIn(p).size
       assert(keyed <= 1, s"$name must not shuffle by key beyond the sort:\n$p")
+      // r15 advice: the round-robin exemption above must not silently
+      // admit an unconditional/stacked repartition that would move the
+      // full dataset at production scale — at most the ONE conditional
+      // Tables.spread exchange per plan
+      val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+      assert(rr <= 1, s"$name: more than one round-robin exchange (stacked spread?):\n$p")
       assert(!p.contains("Join"), s"$name must not join:\n$p")
     }
+  }
+
+  test("Tables.spread is a NO-OP on a scan that already has real splits (the 100 TB guard)") {
+    // r15 verdict item 8: the fixture tables are ONE parquet row group,
+    // so spread fires there; at any real multi-split scale the guard
+    // must keep the plan untouched — pinned here on a multi-file table
+    // written with more partitions than half the session's parallelism.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spreadguard_").toString
+    try {
+      spark.range(0, 100000, 1, 8).selectExpr("id", "id * 2 AS v")
+        .write.mode("overwrite").parquet(tmp)
+      val df = spark.read.parquet(tmp)
+      assert(df.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism,
+        "fixture for this spec must scan with >= parallelism/2 splits")
+      val spreadDf = Tables.spread(df)
+      assert(spreadDf eq df, "spread must return the SAME frame (no-op) on a multi-split scan")
+      val p = spreadDf.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange RoundRobinPartitioning"),
+        s"spread added an exchange to a multi-split scan:\n$p")
+    } finally {
+      val f = new java.io.File(tmp)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      f.delete(): Unit
+    }
+  }
+
+  test("Tables.spread is a NO-OP (and probe-free) on a shuffle-bound frame") {
+    // r15 advice: .rdd on a post-exchange frame would pre-execute the
+    // upstream stages under AQE — spread must refuse such frames by
+    // plan inspection, returning them unchanged, so a future call site
+    // below an aggregate/join cannot silently double-run its subtree.
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").count()
+    assert(Tables.spread(agg) eq agg,
+      "spread must return a shuffle-bound frame unchanged")
+    val joined = Tables.lineitem(spark, dir).join(
+      Tables.orders(spark, dir),
+      org.apache.spark.sql.functions.col("l_orderkey")
+        === org.apache.spark.sql.functions.col("o_orderkey"))
+    assert(Tables.spread(joined) eq joined,
+      "spread must return a join frame unchanged")
   }
 
   test("d13: fuzzy-dedup candidates come from the banded equi-join — never a cartesian") {
