@@ -137,7 +137,13 @@ object GraftExtensions {
     */
   val optimizerRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
-    Seq(graft.plans.InferJaccardSizeFilter, graft.plans.LevenshteinLengthPruning)
+    // order matters within the fixpoint batch: InferJaccardSizeFilter
+    // pattern-matches `sorted_array_jaccard >= c` to add its size
+    // bounds; RewriteJaccardThresholdPredicate then CONSUMES that
+    // shape (early-exit boolean kernel) — inference must see the
+    // original conjunct first in each iteration
+    Seq(graft.plans.InferJaccardSizeFilter, graft.plans.LevenshteinLengthPruning,
+      graft.plans.RewriteJaccardThresholdPredicate)
 
   /** Register on an existing session (e.g. one the driver built):
     * functions into the registry, optimizer rules into

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** `sorted_array_jaccard(a, b) >= c` (or `> c` when `strict`) as ONE
+  * boolean kernel with EARLY EXIT — the r16 optimization of the LSH
+  * candidate-verification hot loop (guide §1.2 "per-task work").
+  *
+  * [[SortedArrayJaccard]]'s merge scan is O(n+m) on EVERY candidate
+  * pair, but nearly all LSH candidates FAIL the 0.9 threshold, and a
+  * failing pair reveals itself early: once
+  * `inter + min(remaining_a, remaining_b)` (the best still-achievable
+  * intersection) cannot reach the minimal intersection the threshold
+  * requires, no suffix of the scan can change the verdict. The scan
+  * aborts there — near-identical pairs still scan fully (they must),
+  * dissimilar near-equal-length pairs abort after the mismatch budget
+  * (~(1−c)/(1+c) · (n+m) comparisons instead of n+m).
+  *
+  * RESULT-IDENTICAL to `SortedArrayJaccard(a,b) >= c` by construction:
+  * the minimal intersection `minInter` is found by binary search over
+  * `I ↦ (double) I / (n + m − I) >= c` — the EXACT comparison the
+  * two-expression spelling evaluates, at every candidate I — and that
+  * predicate is monotone in I because correctly-rounded division is
+  * weakly monotone (x ≤ y in ℝ ⟹ fl(x) ≤ fl(y)). So
+  * `final_inter >= minInter ⟺ fl(final_inter/union) >= c`, including
+  * every floating-point boundary case. JaccardEarlyExitSpec pins the
+  * equivalence exhaustively around thresholds.
+  *
+  * Installed by [[graft.plans.RewriteJaccardThresholdPredicate]]
+  * wherever the jaccard value itself is DROPPED after the comparison
+  * (filter/join predicates); sites that emit the value keep the
+  * original expression.
+  *
+  * PRECONDITION (inherited): both arrays sorted ascending, distinct.
+  */
+case class SortedArrayJaccardAtLeast(left: Expression, right: Expression,
+    threshold: Double, strict: Boolean) extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "sorted_array_jaccard_at_least"
+
+  /** Smallest I in [0, maxInter] whose jaccard passes, or maxInter+1
+    * if none does — binary search over the monotone pass predicate,
+    * evaluated with the same double division as the declarative
+    * spelling.
+    */
+  private def minInterFor(n: Int, m: Int): Int = {
+    def passes(i: Int): Boolean = {
+      val union = n + m - i
+      val j = if (union == 0) 0.0 else i.toDouble / union
+      if (strict) j > threshold else j >= threshold
+    }
+    val maxInter = math.min(n, m)
+    var lo = 0; var hi = maxInter + 1 // invariant: all < lo fail, all >= hi pass… found by search
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (passes(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    if (n == 0 && m == 0) {
+      // jaccard(∅,∅) ≔ 0.0 (SortedArrayJaccard's convention)
+      return if (strict) 0.0 > threshold else 0.0 >= threshold
+    }
+    val minInter = minInterFor(n, m)
+    if (minInter > math.min(n, m)) return false // unreachable even if equal-prefix
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else {
+        if (c < 0) i += 1 else j += 1
+        // best still-achievable intersection can no longer reach the bar
+        if (inter + math.min(n - i, m - j) < minInter) return false
+      }
+    }
+    inter >= minInter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val un = ctx.freshName("un")
+      val jac = ctx.freshName("jac"); val rem = ctx.freshName("rem")
+      val done = ctx.freshName("done")
+      val cmpOp = if (strict) ">" else ">="
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |if ($n == 0 && $m == 0) {
+         |  ${ev.value} = 0.0 $cmpOp $threshold;
+         |} else {
+         |  int $lo = 0; int $hi = java.lang.Math.min($n, $m) + 1;
+         |  while ($lo < $hi) {
+         |    int $mid = $lo + ($hi - $lo) / 2;
+         |    int $un = $n + $m - $mid;
+         |    double $jac = ($un == 0) ? 0.0 : ((double) $mid) / $un;
+         |    if ($jac $cmpOp $threshold) { $hi = $mid; } else { $lo = $mid + 1; }
+         |  }
+         |  if ($lo > java.lang.Math.min($n, $m)) {
+         |    ${ev.value} = false;
+         |  } else {
+         |    int $i = 0; int $j = 0; int $inter = 0;
+         |    boolean $done = false;
+         |    while (!$done && $i < $n && $j < $m) {
+         |      int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |      if ($c == 0) { $inter++; $i++; $j++; }
+         |      else {
+         |        if ($c < 0) { $i++; } else { $j++; }
+         |        int $rem = java.lang.Math.min($n - $i, $m - $j);
+         |        if ($inter + $rem < $lo) { $done = true; }
+         |      }
+         |    }
+         |    ${ev.value} = !$done && $inter >= $lo;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedArrayJaccardAtLeast {
+  def apply(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      threshold: Double, strict: Boolean): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SortedArrayJaccardAtLeast(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b),
+        threshold, strict))
+}

@@ -432,6 +432,12 @@ object Curation {
       kept: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val isBench = substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd"
+    // NOT spread (r16 honest negative): an A/B of spread(benchGrams) +
+    // spreadHeavy(keptGrams) read c04 0.75→1.15, c05 1.20→1.38 — the
+    // two gram projections are too small at this corpus for the extra
+    // exchanges' stage overhead to amortize (the m31/m32 lesson).
+    // Reverted; the family's r16 gains come from the early-exit
+    // jaccard kernel inside the shared near-dup build instead.
     val benchGrams = docs.filter(isBench)
       .select(explode(grams8(tokens(col("text")))).as("gram"))
       .distinct()
