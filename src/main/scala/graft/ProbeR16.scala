@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch stage-split probe for r16 optimization work — NOT part of
+  * the driver contract; delete before round end if unused.
+  */
+object ProbeR16 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.documents(spark, sfDir).limit(10).count()
+
+    def time(name: String)(f: => Unit): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-28s min=${runs.min}%.3f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    args.headOption.getOrElse("c24") match {
+      case "c24" =>
+        import graft.operators.Curation
+        time("c24:1_ingest")(noop(Curation.c24Ingested(spark, sfDir)))
+        time("c24:2_gate")(noop(Curation.c24Gated(spark, sfDir)))
+        time("c24:3_exact")(noop(Curation.c24Keepers(spark, sfDir)))
+        time("c24:4_neardup_kept")(noop(Curation.c24Kept(spark, sfDir)))
+        time("c24:full")(noop(
+          SparkEntry.queries("c24_pipeline_e2e")(spark, sfDir)))
+      case "kernel" =>
+        graft.operators.Curation.kernelProbeStages(spark, sfDir).foreach {
+          case (name, mk) => time(s"kernel:$name")(noop(mk()))
+        }
+      case other => sys.error(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+}

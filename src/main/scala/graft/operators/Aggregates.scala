@@ -108,6 +108,9 @@ object Aggregates {
     // single-row-group scan (Tables.spread, guide §2.5); the
     // aggregates are order-free (exact decimals / counts / min-max /
     // register-max sketches), so results are unchanged
+    // NOT cached (r16 honest negative): ReuseExchange already shares
+    // the spread shuffle between the two aggregates — a cache A/B
+    // read 2.69 vs 2.78 (noise-level) for real memory cost.
     val li = Tables.spread(Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey")))
     val exact = li.agg(

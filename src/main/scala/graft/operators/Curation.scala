@@ -181,7 +181,13 @@ object Curation {
     * first stage, shared by [[nearDupKept]] and the c07 funnel.
     */
   private def qualityDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // spread (r16, guide §2.5): the quality kernel + per-doc md5 ran
+    // on the single-row-group scan's one task before the exact-dedup
+    // window — the kernel probe put stage-1 (this projection + the
+    // window) at 1.7 s of the 3.9 s kept-manifest build. Conditional
+    // no-op at any real multi-split scale; quality/md5 are per-row,
+    // so results are partitioning-free.
+    graft.Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("text"),
         md5(col("text")).as("content_hash"), sparkQuality.as("quality"))
       .filter(col("quality") >= 0.5)
@@ -344,6 +350,52 @@ object Curation {
       .distinct()
     ksets.join(keptIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id") +: carry.map(col): _*)
+  }
+
+  /** r16 MEASUREMENT-ONLY stage cuts of the c02 kernel build
+    * (mirrors [[nearDupComponentFrom]]'s internals; keep in sync) —
+    * used by ProbeR16 to find where the kept-manifest build time goes.
+    */
+  private[graft] def kernelProbeStages(s: SparkSession, d: String)
+      : Seq[(String, () => DataFrame)] = {
+    def keepers = exactKeepers(qualityDocs(s, d))
+    def ksets = graft.Tables.spreadHeavy(keepers)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        array_sort(tokenSet(col("text"))).as("ts"))
+      .withColumn("set_hash", md5(concat_ws(" ", col("ts"))))
+    val sigs8 = graft.functions.MinHashSigs(col("ts"), 8)
+    def sets = graft.Tables.spreadHeavy(ksets.groupBy(col("set_hash"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("ts")).as("ts")))
+      .select(col("rep_id") +: col("ts") +:
+        (0 until 8).map(i => element_at(sigs8, i + 1).as(s"mh$i")): _*)
+    val bandArr = array((0 until 2).map(i =>
+      md5(concat(col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}")))): _*)
+    def lb(ts: Column): Column = {
+      val n = greatest(size(ts), lit(1))
+      floor(log(10.0 / 9.0, n.cast("double"))).cast("int")
+    }
+    def bands = sets.select(col("rep_id"), col("ts"),
+      posexplode(bandArr).as(Seq("band", "h")))
+      .withColumn("lb", lb(col("ts")))
+    def edges = bands.alias("a")
+      .join(bands.withColumn("lb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1))).alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h")
+          && col("a.lb") === col("b.lb")
+          && col("a.rep_id") < col("b.rep_id"))
+      .filter(size(col("a.ts")) * 10 >= size(col("b.ts")) * 9
+        && size(col("b.ts")) * 10 >= size(col("a.ts")) * 9)
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
+        graft.functions.SortedArrayJaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    Seq(
+      "1_keepers" -> (() => keepers),
+      "2_ksets" -> (() => ksets),
+      "3_sets" -> (() => sets),
+      "4_edges" -> (() => edges),
+      "5_full_kernel" -> (() => nearDupKeptFrom(keepers, "kernel_probe")))
   }
 
   /** c01 + the near-dup collapse stage: quality-filter → exact-dedup
@@ -3656,16 +3708,21 @@ object Curation {
        |SELECT shard_id, n_members, n_bytes, texts_md5, total_chars,
        |  CAST(sum(n_members) OVER () AS BIGINT) AS n_sampled
        |FROM shards ORDER BY shard_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => c24From(s, c24Kept(s, d)) }
+
+  /** c24 stages 1-4 (ingest → gate → exact dedup → near-dup collapse),
+    * factored so the r16 stage-split probe can time each boundary; the
+    * registered query consumes the final checkpointed kept frame.
+    */
+  private[graft] def c24Ingested(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.functions.{HtmlExtract, TarIngest, WarcIngest}
-    val B = 199L
+    import graft.functions.{HtmlExtract, WarcIngest}
     // stage 1: crawl ingest — c12's WARC→HTTP→HTML byte path, run for
     // real (the oracle starts from documents.text; c12 pins identity)
     // spread: the WARC encode→parse→HTML-extract chain is pure
     // per-row CPU pinned to the single-row-group scan task
     // (Tables.spread, guide §2.5)
-    val ingested = Tables.spread(Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) =>
@@ -3681,21 +3738,37 @@ object Curation {
         val page = new String(http.body, java.nio.charset.StandardCharsets.UTF_8)
         (id, src, HtmlExtract.extract(page).text)
       }).toDF("doc_id", "source", "text")
-    // stage 2: Gopher gate (t27's shared metric + keep spellings)
-    val gated = ingested
+  }
+
+  /** c24 stage 2: Gopher gate (t27's shared metric + keep spellings). */
+  private[graft] def c24Gated(s: SparkSession, d: String): DataFrame =
+    c24Ingested(s, d)
       .select(col("doc_id") +: col("source") +: col("text") +:
         TextAnalysis.gopherMetricCols: _*)
       .filter(TextAnalysis.gopherKeepCond)
       .select(col("doc_id"), col("source"), col("text"))
-    // stage 3: exact dedup — min-id keeper per content hash
+
+  /** c24 stage 3: exact dedup — min-id keeper per content hash. */
+  private[graft] def c24Keepers(s: SparkSession, d: String): DataFrame = {
     val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val keepers = gated.withColumn("rn", row_number().over(wExact))
+    c24Gated(s, d).withColumn("rn", row_number().over(wExact))
       .filter(col("rn") === 1).drop("rn")
-    // stage 4: near-dup component keeper (the c02 kernel, carrying
-    // source for the quota stage and text for the pack stage)
-    val kept = nearDupComponentFrom(keepers, Seq("source", "text"),
+  }
+
+  /** c24 stage 4: near-dup component keeper (the c02 kernel, carrying
+    * source for the quota stage and text for the pack stage),
+    * eagerly checkpointed — feeds the quota counts AND the sample path.
+    */
+  private[graft] def c24Kept(s: SparkSession, d: String): DataFrame =
+    nearDupComponentFrom(c24Keepers(s, d), Seq("source", "text"),
       "c24_pipeline_e2e")
-      .localCheckpoint() // feeds the quota counts AND the sample path
+      .localCheckpoint()
+
+  /** c24 stages 5-6 over an already-materialized kept frame. */
+  private def c24From(s: SparkSession, kept: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.TarIngest
+    val B = 199L
     // stage 5: Hamilton apportionment of B docs over sources (p13's
     // integer arithmetic; quota table is domain-sized → broadcast)
     val src = kept.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))

@@ -915,6 +915,11 @@ object Dedup {
     val tok = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("t"))
+    // NOT cached (r16 honest negative): tok feeds both dft and the
+    // vote stream, but ReuseExchange already shares the spread
+    // shuffle — A/B read 2.81 vs 2.84 (flat), so the cache only adds
+    // memory pressure. (s12's cache DID win because its duplicated
+    // subtree included a groupBy aggregation, not just the explode.)
     val dft = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // md5 BEFORE the df join: the join boundary materializes it, so
     // the 16 per-bit substrings below never re-hash

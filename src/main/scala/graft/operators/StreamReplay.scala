@@ -191,18 +191,62 @@ object StreamReplay {
     * NEXT replay see their own setting.
     */
   private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, stateShufflePartitions(s).toString)
+    val settings = Map(
+      "spark.sql.shuffle.partitions" -> stateShufflePartitions(s).toString
+    ) ++ replayFixedCostConfs
+    val prev = settings.keys.map(k => k -> s.conf.getOption(k)).toMap
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
     try body
     finally {
       // consume-and-clear the source-bytes accumulator: the NEXT
       // replay's sources start from zero (see recordSourceBytes).
       s.conf.unset(SourceBytesKey)
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
       }
+    }
+  }
+
+  /** MICRO-BATCH FIXED-COST confs scoped to each replay (r16, r15
+    * verdict item 4 — attack per-trigger constant factors without
+    * touching trigger counts or semantics):
+    *
+    *  - `checkpoint.fileChecksum.enabled=false`: Spark 4.1 writes AND
+    *    verifies a sibling `.checksum` file for every checkpoint file
+    *    (offset log, commit log, state deltas/snapshots, sink
+    *    metadata) — corruption detection for long-lived production
+    *    checkpoints. The replays run against per-process THROWAWAY
+    *    checkpoints (fresh temp dir per run, deleted on exit), where
+    *    the checksum is pure per-trigger metadata I/O: ~2× the
+    *    checkpoint file count, several files per trigger per store.
+    *    Results are byte-identical (it is an integrity check, not a
+    *    semantic setting); a production deployment with durable
+    *    checkpoints keeps it on.
+    *  - `stateStore.maintenanceInterval=600s`: the 60 s default wakes
+    *    the maintenance pool mid-sweep to snapshot/clean state stores
+    *    belonging to ALREADY-FINISHED replays (every query uses a
+    *    fresh checkpoint, so a process accumulates dead providers);
+    *    the work races the measured queries for cores. 600 s pushes it
+    *    past any single replay's lifetime without disabling the
+    *    mechanism.
+    */
+  private val replayFixedCostConfs = Map(
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+    "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
+
+  /** [[replayFixedCostConfs]] scoped around a body for the one replay
+    * (q96) that manages its shuffle partitions through
+    * `Tables.withShufflePartitions` instead of [[withStatePartitions]].
+    */
+  private[operators] def withReplayFixedCosts[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = replayFixedCostConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    replayFixedCostConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
@@ -2215,8 +2259,10 @@ object StreamReplay {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
     graft.Tables.withShufflePartitions(s, q96Parts) {
-      val running = query.start()
-      running.awaitTermination()
+      withReplayFixedCosts(s) {
+        val running = query.start()
+        running.awaitTermination()
+      }
     }
     s.read.schema(viewSchema).option("basePath", viewRoot)
       .parquet(s"$viewRoot/v=*")
