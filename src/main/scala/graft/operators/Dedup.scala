@@ -514,6 +514,18 @@ object Dedup {
         // hop over the jumped previous labels; the node's own
         // previous label rides the union branch (the round-12
         // self-loop edges, read for free off the checkpoint)
+        //
+        // r16 honest negative — a DOUBLE pointer jump (chase m⁴ via
+        // j∘j per round) was tried to halve the round count: it is
+        // result-identical (the stationarity proof never cares how
+        // many jumps feed the hop), but localCheckpoint's LogicalRDD
+        // INHERITS the round plan's Catalyst size ESTIMATE, and a
+        // 4-reference round compounds it ×4 per round — by round 11
+        // the driver spent tens of seconds in BigInteger.multiply
+        // (Karatsuba/ToomCook on 63·4ⁿ-bit size estimates) inside
+        // stats propagation; d07 regressed 5 s → 48 s (thread dump on
+        // file). The single jump's ×3-per-round growth stays in the
+        // sub-ms range across a 16-round budget. Kept single.
         val jumped = mPrev.alias("a")
           .join(mPrev.alias("b"), col("a.label") === col("b.vec_id"))
           .select(col("a.vec_id"), col("b.label"))
@@ -540,6 +552,9 @@ object Dedup {
       converged = prevFp != null && prevFp == fp
       prevFp = fp
       mPrev = m
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"[labels] $query round=$round n=${r.getLong(2)} " +
+          s"t=${System.nanoTime() / 1e9}")
     }
     if (!converged) throw new IllegalStateException(
       s"$query: min-label propagation not converged after $rounds rounds; " +
